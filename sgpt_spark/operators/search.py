@@ -1,0 +1,106 @@
+"""BM25 query execution — exhaustive (DataFrame-native) path.
+
+Replaces the reference's delegated ES query
+(``retriever.retrieve(corpus, queries)`` -> ES multi_match top-1000,
+crossencoder/beir/crossencoder_beir_bm25.ipynb cell 10) with an explicit
+Spark plan:
+
+    postings_flat (term, doc_id, tf, doc_len)       [big: index scan]
+      join BROADCAST(query terms)  on term          [no shuffle]
+      -> per-(qid, doc) partial scores               [codegen'd BM25 math]
+      groupBy(qid, doc_id).sum                       [map-side combine]
+      -> per-qid top-k window                        [one narrow shuffle]
+
+Scale notes (100 TB / 10^12 docs): the only full scan is the postings
+probe, and it is filtered by the broadcast query-term set *before* any
+shuffle — the shuffled data is candidate rows only (|queries| x df(t)).
+Query sets are small (BEIR: 10^2..10^4 queries) so the broadcast side is
+KBs. doc_len is denormalized into the postings at index time, so no join
+against a 10^12-row doc-stats table ever happens at query time.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from sgpt_spark.functions.analyzer import tokenize_ws
+from sgpt_spark.functions.bm25 import B, K1, bm25_term_score
+from sgpt_spark.operators.corpus import non_empty_text
+from sgpt_spark.operators.stats import CorpusStats, corpus_stats, doc_terms, term_df, term_freqs
+from sgpt_spark.operators.topk import topk_per_group
+
+Tokenizer = Callable[[Column], Column]
+
+
+def query_terms(
+    queries: DataFrame,
+    qid_col: str = "qid",
+    query_col: str = "query",
+    tokenizer: Tokenizer = tokenize_ws,
+) -> DataFrame:
+    """queries -> (qid, term, qtf). Query-term multiplicity is kept
+    (Lucene scores a duplicated query term once per occurrence)."""
+    return (
+        non_empty_text(queries, query_col)
+        .select(F.col(qid_col).alias("qid"), tokenizer(F.col(query_col)).alias("qterms"))
+        .select("qid", F.explode("qterms").alias("term"))
+        .groupBy("qid", "term")
+        .agg(F.count("*").alias("qtf"))
+    )
+
+
+def score_candidates(
+    postings_flat: DataFrame,
+    qterms: DataFrame,
+    dfs: DataFrame,
+    stats: CorpusStats,
+    k1: float = K1,
+    b: float = B,
+) -> DataFrame:
+    """-> (qid, doc_id, score): BM25 over every (query, matching doc).
+
+    ``qterms`` and ``dfs``-restricted-to-query-terms are both tiny ->
+    broadcast; the big postings relation is filtered by the join without
+    shuffling.
+    """
+    # df lookup only needed for terms that appear in some query.
+    qterm_df = qterms.join(dfs, "term", "inner")
+    partial = postings_flat.join(F.broadcast(qterm_df), "term", "inner").select(
+        "qid",
+        "doc_id",
+        (
+            F.col("qtf")
+            * bm25_term_score(
+                F.col("tf"), F.col("df"), F.col("doc_len"), stats.n_docs, stats.avgdl, k1, b
+            )
+        ).alias("partial"),
+    )
+    return partial.groupBy("qid", "doc_id").agg(F.sum("partial").alias("score"))
+
+
+def bm25_search(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    tokenizer: Tokenizer = tokenize_ws,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = K1,
+    b: float = B,
+) -> DataFrame:
+    """End-to-end exhaustive BM25 top-k: corpus x queries -> RESULTS.
+
+    The "index" here is the flat (term, doc_id, tf, doc_len) relation
+    built inline; the persisted compressed-index path lives in
+    ``sgpt_spark.operators.indexer`` + ``wand``.
+    """
+    dt = doc_terms(corpus, id_col=id_col, text_col=text_col, tokenizer=tokenizer)
+    tf = term_freqs(dt)
+    dfs = term_df(tf)
+    stats = corpus_stats(dt)
+    qt = query_terms(queries, tokenizer=tokenizer)
+    scored = score_candidates(tf, qt, dfs, stats, k1=k1, b=b)
+    return topk_per_group(scored, k=k).select("qid", "doc_id", "score", "rank")

@@ -1,0 +1,63 @@
+"""SparkSession construction for the engine.
+
+Local-mode defaults are tuned for the sandbox (single JVM, 32 threads),
+but every knob here is what we'd set on a real multi-executor cluster:
+AQE on (runtime re-plan + skew-join mitigation), shuffle partitions sized
+to parallelism, Arrow enabled for the pandas-UDF data plane, UTC session
+timezone (oracle comparison), and a broadcast threshold that keeps
+query/qrels-sized dimension tables out of the shuffle.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    master: str | None = None,
+    app_name: str = "sgpt_spark",
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with engine defaults.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]``. On a real cluster
+    this function is still the single place configs live — spark-submit
+    supplies the master and these remain as ``--conf`` defaults.
+    """
+    cpus = DEFAULT_CPUS
+    if master is None:
+        master = f"local[{cpus}]"
+    elif master.startswith("local[") and master != "local[*]":
+        try:
+            cpus = int(master[len("local[") : -1])
+        except ValueError:
+            pass
+    if shuffle_partitions is None:
+        shuffle_partitions = cpus
+
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.default.parallelism", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

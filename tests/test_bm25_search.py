@@ -1,0 +1,95 @@
+"""Slice-1 correctness: Spark BM25 vs the pure-Python brute-force oracle.
+
+Mirrors the reference's oracle pattern (computed metrics vs published
+numbers, SURVEY.md §5.1) but hermetic: rank-identical, score-equal ±1e-6.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from oracle.bm25_oracle import bm25_topk
+from sgpt_spark.operators.search import bm25_search
+from sgpt_spark.sources.queryset import derived_queries
+from tests.conftest import SF_SMOKE
+
+CORPUS = {
+    "d1": "the quick brown fox jumps over the lazy dog",
+    "d2": "the quick quick fox",
+    "d3": "lazy dog sleeps all day the dog",
+    "d4": "a completely unrelated document about spark shuffles",
+    "d5": "",  # empty doc — must be filtered
+    "d6": "fox fox fox fox fox",
+}
+QUERIES = {"q1": "quick fox", "q2": "lazy dog", "q3": "spark", "q4": "fox the fox"}
+
+
+@pytest.fixture(scope="module")
+def tiny(spark):
+    corpus = spark.createDataFrame(
+        [(k, v) for k, v in CORPUS.items()], "doc_id string, text string"
+    )
+    queries = spark.createDataFrame(
+        [(k, v) for k, v in QUERIES.items()], "qid string, query string"
+    )
+    return corpus, queries
+
+
+def collect_run(df):
+    out = {}
+    for r in df.collect():
+        out.setdefault(r["qid"], []).append((r["doc_id"], r["score"], r["rank"]))
+    for qid in out:
+        out[qid].sort(key=lambda h: h[2])
+    return out
+
+
+def test_rank_and_score_identity_tiny(spark, tiny):
+    corpus, queries = tiny
+    got = collect_run(bm25_search(corpus, queries, k=10))
+    want = bm25_topk(CORPUS, QUERIES, k=10)
+    assert set(got) == {q for q, hits in want.items() if hits}
+    for qid, hits in got.items():
+        assert [h[0] for h in hits] == [h[0] for h in want[qid]], qid
+        for (gd, gs, gr), (wd, ws, wr) in zip(hits, want[qid]):
+            assert gr == wr
+            assert math.isclose(gs, ws, abs_tol=1e-6), (qid, gd, gs, ws)
+
+
+def test_empty_doc_never_retrieved(spark, tiny):
+    corpus, queries = tiny
+    got = bm25_search(corpus, queries, k=10)
+    assert got.filter(got.doc_id == "d5").count() == 0
+
+
+def test_duplicate_query_terms_score_double(spark, tiny):
+    # "fox the fox" must score fox-matches twice (Lucene occurrence semantics)
+    corpus, _ = tiny
+    q_single = spark.createDataFrame([("q", "fox")], "qid string, query string")
+    q_double = spark.createDataFrame([("q", "fox fox")], "qid string, query string")
+    s1 = {r["doc_id"]: r["score"] for r in bm25_search(corpus, q_single, k=10).collect()}
+    s2 = {r["doc_id"]: r["score"] for r in bm25_search(corpus, q_double, k=10).collect()}
+    for d in s1:
+        assert math.isclose(s2[d], 2 * s1[d], abs_tol=1e-5)
+
+
+def test_rank_identity_testdata(spark):
+    """Engine vs oracle on the driver documents table (sf0.001).
+
+    Int doc_ids kept as ints on both sides so the tie-break order
+    (doc_id asc) is type-identical.
+    """
+    docs_df = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    corpus = {r["doc_id"]: r["text"] for r in docs_df.collect()}
+    queries = {r["qid"]: r["query"] for r in derived_queries(docs_df).collect()}
+    got = collect_run(bm25_search(docs_df, spark.createDataFrame(
+        list(queries.items()), "qid long, query string"), k=10))
+    want = bm25_topk(corpus, queries, k=10)
+    assert set(got) == {q for q, hits in want.items() if hits}
+    for qid, hits in got.items():
+        assert [h[0] for h in hits] == [w[0] for w in want[qid]], qid
+        for g, w in zip(hits, want[qid]):
+            assert g[2] == w[2]
+            assert math.isclose(g[1], w[1], abs_tol=1e-6)

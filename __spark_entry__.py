@@ -20,12 +20,14 @@ if _REPO not in sys.path:
     sys.path.insert(0, _REPO)
 
 from sgpt_spark.functions.bm25 import B, K1  # noqa: E402
-from sgpt_spark.operators.stats import corpus_stats as _corpus_stats  # noqa: E402
+from sgpt_spark.operators.metrics import mean_metrics  # noqa: E402
 from sgpt_spark.operators.stats import doc_stats, doc_terms, term_df, term_freqs  # noqa: E402
 from sgpt_spark.operators.search import bm25_search  # noqa: E402
 from sgpt_spark.operators.topk import SCORE_DECIMALS  # noqa: E402
 from sgpt_spark.sources.queryset import (  # noqa: E402
+    QRELS_SQL,
     QUERIES_SQL,
+    derived_qrels,
     derived_queries,
 )
 from sgpt_spark.sources.tables import load_table  # noqa: E402
@@ -75,13 +77,33 @@ def _q_term_df_top100(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_bm25_index_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same flagship query, but through the compressed inverted index
+    (delta+varint posting blocks, segmented build, per-segment top-k +
+    global merge) — must be value-identical to the exhaustive path."""
+    from sgpt_spark.operators.index_search import search_index
+    from sgpt_spark.operators.indexer import build_postings
+
+    docs = load_table(spark, sf_dir, "documents")
+    postings, meta = build_postings(docs, segment_size=200)
+    return search_index(spark, postings, meta, derived_queries(docs), k=10)
+
+
+def _q_ir_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    run = bm25_search(docs, derived_queries(docs), k=10)
+    return mean_metrics(run, derived_qrels(docs), k=10)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "bm25_top10": _q_bm25_top10,
+        "bm25_index_top10": _q_bm25_index_top10,
         "queryset_derive": _q_queryset,
         "corpus_stats": _q_corpus_stats,
         "doc_stats": _q_doc_stats,
         "term_df_top100": _q_term_df_top100,
+        "ir_metrics_mean": _q_ir_metrics,
     }
 
 
@@ -144,8 +166,50 @@ FROM ranked WHERE rnk <= 10
 """
 
 
+# IR metrics over the BM25 run vs known-item qrels, matching
+# InformationRetrievalEvaluator semantics (see operators/metrics.py).
+_METRICS_SQL = f"""
+WITH run AS ({_BM25_SQL}),
+  qrels AS ({QRELS_SQL}),
+  nrel AS (SELECT qid, count(*) AS n_rel FROM qrels GROUP BY qid),
+  lab AS (
+    SELECT r.qid, r.rank, CASE WHEN q.qid IS NOT NULL THEN 1 ELSE 0 END AS rel
+    FROM run r LEFT JOIN qrels q ON r.qid = q.qid AND r.doc_id = q.doc_id
+    WHERE r.rank <= 10
+  ),
+  runn AS (
+    SELECT qid, rank, rel,
+           sum(rel) OVER (PARTITION BY qid ORDER BY rank) AS cum_hits
+    FROM lab
+  ),
+  perq0 AS (
+    SELECT qid,
+           sum(rel / log2(rank + 1)) AS dcg,
+           sum(CASE WHEN rel = 1 THEN cum_hits * 1.0 / rank ELSE 0 END) AS psum,
+           max(CASE WHEN rel = 1 THEN 1.0 / rank ELSE 0 END) AS mrr,
+           sum(rel) AS hits
+    FROM runn GROUP BY qid
+  ),
+  perq AS (
+    SELECT n.qid, n.n_rel,
+           coalesce(p.dcg, 0) AS dcg, coalesce(p.psum, 0) AS psum,
+           coalesce(p.mrr, 0) AS mrr, coalesce(p.hits, 0) AS hits,
+           list_sum([1.0 / log2(i + 1) for i in generate_series(1, least(10, n.n_rel))]) AS idcg
+    FROM nrel n LEFT JOIN perq0 p ON n.qid = p.qid
+  )
+SELECT round(avg(dcg / idcg), 6) AS ndcg,
+       round(avg(psum / least(10, n_rel)), 6) AS map,
+       round(avg(mrr), 6) AS mrr,
+       round(avg(hits / 10.0), 6) AS precision,
+       round(avg(hits * 1.0 / n_rel), 6) AS recall
+FROM perq
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        "ir_metrics_mean": _METRICS_SQL,
+        "bm25_index_top10": _BM25_SQL,
         "bm25_top10": _BM25_SQL,
         "queryset_derive": QUERIES_SQL,
         "corpus_stats": f"""

@@ -51,6 +51,11 @@ def tokenize_standard(texts: pd.Series) -> pd.Series:
     return lowered.str.findall(_WORD_RE)
 
 
+def tokenize_py_ws(text: str) -> list[str]:
+    """Driver/oracle-side twin of ``tokenize_ws``."""
+    return [t for t in (text or "").split(" ") if t]
+
+
 def analyze_py(text: str) -> list[str]:
     """Driver/oracle-side twin of ``tokenize_standard`` (same regex).
 

@@ -1,0 +1,117 @@
+"""Vectorized posting-list block codecs: delta + LEB128 varint.
+
+The compressed representation Elasticsearch/Lucene keeps hidden from the
+reference (SURVEY.md §1.1 "Derived index structure"). Everything here is
+numpy array code — no per-element Python loops over postings (the loops
+below are over *byte positions* (<=10) and *blocks*, not elements), so
+encode/decode run at memory bandwidth inside Arrow-batched UDFs
+(input_hint: no per-row Python).
+
+Block layout (see sgpt_spark.schema.POSTINGS):
+  per (term, segment): blocks of <=BLOCK_SIZE postings, each with
+    first_doc, last_doc, count        — for skipping without decode
+    block_max                         — max BM25 tf-norm in block (WAND bound;
+                                        idf is applied at query time so the
+                                        bound is df-independent)
+    doc_deltas                        — varint(diff(doc_ids)), docs sorted asc
+    tfs, dls                          — varint term freqs / doc lengths
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+BLOCK_SIZE = 128
+_MAX_VARINT_BYTES = 10
+
+
+def varint_encode(values: np.ndarray) -> bytes:
+    """LEB128-encode a uint64 array, fully vectorized."""
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    if v.size == 0:
+        return b""
+    # number of 7-bit groups per value
+    nb = np.ones(v.shape, dtype=np.int64)
+    for k in range(1, _MAX_VARINT_BYTES):
+        nb += (v >= np.uint64(1) << np.uint64(7 * k)).astype(np.int64)
+    offsets = np.concatenate(([0], np.cumsum(nb)[:-1]))
+    out = np.zeros(int(nb.sum()), dtype=np.uint8)
+    for j in range(int(nb.max())):
+        mask = nb > j
+        byte = (v[mask] >> np.uint64(7 * j)) & np.uint64(0x7F)
+        cont = (nb[mask] - 1 > j).astype(np.uint8) << 7
+        out[offsets[mask] + j] = byte.astype(np.uint8) | cont
+    return out.tobytes()
+
+
+def varint_decode(data: bytes) -> np.ndarray:
+    """Inverse of varint_encode -> uint64 array, vectorized."""
+    b = np.frombuffer(data, dtype=np.uint8)
+    if b.size == 0:
+        return np.empty(0, dtype=np.uint64)
+    term_flags = (b & 0x80) == 0  # last byte of each value
+    starts = np.concatenate(([0], np.flatnonzero(term_flags)[:-1] + 1))
+    pos = np.arange(b.size) - np.repeat(starts, np.diff(np.concatenate((starts, [b.size]))))
+    contrib = (b & np.uint8(0x7F)).astype(np.uint64) << (np.uint64(7) * pos.astype(np.uint64))
+    return np.add.reduceat(contrib, starts)
+
+
+def delta_encode(sorted_ids: np.ndarray) -> tuple[int, bytes]:
+    """Strictly-ascending int64 ids -> (first_id, varint(diffs))."""
+    ids = np.ascontiguousarray(sorted_ids, dtype=np.int64)
+    if ids.size == 0:
+        return 0, b""
+    return int(ids[0]), varint_encode(np.diff(ids).astype(np.uint64))
+
+
+def delta_decode(first_id: int, data: bytes, count: int) -> np.ndarray:
+    out = np.empty(count, dtype=np.int64)
+    out[0] = first_id
+    if count > 1:
+        out[1:] = varint_decode(data).astype(np.int64)
+    return np.cumsum(out)
+
+
+def encode_blocks(
+    doc_ids: np.ndarray,
+    tfs: np.ndarray,
+    dls: np.ndarray,
+    tfn: np.ndarray,
+    block_size: int = BLOCK_SIZE,
+) -> list[dict]:
+    """Sorted postings arrays -> list of block dicts (POSTINGS.blocks rows).
+
+    ``tfn`` is the precomputed BM25 tf-norm per posting (depends only on
+    tf, dl, avgdl — all known at index time); block_max = max(tfn).
+    """
+    order = np.argsort(doc_ids, kind="stable")
+    doc_ids, tfs, dls, tfn = doc_ids[order], tfs[order], dls[order], tfn[order]
+    blocks = []
+    for s in range(0, len(doc_ids), block_size):
+        d = doc_ids[s : s + block_size]
+        first, deltas = delta_encode(d)
+        blocks.append(
+            {
+                "first_doc": first,
+                "last_doc": int(d[-1]),
+                "count": int(len(d)),
+                "block_max": float(tfn[s : s + block_size].max()),
+                "doc_deltas": deltas,
+                "tfs": varint_encode(tfs[s : s + block_size].astype(np.uint64)),
+                "dls": varint_encode(dls[s : s + block_size].astype(np.uint64)),
+            }
+        )
+    return blocks
+
+
+def decode_blocks(blocks: list) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """blocks -> (doc_ids, tfs, dls) concatenated across blocks."""
+    ids, tfs, dls = [], [], []
+    for blk in blocks:
+        ids.append(delta_decode(blk["first_doc"], bytes(blk["doc_deltas"]), blk["count"]))
+        tfs.append(varint_decode(bytes(blk["tfs"])))
+        dls.append(varint_decode(bytes(blk["dls"])))
+    if not ids:
+        z = np.empty(0, dtype=np.int64)
+        return z, z.astype(np.uint64), z.astype(np.uint64)
+    return np.concatenate(ids), np.concatenate(tfs), np.concatenate(dls)

@@ -90,6 +90,7 @@ POSTINGS = T.StructType(
                         T.StructField("block_max", T.DoubleType(), False),
                         T.StructField("doc_deltas", T.BinaryType(), False),
                         T.StructField("tfs", T.BinaryType(), False),
+                        T.StructField("dls", T.BinaryType(), False),
                     ]
                 )
             ),

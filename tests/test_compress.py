@@ -1,0 +1,79 @@
+"""Codec round-trips: encode∘decode = id (SURVEY.md §7.2 step 3),
+property-based via hypothesis."""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from sgpt_spark.functions.compress import (
+    decode_blocks,
+    delta_decode,
+    delta_encode,
+    encode_blocks,
+    varint_decode,
+    varint_encode,
+)
+
+
+@given(st.lists(st.integers(min_value=0, max_value=2**63 - 1), max_size=500))
+@settings(max_examples=200, deadline=None)
+def test_varint_roundtrip(vals):
+    arr = np.array(vals, dtype=np.uint64)
+    assert np.array_equal(varint_decode(varint_encode(arr)), arr)
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=2**40), min_size=1, max_size=400, unique=True)
+)
+@settings(max_examples=200, deadline=None)
+def test_delta_roundtrip(ids):
+    arr = np.sort(np.array(ids, dtype=np.int64))
+    first, data = delta_encode(arr)
+    assert np.array_equal(delta_decode(first, data, len(arr)), arr)
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=10**9),  # doc_id
+            st.integers(min_value=1, max_value=1000),  # tf
+            st.integers(min_value=1, max_value=5000),  # dl
+        ),
+        min_size=1,
+        max_size=600,
+        unique_by=lambda t: t[0],
+    )
+)
+@settings(max_examples=100, deadline=None)
+def test_blocks_roundtrip(postings):
+    docs = np.array([p[0] for p in postings], dtype=np.int64)
+    tfs = np.array([p[1] for p in postings], dtype=np.uint64)
+    dls = np.array([p[2] for p in postings], dtype=np.uint64)
+    tfn = tfs.astype(np.float64) / (tfs + 1.2 * (0.25 + 0.75 * dls / 100.0))
+    blocks = encode_blocks(docs, tfs, dls, tfn, block_size=128)
+    d2, t2, l2 = decode_blocks(blocks)
+    order = np.argsort(docs, kind="stable")
+    assert np.array_equal(d2, docs[order])
+    assert np.array_equal(t2, tfs[order])
+    assert np.array_equal(l2, dls[order])
+    # block invariants: sorted, block_max is a true upper bound
+    for blk in blocks:
+        assert blk["first_doc"] <= blk["last_doc"]
+        assert blk["count"] <= 128
+    flat_max = max(b["block_max"] for b in blocks)
+    assert flat_max >= tfn.max() - 1e-12
+
+
+def test_varint_empty():
+    assert varint_encode(np.empty(0, dtype=np.uint64)) == b""
+    assert varint_decode(b"").size == 0
+
+
+def test_varint_known_values():
+    # LEB128 spot checks
+    assert varint_encode(np.array([0], dtype=np.uint64)) == b"\x00"
+    assert varint_encode(np.array([127], dtype=np.uint64)) == b"\x7f"
+    assert varint_encode(np.array([128], dtype=np.uint64)) == b"\x80\x01"
+    assert varint_encode(np.array([300], dtype=np.uint64)) == b"\xac\x02"

@@ -1,0 +1,114 @@
+"""Compressed-index path: doc-id assignment determinism, index build,
+and rank/score identity vs the exhaustive DataFrame path and the
+brute-force oracle (SURVEY.md §7.2 steps 3-5)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from oracle.bm25_oracle import bm25_topk
+from sgpt_spark.operators.index_search import search_index
+from sgpt_spark.operators.indexer import assign_doc_ids, build_postings
+from sgpt_spark.operators.search import bm25_search
+from sgpt_spark.sources.pages import generate_pages
+
+N_DOCS = 1500
+SEGMENT_SIZE = 300  # forces multi-segment merge
+
+
+@pytest.fixture(scope="module")
+def indexed(spark):
+    pages = generate_pages(spark, N_DOCS, partitions=8)
+    docs = assign_doc_ids(pages, num_partitions=6).select("doc_id", "url", "text")
+    docs.persist().count()
+    postings, meta = build_postings(docs, segment_size=SEGMENT_SIZE)
+    postings.persist().count()
+    return docs, postings, meta
+
+
+@pytest.fixture(scope="module")
+def queryset(spark, indexed):
+    docs, _, _ = indexed
+    # known-item queries: first 4 body terms of every 100th doc
+    q = (
+        docs.filter((F.col("doc_id") % 100 == 3) & (F.length("text") > 0))
+        .select(
+            F.col("doc_id").cast("string").alias("qid"),
+            F.array_join(
+                F.slice(F.split(F.element_at(F.split("text", "\n"), 2), " ", -1), 1, 4), " "
+            ).alias("query"),
+        )
+    )
+    q.persist().count()
+    return q
+
+
+def test_doc_id_assignment(spark, indexed):
+    docs, _, meta = indexed
+    rows = docs.select("doc_id", "url").collect()
+    ids = sorted(r["doc_id"] for r in rows)
+    assert ids == list(range(len(rows)))  # dense 0..n-1
+    by_url = sorted(rows, key=lambda r: r["url"])
+    assert [r["doc_id"] for r in by_url] == list(range(len(rows)))  # url order
+
+
+def test_doc_id_assignment_partitioning_invariant(spark):
+    pages = generate_pages(spark, 400, partitions=3).select("url", "text")
+    a = {r["url"]: r["doc_id"] for r in assign_doc_ids(pages, num_partitions=2).collect()}
+    b = {r["url"]: r["doc_id"] for r in assign_doc_ids(pages, num_partitions=5).collect()}
+    assert a == b
+
+
+def test_postings_stats(indexed):
+    docs, postings, meta = indexed
+    n_nonempty = docs.filter(F.length(F.trim("text")) > 0).count()
+    assert meta.n_docs == n_nonempty
+    # df summed over segments == distinct docs containing the term
+    seg_df = {r["term"]: r["df"] for r in
+              postings.groupBy("term").agg(F.sum("df").alias("df")).collect()
+              if r["term"] == "term000000"}
+    truth = (
+        docs.filter(F.length(F.trim("text")) > 0)
+        .filter(F.array_contains(F.split("text", " "), "term000000"))
+        .count()
+    )
+    assert seg_df["term000000"] == truth
+
+
+def test_index_search_matches_exhaustive(spark, indexed, queryset):
+    docs, postings, meta = indexed
+    got = search_index(spark, postings, meta, queryset, k=10).collect()
+    want = bm25_search(docs, queryset, k=10).collect()
+    g = sorted((r["qid"], r["rank"], r["doc_id"], r["score"]) for r in got)
+    w = sorted((r["qid"], r["rank"], r["doc_id"], r["score"]) for r in want)
+    assert len(g) == len(w) > 0
+    for a, b in zip(g, w):
+        assert a[:3] == b[:3]
+        assert math.isclose(a[3], b[3], abs_tol=1e-6)
+
+
+def test_index_search_matches_oracle(spark, indexed, queryset):
+    docs, postings, meta = indexed
+    corpus = {r["doc_id"]: r["text"] for r in docs.collect()}
+    queries = {r["qid"]: r["query"] for r in queryset.collect()}
+    got: dict = {}
+    for r in search_index(spark, postings, meta, queryset, k=10).collect():
+        got.setdefault(r["qid"], []).append((r["rank"], r["doc_id"], r["score"]))
+    want = bm25_topk(corpus, queries, k=10)
+    assert set(got) == {q for q, h in want.items() if h}
+    for qid, hits in got.items():
+        hits.sort()
+        assert [(h[1]) for h in hits] == [int(w[0]) for w in want[qid]], qid
+        for h, w in zip(hits, want[qid]):
+            assert math.isclose(h[2], w[1], abs_tol=1e-6)
+
+
+def test_unknown_query_terms(spark, indexed):
+    _, postings, meta = indexed
+    q = spark.createDataFrame(
+        [("qx", "zzznotaterm qqqalsonot")], "qid string, query string"
+    )
+    assert search_index(spark, postings, meta, q, k=10).count() == 0

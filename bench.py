@@ -1,0 +1,147 @@
+"""Bench harness — prints ONE JSON line with the headline numbers.
+
+Measures the BASELINE.json metric locally:
+- index-build throughput (docs/sec) over the deterministic synthetic
+  Common-Crawl-style pages corpus (FIXTURES.md §1),
+- BM25 query throughput (queries/sec, top-10) through the compressed
+  index,
+- BM25 top-10 rank-identity rate: compressed-index path vs the
+  independent exhaustive DataFrame path on a query sample,
+- timings for the driver-table headline queries.
+
+Env knobs: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+SPARK_GRAFT_CPUS (default 32), SPARK_GRAFT_BENCH_DOCS (default 200000),
+SPARK_GRAFT_BENCH_QUERIES (default 1000).
+
+Scaling-efficiency evidence (north_rule, N vs 4N executors) is produced
+by tools/scaling_bench.py, which runs this same workload at local[8] and
+local[32] and writes BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent
+sys.path.insert(0, str(REPO))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from sgpt_spark.operators.index_search import search_index  # noqa: E402
+from sgpt_spark.operators.indexer import assign_doc_ids, build_postings, write_index  # noqa: E402
+from sgpt_spark.operators.search import bm25_search  # noqa: E402
+from sgpt_spark.session import get_spark  # noqa: E402
+from sgpt_spark.sources.pages import generate_pages  # noqa: E402
+from sgpt_spark.sources.queryset import derived_queries  # noqa: E402
+from sgpt_spark.sources.tables import load_table  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+N_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "200000"))
+N_QUERIES = int(os.environ.get("SPARK_GRAFT_BENCH_QUERIES", "1000"))
+CACHE = os.environ.get("SPARK_GRAFT_BENCH_CACHE", "/tmp/sgpt_bench")
+
+
+def pages_path(spark) -> str:
+    """Materialize the pages fixture once (generation cost is fixture
+    cost, not index-build cost)."""
+    path = f"{CACHE}/pages_{N_DOCS}.parquet"
+    if not Path(path).exists():
+        generate_pages(spark, N_DOCS, partitions=max(CPUS * 2, 8)).write.mode(
+            "overwrite"
+        ).parquet(path)
+    return path
+
+
+def main() -> None:
+    spark = get_spark(master=f"local[{CPUS}]", app_name="sgpt_bench",
+                      shuffle_partitions=CPUS)
+    timings: dict[str, float] = {}
+
+    src = pages_path(spark)
+    pages = spark.read.parquet(src)
+
+    # Warm-up: spawn python workers / JIT the hot paths on a small slice
+    # so the timed section measures engine throughput, not JVM+worker
+    # cold start (which a long-running cluster pays once).
+    warm = assign_doc_ids(pages.limit(2000).select("url", "text"), num_partitions=8)
+    wp, wm = build_postings(warm, segment_size=1000)
+    write_index(wp, wm, f"{CACHE}/warmup_index")
+
+    # --- index build throughput -----------------------------------------
+    t0 = time.time()
+    docs = assign_doc_ids(pages.select("url", "text"), num_partitions=CPUS)
+    postings, meta = build_postings(docs, segment_size=max(N_DOCS // CPUS, 10_000))
+    write_index(postings, meta, f"{CACHE}/index")
+    build_s = time.time() - t0
+    timings["index_build"] = round(build_s, 3)
+    docs_per_sec = meta.n_docs / build_s
+
+    # --- query throughput through the compressed index ------------------
+    postings = spark.read.parquet(f"{CACHE}/index/postings")
+    docs.persist()
+    qdf = (
+        docs.filter((F.col("doc_id") % max(meta.n_docs // N_QUERIES, 1) == 0)
+                    & (F.length("text") > 0))
+        .select(
+            F.col("doc_id").cast("string").alias("qid"),
+            F.array_join(
+                F.slice(F.split(F.element_at(F.split("text", "\n"), 2), " ", -1), 1, 5),
+                " ",
+            ).alias("query"),
+        )
+        .limit(N_QUERIES)
+    )
+    qdf.persist()
+    n_q = qdf.count()
+    t0 = time.time()
+    run = search_index(spark, postings, meta, qdf, k=10)
+    n_hits = run.count()
+    query_s = time.time() - t0
+    timings["bm25_index_queries"] = round(query_s, 3)
+    qps = n_q / query_s if query_s else 0.0
+
+    # --- rank-identity: index path vs independent exhaustive path -------
+    sample = qdf.limit(100)
+    got = {}
+    for r in search_index(spark, postings, meta, sample, k=10).collect():
+        got.setdefault(r["qid"], []).append((r["rank"], r["doc_id"], r["score"]))
+    want = {}
+    docs_str = docs.select(F.col("doc_id"), F.col("text"))
+    for r in bm25_search(docs_str, sample.select(F.col("qid").cast("long").alias("qid"),
+                                                 "query"), k=10).collect():
+        want.setdefault(str(r["qid"]), []).append((r["rank"], r["doc_id"], r["score"]))
+    identical = sum(
+        1 for q in want if sorted(got.get(q, [])) == sorted(want[q])
+    )
+    identity_rate = identical / len(want) if want else 0.0
+
+    # --- driver-table headline queries -----------------------------------
+    t0 = time.time()
+    dtab = load_table(spark, SF_DIR, "documents")
+    bm25_search(dtab, derived_queries(dtab), k=10).count()
+    timings["bm25_testdata_exhaustive"] = round(time.time() - t0, 3)
+
+    out = {
+        "metric": "index_docs_per_sec",
+        "value": round(docs_per_sec, 1),
+        "unit": "docs/sec",
+        "queries": timings,
+        "sf": SF_DIR,
+        "bench_docs": meta.n_docs,
+        "bench_queries": n_q,
+        "query_qps": round(qps, 1),
+        "rank_identity_rate": identity_rate,
+        "result_rows": n_hits,
+        "cpus": CPUS,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

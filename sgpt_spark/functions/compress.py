@@ -78,14 +78,18 @@ def encode_blocks(
     dls: np.ndarray,
     tfn: np.ndarray,
     block_size: int = BLOCK_SIZE,
+    presorted: bool = False,
 ) -> list[dict]:
     """Sorted postings arrays -> list of block dicts (POSTINGS.blocks rows).
 
     ``tfn`` is the precomputed BM25 tf-norm per posting (depends only on
     tf, dl, avgdl — all known at index time); block_max = max(tfn).
+    Pass ``presorted=True`` when doc_ids are already ascending (the
+    indexer sorts within partitions) to skip the argsort.
     """
-    order = np.argsort(doc_ids, kind="stable")
-    doc_ids, tfs, dls, tfn = doc_ids[order], tfs[order], dls[order], tfn[order]
+    if not presorted:
+        order = np.argsort(doc_ids, kind="stable")
+        doc_ids, tfs, dls, tfn = doc_ids[order], tfs[order], dls[order], tfn[order]
     blocks = []
     for s in range(0, len(doc_ids), block_size):
         d = doc_ids[s : s + block_size]

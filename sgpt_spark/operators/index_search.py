@@ -82,6 +82,7 @@ def search_index(
     meta: IndexMeta,
     queries: DataFrame,
     k: int = 10,
+    use_wand: bool = True,
 ) -> DataFrame:
     """-> RESULTS (qid, doc_id, score, rank), rank-identical to the
     exhaustive path and the brute-force oracle."""
@@ -118,26 +119,46 @@ def search_index(
     k1, b, avgdl, kk = meta.k1, meta.b, meta.avgdl, k
 
     def score_segment(pdf: pd.DataFrame) -> pd.DataFrame:
-        decoded: dict[str, tuple[np.ndarray, np.ndarray]] = {}
-        for term, blocks in zip(pdf["term"], pdf["blocks"]):
-            docs, tfs, dls = decode_blocks(blocks)
-            tfn = tfs.astype(np.float64) / (
-                tfs + k1 * (1.0 - b + b * dls.astype(np.float64) / avgdl)
-            )
-            decoded[term] = (docs, tfn)
         out_qid, out_doc, out_score = [], [], []
-        for qid, tws in b_queries.value.items():
-            present = [(t, w) for t, w in tws if t in decoded]
-            if not present:
-                continue
-            docs_cat = np.concatenate([decoded[t][0] for t, _ in present])
-            w_cat = np.concatenate([decoded[t][1] * w for t, w in present])
-            uniq, inv = np.unique(docs_cat, return_inverse=True)
-            scores = np.round(np.bincount(inv, weights=w_cat), SCORE_DECIMALS)
-            order = deterministic_topk(uniq, scores, kk)
-            out_qid.extend([qid] * len(order))
-            out_doc.extend(uniq[order].tolist())
-            out_score.extend(scores[order].tolist())
+        if use_wand:
+            from sgpt_spark.operators.wand import TermPostings, maxscore_topk
+
+            tps = {
+                term: TermPostings(blocks, k1, b, avgdl)
+                for term, blocks in zip(pdf["term"], pdf["blocks"])
+            }
+            for qid, tws in b_queries.value.items():
+                wt = [(w, tps[t]) for t, w in tws if t in tps]
+                if not wt:
+                    continue
+                uniq, scores_raw = maxscore_topk(wt, kk)
+                if len(uniq) == 0:
+                    continue
+                scores = np.round(scores_raw, SCORE_DECIMALS)
+                order = deterministic_topk(uniq, scores, kk)
+                out_qid.extend([qid] * len(order))
+                out_doc.extend(uniq[order].tolist())
+                out_score.extend(scores[order].tolist())
+        else:
+            decoded: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+            for term, blocks in zip(pdf["term"], pdf["blocks"]):
+                docs, tfs, dls = decode_blocks(blocks)
+                tfn = tfs.astype(np.float64) / (
+                    tfs + k1 * (1.0 - b + b * dls.astype(np.float64) / avgdl)
+                )
+                decoded[term] = (docs, tfn)
+            for qid, tws in b_queries.value.items():
+                present = [(t, w) for t, w in tws if t in decoded]
+                if not present:
+                    continue
+                docs_cat = np.concatenate([decoded[t][0] for t, _ in present])
+                w_cat = np.concatenate([decoded[t][1] * w for t, w in present])
+                uniq, inv = np.unique(docs_cat, return_inverse=True)
+                scores = np.round(np.bincount(inv, weights=w_cat), SCORE_DECIMALS)
+                order = deterministic_topk(uniq, scores, kk)
+                out_qid.extend([qid] * len(order))
+                out_doc.extend(uniq[order].tolist())
+                out_score.extend(scores[order].tolist())
         return pd.DataFrame({"qid": out_qid, "doc_id": out_doc, "score": out_score})
 
     seg_topk = cand.groupBy("segment").applyInPandas(

@@ -32,7 +32,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from sgpt_spark.functions.analyzer import tokenize_ws
+from sgpt_spark.functions.analyzer import tokenize_py_ws, tokenize_ws
 from sgpt_spark.functions.bm25 import B, K1
 from sgpt_spark.functions.compress import BLOCK_SIZE, encode_blocks
 from sgpt_spark.operators.stats import CorpusStats, corpus_stats, doc_terms, term_freqs
@@ -48,11 +48,13 @@ def assign_doc_ids(
 ) -> DataFrame:
     """Dense, deterministic int64 doc_ids by global ``id_source`` order.
 
-    Scalable zipWithIndex-equivalent without the RDD slow path:
-    range-partition + sort by url, count rows per partition (pass 1),
-    broadcast cumulative offsets, then assign offset+local-index inside
-    ``mapInPandas`` (pass 2). The sorted DataFrame is persisted between
-    the passes so both see the identical partitioning.
+    Scalable zipWithIndex-equivalent, fully JVM-side (no Arrow round-trip
+    of the corpus through Python): range-partition + sort by url, count
+    rows per partition (pass 1 — the sorted frame is persisted so both
+    passes see the identical partitioning), then
+    ``doc_id = partition_offset + (row_number within partition - 1)``
+    via a window keyed by the stable partition id plus a broadcast join
+    against the tiny (pid, offset) table.
 
     Determinism: urls are unique, global url order is total, so doc_id
     is a pure function of the input regardless of scheduling
@@ -63,34 +65,33 @@ def assign_doc_ids(
     ranged = (
         pages.repartitionByRange(num_partitions, id_source)
         .sortWithinPartitions(id_source)
-        .withColumn("_pid", F.spark_partition_id())
         .persist()
     )
     sizes = {
         r["_pid"]: r["n"]
-        for r in ranged.groupBy("_pid").agg(F.count("*").alias("n")).collect()
+        for r in ranged.groupBy(F.spark_partition_id().alias("_pid"))
+        .agg(F.count("*").alias("n"))
+        .collect()
     }
-    offsets = {}
-    acc = 0
+    offsets, acc = [], 0
     for pid in sorted(sizes):
-        offsets[pid] = acc
+        offsets.append((pid, acc))
         acc += sizes[pid]
     spark = pages.sparkSession
-    b_offsets = spark.sparkContext.broadcast(offsets)
+    offsets_df = spark.createDataFrame(offsets, "_pid int, _offset long")
 
-    out_schema = ranged.drop("_pid").schema.add("doc_id", "long", False)
-
-    def add_ids(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        local = 0
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            base = b_offsets.value[int(pdf["_pid"].iloc[0])]
-            ids = np.arange(local, local + len(pdf), dtype=np.int64) + base
-            local += len(pdf)
-            yield pdf.drop(columns=["_pid"]).assign(doc_id=ids)
-
-    return ranged.mapInPandas(add_ids, schema=out_schema)
+    # monotonically_increasing_id() == (partition_index << 33) | local_row
+    # on the *persisted* sorted partitions — decompose it to get the
+    # within-partition rank with zero additional shuffle of the corpus.
+    mono = F.monotonically_increasing_id()
+    with_pid = ranged.withColumn("_pid", F.shiftright(mono, 33).cast("int")).withColumn(
+        "_local", mono.bitwiseAND(F.lit((1 << 33) - 1))
+    )
+    return (
+        with_pid.join(F.broadcast(offsets_df), "_pid")
+        .withColumn("doc_id", (F.col("_offset") + F.col("_local")).cast("long"))
+        .drop("_pid", "_local", "_offset")
+    )
 
 
 @dataclass(frozen=True)
@@ -104,10 +105,57 @@ class IndexMeta:
     analyzer: str
 
 
+def _fused_term_freqs(docs: DataFrame, py_tokenizer, text_col: str) -> DataFrame:
+    """docs -> (term, doc_id, tf, doc_len) in one Arrow-batched pass.
+
+    Tokenize and count per document inside the batch (np.unique per doc,
+    vectorized counting) — term frequencies are doc-local, so this needs
+    no shuffle.
+    """
+    from sgpt_spark.operators.corpus import non_empty_text
+
+    from itertools import chain
+
+    def tok_count(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            ids = pdf["doc_id"].to_numpy(dtype=np.int64)
+            toks_per_doc = [py_tokenizer(t) for t in pdf[text_col]]
+            lens = np.fromiter((len(t) for t in toks_per_doc), dtype=np.int64, count=n)
+            total = int(lens.sum())
+            if total == 0:
+                continue
+            # One flat factorize over the whole batch: tokens become int
+            # codes, then (doc, term) pair counting is pure int math.
+            flat = np.empty(total, dtype=object)
+            flat[:] = list(chain.from_iterable(toks_per_doc))
+            codes, uniques = pd.factorize(flat, sort=False)
+            doc_idx = np.repeat(np.arange(n, dtype=np.int64), lens)
+            n_uniq = len(uniques)
+            key = doc_idx * n_uniq + codes
+            uk, counts = np.unique(key, return_counts=True)
+            pair_doc_idx = uk // n_uniq
+            yield pd.DataFrame(
+                {
+                    "term": np.asarray(uniques, dtype=object)[uk % n_uniq],
+                    "doc_id": ids[pair_doc_idx],
+                    "tf": counts.astype(np.int64),
+                    "doc_len": lens[pair_doc_idx],
+                }
+            )
+
+    return non_empty_text(docs, text_col).select("doc_id", text_col).mapInPandas(
+        tok_count, schema="term string, doc_id long, tf long, doc_len long"
+    )
+
+
 def build_postings(
     docs: DataFrame,
     segment_size: int = DEFAULT_SEGMENT_SIZE,
     tokenizer: Tokenizer = tokenize_ws,
+    py_tokenizer=None,
     text_col: str = "text",
     k1: float = K1,
     b: float = B,
@@ -117,9 +165,42 @@ def build_postings(
     Per (term, segment) group: sort by doc_id, delta+varint encode in
     blocks, record segment df and block-max tf-norm (df-independent WAND
     bound; idf is applied at query time from the global df).
+
+    ``py_tokenizer`` (a plain str -> list[str] function) selects the
+    fused single-pass build; it defaults to the Python twin of the
+    default JVM tokenizer. Passing a custom JVM ``tokenizer`` without a
+    Python twin falls back to the explode + groupBy plan.
     """
-    dt = doc_terms(docs, id_col="doc_id", text_col=text_col, tokenizer=tokenizer)
-    stats = corpus_stats(dt)
+    if py_tokenizer is None and tokenizer is tokenize_ws:
+        py_tokenizer = tokenize_py_ws
+
+    if py_tokenizer is not None:
+        # Fused tokenize + per-doc tf in ONE Python pass: tf(t, d) only
+        # depends on the doc's own tokens, so no explode + groupBy(term,
+        # doc_id) shuffle is needed at all — the posting relation is born
+        # directly from the corpus scan. This removes the largest shuffle
+        # of the build (|tokens| rows) entirely; the single remaining
+        # shuffle is the (term, segment) repartition for encoding.
+        # Left unpersisted on purpose: corpus stats come from a cheap
+        # JVM-only scan below, so the heavy tokenize+shuffle lineage is
+        # evaluated exactly once, by the final index write.
+        tf = _fused_term_freqs(docs, py_tokenizer, text_col)
+        from sgpt_spark.operators.corpus import non_empty_text
+
+        row = (
+            non_empty_text(docs, text_col)
+            .select(F.size(tokenizer(F.col(text_col))).alias("dl"))
+            .agg(F.count("*").alias("n"), F.avg("dl").alias("avgdl"))
+            .collect()[0]
+        )
+        stats = CorpusStats(n_docs=int(row["n"]), avgdl=float(row["avgdl"] or 0.0))
+        analyzer_name = getattr(py_tokenizer, "__name__", "custom")
+    else:
+        dt = doc_terms(docs, id_col="doc_id", text_col=text_col, tokenizer=tokenizer).persist()
+        stats = corpus_stats(dt)
+        tf = term_freqs(dt)
+        analyzer_name = getattr(tokenizer, "__name__", "custom")
+
     meta = IndexMeta(
         n_docs=stats.n_docs,
         avgdl=stats.avgdl,
@@ -127,33 +208,65 @@ def build_postings(
         k1=k1,
         b=b,
         block_size=BLOCK_SIZE,
-        analyzer="ws" if tokenizer is tokenize_ws else getattr(tokenizer, "__name__", "custom"),
+        analyzer=analyzer_name,
     )
-    tf = term_freqs(dt).withColumn(
-        "segment", (F.col("doc_id") / segment_size).cast("int")
-    )
+    tf = tf.withColumn("segment", (F.col("doc_id") / segment_size).cast("int"))
     avgdl = stats.avgdl
+    spark = docs.sparkSession
+    n_part = max(int(spark.conf.get("spark.sql.shuffle.partitions", "32")), 1)
 
-    def encode_group(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        term, segment = key
+    def encode_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        """Encode every (term, segment) group in one partition.
+
+        The partition arrives hash-distributed by (term, segment) and
+        sorted by (term, segment, doc_id); groups never span partitions,
+        so buffering the partition (bounded by rows/n_part) and slicing
+        groups with numpy boundary detection avoids the per-group
+        applyInPandas Arrow/pandas overhead (~40x fewer Python
+        crossings at Zipf vocabulary sizes).
+        """
+        chunks = list(batches)
+        if not chunks:
+            return
+        pdf = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
+        if len(pdf) == 0:
+            return
+        terms = pdf["term"].to_numpy()
+        segs = pdf["segment"].to_numpy()
         docs_a = pdf["doc_id"].to_numpy(dtype=np.int64)
         tfs_a = pdf["tf"].to_numpy(dtype=np.uint64)
         dls_a = pdf["doc_len"].to_numpy(dtype=np.uint64)
         tfn = tfs_a.astype(np.float64) / (
             tfs_a + k1 * (1.0 - b + b * dls_a.astype(np.float64) / avgdl)
         )
-        blocks = encode_blocks(docs_a, tfs_a, dls_a, tfn)
-        return pd.DataFrame(
+        bounds = np.flatnonzero((terms[1:] != terms[:-1]) | (segs[1:] != segs[:-1])) + 1
+        starts = np.concatenate(([0], bounds))
+        ends = np.concatenate((bounds, [len(pdf)]))
+        out_term, out_seg, out_df, out_max, out_blocks = [], [], [], [], []
+        for s, e in zip(starts, ends):
+            g_tfn = tfn[s:e]
+            out_term.append(terms[s])
+            out_seg.append(int(segs[s]))
+            out_df.append(int(e - s))
+            out_max.append(float(g_tfn.max()))
+            out_blocks.append(
+                encode_blocks(docs_a[s:e], tfs_a[s:e], dls_a[s:e], g_tfn, presorted=True)
+            )
+        yield pd.DataFrame(
             {
-                "term": [term],
-                "segment": [int(segment)],
-                "df": [len(pdf)],
-                "max_score": [float(tfn.max())],
-                "blocks": [blocks],
+                "term": out_term,
+                "segment": out_seg,
+                "df": out_df,
+                "max_score": out_max,
+                "blocks": out_blocks,
             }
         )
 
-    postings = tf.groupBy("term", "segment").applyInPandas(encode_group, schema=POSTINGS)
+    postings = (
+        tf.repartition(n_part, "term", "segment")
+        .sortWithinPartitions("term", "segment", "doc_id")
+        .mapInPandas(encode_partition, schema=POSTINGS)
+    )
     return postings, meta
 
 

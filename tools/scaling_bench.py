@@ -1,0 +1,116 @@
+"""Scaling-efficiency evidence for the north rule (N vs 4N executors).
+
+The sandbox has no multi-node cluster, so per BASELINE.md the proxy is
+the same index-build job on the same input at two parallelism levels —
+local[8] vs local[32] — reporting throughput at both plus
+efficiency = throughput(4N) / (4 * throughput(N)).
+
+Each level runs in a fresh subprocess/JVM (no shared warm state between
+levels); within a level, a warm-up build runs first so the timed build
+measures steady-state engine throughput. Writes BENCH/BASELINE.md.
+
+Usage: python tools/scaling_bench.py [n_docs]
+"""
+
+from __future__ import annotations
+
+import json
+import subprocess
+import sys
+from datetime import datetime, timezone
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
+
+CHILD = r"""
+import json, sys, time
+sys.path.insert(0, {repo!r})
+from sgpt_spark.session import get_spark
+from sgpt_spark.operators.indexer import assign_doc_ids, build_postings, write_index
+from sgpt_spark.sources.pages import generate_pages
+
+cpus = int(sys.argv[1]); n_docs = int(sys.argv[2])
+spark = get_spark(master=f"local[{{cpus}}]", app_name=f"scaling_{{cpus}}",
+                  shuffle_partitions=cpus)
+src = f"/tmp/sgpt_bench/pages_{{n_docs}}.parquet"
+import os
+if not os.path.exists(src):
+    generate_pages(spark, n_docs, partitions=64).write.mode("overwrite").parquet(src)
+pages = spark.read.parquet(src).select("url", "text")
+
+# warm-up (python workers, JIT)
+w = assign_doc_ids(pages.limit(2000), num_partitions=min(cpus, 8))
+wp, wm = build_postings(w, segment_size=1000)
+write_index(wp, wm, f"/tmp/sgpt_bench/scaling_warm_{{cpus}}")
+
+t0 = time.time()
+docs = assign_doc_ids(pages, num_partitions=cpus)
+postings, meta = build_postings(docs, segment_size=max(n_docs // cpus, 10000))
+write_index(postings, meta, f"/tmp/sgpt_bench/scaling_index_{{cpus}}")
+dt = time.time() - t0
+print(json.dumps({{"cpus": cpus, "n_docs": meta.n_docs, "seconds": round(dt, 2),
+                   "docs_per_sec": round(meta.n_docs / dt, 1)}}))
+spark.stop()
+"""
+
+
+def run_level(cpus: int, n_docs: int) -> dict:
+    script = CHILD.format(repo=str(REPO))
+    out = subprocess.run(
+        [sys.executable, "-c", script, str(cpus), str(n_docs)],
+        capture_output=True,
+        text=True,
+        timeout=1800,
+    )
+    last = [l for l in out.stdout.strip().splitlines() if l.startswith("{")]
+    if not last:
+        print(out.stdout[-2000:], out.stderr[-2000:], file=sys.stderr)
+        raise RuntimeError(f"child local[{cpus}] produced no result")
+    return json.loads(last[-1])
+
+
+def main() -> None:
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 200_000
+    low = run_level(8, n_docs)
+    print("local[8]:", low)
+    high = run_level(32, n_docs)
+    print("local[32]:", high)
+    eff = high["docs_per_sec"] / (4.0 * low["docs_per_sec"])
+    md = f"""# BENCH/BASELINE — scaling efficiency evidence (north rule)
+
+Same index-build job (assign doc ids -> fused tokenize+tf -> segmented
+posting encode -> parquet write) on the identical deterministic input
+({n_docs} synthetic Common-Crawl-style pages, FIXTURES.md §1), run at two
+parallelism levels in fresh JVMs — the sandbox proxy for N vs 4N
+executors per BASELINE.md.
+
+Generated {datetime.now(timezone.utc).isoformat(timespec="seconds")} by tools/scaling_bench.py.
+
+| level | wall (s) | docs/sec |
+|---|---|---|
+| local[8]  (N)  | {low["seconds"]} | {low["docs_per_sec"]} |
+| local[32] (4N) | {high["seconds"]} | {high["docs_per_sec"]} |
+
+**Scaling efficiency (N -> 4N) = {high["docs_per_sec"]}/(4 x {low["docs_per_sec"]}) =
+{eff:.3f}** (north-rule target >= 0.8).
+
+Notes
+- Every stage of the build is partition-parallel: id assignment is a
+  range shuffle + offset join, tokenize+tf is an Arrow-batched map with
+  no shuffle, posting encode shuffles by (term, segment) with group
+  sizes bounded by segment_size regardless of Zipf head-term skew.
+- Single-machine caveat: local[8] and local[32] share memory bandwidth
+  and disk; on a real cluster 4N executors add bandwidth too, so this
+  proxy underestimates true multi-node scaling.
+"""
+    bench_dir = REPO / "BENCH"
+    bench_dir.mkdir(exist_ok=True)
+    (bench_dir / "BASELINE.md").write_text(md)
+    (bench_dir / "scaling.json").write_text(
+        json.dumps({"low": low, "high": high, "efficiency": round(eff, 3)})
+    )
+    print(f"efficiency={eff:.3f} -> BENCH/BASELINE.md")
+
+
+if __name__ == "__main__":
+    main()

@@ -95,8 +95,102 @@ def _q_ir_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mean_metrics(run, derived_qrels(docs), k=10)
 
 
+# --- dedup / similarity / text analysis (training-data pipeline ops) -----
+
+def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sgpt_spark.operators.dedup import dedup_exact
+
+    return dedup_exact(load_table(spark, sf_dir, "documents"))
+
+
+def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sgpt_spark.operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"), threshold=0.2, n=3)
+
+
+def _q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sgpt_spark.operators.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(load_table(spark, sf_dir, "documents"), threshold=0.2, n=3)
+
+
+def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sgpt_spark.operators.dedup import simhash_near_pairs
+
+    return simhash_near_pairs(load_table(spark, sf_dir, "documents"), max_hamming=3)
+
+
+def _emb_queries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+
+
+def _q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sgpt_spark.operators.similarity import cosine_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_topk(emb, _emb_queries(spark, sf_dir), k=10)
+
+
+def _q_lsh_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sgpt_spark.operators.similarity import lsh_cosine_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return lsh_cosine_topk(emb, _emb_queries(spark, sf_dir), k=10, n_planes=6, n_tables=6)
+
+
+def _q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sgpt_spark.operators.textstats import text_profile
+
+    return text_profile(load_table(spark, sf_dir, "documents"))
+
+
+def _q_rolling_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sgpt_spark.operators.textstats import rolling_fingerprints
+
+    return rolling_fingerprints(load_table(spark, sf_dir, "documents"))
+
+
+# --- general relational operators over TPC-H tables (SURVEY.md §2.4-2.9) --
+
+def _q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sgpt_spark.operators.relational import pricing_summary
+
+    return pricing_summary(load_table(spark, sf_dir, "lineitem"))
+
+
+def _q_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sgpt_spark.operators.relational import topk_orders_per_customer
+
+    return topk_orders_per_customer(load_table(spark, sf_dir, "orders"), k=3)
+
+
+def _q_cust_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sgpt_spark.operators.relational import customers_without_orders
+
+    return customers_without_orders(
+        load_table(spark, sf_dir, "customer"), load_table(spark, sf_dir, "orders")
+    )
+
+
+def _q_running_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sgpt_spark.operators.relational import user_running_value
+
+    return user_running_value(load_table(spark, sf_dir, "events"))
+
+
+def _q_event_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sgpt_spark.operators.relational import event_type_counts
+
+    return event_type_counts(load_table(spark, sf_dir, "events"), n=10)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        # retrieval core
         "bm25_top10": _q_bm25_top10,
         "bm25_index_top10": _q_bm25_index_top10,
         "queryset_derive": _q_queryset,
@@ -104,6 +198,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_stats": _q_doc_stats,
         "term_df_top100": _q_term_df_top100,
         "ir_metrics_mean": _q_ir_metrics,
+        # training-data pipeline ops
+        "dedup_exact": _q_dedup_exact,
+        "ngram_jaccard_pairs": _q_ngram_jaccard,
+        "minhash_lsh_pairs": _q_minhash_pairs,      # rows-only (hash-dependent)
+        "simhash_near_pairs": _q_simhash_pairs,     # rows-only (hash-dependent)
+        "cosine_topk": _q_cosine_topk,
+        "lsh_cosine_topk": _q_lsh_cosine_topk,      # rows-only (approximate)
+        "text_profile": _q_text_profile,
+        "rolling_fingerprints": _q_rolling_fps,     # rows-only (hash-dependent)
+        # general relational (TPC-H tables)
+        "pricing_summary": _q_pricing_summary,
+        "topk_orders_per_customer": _q_topk_orders,
+        "customers_without_orders": _q_cust_no_orders,
+        "user_running_value": _q_running_value,
+        "event_type_counts": _q_event_type_counts,
     }
 
 
@@ -206,10 +315,163 @@ FROM perq
 """
 
 
+# tokens CTE shared by the dedup/textstats oracles (empties dropped,
+# matching the engine's tokenize_ws).
+_TOKS_NE = """
+  tdocs AS (
+    SELECT doc_id, coalesce(text, '') AS text,
+           list_filter(string_split(coalesce(text, ''), ' '), x -> x <> '') AS toks
+    FROM documents
+  )
+"""
+
+_NGRAM_SQL = f"""
+WITH {_TOKS_NE},
+  sh AS (
+    SELECT DISTINCT doc_id, u.shingle
+    FROM tdocs,
+         unnest([array_to_string(list_slice(toks, i, i + 2), ' ')
+                 for i in generate_series(1, len(toks) - 2)]) AS u(shingle)
+    WHERE len(toks) >= 3
+  ),
+  sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+  inter AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i_n
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+  )
+SELECT id_a, id_b,
+       round(i_n * 1.0 / (sa.n_sh + sb.n_sh - i_n), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON inter.id_a = sa.doc_id
+JOIN sizes sb ON inter.id_b = sb.doc_id
+WHERE round(i_n * 1.0 / (sa.n_sh + sb.n_sh - i_n), 6) >= 0.2
+"""
+
+_COSINE_SQL = """
+WITH q AS (
+  SELECT vec_id AS qid, embedding::DOUBLE[] AS qe
+  FROM embeddings WHERE vec_id % 50 = 0
+),
+scored AS (
+  SELECT q.qid, e.vec_id,
+         round(list_cosine_similarity(e.embedding::DOUBLE[], q.qe), 6) AS score
+  FROM embeddings e CROSS JOIN q
+),
+ranked AS (
+  SELECT qid, vec_id, score,
+         row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id ASC) AS rnk
+  FROM scored
+)
+SELECT qid, vec_id, score, CAST(rnk AS INTEGER) AS rank FROM ranked WHERE rnk <= 10
+"""
+
+_EN = "['the','and','of','to','in','is','that','for','with','it']"
+_DE = "['der','die','das','und','ist','nicht','mit','ein','zu','auf']"
+_FR = "['le','la','les','et','est','pas','pour','que','une','dans']"
+_ES = "['el','la','los','de','que','es','en','un','por','con']"
+
+_TEXT_PROFILE_SQL = f"""
+WITH {_TOKS_NE},
+  feat AS (
+    SELECT doc_id, text, toks,
+           length(text) AS n_chars,
+           len(toks) AS n_tokens,
+           len(list_intersect(toks, {_DE})) AS s_de,
+           len(list_intersect(toks, {_EN})) AS s_en,
+           len(list_intersect(toks, {_ES})) AS s_es,
+           len(list_intersect(toks, {_FR})) AS s_fr
+    FROM tdocs
+  ),
+  feat2 AS (
+    SELECT doc_id, n_chars, n_tokens,
+           round((n_chars - greatest(n_tokens - 1, 0)) * 1.0 / greatest(n_tokens, 1), 6) AS mean_token_len,
+           round(length(regexp_replace(text, $$[^.,;:!?'"()]$$, '', 'g')) * 1.0
+                 / greatest(n_chars, 1), 6) AS punct_ratio,
+           round(len(list_filter(toks, x -> list_contains({_EN}, x))) * 1.0
+                 / greatest(n_tokens, 1), 6) AS stopword_ratio,
+           round(len(list_distinct(toks)) * 1.0 / greatest(n_tokens, 1), 6) AS uniq_token_ratio,
+           greatest(s_de, s_en, s_es, s_fr) AS best,
+           s_de, s_en, s_es, s_fr,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe_ish,
+           md5(text) AS fingerprint
+    FROM feat
+  )
+SELECT doc_id, n_chars, n_tokens, mean_token_len, punct_ratio, stopword_ratio,
+       uniq_token_ratio,
+       round(
+         (CASE WHEN n_tokens BETWEEN 10 AND 100000 THEN 0.4 ELSE 0.0 END)
+         + (CASE WHEN mean_token_len BETWEEN 2 AND 12 THEN 0.3 ELSE 0.0 END)
+         + (CASE WHEN uniq_token_ratio >= 0.1 THEN 0.3 ELSE 0.0 END), 6) AS quality_score,
+       CASE WHEN best > 0 THEN
+         (CASE WHEN s_de = best THEN 'de' WHEN s_en = best THEN 'en'
+               WHEN s_es = best THEN 'es' WHEN s_fr = best THEN 'fr' END)
+       ELSE 'und' END AS lang_pred,
+       n_bpe_ish, fingerprint
+FROM feat2
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "ir_metrics_mean": _METRICS_SQL,
         "bm25_index_top10": _BM25_SQL,
+        "dedup_exact": """
+            SELECT d.doc_id, m.canonical_id
+            FROM documents d
+            JOIN (SELECT text, min(doc_id) AS canonical_id FROM documents GROUP BY text) m
+              ON d.text = m.text
+        """,
+        "ngram_jaccard_pairs": _NGRAM_SQL,
+        "cosine_topk": _COSINE_SQL,
+        "text_profile": _TEXT_PROFILE_SQL,
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 6) AS sum_qty,
+                   round(sum(l_extendedprice), 6) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 6) AS sum_disc_price,
+                   round(avg(l_quantity), 6) AS avg_qty,
+                   round(avg(l_discount), 6) AS avg_disc,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus
+        """,
+        "topk_orders_per_customer": """
+            WITH ranked AS (
+              SELECT o_custkey, o_orderkey, o_totalprice,
+                     row_number() OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY o_totalprice DESC, o_orderkey ASC
+                     ) AS rnk
+              FROM orders
+            )
+            SELECT o_custkey, o_orderkey, round(o_totalprice, 6) AS o_totalprice,
+                   CAST(rnk AS INTEGER) AS rank
+            FROM ranked WHERE rnk <= 3
+        """,
+        "customers_without_orders": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE c_custkey NOT IN (
+              SELECT o_custkey FROM orders
+              WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+            )
+        """,
+        "user_running_value": """
+            SELECT user_id, event_id,
+                   CAST(row_number() OVER w AS INTEGER) AS event_rank,
+                   round(sum(value) OVER (
+                     PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ), 6) AS running_value
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+        """,
+        "event_type_counts": """
+            SELECT event_type, count(*) AS n FROM events
+            GROUP BY event_type ORDER BY n DESC, event_type ASC LIMIT 10
+        """,
         "bm25_top10": _BM25_SQL,
         "queryset_derive": QUERIES_SQL,
         "corpus_stats": f"""

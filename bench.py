@@ -68,8 +68,11 @@ def main() -> None:
     # Warm-up: spawn python workers / JIT the hot paths on a small slice
     # so the timed section measures engine throughput, not JVM+worker
     # cold start (which a long-running cluster pays once).
-    warm = assign_doc_ids(pages.limit(2000).select("url", "text"), num_partitions=8)
-    wp, wm = build_postings(warm, segment_size=1000)
+    warm = assign_doc_ids(
+        pages.filter(F.xxhash64("url") % 10 == 0).select("url", "text"),
+        num_partitions=CPUS,
+    )
+    wp, wm = build_postings(warm, segment_size=5000)
     write_index(wp, wm, f"{CACHE}/warmup_index")
 
     # --- index build throughput -----------------------------------------

@@ -25,22 +25,34 @@ BLOCK_SIZE = 128
 _MAX_VARINT_BYTES = 10
 
 
-def varint_encode(values: np.ndarray) -> bytes:
-    """LEB128-encode a uint64 array, fully vectorized."""
+def varint_encode_with_offsets(values: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """LEB128-encode a uint64 array, fully vectorized.
+
+    -> (byte_array uint8, value_byte_offsets int64 of len n+1): value i
+    occupies bytes [offsets[i], offsets[i+1]) — callers can slice
+    contiguous value ranges without re-encoding.
+    """
     v = np.ascontiguousarray(values, dtype=np.uint64)
     if v.size == 0:
-        return b""
+        return np.empty(0, dtype=np.uint8), np.zeros(1, dtype=np.int64)
     # number of 7-bit groups per value
     nb = np.ones(v.shape, dtype=np.int64)
     for k in range(1, _MAX_VARINT_BYTES):
         nb += (v >= np.uint64(1) << np.uint64(7 * k)).astype(np.int64)
-    offsets = np.concatenate(([0], np.cumsum(nb)[:-1]))
-    out = np.zeros(int(nb.sum()), dtype=np.uint8)
+    ends = np.cumsum(nb)
+    offsets = np.concatenate(([0], ends))
+    out = np.zeros(int(ends[-1]), dtype=np.uint8)
     for j in range(int(nb.max())):
         mask = nb > j
         byte = (v[mask] >> np.uint64(7 * j)) & np.uint64(0x7F)
         cont = (nb[mask] - 1 > j).astype(np.uint8) << 7
-        out[offsets[mask] + j] = byte.astype(np.uint8) | cont
+        out[offsets[:-1][mask] + j] = byte.astype(np.uint8) | cont
+    return out, offsets
+
+
+def varint_encode(values: np.ndarray) -> bytes:
+    """LEB128-encode a uint64 array, fully vectorized."""
+    out, _ = varint_encode_with_offsets(values)
     return out.tobytes()
 
 
@@ -106,6 +118,86 @@ def encode_blocks(
             }
         )
     return blocks
+
+
+def encode_blocks_batch(
+    doc_ids: np.ndarray,
+    tfs: np.ndarray,
+    dls: np.ndarray,
+    tfn: np.ndarray,
+    group_starts: np.ndarray,
+    group_ends: np.ndarray,
+    block_size: int = BLOCK_SIZE,
+) -> list[list[dict]]:
+    """Encode MANY posting groups at once -> list of block-lists, one per
+    group (same block format as ``encode_blocks``).
+
+    All varint work happens in three whole-array passes (doc deltas, tfs,
+    dls) instead of per-group calls — at Zipf vocabulary sizes this is
+    ~20x faster than looping ``encode_blocks`` because small-array numpy
+    dispatch overhead dominates there. Requires doc_ids ascending within
+    each group (the indexer sorts).
+    """
+    n = len(doc_ids)
+    if n == 0:
+        return [[] for _ in range(len(group_starts))]
+    # block starts: every group start plus every block_size-th posting
+    blk_starts_list = [
+        np.arange(s, e, block_size, dtype=np.int64)
+        for s, e in zip(group_starts, group_ends)
+    ]
+    nblocks_per_group = np.fromiter(
+        (len(x) for x in blk_starts_list), dtype=np.int64, count=len(blk_starts_list)
+    )
+    blk_starts = (
+        np.concatenate(blk_starts_list) if blk_starts_list else np.empty(0, np.int64)
+    )
+    blk_ends = np.minimum(
+        blk_starts + block_size,
+        np.repeat(np.asarray(group_ends, dtype=np.int64), nblocks_per_group),
+    )
+    is_start = np.zeros(n, dtype=bool)
+    is_start[blk_starts] = True
+    # doc deltas: diff vs previous posting, undefined at block starts
+    deltas = np.empty(n, dtype=np.uint64)
+    deltas[0] = 0
+    deltas[1:] = (doc_ids[1:] - doc_ids[:-1]).astype(np.uint64)
+    keep = ~is_start
+    d_bytes, d_off = varint_encode_with_offsets(deltas[keep])
+    # map posting index -> position in the kept-delta array
+    kept_pos = np.cumsum(keep) - 1  # position of posting i's delta (if kept)
+    t_bytes, t_off = varint_encode_with_offsets(tfs.astype(np.uint64))
+    l_bytes, l_off = varint_encode_with_offsets(dls.astype(np.uint64))
+    bmax = np.maximum.reduceat(tfn, blk_starts) if len(blk_starts) else np.empty(0)
+    d_mv, t_mv, l_mv = d_bytes.tobytes(), t_bytes.tobytes(), l_bytes.tobytes()
+
+    out: list[list[dict]] = []
+    bi = 0
+    for g, (gs, ge) in enumerate(zip(group_starts, group_ends)):
+        blocks = []
+        for _ in range(nblocks_per_group[g]):
+            s, e = int(blk_starts[bi]), int(blk_ends[bi])
+            # deltas for postings (s, e) exclusive of the block start
+            if e - s > 1:
+                d0 = int(d_off[kept_pos[s + 1]])
+                d1 = int(d_off[kept_pos[e - 1] + 1])
+                dd = d_mv[d0:d1]
+            else:
+                dd = b""
+            blocks.append(
+                {
+                    "first_doc": int(doc_ids[s]),
+                    "last_doc": int(doc_ids[e - 1]),
+                    "count": int(e - s),
+                    "block_max": float(bmax[bi]),
+                    "doc_deltas": dd,
+                    "tfs": t_mv[int(t_off[s]) : int(t_off[e])],
+                    "dls": l_mv[int(l_off[s]) : int(l_off[e])],
+                }
+            )
+            bi += 1
+        out.append(blocks)
+    return out
 
 
 def decode_blocks(blocks: list) -> tuple[np.ndarray, np.ndarray, np.ndarray]:

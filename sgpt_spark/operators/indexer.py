@@ -34,7 +34,7 @@ from pyspark.sql import functions as F
 
 from sgpt_spark.functions.analyzer import tokenize_py_ws, tokenize_ws
 from sgpt_spark.functions.bm25 import B, K1
-from sgpt_spark.functions.compress import BLOCK_SIZE, encode_blocks
+from sgpt_spark.functions.compress import BLOCK_SIZE, encode_blocks, encode_blocks_batch
 from sgpt_spark.operators.stats import CorpusStats, corpus_stats, doc_terms, term_freqs
 from sgpt_spark.schema import POSTINGS
 
@@ -174,19 +174,11 @@ def build_postings(
     if py_tokenizer is None and tokenizer is tokenize_ws:
         py_tokenizer = tokenize_py_ws
 
-    if py_tokenizer is not None:
-        # Fused tokenize + per-doc tf in ONE Python pass: tf(t, d) only
-        # depends on the doc's own tokens, so no explode + groupBy(term,
-        # doc_id) shuffle is needed at all — the posting relation is born
-        # directly from the corpus scan. This removes the largest shuffle
-        # of the build (|tokens| rows) entirely; the single remaining
-        # shuffle is the (term, segment) repartition for encoding.
-        # Left unpersisted on purpose: corpus stats come from a cheap
-        # JVM-only scan below, so the heavy tokenize+shuffle lineage is
-        # evaluated exactly once, by the final index write.
-        tf = _fused_term_freqs(docs, py_tokenizer, text_col)
-        from sgpt_spark.operators.corpus import non_empty_text
+    from sgpt_spark.operators.corpus import non_empty_text
 
+    if py_tokenizer is not None:
+        # Corpus stats from a cheap JVM-only scan (count + avg of token
+        # counts stays inside whole-stage codegen).
         row = (
             non_empty_text(docs, text_col)
             .select(F.size(tokenizer(F.col(text_col))).alias("dl"))
@@ -198,7 +190,6 @@ def build_postings(
     else:
         dt = doc_terms(docs, id_col="doc_id", text_col=text_col, tokenizer=tokenizer).persist()
         stats = corpus_stats(dt)
-        tf = term_freqs(dt)
         analyzer_name = getattr(tokenizer, "__name__", "custom")
 
     meta = IndexMeta(
@@ -210,21 +201,83 @@ def build_postings(
         block_size=BLOCK_SIZE,
         analyzer=analyzer_name,
     )
-    tf = tf.withColumn("segment", (F.col("doc_id") / segment_size).cast("int"))
     avgdl = stats.avgdl
+
+    if py_tokenizer is not None:
+        # PARTITION-LOCAL SEGMENTS (the Lucene-shard pattern): each input
+        # partition becomes one index segment, built entirely inside a
+        # single Arrow-batched Python pass — tokenize, count, group by
+        # term, delta+varint encode — with NO shuffle of the posting
+        # relation at all. Every doc lives in exactly one partition, so
+        # the query-side per-segment top-k + global merge stays exact.
+        # Skew: the Zipf head term contributes one posting row per
+        # segment, never a giant group; segment size is bounded by the
+        # input partition size (maxPartitionBytes / repartition upstream).
+        src = (
+            non_empty_text(docs, text_col)
+            .select("doc_id", text_col)
+            .withColumn("_seg", F.spark_partition_id())
+        )
+
+        def build_segment(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            chunks = list(batches)
+            if not chunks:
+                return
+            pdf = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
+            if len(pdf) == 0:
+                return
+            seg = int(pdf["_seg"].iloc[0])
+            ids = pdf["doc_id"].to_numpy(dtype=np.int64)
+            order = np.argsort(ids, kind="stable")  # doc order within segment
+            ids = ids[order]
+            texts = pdf[text_col].to_numpy(dtype=object)[order]
+            toks_per_doc = [py_tokenizer(t) for t in texts]
+            lens = np.fromiter((len(t) for t in toks_per_doc), dtype=np.int64, count=len(ids))
+            total = int(lens.sum())
+            if total == 0:
+                return
+            from itertools import chain
+
+            flat = np.empty(total, dtype=object)
+            flat[:] = list(chain.from_iterable(toks_per_doc))
+            codes, uniques = pd.factorize(flat, sort=True)
+            doc_idx = np.repeat(np.arange(len(ids), dtype=np.int64), lens)
+            # (term_code, doc) pair counts; key sorted by (code, doc)
+            key = codes.astype(np.int64) * len(ids) + doc_idx
+            uk, counts = np.unique(key, return_counts=True)
+            p_code = uk // len(ids)
+            p_docidx = uk % len(ids)
+            p_doc = ids[p_docidx]
+            p_tf = counts.astype(np.uint64)
+            p_dl = lens[p_docidx].astype(np.uint64)
+            tfn = p_tf.astype(np.float64) / (
+                p_tf + k1 * (1.0 - b + b * p_dl.astype(np.float64) / avgdl)
+            )
+            bounds = np.flatnonzero(p_code[1:] != p_code[:-1]) + 1
+            starts = np.concatenate(([0], bounds))
+            ends = np.concatenate((bounds, [len(uk)]))
+            terms_arr = np.asarray(uniques, dtype=object)
+            blocks = encode_blocks_batch(p_doc, p_tf, p_dl, tfn, starts, ends)
+            yield pd.DataFrame(
+                {
+                    "term": terms_arr[p_code[starts]],
+                    "segment": seg,
+                    "df": (ends - starts).astype(np.int64),
+                    "max_score": np.maximum.reduceat(tfn, starts),
+                    "blocks": blocks,
+                }
+            )
+
+        postings = src.mapInPandas(build_segment, schema=POSTINGS)
+        return postings, meta
+
+    # Fallback (custom JVM tokenizer without a Python twin): explode +
+    # groupBy plan with doc_id-range segments and partition-wise encode.
+    tf = term_freqs(dt).withColumn("segment", (F.col("doc_id") / segment_size).cast("int"))
     spark = docs.sparkSession
     n_part = max(int(spark.conf.get("spark.sql.shuffle.partitions", "32")), 1)
 
     def encode_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        """Encode every (term, segment) group in one partition.
-
-        The partition arrives hash-distributed by (term, segment) and
-        sorted by (term, segment, doc_id); groups never span partitions,
-        so buffering the partition (bounded by rows/n_part) and slicing
-        groups with numpy boundary detection avoids the per-group
-        applyInPandas Arrow/pandas overhead (~40x fewer Python
-        crossings at Zipf vocabulary sizes).
-        """
         chunks = list(batches)
         if not chunks:
             return
@@ -270,14 +323,13 @@ def build_postings(
     return postings, meta
 
 
-def write_index(
-    postings: DataFrame,
-    meta: IndexMeta,
-    path: str,
-    files_per_segment: int = 1,
-) -> None:
-    """Persist the index: postings parquet (term-sorted within files so
-    parquet row-group min/max stats prune query-term scans) + meta JSON.
+def write_index(postings: DataFrame, meta: IndexMeta, path: str) -> None:
+    """Persist the index: postings parquet + meta JSON.
+
+    ``build_postings`` emits one segment per partition with terms already
+    sorted (factorize(sort=True)), so no repartition/sort is needed
+    before the write and parquet row-group min/max stats on ``term``
+    prune query scans for free.
 
     On a real cluster this would target an Iceberg table
     (``writeTo(...).createOrReplace()``) for snapshot-based resumability;
@@ -288,13 +340,7 @@ def write_index(
     import json
     import os
 
-    n_seg = max(1, math.ceil(meta.n_docs / meta.segment_size))
-    (
-        postings.repartition(max(1, n_seg * files_per_segment), "segment")
-        .sortWithinPartitions("term")
-        .write.mode("overwrite")
-        .parquet(f"{path}/postings")
-    )
+    postings.write.mode("overwrite").parquet(f"{path}/postings")
     os.makedirs(path, exist_ok=True)
     with open(f"{path}/meta.json", "w") as fp:
         json.dump(meta.__dict__, fp)

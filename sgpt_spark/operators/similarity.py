@@ -1,0 +1,225 @@
+"""Similarity search over an embedding column (dense path).
+
+Re-expresses the reference's chunked exact search
+(custommodels/exact_search.py:80-132: per-chunk score matrix ->
+torch.topk -> heap merge) in Spark:
+
+- ``cosine_topk``      brute-force exact top-k: per-partition numpy
+  matmul + partial top-k inside a pandas UDF, then the same global
+  window merge the BM25 path uses. The scale path — shuffle volume is
+  k rows per (query, partition), never |docs| x |queries|.
+- ``cosine_topk_exhaustive``  pure-JVM variant (zip_with/aggregate dot
+  product) used as the small-scale oracle twin: expressible 1:1 in
+  DuckDB (list_cosine_similarity), so the driver gate can value-check it.
+- ``lsh_cosine_topk``  random-hyperplane LSH bucketing: candidates share
+  a signature bucket in at least one of ``n_tables`` tables; exact
+  rescoring of candidates only. Approximate recall, tested against the
+  brute force.
+
+Deterministic: scores rounded to 6 dp before ranking, ties broken by id
+asc (the engine-wide contract, operators/topk.py).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sgpt_spark.operators.topk import SCORE_DECIMALS, topk_per_group
+
+SEED = 42
+
+
+def _as_matrix(rows: list[tuple]) -> tuple[list, np.ndarray]:
+    ids = [r[0] for r in rows]
+    mat = np.asarray([r[1] for r in rows], dtype=np.float64)
+    return ids, mat
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    qid_col: str = "qid",
+    qemb_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k: (qid, vec_id, score, rank).
+
+    Queries are collected + broadcast (small by contract); the corpus
+    streams through a pandas UDF that computes a [batch x Q] similarity
+    matrix and keeps per-partition top-k per query.
+    """
+    spark = embeddings.sparkSession
+    qrows = [(r[qid_col], r[qemb_col]) for r in queries.collect()]
+    if not qrows:
+        return spark.createDataFrame([], "qid long, vec_id long, score double, rank int")
+    qids, qmat = _as_matrix(qrows)
+    qnorm = qmat / np.maximum(np.linalg.norm(qmat, axis=1, keepdims=True), 1e-12)
+    bq = spark.sparkContext.broadcast((qids, qnorm))
+    kk = k
+
+    from sgpt_spark.operators.index_search import deterministic_topk
+
+    def score_part(batches):
+        qids_b, qn = bq.value
+        best: dict = {}
+        for pdf in batches:
+            ids = pdf["_id"].to_numpy()
+            mat = np.asarray(pdf["_emb"].tolist(), dtype=np.float64)
+            mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+            sims = np.round(mat @ qn.T, SCORE_DECIMALS)  # [batch x Q]
+            for qi in range(len(qids_b)):
+                col = sims[:, qi]
+                keep = deterministic_topk(ids, col, kk)
+                cur = best.setdefault(qi, ([], []))
+                cur[0].extend(ids[keep].tolist())
+                cur[1].extend(col[keep].tolist())
+        out_q, out_i, out_s = [], [], []
+        for qi, (ids_l, sims_l) in best.items():
+            ids_a = np.asarray(ids_l)
+            sims_a = np.asarray(sims_l)
+            order = deterministic_topk(ids_a, sims_a, kk)
+            out_q.extend([bq.value[0][qi]] * len(order))
+            out_i.extend(ids_a[order].tolist())
+            out_s.extend(sims_a[order].tolist())
+        yield pd.DataFrame({"qid": out_q, "vec_id": out_i, "score": out_s})
+
+    src = embeddings.select(F.col(id_col).alias("_id"), F.col(emb_col).alias("_emb"))
+    qid_t = queries.schema[qid_col].dataType.simpleString()
+    id_t = embeddings.schema[id_col].dataType.simpleString()
+    part = src.mapInPandas(score_part, schema=f"qid {qid_t}, vec_id {id_t}, score double")
+    return topk_per_group(part, group_col="qid", score_col="score", id_col="vec_id", k=k).select(
+        "qid", "vec_id", "score", "rank"
+    )
+
+
+def cosine_topk_exhaustive(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    qid_col: str = "qid",
+    qemb_col: str = "embedding",
+) -> DataFrame:
+    """JVM-only exact variant: broadcast-join every (doc, query) pair and
+    compute cosine with zip_with/aggregate — the oracle-checkable twin
+    (DuckDB list_cosine_similarity). O(|docs| x |queries|) rows: fine at
+    oracle scale, not the scale path."""
+    q = queries.select(
+        F.col(qid_col).alias("qid"), F.col(qemb_col).cast("array<double>").alias("qemb")
+    )
+    e = embeddings.select(
+        F.col(id_col).alias("vec_id"), F.col(emb_col).cast("array<double>").alias("demb")
+    )
+    dot = F.aggregate(
+        F.zip_with("qemb", "demb", lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
+    )
+    scored = (
+        e.crossJoin(F.broadcast(q))
+        .withColumn("score", dot / (norm(F.col("qemb")) * norm(F.col("demb"))))
+        .select("qid", "vec_id", "score")
+    )
+    return topk_per_group(scored, group_col="qid", score_col="score", id_col="vec_id", k=k).select(
+        "qid", "vec_id", "score", "rank"
+    )
+
+
+def lsh_cosine_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_planes: int = 8,
+    n_tables: int = 4,
+    dim: int | None = None,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    qid_col: str = "qid",
+    qemb_col: str = "embedding",
+) -> DataFrame:
+    """Approximate cosine top-k via random-hyperplane LSH.
+
+    Each of ``n_tables`` tables hashes a vector to an ``n_planes``-bit
+    signature (sign of dot with seeded Gaussian planes). Docs sharing a
+    bucket with the query in ANY table are candidates; candidates get
+    exact cosine. Shuffle volume: |docs| x n_tables bucket rows — the
+    10^12-scale path where the brute-force matmul is too expensive.
+    """
+    spark = embeddings.sparkSession
+    qrows = [(r[qid_col], r[qemb_col]) for r in queries.collect()]
+    if not qrows:
+        return spark.createDataFrame([], "qid long, vec_id long, score double, rank int")
+    if dim is None:
+        dim = len(qrows[0][1])
+    if n_planes > 62:
+        raise ValueError("n_planes must fit in an int64 bucket id")
+    rng = np.random.default_rng(SEED)
+    planes = rng.standard_normal((n_tables, n_planes, dim))
+    pow2 = (1 << np.arange(n_planes, dtype=np.int64))
+    qids, qmat = _as_matrix(qrows)
+    qsig = {}  # query -> {(table, bucket)}
+    for t in range(n_tables):
+        bits = ((qmat @ planes[t].T) > 0).astype(np.int64)
+        vals = bits @ pow2
+        for qi in range(len(qids)):
+            qsig.setdefault(qi, set()).add((t, int(vals[qi])))
+    b_planes = spark.sparkContext.broadcast(planes)
+
+    def bucketize(batches):
+        pls = b_planes.value
+        for pdf in batches:
+            mat = np.asarray(pdf["_emb"].tolist(), dtype=np.float64)
+            out_id, out_t, out_b = [], [], []
+            for t in range(pls.shape[0]):
+                bits = ((mat @ pls[t].T) > 0).astype(np.int64)
+                vals = bits @ pow2
+                out_id.extend(pdf["_id"].tolist())
+                out_t.extend([t] * len(pdf))
+                out_b.extend(vals.tolist())
+            yield pd.DataFrame({"vec_id": out_id, "table": out_t, "bucket": out_b})
+
+    src = embeddings.select(F.col(id_col).alias("_id"), F.col(emb_col).alias("_emb"))
+    id_t = embeddings.schema[id_col].dataType.simpleString()
+    buckets = src.mapInPandas(bucketize, schema=f"vec_id {id_t}, table int, bucket long")
+
+    # query buckets as a tiny broadcast relation
+    qb_rows = []
+    for qi, sigs in qsig.items():
+        for t, bkt in sigs:
+            qb_rows.append((qids[qi], int(t), int(bkt) if not isinstance(bkt, tuple) else hash(bkt)))
+    qid_t = queries.schema[qid_col].dataType.simpleString()
+    qb = spark.createDataFrame(qb_rows, f"qid {qid_t}, table int, bucket long")
+    cand = (
+        buckets.join(F.broadcast(qb), ["table", "bucket"])
+        .select("qid", "vec_id")
+        .distinct()
+    )
+    # exact rescore of candidates only
+    q = queries.select(
+        F.col(qid_col).alias("qid"), F.col(qemb_col).cast("array<double>").alias("qemb")
+    )
+    e = embeddings.select(
+        F.col(id_col).alias("vec_id"), F.col(emb_col).cast("array<double>").alias("demb")
+    )
+    dot = F.aggregate(
+        F.zip_with("qemb", "demb", lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
+    )
+    scored = (
+        cand.join(e, "vec_id")
+        .join(F.broadcast(q), "qid")
+        .withColumn("score", dot / (norm(F.col("qemb")) * norm(F.col("demb"))))
+        .select("qid", "vec_id", "score")
+    )
+    return topk_per_group(scored, group_col="qid", score_col="score", id_col="vec_id", k=k).select(
+        "qid", "vec_id", "score", "rank"
+    )

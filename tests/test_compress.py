@@ -66,6 +66,48 @@ def test_blocks_roundtrip(postings):
     assert flat_max >= tfn.max() - 1e-12
 
 
+@given(
+    st.lists(  # several groups of postings
+        st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=10**8),
+                st.integers(min_value=1, max_value=100),
+                st.integers(min_value=1, max_value=500),
+            ),
+            min_size=1,
+            max_size=300,
+            unique_by=lambda t: t[0],
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+@settings(max_examples=60, deadline=None)
+def test_batch_encode_equals_per_group(groups):
+    docs_l, tfs_l, dls_l, starts, ends = [], [], [], [], []
+    pos = 0
+    for g in groups:
+        g = sorted(g)
+        starts.append(pos)
+        docs_l += [x[0] for x in g]
+        tfs_l += [x[1] for x in g]
+        dls_l += [x[2] for x in g]
+        pos += len(g)
+        ends.append(pos)
+    docs = np.array(docs_l, dtype=np.int64)
+    tfs = np.array(tfs_l, dtype=np.uint64)
+    dls = np.array(dls_l, dtype=np.uint64)
+    tfn = tfs.astype(np.float64) / (tfs + 1.2 * (0.25 + 0.75 * dls / 100.0))
+    from sgpt_spark.functions.compress import encode_blocks_batch
+
+    got = encode_blocks_batch(
+        docs, tfs, dls, tfn, np.array(starts), np.array(ends), block_size=128
+    )
+    for gi, (s, e) in enumerate(zip(starts, ends)):
+        want = encode_blocks(docs[s:e], tfs[s:e], dls[s:e], tfn[s:e], presorted=True)
+        assert got[gi] == want, gi
+
+
 def test_varint_empty():
     assert varint_encode(np.empty(0, dtype=np.uint64)) == b""
     assert varint_decode(b"").size == 0

@@ -154,6 +154,18 @@ def _q_rolling_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rolling_fingerprints(load_table(spark, sf_dir, "documents"))
 
 
+def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sgpt_spark.operators.multimodal import generate_media, image_features
+
+    return image_features(generate_media(spark, 300, partitions=4))
+
+
+def _q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sgpt_spark.operators.multimodal import generate_media, sample_video_frames
+
+    return sample_video_frames(generate_media(spark, 300, partitions=4))
+
+
 # --- general relational operators over TPC-H tables (SURVEY.md §2.4-2.9) --
 
 def _q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -207,6 +219,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_cosine_topk": _q_lsh_cosine_topk,      # rows-only (approximate)
         "text_profile": _q_text_profile,
         "rolling_fingerprints": _q_rolling_fps,     # rows-only (hash-dependent)
+        "media_image_features": _q_media_features,  # rows-only (stub decoder)
+        "media_frame_sample": _q_media_frames,      # rows-only (stub decoder)
         # general relational (TPC-H tables)
         "pricing_summary": _q_pricing_summary,
         "topk_orders_per_customer": _q_topk_orders,

@@ -79,13 +79,14 @@ def main() -> None:
     t0 = time.time()
     docs = assign_doc_ids(pages.select("url", "text"), num_partitions=CPUS)
     postings, meta = build_postings(docs, segment_size=max(N_DOCS // CPUS, 10_000))
-    write_index(postings, meta, f"{CACHE}/index")
+    # tmpfs target: measure the engine, not single-VM disk contention
+    write_index(postings, meta, "/dev/shm/sgpt_bench_index")
     build_s = time.time() - t0
     timings["index_build"] = round(build_s, 3)
     docs_per_sec = meta.n_docs / build_s
 
     # --- query throughput through the compressed index ------------------
-    postings = spark.read.parquet(f"{CACHE}/index/postings")
+    postings = spark.read.parquet("/dev/shm/sgpt_bench_index/postings")
     docs.persist()
     qdf = (
         docs.filter((F.col("doc_id") % max(meta.n_docs // N_QUERIES, 1) == 0)

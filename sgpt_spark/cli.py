@@ -1,0 +1,121 @@
+"""spark-submit entry points (north rule: launched via
+``spark-submit --py-files sgpt_spark.zip``).
+
+Subcommands:
+  build-index  --pages <parquet> --out <index_dir> [--segment-size N]
+  append       --pages <parquet> --index <index_dir>
+  query        --index <index_dir> --queries <queries.jsonl|parquet>
+               --out <run_dir> [--k K]
+  evaluate     --run <results parquet> --qrels <qrels.tsv|parquet> [--k K]
+  bench        (see bench.py at the repo root)
+
+Example cluster launch:
+  zip -r sgpt_spark.zip sgpt_spark
+  spark-submit --py-files sgpt_spark.zip -m sgpt_spark.cli build-index \
+      --pages s3://corpus/pages --out s3://indexes/v1
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from pyspark.sql import SparkSession
+
+
+def _spark(app: str) -> SparkSession:
+    from sgpt_spark.session import get_spark
+
+    # under spark-submit the master comes from the launcher; fall back to
+    # local for direct runs
+    builder_master = None
+    return get_spark(master=builder_master, app_name=app)
+
+
+def cmd_build_index(args) -> None:
+    from sgpt_spark.plans.pipeline import build_index_pipeline
+
+    spark = _spark("sgpt-build-index")
+    postings, meta = build_index_pipeline(
+        spark, args.pages, args.out, segment_size=args.segment_size
+    )
+    print(f"built index at {args.out}: n_docs={meta.n_docs} avgdl={meta.avgdl:.2f}")
+
+
+def cmd_append(args) -> None:
+    from sgpt_spark.streaming.incremental import append_to_index
+
+    spark = _spark("sgpt-append")
+    pages = spark.read.parquet(args.pages)
+    meta = append_to_index(spark, pages, args.index)
+    print(f"appended: n_docs={meta.n_docs} avgdl={meta.avgdl:.2f}")
+
+
+def cmd_query(args) -> None:
+    from sgpt_spark.operators.index_search import search_index
+    from sgpt_spark.operators.indexer import read_index
+    from sgpt_spark.sources.readers import read_beir_queries
+
+    spark = _spark("sgpt-query")
+    postings, meta = read_index(spark, args.index)
+    if args.queries.endswith(".jsonl") or args.queries.endswith(".json"):
+        queries = read_beir_queries(spark, args.queries)
+    else:
+        queries = spark.read.parquet(args.queries)
+    run = search_index(spark, postings, meta, queries, k=args.k)
+    run.write.mode("overwrite").parquet(args.out)
+    print(f"wrote run to {args.out}")
+
+
+def cmd_evaluate(args) -> None:
+    from sgpt_spark.operators.metrics import mean_metrics
+    from sgpt_spark.sources.readers import read_beir_qrels
+
+    spark = _spark("sgpt-evaluate")
+    run = spark.read.parquet(args.run)
+    if args.qrels.endswith(".tsv") or args.qrels.endswith(".csv"):
+        qrels = read_beir_qrels(spark, args.qrels)
+    else:
+        qrels = spark.read.parquet(args.qrels)
+    row = mean_metrics(run, qrels, k=args.k).collect()[0]
+    print(
+        f"nDCG@{args.k}={row['ndcg']} MAP@{args.k}={row['map']} "
+        f"MRR@{args.k}={row['mrr']} P@{args.k}={row['precision']} "
+        f"R@{args.k}={row['recall']}"
+    )
+
+
+def main(argv: list[str] | None = None) -> None:
+    p = argparse.ArgumentParser(prog="sgpt_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build-index")
+    b.add_argument("--pages", required=True)
+    b.add_argument("--out", required=True)
+    b.add_argument("--segment-size", type=int, default=100_000)
+    b.set_defaults(fn=cmd_build_index)
+
+    a = sub.add_parser("append")
+    a.add_argument("--pages", required=True)
+    a.add_argument("--index", required=True)
+    a.set_defaults(fn=cmd_append)
+
+    q = sub.add_parser("query")
+    q.add_argument("--index", required=True)
+    q.add_argument("--queries", required=True)
+    q.add_argument("--out", required=True)
+    q.add_argument("--k", type=int, default=1000)
+    q.set_defaults(fn=cmd_query)
+
+    e = sub.add_parser("evaluate")
+    e.add_argument("--run", required=True)
+    e.add_argument("--qrels", required=True)
+    e.add_argument("--k", type=int, default=10)
+    e.set_defaults(fn=cmd_evaluate)
+
+    args = p.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

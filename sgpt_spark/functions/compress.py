@@ -88,20 +88,18 @@ def encode_blocks(
     doc_ids: np.ndarray,
     tfs: np.ndarray,
     dls: np.ndarray,
-    tfn: np.ndarray,
     block_size: int = BLOCK_SIZE,
     presorted: bool = False,
 ) -> list[dict]:
     """Sorted postings arrays -> list of block dicts (POSTINGS.blocks rows).
 
-    ``tfn`` is the precomputed BM25 tf-norm per posting (depends only on
-    tf, dl, avgdl — all known at index time); block_max = max(tfn).
-    Pass ``presorted=True`` when doc_ids are already ascending (the
-    indexer sorts within partitions) to skip the argsort.
+    Block-max metadata is (max_tf, min_dl) — avgdl-independent, see
+    schema.POSTINGS. Pass ``presorted=True`` when doc_ids are already
+    ascending (the indexer sorts within partitions) to skip the argsort.
     """
     if not presorted:
         order = np.argsort(doc_ids, kind="stable")
-        doc_ids, tfs, dls, tfn = doc_ids[order], tfs[order], dls[order], tfn[order]
+        doc_ids, tfs, dls = doc_ids[order], tfs[order], dls[order]
     blocks = []
     for s in range(0, len(doc_ids), block_size):
         d = doc_ids[s : s + block_size]
@@ -111,7 +109,8 @@ def encode_blocks(
                 "first_doc": first,
                 "last_doc": int(d[-1]),
                 "count": int(len(d)),
-                "block_max": float(tfn[s : s + block_size].max()),
+                "max_tf": int(tfs[s : s + block_size].max()),
+                "min_dl": int(dls[s : s + block_size].min()),
                 "doc_deltas": deltas,
                 "tfs": varint_encode(tfs[s : s + block_size].astype(np.uint64)),
                 "dls": varint_encode(dls[s : s + block_size].astype(np.uint64)),
@@ -124,7 +123,6 @@ def encode_blocks_batch(
     doc_ids: np.ndarray,
     tfs: np.ndarray,
     dls: np.ndarray,
-    tfn: np.ndarray,
     group_starts: np.ndarray,
     group_ends: np.ndarray,
     block_size: int = BLOCK_SIZE,
@@ -168,7 +166,11 @@ def encode_blocks_batch(
     kept_pos = np.cumsum(keep) - 1  # position of posting i's delta (if kept)
     t_bytes, t_off = varint_encode_with_offsets(tfs.astype(np.uint64))
     l_bytes, l_off = varint_encode_with_offsets(dls.astype(np.uint64))
-    bmax = np.maximum.reduceat(tfn, blk_starts) if len(blk_starts) else np.empty(0)
+    if len(blk_starts):
+        blk_max_tf = np.maximum.reduceat(tfs.astype(np.int64), blk_starts)
+        blk_min_dl = np.minimum.reduceat(dls.astype(np.int64), blk_starts)
+    else:
+        blk_max_tf = blk_min_dl = np.empty(0, dtype=np.int64)
     d_mv, t_mv, l_mv = d_bytes.tobytes(), t_bytes.tobytes(), l_bytes.tobytes()
 
     out: list[list[dict]] = []
@@ -189,7 +191,8 @@ def encode_blocks_batch(
                     "first_doc": int(doc_ids[s]),
                     "last_doc": int(doc_ids[e - 1]),
                     "count": int(e - s),
-                    "block_max": float(bmax[bi]),
+                    "max_tf": int(blk_max_tf[bi]),
+                    "min_dl": int(blk_min_dl[bi]),
                     "doc_deltas": dd,
                     "tfs": t_mv[int(t_off[s]) : int(t_off[e])],
                     "dls": l_mv[int(l_off[s]) : int(l_off[e])],

@@ -103,6 +103,12 @@ class IndexMeta:
     b: float
     block_size: int
     analyzer: str
+    # exact token total — lets incremental appends recompute avgdl
+    # exactly instead of approximating (streaming/incremental.py)
+    total_len: int = 0
+    # first unassigned doc id (covers empty-text docs that never reach
+    # the postings) — the append offset for incremental builds
+    next_doc_id: int = 0
 
 
 def _fused_term_freqs(docs: DataFrame, py_tokenizer, text_col: str) -> DataFrame:
@@ -182,16 +188,20 @@ def build_postings(
         row = (
             non_empty_text(docs, text_col)
             .select(F.size(tokenizer(F.col(text_col))).alias("dl"))
-            .agg(F.count("*").alias("n"), F.avg("dl").alias("avgdl"))
+            .agg(F.count("*").alias("n"), F.sum("dl").alias("total"))
             .collect()[0]
         )
-        stats = CorpusStats(n_docs=int(row["n"]), avgdl=float(row["avgdl"] or 0.0))
+        n_docs = int(row["n"])
+        total_len = int(row["total"] or 0)
+        stats = CorpusStats(n_docs=n_docs, avgdl=(total_len / n_docs) if n_docs else 0.0)
         analyzer_name = getattr(py_tokenizer, "__name__", "custom")
     else:
         dt = doc_terms(docs, id_col="doc_id", text_col=text_col, tokenizer=tokenizer).persist()
         stats = corpus_stats(dt)
+        total_len = int(round(stats.avgdl * stats.n_docs))
         analyzer_name = getattr(tokenizer, "__name__", "custom")
 
+    max_id = docs.agg(F.max("doc_id")).collect()[0][0]
     meta = IndexMeta(
         n_docs=stats.n_docs,
         avgdl=stats.avgdl,
@@ -200,6 +210,8 @@ def build_postings(
         b=b,
         block_size=BLOCK_SIZE,
         analyzer=analyzer_name,
+        total_len=total_len,
+        next_doc_id=(int(max_id) + 1) if max_id is not None else 0,
     )
     avgdl = stats.avgdl
 
@@ -250,20 +262,18 @@ def build_postings(
             p_doc = ids[p_docidx]
             p_tf = counts.astype(np.uint64)
             p_dl = lens[p_docidx].astype(np.uint64)
-            tfn = p_tf.astype(np.float64) / (
-                p_tf + k1 * (1.0 - b + b * p_dl.astype(np.float64) / avgdl)
-            )
             bounds = np.flatnonzero(p_code[1:] != p_code[:-1]) + 1
             starts = np.concatenate(([0], bounds))
             ends = np.concatenate((bounds, [len(uk)]))
             terms_arr = np.asarray(uniques, dtype=object)
-            blocks = encode_blocks_batch(p_doc, p_tf, p_dl, tfn, starts, ends)
+            blocks = encode_blocks_batch(p_doc, p_tf, p_dl, starts, ends)
             yield pd.DataFrame(
                 {
                     "term": terms_arr[p_code[starts]],
                     "segment": seg,
                     "df": (ends - starts).astype(np.int64),
-                    "max_score": np.maximum.reduceat(tfn, starts),
+                    "max_tf": np.maximum.reduceat(p_tf.astype(np.int64), starts),
+                    "min_dl": np.minimum.reduceat(p_dl.astype(np.int64), starts),
                     "blocks": blocks,
                 }
             )
@@ -289,29 +299,18 @@ def build_postings(
         docs_a = pdf["doc_id"].to_numpy(dtype=np.int64)
         tfs_a = pdf["tf"].to_numpy(dtype=np.uint64)
         dls_a = pdf["doc_len"].to_numpy(dtype=np.uint64)
-        tfn = tfs_a.astype(np.float64) / (
-            tfs_a + k1 * (1.0 - b + b * dls_a.astype(np.float64) / avgdl)
-        )
         bounds = np.flatnonzero((terms[1:] != terms[:-1]) | (segs[1:] != segs[:-1])) + 1
         starts = np.concatenate(([0], bounds))
         ends = np.concatenate((bounds, [len(pdf)]))
-        out_term, out_seg, out_df, out_max, out_blocks = [], [], [], [], []
-        for s, e in zip(starts, ends):
-            g_tfn = tfn[s:e]
-            out_term.append(terms[s])
-            out_seg.append(int(segs[s]))
-            out_df.append(int(e - s))
-            out_max.append(float(g_tfn.max()))
-            out_blocks.append(
-                encode_blocks(docs_a[s:e], tfs_a[s:e], dls_a[s:e], g_tfn, presorted=True)
-            )
+        blocks = encode_blocks_batch(docs_a, tfs_a, dls_a, starts, ends)
         yield pd.DataFrame(
             {
-                "term": out_term,
-                "segment": out_seg,
-                "df": out_df,
-                "max_score": out_max,
-                "blocks": out_blocks,
+                "term": terms[starts],
+                "segment": segs[starts].astype(np.int32),
+                "df": (ends - starts).astype(np.int64),
+                "max_tf": np.maximum.reduceat(tfs_a.astype(np.int64), starts),
+                "min_dl": np.minimum.reduceat(dls_a.astype(np.int64), starts),
+                "blocks": blocks,
             }
         )
 

@@ -46,7 +46,13 @@ class TermPostings:
         self.k1, self.b, self.avgdl = k1, b, avgdl
         self.first = np.array([blk["first_doc"] for blk in blocks], dtype=np.int64)
         self.last = np.array([blk["last_doc"] for blk in blocks], dtype=np.int64)
-        self.bmax = np.array([blk["block_max"] for blk in blocks], dtype=np.float64)
+        # Upper bound on the block's tf-norm from the stored
+        # avgdl-independent (max_tf, min_dl): tfn is increasing in tf and
+        # decreasing in dl, so tfn <= tfn(max_tf, min_dl) for any avgdl
+        # (valid even after incremental appends shift corpus stats).
+        mtf = np.array([blk["max_tf"] for blk in blocks], dtype=np.float64)
+        mdl = np.array([blk["min_dl"] for blk in blocks], dtype=np.float64)
+        self.bmax = mtf / (mtf + k1 * (1.0 - b + b * mdl / avgdl))
         self._cache: dict[int, tuple[np.ndarray, np.ndarray]] = {}
 
     @property

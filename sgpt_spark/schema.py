@@ -70,15 +70,21 @@ DOC_STATS = T.StructType(
 )
 
 # Compressed posting-list segment: one row per (term, index partition).
-# doc ids are delta+varint encoded per block; block-max metadata enables
-# WAND pruning (the structure Elasticsearch hides from the reference,
-# SURVEY.md §1.1 "Derived index structure").
+# doc ids are delta+varint encoded per block. Block-max metadata is
+# stored avgdl-independently as (max_tf, min_dl): the BM25 tf-norm is
+# monotone increasing in tf and decreasing in dl, so
+# tfn <= max_tf / (max_tf + k1*(1-b+b*min_dl/avgdl)) holds for ANY
+# avgdl — the bound stays valid after incremental appends change the
+# corpus stats (streaming/incremental.py), which a stored tf-norm would
+# not. (This materializes the structure Elasticsearch hides from the
+# reference, SURVEY.md §1.1 "Derived index structure".)
 POSTINGS = T.StructType(
     [
         T.StructField("term", T.StringType(), False),
         T.StructField("segment", T.IntegerType(), False),
         T.StructField("df", T.LongType(), False),
-        T.StructField("max_score", T.DoubleType(), False),
+        T.StructField("max_tf", T.LongType(), False),
+        T.StructField("min_dl", T.LongType(), False),
         T.StructField(
             "blocks",
             T.ArrayType(
@@ -87,7 +93,8 @@ POSTINGS = T.StructType(
                         T.StructField("first_doc", T.LongType(), False),
                         T.StructField("last_doc", T.LongType(), False),
                         T.StructField("count", T.IntegerType(), False),
-                        T.StructField("block_max", T.DoubleType(), False),
+                        T.StructField("max_tf", T.LongType(), False),
+                        T.StructField("min_dl", T.LongType(), False),
                         T.StructField("doc_deltas", T.BinaryType(), False),
                         T.StructField("tfs", T.BinaryType(), False),
                         T.StructField("dls", T.BinaryType(), False),

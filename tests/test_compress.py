@@ -51,8 +51,7 @@ def test_blocks_roundtrip(postings):
     docs = np.array([p[0] for p in postings], dtype=np.int64)
     tfs = np.array([p[1] for p in postings], dtype=np.uint64)
     dls = np.array([p[2] for p in postings], dtype=np.uint64)
-    tfn = tfs.astype(np.float64) / (tfs + 1.2 * (0.25 + 0.75 * dls / 100.0))
-    blocks = encode_blocks(docs, tfs, dls, tfn, block_size=128)
+    blocks = encode_blocks(docs, tfs, dls, block_size=128)
     d2, t2, l2 = decode_blocks(blocks)
     order = np.argsort(docs, kind="stable")
     assert np.array_equal(d2, docs[order])
@@ -62,8 +61,8 @@ def test_blocks_roundtrip(postings):
     for blk in blocks:
         assert blk["first_doc"] <= blk["last_doc"]
         assert blk["count"] <= 128
-    flat_max = max(b["block_max"] for b in blocks)
-    assert flat_max >= tfn.max() - 1e-12
+    assert max(b["max_tf"] for b in blocks) == int(tfs.max())
+    assert min(b["min_dl"] for b in blocks) == int(dls.min())
 
 
 @given(
@@ -97,14 +96,13 @@ def test_batch_encode_equals_per_group(groups):
     docs = np.array(docs_l, dtype=np.int64)
     tfs = np.array(tfs_l, dtype=np.uint64)
     dls = np.array(dls_l, dtype=np.uint64)
-    tfn = tfs.astype(np.float64) / (tfs + 1.2 * (0.25 + 0.75 * dls / 100.0))
     from sgpt_spark.functions.compress import encode_blocks_batch
 
     got = encode_blocks_batch(
-        docs, tfs, dls, tfn, np.array(starts), np.array(ends), block_size=128
+        docs, tfs, dls, np.array(starts), np.array(ends), block_size=128
     )
     for gi, (s, e) in enumerate(zip(starts, ends)):
-        want = encode_blocks(docs[s:e], tfs[s:e], dls[s:e], tfn[s:e], presorted=True)
+        want = encode_blocks(docs[s:e], tfs[s:e], dls[s:e], presorted=True)
         assert got[gi] == want, gi
 
 

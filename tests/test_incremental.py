@@ -1,0 +1,110 @@
+"""Incremental appends must be result-identical to a full rebuild over
+the union corpus — the property the avgdl-independent block metadata
+guarantees (streaming/incremental.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from sgpt_spark.operators.index_search import search_index
+from sgpt_spark.operators.indexer import assign_doc_ids, build_postings, read_index, write_index
+from sgpt_spark.sources.pages import generate_pages
+from sgpt_spark.streaming.incremental import append_to_index, incremental_index_stream
+
+
+def _queries(docs):
+    return (
+        docs.filter((F.col("doc_id") % 97 == 1) & (F.length("text") > 0))
+        .select(
+            F.col("doc_id").cast("string").alias("qid"),
+            F.array_join(
+                F.slice(F.split(F.element_at(F.split("text", "\n"), 2), " ", -1), 1, 4), " "
+            ).alias("query"),
+        )
+    )
+
+
+def _run_by_url(spark, postings, meta, queries, docs, k=10000):
+    """Resolve doc ids to urls; with k covering every candidate the
+    result SET is invariant to the id assignment (ids differ between an
+    incremental build and a rebuild because url order interleaves langs,
+    so tie order on doc_id is not comparable across the two — scores and
+    membership are)."""
+    run = search_index(spark, postings, meta, queries, k=k)
+    rows = run.join(docs.select("doc_id", "url"), "doc_id").collect()
+    return sorted((r["qid"], r["url"], r["score"]) for r in rows)
+
+
+def test_append_equals_rebuild(spark, tmp_path):
+    # batch 1 = docs [0, 800), batch 2 = docs [800, 1200): url order of
+    # the union equals concatenation order, so doc ids line up exactly.
+    all_pages = generate_pages(spark, 1200, partitions=5).persist()
+    batch1 = all_pages.filter(F.col("url") < "https://example.org/en/doc00000800")
+    # note: lang differs per url; filter on the doc number instead
+    batch1 = all_pages.filter(F.substring_index("url", "doc", -1) < "00000800")
+    batch2 = all_pages.subtract(batch1)
+
+    # incremental: build on batch1, append batch2
+    inc_path = str(tmp_path / "inc")
+    docs1 = assign_doc_ids(batch1.select("url", "text"), num_partitions=3)
+    p1, m1 = build_postings(docs1, segment_size=300)
+    write_index(p1, m1, inc_path)
+    merged = append_to_index(spark, batch2, inc_path)
+
+    # full rebuild over the union
+    full_docs = assign_doc_ids(all_pages.select("url", "text"), num_partitions=4)
+    pf, mf = build_postings(full_docs, segment_size=300)
+
+    assert merged.n_docs == mf.n_docs
+    assert abs(merged.avgdl - mf.avgdl) < 1e-9
+    assert merged.total_len == mf.total_len
+
+    q = _queries(full_docs)
+    q.persist().count()
+    postings_inc, meta_inc = read_index(spark, inc_path)
+    docs2 = assign_doc_ids(batch2.select("url", "text")).withColumn(
+        "doc_id", F.col("doc_id") + docs1.count()
+    )
+    inc_docs = docs1.select("doc_id", "url").union(docs2.select("doc_id", "url"))
+    got = _run_by_url(spark, postings_inc, meta_inc, q, inc_docs)
+    want = _run_by_url(spark, pf, mf, q, full_docs)
+    assert len(got) > 0 and got == want
+
+
+def test_streaming_appends(spark, tmp_path):
+    pages_dir = tmp_path / "pages_stream"
+    pages_dir.mkdir()
+    idx = str(tmp_path / "sidx")
+
+    # initial index from the first file
+    first = generate_pages(spark, 300, partitions=2)
+    docs0 = assign_doc_ids(first.select("url", "text"))
+    p0, m0 = build_postings(docs0, segment_size=200)
+    write_index(p0, m0, idx)
+
+    # two more files arrive "later"
+    import pandas as pd
+
+    from sgpt_spark.sources.pages import make_page
+
+    for lo, hi, name in [(300, 500, "b1"), (500, 650, "b2")]:
+        rows = [make_page(i) for i in range(lo, hi)]
+        pdf = pd.DataFrame(rows, columns=["url", "warc_ts", "html", "text", "lang"])
+        pdf["warc_ts"] = pd.to_datetime(pdf["warc_ts"])
+        spark.createDataFrame(pdf).write.parquet(str(pages_dir / name))
+
+    q = incremental_index_stream(
+        spark, str(pages_dir / "*"), idx, str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+
+    postings, meta = read_index(spark, idx)
+    assert meta.n_docs == 650 - 1  # doc 17 is the empty one in [0, 650)
+    # every batch's docs are retrievable
+    probe = spark.createDataFrame(
+        [("p1", " ".join(make_page(640)[3].split("\n")[1].split(" ")[:4]))],
+        "qid string, query string",
+    )
+    hits = search_index(spark, postings, meta, probe, k=5).collect()
+    assert len(hits) > 0

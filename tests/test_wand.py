@@ -20,8 +20,7 @@ def make_tp(postings: list[tuple[int, int, int]]) -> TermPostings:
     docs = np.array([p[0] for p in postings], dtype=np.int64)
     tfs = np.array([p[1] for p in postings], dtype=np.uint64)
     dls = np.array([p[2] for p in postings], dtype=np.uint64)
-    tfn = tfs.astype(np.float64) / (tfs + K1 * (1 - B + B * dls.astype(np.float64) / AVGDL))
-    return TermPostings(encode_blocks(docs, tfs, dls, tfn, block_size=4), K1, B, AVGDL)
+    return TermPostings(encode_blocks(docs, tfs, dls, block_size=4), K1, B, AVGDL)
 
 
 def exhaustive(weighted):

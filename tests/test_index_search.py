@@ -112,3 +112,59 @@ def test_unknown_query_terms(spark, indexed):
         [("qx", "zzznotaterm qqqalsonot")], "qid string, query string"
     )
     assert search_index(spark, postings, meta, q, k=10).count() == 0
+
+
+def test_build_index_single_pass_equivalent(spark, indexed, queryset, tmp_path_factory):
+    """build_index (one corpus pass, sentinel stats rows) produces the
+    same IndexMeta and identical query results as build_postings +
+    write_index (three passes)."""
+    from sgpt_spark.operators.indexer import build_index, read_index, write_index
+
+    docs, postings, meta = indexed
+    base = str(tmp_path_factory.mktemp("idx"))
+    write_index(postings, meta, f"{base}/three_pass")
+    meta1 = build_index(docs, f"{base}/one_pass", segment_size=SEGMENT_SIZE)
+    assert meta1.n_docs == meta.n_docs
+    assert meta1.total_len == meta.total_len
+    assert abs(meta1.avgdl - meta.avgdl) < 1e-9
+    assert meta1.next_doc_id == meta.next_doc_id
+
+    p1, m1 = read_index(spark, f"{base}/one_pass")
+    # sentinel rows are invisible through read_index
+    assert p1.filter(F.col("term").isNull()).count() == 0
+    got = search_index(spark, p1, m1, queryset, k=10).collect()
+    want = search_index(spark, postings, meta, queryset, k=10).collect()
+    g = sorted((r["qid"], r["rank"], r["doc_id"], round(r["score"], 6)) for r in got)
+    w = sorted((r["qid"], r["rank"], r["doc_id"], round(r["score"], 6)) for r in want)
+    assert g == w and len(g) > 0
+
+
+def test_build_index_stats_count_whitespace_and_empty(spark, tmp_path_factory):
+    """Sentinel stats match the non_empty_text semantics: space-only
+    docs are excluded from N/avgdl but still advance next_doc_id."""
+    from sgpt_spark.operators.indexer import build_index
+
+    docs = spark.createDataFrame(
+        [(0, "alpha beta"), (1, "   "), (2, ""), (3, None), (4, "gamma")],
+        "doc_id long, text string",
+    ).repartition(2)
+    path = str(tmp_path_factory.mktemp("idx2") / "i")
+    meta = build_index(docs, path, segment_size=10)
+    assert meta.n_docs == 2
+    assert meta.total_len == 3
+    assert meta.next_doc_id == 5
+
+
+def test_assign_doc_ids_fast_deterministic(spark, tmp_path_factory):
+    """Fast (shuffle-free) ids: dense 0..n-1, and identical across two
+    scans of the same parquet snapshot under the same session conf."""
+    from sgpt_spark.operators.indexer import assign_doc_ids_fast
+
+    path = str(tmp_path_factory.mktemp("fastids") / "pages")
+    generate_pages(spark, 500, partitions=4).write.parquet(path)
+    src = spark.read.parquet(path).select("url", "text")
+    a = {r["url"]: r["doc_id"] for r in assign_doc_ids_fast(src).collect()}
+    b = {r["url"]: r["doc_id"] for r in
+         assign_doc_ids_fast(spark.read.parquet(path).select("url", "text")).collect()}
+    assert a == b
+    assert sorted(a.values()) == list(range(500))

@@ -26,7 +26,7 @@ CHILD = r"""
 import json, sys, time
 sys.path.insert(0, {repo!r})
 from sgpt_spark.session import get_spark
-from sgpt_spark.operators.indexer import assign_doc_ids, build_postings, write_index
+from sgpt_spark.operators.indexer import assign_doc_ids, build_index
 from sgpt_spark.sources.pages import generate_pages
 
 cpus = int(sys.argv[1]); n_docs = int(sys.argv[2])
@@ -57,15 +57,15 @@ docs = spark.read.parquet(docs_src)
 # warm-up (python workers, JIT) — hash-sampled slice spanning all partitions
 from pyspark.sql import functions as F
 w = docs.filter(F.xxhash64("url") % 10 == 0)
-wp, wm = build_postings(w, segment_size=5000)
-write_index(wp, wm, f"/tmp/sgpt_bench/scaling_warm_{{cpus}}")
+build_index(w, f"/tmp/sgpt_bench/scaling_warm_{{cpus}}", segment_size=5000)
 
 t0 = time.time()
-postings, meta = build_postings(docs, segment_size=max(n_docs // (cpus * 2), 10000))
-# tmpfs target: isolates engine scaling from single-VM disk contention
-# (a real cluster writes to distributed storage whose bandwidth scales
-# with the executor count)
-write_index(postings, meta, f"/dev/shm/sgpt_scaling_index_{{cpus}}")
+# single-pass build: tokenize+tf+encode+write in ONE corpus scan, meta
+# from sentinel stats rows. tmpfs target: isolates engine scaling from
+# single-VM disk contention (a real cluster writes to distributed
+# storage whose bandwidth scales with the executor count)
+meta = build_index(docs, f"/dev/shm/sgpt_scaling_index_{{cpus}}",
+                   segment_size=max(n_docs // (cpus * 2), 10000))
 dt = time.time() - t0
 import shutil
 shutil.rmtree(f"/dev/shm/sgpt_scaling_index_{{cpus}}", ignore_errors=True)
@@ -142,15 +142,19 @@ Generated {datetime.now(timezone.utc).isoformat(timespec="seconds")} by tools/sc
 North-rule target: >= 0.8 between N and 4N executors.
 
 Notes
-- The build is a pure partition-parallel map: id assignment is a range
-  shuffle + offset join (one-time corpus prep, excluded), tokenize+tf is
-  an Arrow-batched map with no shuffle, posting encode is partition-local
-  (segment = partition), so there is no shuffle to serialize scaling.
-- Single-machine caveat: all "executors" here share ONE memory bus. The
-  8->32 pair runs into the VM's memory-bandwidth ceiling (tokenize +
-  factorize are bandwidth-bound), which on a real cluster does not exist:
-  4N executors bring 4N memory buses. The 2->8 pair, measured below the
-  bandwidth ceiling, is the faithful single-machine proxy.
+- The build is a single-pass partition-parallel map (build_index):
+  tokenize+tf+encode+segment-write in ONE corpus scan with no shuffle of
+  the posting relation, corpus stats from per-segment sentinel rows —
+  there is no shuffle or driver step to serialize scaling.
+- Single-machine caveat: this VM advertises 32 vCPUs but the host
+  grants only ~8 concurrent cores (absolute throughput peaks at
+  local[8] and falls beyond it, for plain multiprocessing as well as
+  Spark; /proc/pressure/cpu stalls while `top` shows idle). Pairs at
+  or below 8 cores are the faithful N->4N proxy; pairs above it
+  measure host oversubscription, not the engine (on a real cluster 4N
+  executors bring 4N physical cores).
+- Per-worker Arrow compute pools are capped at 1 thread (indexer.py):
+  Spark's process-per-slot model already saturates the cores.
 """
     bench_dir = REPO / "BENCH"
     bench_dir.mkdir(exist_ok=True)

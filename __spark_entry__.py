@@ -89,6 +89,23 @@ def _q_bm25_index_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     return search_index(spark, postings, meta, derived_queries(docs), k=10)
 
 
+def _q_bm25_index_fast_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship query through the single-pass builder (build_index: one
+    corpus scan, per-segment sentinel stats rows, meta re-derived from
+    the written index) — must be value-identical to the exhaustive path
+    and the other index path."""
+    import tempfile
+
+    from sgpt_spark.operators.index_search import search_index
+    from sgpt_spark.operators.indexer import build_index, read_index
+
+    docs = load_table(spark, sf_dir, "documents")
+    path = tempfile.mkdtemp(prefix="sgpt_idx_fast_")
+    build_index(docs.repartition(8, "doc_id"), path, segment_size=200)
+    postings, meta = read_index(spark, path)
+    return search_index(spark, postings, meta, derived_queries(docs), k=10)
+
+
 def _q_ir_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     run = bm25_search(docs, derived_queries(docs), k=10)
@@ -229,6 +246,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # retrieval core
         "bm25_top10": _q_bm25_top10,
         "bm25_index_top10": _q_bm25_index_top10,
+        "bm25_index_fast_top10": _q_bm25_index_fast_top10,
         "queryset_derive": _q_queryset,
         "corpus_stats": _q_corpus_stats,
         "doc_stats": _q_doc_stats,
@@ -494,6 +512,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "ir_metrics_mean": _METRICS_SQL,
         "bm25_index_top10": _BM25_SQL,
+        "bm25_index_fast_top10": _BM25_SQL,
         "bm25_rerank_top10": _RERANK_SQL,
         "dedup_exact": """
             SELECT d.doc_id, m.canonical_id

@@ -23,7 +23,6 @@ make the index embarrassingly mergeable and resumable.
 
 from __future__ import annotations
 
-import math
 from dataclasses import dataclass
 from typing import Callable, Iterator
 
@@ -34,7 +33,7 @@ from pyspark.sql import functions as F
 
 from sgpt_spark.functions.analyzer import tokenize_py_ws, tokenize_ws
 from sgpt_spark.functions.bm25 import B, K1
-from sgpt_spark.functions.compress import BLOCK_SIZE, encode_blocks, encode_blocks_batch
+from sgpt_spark.functions.compress import BLOCK_SIZE, encode_blocks_batch
 from sgpt_spark.operators.stats import CorpusStats, corpus_stats, doc_terms, term_freqs
 from sgpt_spark.schema import POSTINGS
 

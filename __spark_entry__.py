@@ -196,9 +196,24 @@ def _q_dense_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The driver canonicalizer sorts/hashes output columns, and pandas
+    cannot factorize array cells — so the gate projection digests the
+    feature vector to a deterministic md5 (the operator itself still
+    returns the raw array<float>)."""
     from sgpt_spark.operators.multimodal import generate_media, image_features
 
-    return image_features(generate_media(spark, 300, partitions=4))
+    feats = image_features(generate_media(spark, 300, partitions=4))
+    return feats.select(
+        "media_id",
+        "n_bytes",
+        "sha256",
+        "mean_luma",
+        F.md5(
+            F.array_join(
+                F.transform("feature", lambda v: F.format_string("%.6f", v)), ","
+            )
+        ).alias("feature_md5"),
+    )
 
 
 def _q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -34,7 +34,7 @@ from pyspark.sql import functions as F
 from sgpt_spark.functions.analyzer import tokenize_py_ws, tokenize_ws
 from sgpt_spark.functions.bm25 import B, K1
 from sgpt_spark.functions.compress import BLOCK_SIZE, encode_blocks_batch
-from sgpt_spark.operators.stats import CorpusStats, corpus_stats, doc_terms, term_freqs
+from sgpt_spark.operators.stats import CorpusStats, doc_terms, term_freqs
 from sgpt_spark.schema import POSTINGS
 
 Tokenizer = Callable[[Column], Column]
@@ -68,17 +68,27 @@ def _tokenize_codes_ws(texts) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.nd
         # measured 1.6x slower at 8 concurrent workers. Task-level
         # parallelism comes from Spark, so each worker computes single-
         # threaded. (IO pool left alone — Spark's Arrow IPC uses it.)
+        # NOTE: set_cpu_count is PROCESS-GLOBAL and never restored — this
+        # is intentional for Spark python workers (the whole process exists
+        # to run single-slot tasks), but don't call this module driver-side
+        # expecting Arrow parallelism afterwards.
         pa.set_cpu_count(1)
         _ARROW_POOL_CAPPED = True
 
-    arr = pa.array(texts, type=pa.string())
-    split = pc.split_pattern(pc.coalesce(arr, pa.scalar("")), " ")
+    # large_string: 64-bit offsets, so a segment whose concatenated text
+    # exceeds 2 GB still yields a single (non-chunked) Array — plain
+    # string would raise/chunk right at the 100 TB-regime partition sizes.
+    arr = pa.array(texts, type=pa.large_string())
+    split = pc.split_pattern(pc.coalesce(arr, pa.scalar("", type=pa.large_string())), " ")
     raw_lens = pc.list_value_length(split).to_numpy(zero_copy_only=False).astype(np.int64)
-    denc = pc.list_flatten(split).dictionary_encode()
+    flat = pc.list_flatten(split)
+    if isinstance(flat, pa.ChunkedArray):  # defensive: unify before encode
+        flat = flat.combine_chunks()
+    denc = flat.dictionary_encode()
     codes = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
     vocab = np.asarray(denc.dictionary.to_pandas(), dtype=object)
     doc_idx = np.repeat(np.arange(len(raw_lens), dtype=np.int64), raw_lens)
-    empty_code = pc.index(denc.dictionary, "").as_py()
+    empty_code = pc.index(denc.dictionary, pa.scalar("", type=denc.dictionary.type)).as_py()
     if empty_code is not None and empty_code >= 0:
         keep = codes != empty_code
         codes, doc_idx = codes[keep], doc_idx[keep]
@@ -113,6 +123,48 @@ def _tokenize_codes_py(texts, py_tokenizer) -> tuple[np.ndarray, np.ndarray, np.
     return codes.astype(np.int64), doc_idx, lens, np.asarray(uniques, dtype=object)
 
 
+def _offset_ids_with_guard(df: DataFrame, sizes: dict[int, int]) -> DataFrame:
+    """Shared tail of both doc-id assigners: decompose
+    ``monotonically_increasing_id()`` == (partition << 33) | local_row
+    into (pid, local), broadcast-join the (pid, offset, n) table computed
+    in the count pass, and emit ``doc_id = offset + local``.
+
+    RUNTIME GUARD (contract-violation detector): the count pass and the
+    consuming pass must plan identical partitions. If they don't — e.g. a
+    derived/non-file input got rescheduled differently, or a conf change
+    re-split the files between jobs — ids would silently collide or rows
+    would silently drop under an inner join. Instead: a LEFT join plus
+    ``assert_true`` on (a) offset present (unknown partition id appeared)
+    and (b) local row number < expected partition count (partition grew),
+    so a violated contract fails the job loudly with a clear message.
+    """
+    offsets, acc = [], 0
+    for pid in sorted(sizes):
+        offsets.append((pid, acc, sizes[pid]))
+        acc += sizes[pid]
+    offsets_df = df.sparkSession.createDataFrame(offsets, "_pid int, _offset long, _n long")
+    mono = F.monotonically_increasing_id()
+    guard_msg = (
+        "assign_doc_ids: partition layout changed between the count pass and "
+        "the id pass (non-deterministic input?) — ids would be corrupt"
+    )
+    return (
+        df.withColumn("_pid", F.shiftright(mono, 33).cast("int"))
+        .withColumn("_local", mono.bitwiseAND(F.lit((1 << 33) - 1)))
+        .join(F.broadcast(offsets_df), "_pid", "left")
+        .withColumn(
+            "_guard",
+            F.assert_true(
+                F.col("_offset").isNotNull() & (F.col("_local") < F.col("_n")),
+                F.lit(guard_msg),
+            ),
+        )
+        .withColumn("doc_id", (F.col("_offset") + F.col("_local")).cast("long"))
+        .filter(F.col("_guard").isNull())  # assert_true returns NULL; keeps the guard in the plan
+        .drop("_pid", "_local", "_offset", "_n", "_guard")
+    )
+
+
 def assign_doc_ids(
     pages: DataFrame, id_source: str = "url", num_partitions: int | None = None
 ) -> DataFrame:
@@ -120,11 +172,19 @@ def assign_doc_ids(
 
     Scalable zipWithIndex-equivalent, fully JVM-side (no Arrow round-trip
     of the corpus through Python): range-partition + sort by url, count
-    rows per partition (pass 1 — the sorted frame is persisted so both
-    passes see the identical partitioning), then
+    rows per partition (pass 1), then
     ``doc_id = partition_offset + (row_number within partition - 1)``
-    via a window keyed by the stable partition id plus a broadcast join
-    against the tiny (pid, offset) table.
+    via the decomposed monotonic id plus a broadcast join against the
+    tiny (pid, offset) table (pass 2).
+
+    The ranged frame is persisted because ``repartitionByRange`` samples
+    its bounds with a seed derived from the compiled plan — re-executing
+    the lineage in a second job could draw different bounds, and the two
+    passes MUST see identical partitions. The persisted handle is
+    attached to the result as ``df._sgpt_persisted`` so consumers can
+    ``release_doc_ids(df)`` after their terminal action (at 100 TB a
+    leaked persist pins executor storage); the runtime guard still fails
+    loudly if a violated layout ever slips through.
 
     Determinism: urls are unique, global url order is total, so doc_id
     is a pure function of the input regardless of scheduling
@@ -143,25 +203,20 @@ def assign_doc_ids(
         .agg(F.count("*").alias("n"))
         .collect()
     }
-    offsets, acc = [], 0
-    for pid in sorted(sizes):
-        offsets.append((pid, acc))
-        acc += sizes[pid]
-    spark = pages.sparkSession
-    offsets_df = spark.createDataFrame(offsets, "_pid int, _offset long")
+    out = _offset_ids_with_guard(ranged, sizes)
+    out._sgpt_persisted = ranged  # release with release_doc_ids(out)
+    return out
 
-    # monotonically_increasing_id() == (partition_index << 33) | local_row
-    # on the *persisted* sorted partitions — decompose it to get the
-    # within-partition rank with zero additional shuffle of the corpus.
-    mono = F.monotonically_increasing_id()
-    with_pid = ranged.withColumn("_pid", F.shiftright(mono, 33).cast("int")).withColumn(
-        "_local", mono.bitwiseAND(F.lit((1 << 33) - 1))
-    )
-    return (
-        with_pid.join(F.broadcast(offsets_df), "_pid")
-        .withColumn("doc_id", (F.col("_offset") + F.col("_local")).cast("long"))
-        .drop("_pid", "_local", "_offset")
-    )
+
+def release_doc_ids(df: DataFrame) -> None:
+    """Unpersist the cached frame behind an ``assign_doc_ids`` result.
+
+    Call after the terminal action that consumed the ids (index write,
+    count, ...) — not before, or the guarded two-pass contract breaks.
+    """
+    cached = getattr(df, "_sgpt_persisted", None)
+    if cached is not None:
+        cached.unpersist()
 
 
 def assign_doc_ids_fast(pages: DataFrame) -> DataFrame:
@@ -180,7 +235,9 @@ def assign_doc_ids_fast(pages: DataFrame) -> DataFrame:
     scans (the per-partition count pass and the consuming pass) see
     identical partitions and the ids are a pure function of the snapshot
     (north_rule resumability: a checkpointed build re-derives the same
-    ids). For shuffled/derived inputs use ``assign_doc_ids``.
+    ids). For shuffled/derived inputs use ``assign_doc_ids``. Contract
+    violations fail loudly via the runtime guard in
+    ``_offset_ids_with_guard`` instead of corrupting ids.
     """
     sizes = {
         r["_pid"]: r["n"]
@@ -188,19 +245,7 @@ def assign_doc_ids_fast(pages: DataFrame) -> DataFrame:
         .agg(F.count("*").alias("n"))
         .collect()
     }
-    offsets, acc = [], 0
-    for pid in sorted(sizes):
-        offsets.append((pid, acc))
-        acc += sizes[pid]
-    offsets_df = pages.sparkSession.createDataFrame(offsets, "_pid int, _offset long")
-    mono = F.monotonically_increasing_id()
-    return (
-        pages.withColumn("_pid", F.shiftright(mono, 33).cast("int"))
-        .withColumn("_local", mono.bitwiseAND(F.lit((1 << 33) - 1)))
-        .join(F.broadcast(offsets_df), "_pid")
-        .withColumn("doc_id", (F.col("_offset") + F.col("_local")).cast("long"))
-        .drop("_pid", "_local", "_offset")
-    )
+    return _offset_ids_with_guard(pages, sizes)
 
 
 @dataclass(frozen=True)
@@ -360,6 +405,12 @@ def build_index(
     at 100 TB that's the difference between one pass over the text and
     three. Sentinel rows are part of the on-disk format; ``read_index``
     filters them out and query-side term filters never match NULL.
+
+    NOTE on ``segment_size``: in this single-pass builder the segment IS
+    the input partition — ``segment_size`` is advisory metadata (recorded
+    in meta.json for appends/compat), it does not re-split the input.
+    Control segment size upstream via ``docs.repartition(n)`` /
+    ``spark.sql.files.maxPartitionBytes``.
     """
     import json
     import os
@@ -439,24 +490,24 @@ def build_postings(
 
     from sgpt_spark.operators.corpus import non_empty_text
 
-    if py_tokenizer is not None:
-        # Corpus stats from a cheap JVM-only scan (count + avg of token
-        # counts stays inside whole-stage codegen).
-        row = (
-            non_empty_text(docs, text_col)
-            .select(F.size(tokenizer(F.col(text_col))).alias("dl"))
-            .agg(F.count("*").alias("n"), F.sum("dl").alias("total"))
-            .collect()[0]
-        )
-        n_docs = int(row["n"])
-        total_len = int(row["total"] or 0)
-        stats = CorpusStats(n_docs=n_docs, avgdl=(total_len / n_docs) if n_docs else 0.0)
-        analyzer_name = getattr(py_tokenizer, "__name__", "custom")
-    else:
-        dt = doc_terms(docs, id_col="doc_id", text_col=text_col, tokenizer=tokenizer).persist()
-        stats = corpus_stats(dt)
-        total_len = int(round(stats.avgdl * stats.n_docs))
-        analyzer_name = getattr(tokenizer, "__name__", "custom")
+    # Corpus stats from a cheap JVM-only scan (count + sum of token
+    # counts stays inside whole-stage codegen) — both paths, so the
+    # fallback no longer persists the exploded doc_terms relation
+    # (a leaked persist would pin executor storage at 100 TB).
+    row = (
+        non_empty_text(docs, text_col)
+        .select(F.size(tokenizer(F.col(text_col))).alias("dl"))
+        .agg(F.count("*").alias("n"), F.sum("dl").alias("total"))
+        .collect()[0]
+    )
+    n_docs = int(row["n"])
+    total_len = int(row["total"] or 0)
+    stats = CorpusStats(n_docs=n_docs, avgdl=(total_len / n_docs) if n_docs else 0.0)
+    analyzer_name = getattr(
+        py_tokenizer if py_tokenizer is not None else tokenizer, "__name__", "custom"
+    )
+    if py_tokenizer is None:
+        dt = doc_terms(docs, id_col="doc_id", text_col=text_col, tokenizer=tokenizer)
 
     max_id = docs.agg(F.max("doc_id")).collect()[0][0]
     meta = IndexMeta(

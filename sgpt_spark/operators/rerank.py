@@ -71,9 +71,11 @@ def rerank(
     tail = results.filter(F.col("rank") > top_k)
 
     # gather doc texts for the head slice only (the expensive join stays
-    # proportional to |queries| x top_k, never the corpus)
+    # proportional to |queries| x top_k, never the corpus). The head is
+    # the small side (|queries| x top_k rows) — broadcast it explicitly
+    # so the corpus is probed without a shuffle regardless of AQE stats.
     pairs = (
-        head.join(
+        F.broadcast(head).join(
             corpus.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_doc_text")),
             "doc_id",
         )

@@ -71,6 +71,14 @@ DOC_STATS = T.StructType(
 
 # Compressed posting-list segment: one row per (term, index partition).
 # doc ids are delta+varint encoded per block. Block-max metadata is
+#
+# SENTINEL CONVENTION (single-pass build_index layouts): one row per
+# segment with term = NULL carries the segment's corpus stats, reusing
+# the stat columns — df = non-empty doc count, max_tf = total token
+# count, min_dl = max doc_id — with blocks = []. ``read_index`` strips
+# sentinels; any direct reader of the postings parquet MUST filter
+# ``term IS NOT NULL`` before treating rows as posting lists.
+#
 # stored avgdl-independently as (max_tf, min_dl): the BM25 tf-norm is
 # monotone increasing in tf and decreasing in dl, so
 # tfn <= max_tf / (max_tf + k1*(1-b+b*min_dl/avgdl)) holds for ANY

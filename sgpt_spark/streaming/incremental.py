@@ -32,6 +32,7 @@ from sgpt_spark.operators.indexer import (
     assign_doc_ids,
     build_postings,
     read_index,
+    release_doc_ids,
 )
 from sgpt_spark.schema import PAGES
 
@@ -55,18 +56,26 @@ def append_to_index(
     """
     postings_old, meta_old = read_index(spark, index_path)
     id_offset = meta_old.next_doc_id or (_max_doc_id(postings_old) + 1)
+    # max(segment) over the RAW parquet, sentinel rows included: a
+    # build_index segment whose docs were all empty-text exists only as
+    # its sentinel stats row, and its id must not be reused by appends
+    # (read_index's term-null filter would hide it).
     seg_offset = int(
-        postings_old.agg(F.max("segment")).collect()[0][0] or 0
+        spark.read.parquet(f"{index_path}/postings")
+        .agg(F.max("segment"))
+        .collect()[0][0]
+        or 0
     ) + 1
 
-    docs = assign_doc_ids(new_pages.select("url", "text")).withColumn(
-        "doc_id", F.col("doc_id") + id_offset
-    )
+    assigned = assign_doc_ids(new_pages.select("url", "text"))
+    docs = assigned.withColumn("doc_id", F.col("doc_id") + id_offset)
     new_postings, new_meta = build_postings(docs, segment_size=meta_old.segment_size)
     if new_meta.n_docs == 0:
+        release_doc_ids(assigned)
         return meta_old
     new_postings = new_postings.withColumn("segment", F.col("segment") + seg_offset)
     new_postings.write.mode("append").parquet(f"{index_path}/postings")
+    release_doc_ids(assigned)  # terminal action done — free the ranged cache
 
     total_len = meta_old.total_len + new_meta.total_len
     n_docs = meta_old.n_docs + new_meta.n_docs

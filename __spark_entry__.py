@@ -20,7 +20,12 @@ if _REPO not in sys.path:
     sys.path.insert(0, _REPO)
 
 from sgpt_spark.functions.bm25 import B, K1  # noqa: E402
-from sgpt_spark.operators.metrics import mean_metrics  # noqa: E402
+from sgpt_spark.operators.metrics import (  # noqa: E402
+    best_checkpoint,
+    mean_metrics,
+    mean_metrics_at,
+    mean_metrics_by,
+)
 from sgpt_spark.operators.stats import doc_stats, doc_terms, term_df, term_freqs  # noqa: E402
 from sgpt_spark.operators.search import bm25_search  # noqa: E402
 from sgpt_spark.operators.topk import SCORE_DECIMALS  # noqa: E402
@@ -106,10 +111,91 @@ def _q_bm25_index_fast_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     return search_index(spark, postings, meta, derived_queries(docs), k=10)
 
 
+def _q_bm25_standard_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship query under the Lucene-standard analyzer (lowercase +
+    Unicode word runs) — reference parity for ES ``standard`` analysis
+    (crossencoder_beir_bm25.ipynb:298-310 cell 10), pure JVM tokenize."""
+    from sgpt_spark.functions.analyzer import tokenize_standard
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bm25_search(docs, derived_queries(docs), k=10, tokenizer=tokenize_standard)
+
+
+def _q_bm25_standard_index_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standard-analyzer query through the single-pass compressed index
+    (build_index with the Python twin analyze_py; search_index resolves
+    the query analyzer from IndexMeta) — must equal the exhaustive
+    standard path."""
+    import tempfile
+
+    from sgpt_spark.functions.analyzer import analyze_py
+    from sgpt_spark.operators.index_search import search_index
+    from sgpt_spark.operators.indexer import build_index, read_index
+
+    docs = load_table(spark, sf_dir, "documents")
+    path = tempfile.mkdtemp(prefix="sgpt_idx_std_")
+    build_index(docs.repartition(8, "doc_id"), path, py_tokenizer=analyze_py)
+    postings, meta = read_index(spark, path)
+    return search_index(spark, postings, meta, derived_queries(docs), k=10)
+
+
 def _q_ir_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     run = bm25_search(docs, derived_queries(docs), k=10)
     return mean_metrics(run, derived_qrels(docs), k=10)
+
+
+def _q_ir_metrics_multi_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference-parity multi-cutoff evaluation: one retrieval at depth
+    100, every cutoff scored in a single pass
+    (beir_dense_retriever.py:440,446 k_values semantics)."""
+    docs = load_table(spark, sf_dir, "documents")
+    run = bm25_search(docs, derived_queries(docs), k=100)
+    return mean_metrics_at(run, derived_qrels(docs), k_values=[1, 3, 5, 10, 100])
+
+
+def _q_bm25_top100(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Depth-parity retrieval: the reference retrieves top-1000 per query
+    (beir_dense_retriever.py:442); k=100 exercises the same deep-retrieval
+    plan at gate scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    return bm25_search(docs, derived_queries(docs), k=100)
+
+
+def _q_rerank_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rerank with top_k < run depth, so the tail-preservation branch
+    (reranked head ABOVE the untouched BM25 tail, sgptce.py:343 top-100
+    over a top-1000 run) is value-checked by the oracle."""
+    from sgpt_spark.operators.rerank import rerank
+
+    docs = load_table(spark, sf_dir, "documents")
+    qs = derived_queries(docs)
+    run = bm25_search(docs, qs, k=100)
+    return rerank(run, docs, qs, top_k=10)
+
+
+def _q_metrics_by_dataset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dataset metric averaging (cqadupstack 12-forum pattern,
+    beir_dense_retriever.py:471-495) over a two-bucket query split."""
+    docs = load_table(spark, sf_dir, "documents")
+    qs = derived_queries(docs)
+    run = bm25_search(docs, qs, k=10)
+    datasets = qs.select(
+        "qid",
+        F.when(F.col("qid") % 20 == 0, "even").otherwise("odd").alias("dataset"),
+    )
+    return mean_metrics_by(run, derived_qrels(docs), datasets, k=10)
+
+
+def _q_best_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best-checkpoint argmax (max_by pattern,
+    beir_dense_retriever.py:543-592) over a deterministic fixture:
+    model=event_type, checkpoint=user_id, score=avg(value)."""
+    ev = load_table(spark, sf_dir, "events")
+    scores = ev.groupBy(
+        F.col("event_type").alias("model"), F.col("user_id").alias("checkpoint")
+    ).agg(F.round(F.avg("value"), 6).alias("score"))
+    return best_checkpoint(scores)
 
 
 # --- dedup / similarity / text analysis (training-data pipeline ops) -----
@@ -262,11 +348,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_top10": _q_bm25_top10,
         "bm25_index_top10": _q_bm25_index_top10,
         "bm25_index_fast_top10": _q_bm25_index_fast_top10,
+        "bm25_standard_top10": _q_bm25_standard_top10,
+        "bm25_standard_index_top10": _q_bm25_standard_index_top10,
         "queryset_derive": _q_queryset,
         "corpus_stats": _q_corpus_stats,
         "doc_stats": _q_doc_stats,
         "term_df_top100": _q_term_df_top100,
         "ir_metrics_mean": _q_ir_metrics,
+        "ir_metrics_multi_k": _q_ir_metrics_multi_k,
+        "metrics_by_dataset": _q_metrics_by_dataset,
+        "best_checkpoint_argmax": _q_best_checkpoint,
+        "bm25_top100": _q_bm25_top100,
+        "bm25_rerank_tail": _q_rerank_tail,
         # training-data pipeline ops
         "dedup_exact": _q_dedup_exact,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
@@ -311,7 +404,9 @@ _TOKENS_CTE = """
   tdf AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
 """
 
-_BM25_SQL = f"""
+def _bm25_sql(k: int = 10) -> str:
+    """Whitespace-analyzer BM25 oracle at retrieval depth ``k``."""
+    return f"""
 WITH {_TOKENS_CTE},
   stats AS (SELECT count(*) AS n, avg(doc_len) AS avgdl FROM doclen),
   queryset AS ({QUERIES_SQL}),
@@ -344,7 +439,66 @@ WITH {_TOKENS_CTE},
     FROM scored
   )
 SELECT qid, doc_id, score, CAST(rnk AS INTEGER) AS rank
-FROM ranked WHERE rnk <= 10
+FROM ranked WHERE rnk <= {k}
+"""
+
+
+_BM25_SQL = _bm25_sql(10)
+
+
+# Standard-analyzer BM25 twin. One word pattern, three spellings (see
+# functions/analyzer.py): DuckDB gets the RE2 spelling. doclen comes
+# from the docs CTE (len(toks), not unnest) so zero-token docs (e.g.
+# punctuation-only text) still count toward N/avgdl, exactly like the
+# engine's corpus_stats over doc_terms.
+from sgpt_spark.functions.analyzer import STANDARD_RE_SQL  # noqa: E402
+
+_STD_RE = STANDARD_RE_SQL.replace("'", "''")
+
+_BM25_STANDARD_SQL = f"""
+WITH sdocs AS (
+    SELECT doc_id, regexp_extract_all(lower(text), '{_STD_RE}') AS toks
+    FROM documents
+    WHERE text IS NOT NULL AND length(trim(text)) > 0
+  ),
+  sterms AS (
+    SELECT doc_id, u.term AS term FROM sdocs, unnest(toks) AS u(term)
+  ),
+  sdoclen AS (SELECT doc_id, len(toks) AS doc_len FROM sdocs),
+  stf AS (SELECT term, doc_id, count(*) AS tf FROM sterms GROUP BY term, doc_id),
+  stdf AS (SELECT term, count(*) AS df FROM stf GROUP BY term),
+  sstats AS (SELECT count(*) AS n, avg(doc_len) AS avgdl FROM sdoclen),
+  queryset AS ({QUERIES_SQL}),
+  sqterms AS (
+    SELECT qid, u.term AS term, count(*) AS qtf
+    FROM queryset,
+         unnest(regexp_extract_all(lower(query), '{_STD_RE}')) AS u(term)
+    GROUP BY qid, u.term
+  ),
+  sscored AS (
+    SELECT q.qid, stf.doc_id,
+           sum(
+             q.qtf
+             * ln(1 + (s.n - stdf.df + 0.5) / (stdf.df + 0.5))
+             * stf.tf / (stf.tf + {K1} * (1 - {B} + {B} * dl.doc_len / s.avgdl))
+           ) AS raw_score
+    FROM sqterms q
+    JOIN stf  ON q.term = stf.term
+    JOIN stdf ON stf.term = stdf.term
+    JOIN sdoclen dl ON stf.doc_id = dl.doc_id
+    CROSS JOIN sstats s
+    GROUP BY q.qid, stf.doc_id
+  ),
+  sranked AS (
+    SELECT qid, doc_id, round(raw_score, {SCORE_DECIMALS}) AS score,
+           row_number() OVER (
+             PARTITION BY qid
+             ORDER BY round(raw_score, {SCORE_DECIMALS}) DESC, doc_id ASC
+           ) AS rnk
+    FROM sscored
+  )
+SELECT qid, doc_id, score, CAST(rnk AS INTEGER) AS rank
+FROM sranked WHERE rnk <= 10
 """
 
 
@@ -486,10 +640,14 @@ FROM feat2
 
 
 # rerank oracle: the stub cross-encoder is sum over query-term
-# occurrences of ln((tf_in_doc + 0.5)/(n_doc_tokens + 1)); with
-# top_k == k the whole run is re-scored and re-ranked.
-_RERANK_SQL = f"""
-WITH run AS ({_BM25_SQL}),
+# occurrences of ln((tf_in_doc + 0.5)/(n_doc_tokens + 1)). The per-query
+# top_k slice is re-scored and re-ranked; the tail (rank > top_k) keeps
+# its BM25 score and original order BELOW the reranked slice — the
+# reference's rerank semantics (sgptce.py:343-374: top-100 re-scored
+# above an untouched top-1000 tail).
+def _rerank_sql(run_k: int = 10, top_k: int = 10) -> str:
+    return f"""
+WITH run AS ({_bm25_sql(run_k)}),
   {_TOKS_NE},
   doclen AS (
     SELECT doc_id, len(toks) AS n_toks FROM tdocs
@@ -514,20 +672,148 @@ WITH run AS ({_BM25_SQL}),
     JOIN qterms q ON q.qid = r.qid
     JOIN doclen dl ON dl.doc_id = r.doc_id
     LEFT JOIN dtf d ON d.doc_id = r.doc_id AND d.term = q.term
+    WHERE r.rank <= {top_k}
     GROUP BY r.qid, r.doc_id
+  ),
+  head AS (
+    SELECT qid, doc_id, score,
+           row_number() OVER (
+             PARTITION BY qid ORDER BY score DESC, doc_id ASC) AS sec_rank,
+           0 AS section
+    FROM rescored
+  ),
+  tail AS (
+    SELECT qid, doc_id, score, rank AS sec_rank, 1 AS section
+    FROM run WHERE rank > {top_k}
   )
 SELECT qid, doc_id, score,
        CAST(row_number() OVER (
-         PARTITION BY qid ORDER BY score DESC, doc_id ASC) AS INTEGER) AS rank
-FROM rescored
+         PARTITION BY qid ORDER BY section ASC, sec_rank ASC) AS INTEGER) AS rank
+FROM (SELECT * FROM head UNION ALL SELECT * FROM tail)
+"""
+
+
+_RERANK_SQL = _rerank_sql(10, 10)
+
+
+# Multi-cutoff metrics oracle: every k evaluated from ONE run, exactly
+# like operators/metrics.mean_metrics_at.
+def _metrics_multi_sql(run_k: int, ks: list[int]) -> str:
+    klist = ", ".join(str(int(k)) for k in sorted(set(ks)))
+    return f"""
+WITH run AS ({_bm25_sql(run_k)}),
+  qrels AS ({QRELS_SQL}),
+  ks AS (SELECT CAST(unnest([{klist}]) AS INTEGER) AS k),
+  nrel AS (SELECT qid, count(*) AS n_rel FROM qrels GROUP BY qid),
+  lab AS (
+    SELECT r.qid, r.rank, CASE WHEN q.qid IS NOT NULL THEN 1 ELSE 0 END AS rel
+    FROM run r LEFT JOIN qrels q ON r.qid = q.qid AND r.doc_id = q.doc_id
+  ),
+  runn AS (
+    SELECT qid, rank, rel,
+           sum(rel) OVER (PARTITION BY qid ORDER BY rank) AS cum_hits
+    FROM lab
+  ),
+  ex AS (SELECT runn.*, ks.k FROM runn CROSS JOIN ks WHERE rank <= k),
+  perq0 AS (
+    SELECT qid, k,
+           sum(rel / log2(rank + 1)) AS dcg,
+           sum(CASE WHEN rel = 1 THEN cum_hits * 1.0 / rank ELSE 0 END) AS psum,
+           max(CASE WHEN rel = 1 THEN 1.0 / rank ELSE 0 END) AS mrr,
+           sum(rel) AS hits
+    FROM ex GROUP BY qid, k
+  ),
+  grid AS (SELECT n.qid, n.n_rel, ks.k FROM nrel n CROSS JOIN ks),
+  perq AS (
+    SELECT g.qid, g.k, g.n_rel,
+           coalesce(p.dcg, 0) AS dcg, coalesce(p.psum, 0) AS psum,
+           coalesce(p.mrr, 0) AS mrr, coalesce(p.hits, 0) AS hits,
+           list_sum([1.0 / log2(i + 1)
+                     for i in generate_series(1, least(g.k, g.n_rel))]) AS idcg
+    FROM grid g LEFT JOIN perq0 p ON g.qid = p.qid AND g.k = p.k
+  )
+SELECT k,
+       round(avg(dcg / idcg), 6) AS ndcg,
+       round(avg(psum / least(k, n_rel)), 6) AS map,
+       round(avg(mrr), 6) AS mrr,
+       round(avg(hits * 1.0 / k), 6) AS precision,
+       round(avg(hits * 1.0 / n_rel), 6) AS recall
+FROM perq GROUP BY k
+"""
+
+
+# Per-dataset averaging oracle (cqadupstack pattern): per-query metrics
+# then mean within each dataset bucket.
+_METRICS_BY_DATASET_SQL = f"""
+WITH run AS ({_BM25_SQL}),
+  qrels AS ({QRELS_SQL}),
+  nrel AS (SELECT qid, count(*) AS n_rel FROM qrels GROUP BY qid),
+  lab AS (
+    SELECT r.qid, r.rank, CASE WHEN q.qid IS NOT NULL THEN 1 ELSE 0 END AS rel
+    FROM run r LEFT JOIN qrels q ON r.qid = q.qid AND r.doc_id = q.doc_id
+    WHERE r.rank <= 10
+  ),
+  runn AS (
+    SELECT qid, rank, rel,
+           sum(rel) OVER (PARTITION BY qid ORDER BY rank) AS cum_hits
+    FROM lab
+  ),
+  perq0 AS (
+    SELECT qid,
+           sum(rel / log2(rank + 1)) AS dcg,
+           sum(CASE WHEN rel = 1 THEN cum_hits * 1.0 / rank ELSE 0 END) AS psum,
+           max(CASE WHEN rel = 1 THEN 1.0 / rank ELSE 0 END) AS mrr,
+           sum(rel) AS hits
+    FROM runn GROUP BY qid
+  ),
+  perq AS (
+    SELECT n.qid, n.n_rel,
+           coalesce(p.dcg, 0) AS dcg, coalesce(p.psum, 0) AS psum,
+           coalesce(p.mrr, 0) AS mrr, coalesce(p.hits, 0) AS hits,
+           list_sum([1.0 / log2(i + 1)
+                     for i in generate_series(1, least(10, n.n_rel))]) AS idcg
+    FROM nrel n LEFT JOIN perq0 p ON n.qid = p.qid
+  )
+SELECT CASE WHEN qid % 20 = 0 THEN 'even' ELSE 'odd' END AS dataset,
+       round(avg(dcg / idcg), 6) AS ndcg,
+       round(avg(psum / least(10, n_rel)), 6) AS map,
+       round(avg(mrr), 6) AS mrr,
+       round(avg(hits / 10.0), 6) AS precision,
+       round(avg(hits * 1.0 / n_rel), 6) AS recall
+FROM perq GROUP BY 1
+"""
+
+
+# Best-checkpoint argmax oracle: ties prefer the LARGEST checkpoint,
+# matching the engine's max(struct(score, arg)) semantics.
+_BEST_CHECKPOINT_SQL = """
+WITH scores AS (
+  SELECT event_type AS model, user_id AS checkpoint,
+         round(avg(value), 6) AS score
+  FROM events GROUP BY 1, 2
+),
+ranked AS (
+  SELECT model, checkpoint, score,
+         row_number() OVER (
+           PARTITION BY model ORDER BY score DESC, checkpoint DESC) AS rn
+  FROM scores
+)
+SELECT model, checkpoint, score FROM ranked WHERE rn = 1
 """
 
 
 def oracle_sql() -> dict[str, str]:
     return {
         "ir_metrics_mean": _METRICS_SQL,
+        "ir_metrics_multi_k": _metrics_multi_sql(100, [1, 3, 5, 10, 100]),
+        "metrics_by_dataset": _METRICS_BY_DATASET_SQL,
+        "best_checkpoint_argmax": _BEST_CHECKPOINT_SQL,
+        "bm25_top100": _bm25_sql(100),
+        "bm25_rerank_tail": _rerank_sql(100, 10),
         "bm25_index_top10": _BM25_SQL,
         "bm25_index_fast_top10": _BM25_SQL,
+        "bm25_standard_top10": _BM25_STANDARD_SQL,
+        "bm25_standard_index_top10": _BM25_STANDARD_SQL,
         "bm25_rerank_top10": _RERANK_SQL,
         "dedup_exact": """
             SELECT d.doc_id, m.canonical_id

@@ -11,24 +11,33 @@ cell 10). This module provides both analyzers the BM25 graft needs:
   ``string_split(text, ' ')`` so Spark-vs-oracle comparisons are
   tokenizer-identical.
 - ``tokenize_standard``: Lucene-standard-equivalent (lowercase + Unicode
-  word boundaries), as a vectorized Arrow/pandas UDF (input_hint: no
-  per-row Python). Deterministic, versioned; parity is defined by this
-  function, not by reproducing Lucene bit-for-bit (SURVEY.md §7.4(1)).
+  word runs, apostrophes kept inside words) — ALSO a pure JVM column
+  expression (``lower`` + ``regexp_extract_all``), so the full-text
+  analysis chain stays inside whole-stage codegen at 100 TB.
+  Deterministic, versioned; parity is defined by this function, not by
+  reproducing Lucene bit-for-bit (SURVEY.md §7.4(1)).
+
+One word-pattern, three spellings (tested for agreement):
+  Python ``re``      [^\\W_]+(?:'[^\\W_]+)*        (\\w == L* ∪ N* ∪ _)
+  Java regex (Spark) [\\p{L}\\p{N}]+(?:'[\\p{L}\\p{N}]+)*
+  RE2 (DuckDB)       same as Java
+All three classify "word chars" as Unicode letters+digits (L*, N*).
+Lowercasing uses each engine's default Unicode lowering — identical on
+ASCII; exotic context-sensitive cases (final sigma) may differ and are
+out of scope for parity.
 """
 
 from __future__ import annotations
 
-import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
-# Unicode-aware "word" pattern: runs of letters/digits (+ apostrophes kept
-# inside words, like Lucene's standard tokenizer treats English
-# possessives before stripping). Versioned — changing it invalidates
-# indexes built with the old version.
-ANALYZER_VERSION = "standard-v1"
-_WORD_RE = r"[^\W_]+(?:'[^\W_]+)*"
+# Versioned — changing these invalidates indexes built with the old
+# version.
+ANALYZER_VERSION = "standard-v2"
+_WORD_RE = r"[^\W_]+(?:'[^\W_]+)*"  # Python re spelling
+STANDARD_RE_JAVA = r"[\p{L}\p{N}]+(?:'[\p{L}\p{N}]+)*"  # Spark/Java spelling
+STANDARD_RE_SQL = STANDARD_RE_JAVA  # DuckDB/RE2 spelling (identical)
 
 
 def tokenize_ws(text: Column) -> Column:
@@ -40,15 +49,19 @@ def tokenize_ws(text: Column) -> Column:
     return F.filter(F.split(text, " ", -1), lambda t: t != F.lit(""))
 
 
-@F.pandas_udf(T.ArrayType(T.StringType()))
-def tokenize_standard(texts: pd.Series) -> pd.Series:
-    """Lucene-standard-like analyzer, vectorized over an Arrow batch.
+def tokenize_standard(text: Column) -> Column:
+    """Lucene-standard-like analyzer as a JVM column expression (no UDF):
+    lowercase, then extract Unicode word runs (letters/digits, with
+    apostrophes kept inside words — Lucene's standard tokenizer treats
+    English possessives the same way before stripping).
 
-    lowercase -> extract Unicode word runs. Pure function of the input
-    string; same bytes in => same terms out on every executor.
+    Matches the ES ``standard`` analysis the reference's BM25 delegates
+    to (crossencoder_beir_bm25.ipynb:298-310 cell 10): real text such as
+    "The end." retrieves under query term "the".
     """
-    lowered = texts.fillna("").str.lower()
-    return lowered.str.findall(_WORD_RE)
+    return F.regexp_extract_all(
+        F.lower(F.coalesce(text, F.lit(""))), F.lit(STANDARD_RE_JAVA), F.lit(0)
+    )
 
 
 def tokenize_py_ws(text: str) -> list[str]:
@@ -56,11 +69,22 @@ def tokenize_py_ws(text: str) -> list[str]:
     return [t for t in (text or "").split(" ") if t]
 
 
-def analyze_py(text: str) -> list[str]:
-    """Driver/oracle-side twin of ``tokenize_standard`` (same regex).
+def resolve_py_analyzer(name: str):
+    """IndexMeta.analyzer name -> Python tokenizer fn, so the query side
+    analyzes with the SAME analyzer the index was built with (falls back
+    to whitespace for unknown/custom names)."""
+    return {"tokenize_py_ws": tokenize_py_ws, "analyze_py": analyze_py}.get(
+        name, tokenize_py_ws
+    )
 
-    Used by the pure-Python brute-force oracle so engine and oracle share
-    one tokenizer definition.
+
+def analyze_py(text: str) -> list[str]:
+    """Driver/oracle-side twin of ``tokenize_standard`` (same word
+    pattern, Python ``re`` spelling).
+
+    Used by the fused single-pass index builder
+    (``indexer._tokenize_codes_py``) and the pure-Python brute-force
+    oracle, so engine and oracle share one tokenizer definition.
     """
     import re
 

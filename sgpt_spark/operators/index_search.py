@@ -33,7 +33,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from sgpt_spark.functions.analyzer import tokenize_py_ws
+from sgpt_spark.functions.analyzer import resolve_py_analyzer, tokenize_py_ws
 from sgpt_spark.functions.bm25 import idf_py
 from sgpt_spark.functions.compress import decode_blocks
 from sgpt_spark.operators.indexer import IndexMeta
@@ -102,7 +102,8 @@ def search_index(
         strategy = "wand" if use_wand else "exhaustive"
     if strategy not in ("taat", "wand", "exhaustive"):
         raise ValueError(f"unknown strategy {strategy!r}: use taat|wand|exhaustive")
-    qterms = collect_query_terms(queries)
+    # analyze queries with the SAME analyzer the index was built with
+    qterms = collect_query_terms(queries, tokenize=resolve_py_analyzer(meta.analyzer))
     qid_type = (
         queries.schema["qid"].dataType.simpleString()
         if isinstance(queries, DataFrame)

@@ -8,7 +8,14 @@ import math
 import pytest
 
 from oracle.bm25_oracle import map_at_k, mrr_at_k, ndcg_at_k, precision_at_k, recall_at_k
-from sgpt_spark.operators.metrics import mean_metrics, per_query_metrics
+from sgpt_spark.operators.metrics import (
+    best_checkpoint,
+    mean_metrics,
+    mean_metrics_at,
+    mean_metrics_by,
+    per_query_metrics,
+    per_query_metrics_at,
+)
 
 # qid -> (ranked doc list, relevant set)
 CASES = {
@@ -59,6 +66,62 @@ def test_mean_metrics(spark, dfs):
     want_map = sum(map_at_k(d, r, K) for d, r in CASES.values()) / n
     assert math.isclose(row["ndcg"], want_ndcg, abs_tol=1e-6)
     assert math.isclose(row["map"], want_map, abs_tol=1e-6)
+
+
+def test_multi_k_matches_single_k(spark, dfs):
+    """per_query_metrics_at at every cutoff == per_query_metrics run
+    separately per cutoff (one-pass multi-k is a pure optimization)."""
+    rdf, qdf = dfs
+    ks = [1, 2, 3, 10]
+    multi = {
+        (r["qid"], r["k"]): r for r in per_query_metrics_at(rdf, qdf, ks).collect()
+    }
+    assert len(multi) == len(CASES) * len(ks)
+    for k in ks:
+        single = {r["qid"]: r for r in per_query_metrics(rdf, qdf, k=k).collect()}
+        for qid in CASES:
+            for m in ("ndcg", "map", "mrr", "precision", "recall"):
+                assert math.isclose(
+                    multi[(qid, k)][m], single[qid][m], abs_tol=1e-9
+                ), (qid, k, m)
+    # and the means line up too
+    mm = {r["k"]: r for r in mean_metrics_at(rdf, qdf, ks).collect()}
+    for k in ks:
+        row = mean_metrics(rdf, qdf, k=k).collect()[0]
+        assert math.isclose(mm[k]["ndcg"], row["ndcg"], abs_tol=1e-6)
+        assert math.isclose(mm[k]["map"], row["map"], abs_tol=1e-6)
+
+
+def test_mean_metrics_by_dataset(spark, dfs):
+    rdf, qdf = dfs
+    ds = spark.createDataFrame(
+        [(q, "A" if i % 2 == 0 else "B") for i, q in enumerate(sorted(CASES))],
+        "qid string, dataset string",
+    )
+    rows = {r["dataset"]: r for r in mean_metrics_by(rdf, qdf, ds, k=K).collect()}
+    assert set(rows) == {"A", "B"}
+    per_q = {r["qid"]: r for r in per_query_metrics(rdf, qdf, k=K).collect()}
+    for name, members in (
+        ("A", [q for i, q in enumerate(sorted(CASES)) if i % 2 == 0]),
+        ("B", [q for i, q in enumerate(sorted(CASES)) if i % 2 == 1]),
+    ):
+        want = sum(per_q[q]["ndcg"] for q in members) / len(members)
+        assert math.isclose(rows[name]["ndcg"], want, abs_tol=1e-6), name
+
+
+def test_best_checkpoint_argmax_and_ties(spark):
+    scores = spark.createDataFrame(
+        [
+            ("m1", 100, 0.5),
+            ("m1", 200, 0.9),
+            ("m1", 300, 0.7),
+            ("m2", 100, 0.4),
+            ("m2", 200, 0.4),  # tie -> largest checkpoint wins
+        ],
+        "model string, checkpoint long, score double",
+    )
+    got = {r["model"]: (r["checkpoint"], r["score"]) for r in best_checkpoint(scores).collect()}
+    assert got == {"m1": (200, 0.9), "m2": (200, 0.4)}
 
 
 def test_known_item_perfect_retrieval(spark):

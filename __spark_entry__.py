@@ -198,6 +198,28 @@ def _q_best_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return best_checkpoint(scores)
 
 
+def _q_bm25_noself(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-match filter (exact_search.py:117-119): the derived query
+    set's qids ARE doc ids (known-item construction), so the source doc
+    — normally rank 1 — must vanish from every result list."""
+    docs = load_table(spark, sf_dir, "documents")
+    return bm25_search(docs, derived_queries(docs), k=10, exclude_self=True)
+
+
+def _q_bm25_index_noself(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-match filter through the compressed index: per-segment k+1
+    retrieval, self rows dropped, global merge back to k — must equal
+    the exhaustive noself path."""
+    from sgpt_spark.operators.index_search import search_index
+    from sgpt_spark.operators.indexer import build_postings
+
+    docs = load_table(spark, sf_dir, "documents")
+    postings, meta = build_postings(docs, segment_size=200)
+    return search_index(
+        spark, postings, meta, derived_queries(docs), k=10, exclude_self=True
+    )
+
+
 # --- dedup / similarity / text analysis (training-data pipeline ops) -----
 
 def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -222,6 +244,34 @@ def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sgpt_spark.operators.dedup import simhash_near_pairs
 
     return simhash_near_pairs(load_table(spark, sf_dir, "documents"), max_hamming=3)
+
+
+def _q_minhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH with md5-derived hashes — the oracle-checkable twin
+    of the xxhash64 scale path: signatures, banding, candidate join and
+    exact verification all value-checked against DuckDB."""
+    from sgpt_spark.operators.dedup import minhash_lsh_pairs_md5
+
+    return minhash_lsh_pairs_md5(
+        load_table(spark, sf_dir, "documents"), n_hashes=16, bands=8, n=3, threshold=0.2
+    )
+
+
+def _q_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale pipeline: exact-dup pre-collapse -> LSH over distinct-text
+    representatives -> linear star pairs for exact clusters (closes the
+    giant-bucket quadratic hole)."""
+    from sgpt_spark.operators.dedup import near_dup_pairs
+
+    return near_dup_pairs(
+        load_table(spark, sf_dir, "documents"), method="minhash", threshold=0.2, n=3
+    )
+
+
+def _q_lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sgpt_spark.operators.dedup import lsh_bucket_stats
+
+    return lsh_bucket_stats(load_table(spark, sf_dir, "documents"))
 
 
 def _emb_queries(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -255,6 +305,14 @@ def _q_rolling_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sgpt_spark.operators.textstats import rolling_fingerprints
 
     return rolling_fingerprints(load_table(spark, sf_dir, "documents"))
+
+
+def _q_window_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """md5 window fingerprints — oracle-gated twin of the Karp-Rabin
+    rolling path (pure JVM expression, SQL-expressible)."""
+    from sgpt_spark.operators.textstats import window_fingerprints
+
+    return window_fingerprints(load_table(spark, sf_dir, "documents"))
 
 
 def _q_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -360,15 +418,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "best_checkpoint_argmax": _q_best_checkpoint,
         "bm25_top100": _q_bm25_top100,
         "bm25_rerank_tail": _q_rerank_tail,
+        "bm25_noself_top10": _q_bm25_noself,
+        "bm25_index_noself_top10": _q_bm25_index_noself,
         # training-data pipeline ops
         "dedup_exact": _q_dedup_exact,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
         "minhash_lsh_pairs": _q_minhash_pairs,      # rows-only (hash-dependent)
+        "minhash_lsh_pairs_md5": _q_minhash_md5,    # full value oracle
+        "near_dup_pairs": _q_near_dup,              # rows-only (xxhash banding)
+        "lsh_bucket_stats": _q_lsh_bucket_stats,    # rows-only (xxhash banding)
         "simhash_near_pairs": _q_simhash_pairs,     # rows-only (hash-dependent)
         "cosine_topk": _q_cosine_topk,
         "lsh_cosine_topk": _q_lsh_cosine_topk,      # rows-only (approximate)
         "text_profile": _q_text_profile,
         "rolling_fingerprints": _q_rolling_fps,     # rows-only (hash-dependent)
+        "window_fingerprints": _q_window_fps,       # full value oracle
         "media_image_features": _q_media_features,  # rows-only (stub decoder)
         "media_frame_sample": _q_media_frames,      # rows-only (stub decoder)
         "bm25_rerank_top10": _q_rerank,
@@ -404,8 +468,11 @@ _TOKENS_CTE = """
   tdf AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
 """
 
-def _bm25_sql(k: int = 10) -> str:
-    """Whitespace-analyzer BM25 oracle at retrieval depth ``k``."""
+def _bm25_sql(k: int = 10, exclude_self: bool = False) -> str:
+    """Whitespace-analyzer BM25 oracle at retrieval depth ``k``.
+    ``exclude_self`` drops doc_id == qid hits before the top-k cut
+    (reference self-match filter, exact_search.py:117-119)."""
+    self_filter = "WHERE tf.doc_id <> q.qid" if exclude_self else ""
     return f"""
 WITH {_TOKENS_CTE},
   stats AS (SELECT count(*) AS n, avg(doc_len) AS avgdl FROM doclen),
@@ -428,6 +495,7 @@ WITH {_TOKENS_CTE},
     JOIN tdf ON tf.term = tdf.term
     JOIN doclen dl ON tf.doc_id = dl.doc_id
     CROSS JOIN stats s
+    {self_filter}
     GROUP BY q.qid, tf.doc_id
   ),
   ranked AS (
@@ -574,6 +642,66 @@ JOIN sizes sa ON inter.id_a = sa.doc_id
 JOIN sizes sb ON inter.id_b = sb.doc_id
 WHERE round(i_n * 1.0 / (sa.n_sh + sb.n_sh - i_n), 6) >= 0.2
 """
+
+def _minhash_md5_sql(
+    n_hashes: int = 16, bands: int = 8, threshold: float = 0.2
+) -> str:
+    """DuckDB twin of dedup.minhash_lsh_pairs_md5 (3-gram shingles):
+    md5 hex strings min/compare identically in both engines."""
+    r = n_hashes // bands
+    hcols = ",\n           ".join(
+        f"min(md5(concat('{i}:', shingle))) AS h{i}" for i in range(n_hashes)
+    )
+    bsel = " UNION ALL ".join(
+        "SELECT doc_id, md5(concat_ws('|', "
+        + ", ".join(f"h{b * r + j}" for j in range(r))
+        + ")) AS bucket FROM sig"
+        for b in range(bands)
+    )
+    return f"""
+WITH {_TOKS_NE},
+  sh AS (
+    SELECT DISTINCT doc_id, u.shingle
+    FROM tdocs,
+         unnest([array_to_string(list_slice(toks, i, i + 2), ' ')
+                 for i in generate_series(1, len(toks) - 2)]) AS u(shingle)
+    WHERE len(toks) >= 3
+  ),
+  sig AS (
+    SELECT doc_id,
+           {hcols}
+    FROM sh GROUP BY doc_id
+  ),
+  bk AS ({bsel}),
+  cand AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+  ),
+  sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+  inter AS (
+    SELECT c.id_a, c.id_b, count(*) AS i_n
+    FROM cand c
+    JOIN sh a ON a.doc_id = c.id_a
+    JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+    GROUP BY c.id_a, c.id_b
+  )
+SELECT i.id_a, i.id_b,
+       round(i.i_n * 1.0 / (sa.n_sh + sb.n_sh - i.i_n), 6) AS jaccard
+FROM inter i
+JOIN sizes sa ON i.id_a = sa.doc_id
+JOIN sizes sb ON i.id_b = sb.doc_id
+WHERE round(i.i_n * 1.0 / (sa.n_sh + sb.n_sh - i.i_n), 6) >= {threshold}
+"""
+
+
+_WINDOW_FPS_SQL = f"""
+WITH {_TOKS_NE}
+SELECT doc_id, CAST(i AS INTEGER) AS pos,
+       md5(array_to_string(list_slice(toks, i, i + 7), ' ')) AS fp
+FROM tdocs, unnest(generate_series(1, len(toks) - 7)) AS g(i)
+"""
+
 
 _COSINE_SQL = """
 WITH q AS (
@@ -822,6 +950,10 @@ def oracle_sql() -> dict[str, str]:
               ON d.text = m.text
         """,
         "ngram_jaccard_pairs": _NGRAM_SQL,
+        "minhash_lsh_pairs_md5": _minhash_md5_sql(16, 8, 0.2),
+        "window_fingerprints": _WINDOW_FPS_SQL,
+        "bm25_noself_top10": _bm25_sql(10, exclude_self=True),
+        "bm25_index_noself_top10": _bm25_sql(10, exclude_self=True),
         "cosine_topk": _COSINE_SQL,
         "text_profile": _TEXT_PROFILE_SQL,
         "pricing_summary": """

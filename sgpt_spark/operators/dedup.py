@@ -212,6 +212,156 @@ def minhash_lsh_pairs(
 
 
 # --------------------------------------------------------------------------
+# MinHash, md5 variant (oracle-checkable twin of the xxhash64 scale path)
+# --------------------------------------------------------------------------
+
+def minhash_lsh_pairs_md5(
+    df: DataFrame,
+    n_hashes: int = 16,
+    bands: int = 8,
+    n: int = 3,
+    threshold: float = 0.2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """MinHash+LSH with md5-derived hashes — value-identical in Spark
+    and ANSI SQL (md5 hex strings compare lexicographically the same
+    everywhere), so the full LSH pipeline is oracle-checkable end to
+    end. ``minhash_lsh_pairs`` (seeded xxhash64, pure JVM codegen) is
+    the production scale path; this twin gates its logic.
+
+    h_i(doc) = min over shingles of md5('{i}:' || shingle);
+    band key  = md5(h_{b*r} || '|' || ... || h_{b*r+r-1});
+    candidates = docs sharing any band key, verified by exact Jaccard.
+    """
+    rows_per_band = n_hashes // bands
+    sh = doc_shingles(df, id_col, text_col, n)
+    sig = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"h{i}")
+            for i in range(n_hashes)
+        ]
+    )
+    band_cols = [
+        F.md5(
+            F.concat_ws("|", *[F.col(f"h{bi * rows_per_band + r}") for r in range(rows_per_band)])
+        ).alias(f"b{bi}")
+        for bi in range(bands)
+    ]
+    banded = sig.select("doc_id", F.explode(F.array(*band_cols)).alias("bucket"))
+    l, r = banded.alias("l"), banded.alias("r")
+    cand = (
+        l.join(r, (F.col("l.bucket") == F.col("r.bucket")) & (F.col("l.doc_id") < F.col("r.doc_id")))
+        .select(F.col("l.doc_id").alias("id_a"), F.col("r.doc_id").alias("id_b"))
+        .distinct()
+    )
+    sets = df.select(
+        F.col(id_col).alias("sid"),
+        word_shingles(tokenize_ws(F.col(text_col)), n).alias("sh"),
+    )
+    return (
+        cand.join(sets.select(F.col("sid").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
+        .join(sets.select(F.col("sid").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
+        .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "jaccard",
+            F.round(F.col("inter") / (F.size("sh_a") + F.size("sh_b") - F.col("inter")), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# --------------------------------------------------------------------------
+# Scale pipeline: exact-dup pre-collapse + LSH over representatives
+# --------------------------------------------------------------------------
+
+def near_dup_pairs(
+    df: DataFrame,
+    method: str = "minhash",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    **kwargs,
+) -> DataFrame:
+    """Near-duplicate pairs with the giant-cluster quadratic hole closed.
+
+    A cluster of N byte-identical docs shares EVERY LSH bucket, so raw
+    banding would enumerate N(N-1)/2 pairs inside it. This pipeline:
+
+      1. ``dedup_exact``: collapse identical text to its canonical id;
+      2. run MinHash-LSH / SimHash over the (distinct-text)
+         representatives only;
+      3. emit exact-dup clusters as LINEAR star pairs
+         (canonical_id, member_id, score=1.0), never all-pairs.
+
+    Output semantics are union-find style: every doc connects to its
+    canonical, canonicals connect across near-dup clusters — the
+    connected components equal raw all-pairs LSH's, with O(N) instead
+    of O(N^2) rows for exact clusters (the standard trick in web-scale
+    dedup pipelines).
+
+    ``method``: 'minhash' (id_a, id_b, jaccard) or 'simhash'
+    (id_a, id_b, hamming -> score column named per method).
+    """
+    canon = dedup_exact(df, id_col, text_col)
+    rep_ids = canon.filter(F.col("doc_id") == F.col("canonical_id")).select(
+        F.col("doc_id").alias("_rep_id")
+    )
+    reps = df.join(rep_ids, df[id_col] == F.col("_rep_id"), "left_semi")
+    if method == "minhash":
+        rep_pairs = minhash_lsh_pairs(reps, id_col=id_col, text_col=text_col, **kwargs)
+        exact_score = F.lit(1.0).alias("jaccard")
+        score_col = "jaccard"
+    elif method == "simhash":
+        rep_pairs = simhash_near_pairs(reps, id_col=id_col, text_col=text_col, **kwargs)
+        exact_score = F.lit(0).cast("int").alias("hamming")
+        score_col = "hamming"
+    else:
+        raise ValueError(f"unknown method {method!r}: use minhash|simhash")
+    star = canon.filter(F.col("doc_id") != F.col("canonical_id")).select(
+        F.least("canonical_id", "doc_id").alias("id_a"),
+        F.greatest("canonical_id", "doc_id").alias("id_b"),
+        exact_score,
+    )
+    return rep_pairs.select("id_a", "id_b", score_col).unionByName(star)
+
+
+def lsh_bucket_stats(
+    df: DataFrame,
+    n_hashes: int = 64,
+    bands: int = 16,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Bucket-size telemetry for a MinHash-LSH run: one row with the
+    candidate-volume drivers (max/avg bucket size, #buckets, and the
+    implied candidate-pair count sum b*(b-1)/2). Log this per run — a
+    max bucket of 10^5 means ~5*10^9 pairs from that bucket alone and
+    is the signal to pre-collapse (``near_dup_pairs``) or re-band.
+    """
+    rows_per_band = n_hashes // bands
+    sig = minhash_signatures(df, n_hashes, n, id_col, text_col)
+    band_cols = [
+        F.xxhash64(
+            F.lit(bi), *[F.col(f"h{bi * rows_per_band + r}") for r in range(rows_per_band)]
+        ).alias(f"b{bi}")
+        for bi in range(bands)
+    ]
+    buckets = (
+        sig.select(F.explode(F.array(*band_cols)).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("sz"))
+    )
+    return buckets.agg(
+        F.count("*").alias("n_buckets"),
+        F.max("sz").alias("max_bucket"),
+        F.round(F.avg("sz"), 6).alias("avg_bucket"),
+        F.sum(F.col("sz") * (F.col("sz") - 1) / 2).cast("long").alias("candidate_pairs"),
+    )
+
+
+# --------------------------------------------------------------------------
 # SimHash
 # --------------------------------------------------------------------------
 
@@ -270,40 +420,66 @@ def simhash64(
     return df.select(F.col(id_col).alias("doc_id"), _simhash(F.col(text_col)).alias("simhash"))
 
 
+def _block_bounds(n_bits: int, n_blocks: int) -> list[tuple[int, int]]:
+    """Split ``n_bits`` into ``n_blocks`` contiguous (offset, width)
+    blocks, widths as even as possible (e.g. 64/6 -> 11,11,11,11,10,10)."""
+    base, extra = divmod(n_bits, n_blocks)
+    bounds, off = [], 0
+    for i in range(n_blocks):
+        w = base + (1 if i < extra else 0)
+        bounds.append((off, w))
+        off += w
+    return bounds
+
+
 def simhash_near_pairs(
     df: DataFrame,
     max_hamming: int = 3,
+    n_blocks: int = 6,
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
     """-> (id_a, id_b, hamming<=max_hamming) near-dup pairs by SimHash.
 
-    Banding by 16-bit chunks: Hamming distance <= 3 over 64 bits implies
-    at least one of the 4 chunks is identical (pigeonhole), so the join
-    key is (chunk_idx, chunk_value) — |docs| x 4 rows, never |docs|^2.
+    Manku-style multi-block banding (Detecting Near-Duplicates for Web
+    Crawling, WWW'07): split the 64 bits into ``n_blocks`` blocks; at
+    Hamming distance <= max_hamming the differing bits touch at most
+    ``max_hamming`` blocks, so SOME (n_blocks - max_hamming)-subset of
+    blocks is identical between the two docs (pigeonhole). The join key
+    is therefore (combo_id, concatenated block values of that subset) —
+    C(n_blocks, n_blocks - max_hamming) keys per doc (20 for 6/3), each
+    >= ~32 bits wide.
+
+    Why not 16-bit single chunks: a 16-bit key has only 2^16 buckets —
+    at web scale every bucket holds ~N/65536 docs and the within-bucket
+    self-join is quadratic. 32+-bit multi-block keys keep expected
+    bucket sizes O(N/2^32); pathological exact-dup clusters should be
+    pre-collapsed with ``near_dup_pairs`` (dedup_exact first).
     """
+    # pigeonhole soundness needs more blocks than flippable bits
+    n_blocks = max(n_blocks, max_hamming + 1)
+    from itertools import combinations
+
     sig = simhash64(df, id_col, text_col)
-    chunks = sig.select(
-        "doc_id",
-        "simhash",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("ci"),
-                        F.shiftright("simhash", 16 * i).bitwiseAND(F.lit(0xFFFF)).alias("cv"),
-                    )
-                    for i in range(4)
-                ]
-            )
-        ).alias("c"),
-    ).select("doc_id", "simhash", F.col("c.ci").alias("ci"), F.col("c.cv").alias("cv"))
-    l, r = chunks.alias("l"), chunks.alias("r")
+    bounds = _block_bounds(64, n_blocks)
+
+    def block_val(i: int) -> Column:
+        off, w = bounds[i]
+        return F.shiftrightunsigned("simhash", off).bitwiseAND(F.lit((1 << w) - 1))
+
+    combos = list(combinations(range(n_blocks), n_blocks - max_hamming))
+    keys = [
+        F.xxhash64(F.lit(ci), *[block_val(i) for i in combo]).alias(f"k{ci}")
+        for ci, combo in enumerate(combos)
+    ]
+    banded = sig.select(
+        "doc_id", "simhash", F.explode(F.array(*keys)).alias("bucket")
+    )
+    l, r = banded.alias("l"), banded.alias("r")
     cand = (
         l.join(
             r,
-            (F.col("l.ci") == F.col("r.ci"))
-            & (F.col("l.cv") == F.col("r.cv"))
+            (F.col("l.bucket") == F.col("r.bucket"))
             & (F.col("l.doc_id") < F.col("r.doc_id")),
         )
         .select(

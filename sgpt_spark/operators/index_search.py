@@ -84,9 +84,17 @@ def search_index(
     k: int = 10,
     strategy: str = "taat",
     use_wand: bool | None = None,
+    exclude_self: bool = False,
 ) -> DataFrame:
     """-> RESULTS (qid, doc_id, score, rank), rank-identical to the
     exhaustive path and the brute-force oracle under every strategy.
+
+    ``exclude_self`` drops ``doc_id == qid`` hits (the reference's
+    self-match filter, exact_search.py:117-119). Exactness is preserved
+    the same way the reference does it: each segment returns k+1
+    candidates (a segment contains at most one self-match, since a doc
+    lives in exactly one segment), the self rows are filtered, and the
+    global merge cuts back to k.
 
     strategy:
       'taat'       vectorized term-at-a-time with dense per-query-chunk
@@ -133,7 +141,10 @@ def search_index(
     if not per_query:
         return empty
     b_queries = spark.sparkContext.broadcast(per_query)
-    k1, b, avgdl, kk = meta.k1, meta.b, meta.avgdl, k
+    # with exclude_self each segment hands back one spare candidate so
+    # dropping the (unique) self row cannot starve the global top-k
+    k_eff = k + 1 if exclude_self else k
+    k1, b, avgdl, kk = meta.k1, meta.b, meta.avgdl, k_eff
 
     # inverted query map for the TAAT scatter: term -> (query rows, weights)
     qid_list = sorted(per_query)
@@ -276,4 +287,6 @@ def search_index(
         seg_topk = cand.groupBy("segment").applyInPandas(
             lambda _key, pdf: score_segment(pdf), schema=seg_schema
         )
+    if exclude_self:
+        seg_topk = seg_topk.filter(F.col("doc_id") != F.col("qid"))
     return topk_per_group(seg_topk, k=k).select("qid", "doc_id", "score", "rank")

@@ -90,12 +90,20 @@ def bm25_search(
     text_col: str = "text",
     k1: float = K1,
     b: float = B,
+    exclude_self: bool = False,
 ) -> DataFrame:
     """End-to-end exhaustive BM25 top-k: corpus x queries -> RESULTS.
 
     The "index" here is the flat (term, doc_id, tf, doc_len) relation
     built inline; the persisted compressed-index path lives in
     ``sgpt_spark.operators.indexer`` + ``wand``.
+
+    ``exclude_self``: drop hits where ``doc_id == qid`` — the
+    reference's self-match filter for quora/cqadupstack-style query sets
+    whose ids collide with doc ids (exact_search.py:117-119). Applied
+    BEFORE the top-k cut, so the result is the true top-k of the
+    non-self candidates (the reference retrieves k+1 then drops self
+    for the same reason).
     """
     dt = doc_terms(corpus, id_col=id_col, text_col=text_col, tokenizer=tokenizer)
     tf = term_freqs(dt)
@@ -103,4 +111,6 @@ def bm25_search(
     stats = corpus_stats(dt)
     qt = query_terms(queries, tokenizer=tokenizer)
     scored = score_candidates(tf, qt, dfs, stats, k1=k1, b=b)
+    if exclude_self:
+        scored = scored.filter(F.col("doc_id") != F.col("qid"))
     return topk_per_group(scored, k=k).select("qid", "doc_id", "score", "rank")

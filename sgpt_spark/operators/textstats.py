@@ -153,6 +153,32 @@ def rolling_fingerprints(
     )
 
 
+def window_fingerprints(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", window: int = KR_WINDOW
+) -> DataFrame:
+    """-> (doc_id, pos, fp): md5 fingerprint of every ``window``-token
+    span (pos = 1-based start token). Same copy-span-detection output
+    shape as ``rolling_fingerprints``, but hash = md5(joined span) so it
+    is a pure JVM expression AND expressible in ANSI SQL — the
+    oracle-gated twin of the Karp-Rabin rolling path. O(n_tokens *
+    window) bytes hashed vs the rolling hash's O(n_tokens); use the
+    rolling variant when the window is large.
+    """
+    toks = tokenize_ws(F.coalesce(F.col(text_col), F.lit("")))
+    wins = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - window + 1),
+        lambda i: F.md5(F.array_join(F.slice(toks, i, window), " ")),
+    )
+    safe = F.when(F.size(toks) >= window, wins).otherwise(
+        F.array().cast("array<string>")
+    )
+    return (
+        df.select(F.col(id_col).alias("doc_id"), safe.alias("wins"))
+        .select("doc_id", F.posexplode("wins").alias("pos", "fp"))
+        .withColumn("pos", (F.col("pos") + 1).cast("int"))
+    )
+
+
 def text_profile(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """One-stop per-doc profile: counts + quality + lang + fingerprint."""
     out = quality_features(

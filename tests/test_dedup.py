@@ -7,8 +7,12 @@ import pytest
 from pyspark.sql import functions as F
 
 from sgpt_spark.operators.dedup import (
+    _block_bounds,
     dedup_exact,
+    lsh_bucket_stats,
     minhash_lsh_pairs,
+    minhash_lsh_pairs_md5,
+    near_dup_pairs,
     ngram_jaccard_pairs,
     simhash64,
     simhash64_py,
@@ -71,3 +75,66 @@ def test_simhash_near_pairs(spark, docs):
     assert pairs[(5, 6)] == 0
     assert (1, 3) in pairs         # near-dup within hamming 6
     assert (1, 4) not in pairs and (3, 4) not in pairs
+
+
+def test_block_bounds():
+    assert _block_bounds(64, 6) == [(0, 11), (11, 11), (22, 11), (33, 11), (44, 10), (54, 10)]
+    assert sum(w for _, w in _block_bounds(64, 7)) == 64
+
+
+def test_simhash_banding_sound_vs_bruteforce(spark):
+    """Manku multi-block banding must find EXACTLY the brute-force
+    Hamming<=3 pairs (banding is candidate generation only; the exact
+    bit_count filter makes precision 1, pigeonhole makes recall 1)."""
+    import itertools
+
+    rows = [(i, " ".join(_VOCAB[_doc_terms(i % 5)][: 40 + i % 7])) for i in range(40)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = {r["doc_id"]: r["simhash"] for r in simhash64(docs).collect()}
+    want = set()
+    for a, b in itertools.combinations(sorted(sigs), 2):
+        if bin((sigs[a] ^ sigs[b]) & ((1 << 64) - 1)).count("1") <= 3:
+            want.add((a, b))
+    got = {(r["id_a"], r["id_b"]) for r in simhash_near_pairs(docs, max_hamming=3).collect()}
+    assert got == want
+
+
+def test_minhash_md5_matches_exact(spark, docs):
+    """The md5 twin's verified output is a subset of exact Jaccard pairs
+    and finds the planted dups (same contract as the xxhash path)."""
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in
+           minhash_lsh_pairs_md5(docs, threshold=0.8).collect()}
+    exact = {(r["id_a"], r["id_b"]): r["jaccard"] for r in
+             ngram_jaccard_pairs(docs, threshold=0.8).collect()}
+    assert set(got) <= set(exact)
+    assert (1, 2) in got and got[(1, 2)] == 1.0
+    for p, j in got.items():
+        assert j == exact[p]
+
+
+def test_near_dup_pairs_giant_cluster_is_linear(spark):
+    """Adversarial case: a large exact-dup cluster must produce a LINEAR
+    star (N-1 pairs), never the quadratic N(N-1)/2 — the giant-bucket
+    hole the pre-collapse closes."""
+    n = 500
+    rows = [(i, BASE) for i in range(n)]          # 500 identical docs
+    rows += [(1000, NEAR), (2000, OTHER)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = near_dup_pairs(docs, method="minhash", threshold=0.8).collect()
+    star = [p for p in pairs if p["jaccard"] == 1.0]
+    near = [p for p in pairs if p["jaccard"] < 1.0]
+    assert len(star) == n - 1                      # linear, canonical id 0
+    assert all(p["id_a"] == 0 for p in star)
+    assert {(p["id_a"], p["id_b"]) for p in near} == {(0, 1000)}
+    # simhash flavor too: star pairs at hamming 0 + rep near-pair
+    sh = near_dup_pairs(docs, method="simhash", max_hamming=6).collect()
+    sh_star = [p for p in sh if p["id_b"] != 1000]
+    assert len(sh_star) == n - 1
+    assert {(p["id_a"], p["id_b"]) for p in sh if p["id_b"] == 1000} == {(0, 1000)}
+
+
+def test_lsh_bucket_stats(spark, docs):
+    row = lsh_bucket_stats(docs).collect()[0]
+    assert row["n_buckets"] > 0
+    assert row["max_bucket"] >= 2          # the exact dups share all buckets
+    assert row["candidate_pairs"] >= 1

@@ -91,3 +91,24 @@ def test_text_profile_shape(spark, df):
     assert set(prof.columns) >= {
         "doc_id", "n_chars", "n_tokens", "quality_score", "lang_pred", "fingerprint",
     }
+
+
+def test_window_fingerprints_align_with_rolling(spark, df):
+    """md5 window fingerprints (oracle twin) cover exactly the same
+    spans as the Karp-Rabin rolling path: same (doc, pos) keys, same
+    equal-span structure (fp_a == fp_b iff the token spans match)."""
+    from sgpt_spark.operators.textstats import window_fingerprints
+
+    wfp = {(r["doc_id"], r["pos"]): r["fp"] for r in window_fingerprints(df).collect()}
+    texts = dict(ROWS)
+    want_keys = set()
+    for did, text in texts.items():
+        toks = [t for t in text.split(" ") if t]
+        for i in range(len(toks) - KR_WINDOW + 1):
+            want_keys.add((did, i + 1))
+    assert set(wfp) == want_keys
+    # value = md5 of the joined span
+    for (did, pos), fp in wfp.items():
+        toks = [t for t in texts[did].split(" ") if t]
+        span = " ".join(toks[pos - 1 : pos - 1 + KR_WINDOW])
+        assert fp == hashlib.md5(span.encode()).hexdigest(), (did, pos)

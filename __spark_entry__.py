@@ -366,6 +366,62 @@ def _q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_video_frames(generate_media(spark, 300, partitions=4))
 
 
+def _q_udf_log_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parallelizer LOG-mode error columns (parallelizer.py:32-37,
+    174-228): a deterministic per-row failure (1/(doc_id%7)) must emit
+    error_message/error_type rows instead of failing the task."""
+    import pandas as pd
+
+    from sgpt_spark.operators.parallelizer import apply_batched
+
+    def inv(pdf: pd.DataFrame) -> pd.DataFrame:
+        vals = [round(1.0 / (int(d) % 7), 6) for d in pdf["doc_id"]]
+        return pd.DataFrame({"doc_id": pdf["doc_id"].to_numpy(), "inv": vals})
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return apply_batched(docs, inv, "doc_id long, inv double", error_mode="log")
+
+
+def _q_doc_truncation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Char truncation projection (plugin_io_utils.py:45-62) + token
+    truncation (beir_dense_retriever.py:177-184) per doc."""
+    from sgpt_spark.functions.analyzer import tokenize_ws
+    from sgpt_spark.operators.corpus import truncate_chars, truncate_tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    text = F.coalesce(F.col("text"), F.lit(""))
+    toks = tokenize_ws(text)
+    return docs.select(
+        "doc_id",
+        truncate_chars(F.col("text"), 80).alias("text_trunc"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(truncate_tokens(toks, 30)).cast("long").alias("n_tokens_trunc"),
+        (F.length(text) > 80).alias("was_truncated"),
+    )
+
+
+def _q_truncation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncation telemetry aggregate (beir_dense_retriever.py:160-184)."""
+    from sgpt_spark.operators.corpus import truncation_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    return truncation_stats(doc_terms(docs), max_tokens=30)
+
+
+def _q_corr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson + Spearman (twitterpara.py:110-117) between doc length in
+    chars and in tokens — tie-average ranks, no driver-side compute."""
+    from sgpt_spark.operators.relational import corr_stats
+    from sgpt_spark.operators.textstats import token_count_ws
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        F.length(F.coalesce(F.col("text"), F.lit(""))).alias("n_chars"),
+        token_count_ws(F.col("text")).alias("n_tokens"),
+    )
+    return corr_stats(base, "n_chars", "n_tokens")
+
+
 # --- general relational operators over TPC-H tables (SURVEY.md §2.4-2.9) --
 
 def _q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -437,6 +493,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_frame_sample": _q_media_frames,      # rows-only (stub decoder)
         "bm25_rerank_top10": _q_rerank,
         "dense_cosine_topk": _q_dense_cosine,       # rows-only (hash encoder)
+        "udf_log_mode": _q_udf_log_mode,
+        "doc_truncation": _q_doc_truncation,
+        "truncation_stats": _q_truncation_stats,
+        "corr_stats": _q_corr_stats,
         # general relational (TPC-H tables)
         "pricing_summary": _q_pricing_summary,
         "topk_orders_per_customer": _q_topk_orders,
@@ -1002,6 +1062,67 @@ def oracle_sql() -> dict[str, str]:
         "event_type_counts": """
             SELECT event_type, count(*) AS n FROM events
             GROUP BY event_type ORDER BY n DESC, event_type ASC LIMIT 10
+        """,
+        "udf_log_mode": """
+            SELECT doc_id,
+                   CASE WHEN doc_id % 7 = 0 THEN NULL
+                        ELSE round(1.0 / (doc_id % 7), 6) END AS inv,
+                   CASE WHEN doc_id % 7 = 0 THEN 'float division by zero' END AS error_message,
+                   CASE WHEN doc_id % 7 = 0 THEN 'ZeroDivisionError' END AS error_type
+            FROM documents
+        """,
+        "doc_truncation": """
+            SELECT doc_id,
+                   CASE WHEN length(coalesce(text, '')) > 80
+                        THEN substring(coalesce(text, ''), 1, 80) || '...'
+                        ELSE coalesce(text, '') END AS text_trunc,
+                   len(list_filter(string_split(coalesce(text, ''), ' '),
+                                   x -> x <> '')) AS n_tokens,
+                   least(len(list_filter(string_split(coalesce(text, ''), ' '),
+                                         x -> x <> '')), 30) AS n_tokens_trunc,
+                   length(coalesce(text, '')) > 80 AS was_truncated
+            FROM documents
+        """,
+        "truncation_stats": f"""
+            WITH {_TOKENS_CTE}
+            SELECT count(*) AS n_docs,
+                   sum(CASE WHEN doc_len > 30 THEN 1 ELSE 0 END) AS n_truncated,
+                   sum(doc_len) AS tokens_before,
+                   sum(least(doc_len, 30)) AS tokens_after,
+                   round(avg(CASE WHEN doc_len > 30 THEN 1.0 ELSE 0.0 END), 6)
+                     AS truncated_frac
+            FROM doclen
+        """,
+        "corr_stats": """
+            WITH base AS (
+              SELECT CAST(length(coalesce(text, '')) AS DOUBLE) AS a,
+                     CAST(len(list_filter(string_split(coalesce(text, ''), ' '),
+                                          x -> x <> '')) AS DOUBLE) AS b
+              FROM documents
+            ),
+            ga AS (SELECT a, count(*) AS cnt FROM base GROUP BY a),
+            gra AS (
+              SELECT a,
+                     coalesce(sum(cnt) OVER (ORDER BY a
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                     + (cnt + 1) / 2.0 AS a_rk
+              FROM ga
+            ),
+            gb AS (SELECT b, count(*) AS cnt FROM base GROUP BY b),
+            grb AS (
+              SELECT b,
+                     coalesce(sum(cnt) OVER (ORDER BY b
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                     + (cnt + 1) / 2.0 AS b_rk
+              FROM gb
+            ),
+            j AS (
+              SELECT base.a, base.b, gra.a_rk, grb.b_rk
+              FROM base JOIN gra USING (a) JOIN grb USING (b)
+            )
+            SELECT round(corr(a, b), 6) AS pearson,
+                   round(corr(a_rk, b_rk), 6) AS spearman
+            FROM j
         """,
         "bm25_top10": _BM25_SQL,
         "queryset_derive": QUERIES_SQL,

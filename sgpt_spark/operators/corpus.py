@@ -6,6 +6,8 @@ Reference behaviors re-expressed as Catalyst-optimizable expressions
 - null-title repair            beir_dense_retriever.py:500-504 (clean_titles)
 - title+text concat projection beir_dense_retriever.py:341
 - newline normalization        beir_dense_retriever.py:168-169
+- char truncation + ellipsis   io_utils/plugin_io_utils.py:45-62
+- token truncation + telemetry beir_dense_retriever.py:128-137,160-184
 """
 
 from __future__ import annotations
@@ -40,3 +42,41 @@ def normalize_newlines(text: Column) -> Column:
     """txt.replace("\\n", " ") pre-tokenization
     (beir_dense_retriever.py:168-169)."""
     return F.regexp_replace(text, "\n", " ")
+
+
+def truncate_chars(text: Column, max_chars: int, ellipsis: str = "...") -> Column:
+    """Cap strings at ``max_chars`` characters, appending ``ellipsis``
+    when something was cut (plugin_io_utils.py:45-62 semantics: the
+    ellipsis is ADDED after the cap, not counted within it)."""
+    t = F.coalesce(text, F.lit(""))
+    return F.when(
+        F.length(t) > max_chars,
+        F.concat(F.substring(t, 1, max_chars), F.lit(ellipsis)),
+    ).otherwise(t)
+
+
+def truncate_tokens(tokens: Column, max_tokens: int) -> Column:
+    """Cap a token array at ``max_tokens`` (the reference's
+    max_token_len cut, beir_dense_retriever.py:177-184)."""
+    return F.slice(tokens, 1, max_tokens)
+
+
+def truncation_stats(
+    df: DataFrame,
+    tokens_col: str = "terms",
+    max_tokens: int = 256,
+) -> DataFrame:
+    """Truncation telemetry (beir_dense_retriever.py:160-162,175-180,
+    216-219: docs truncated / tokens dropped, surfaced as warnings in
+    the reference): one row with n_docs, n_truncated, tokens_before,
+    tokens_after, truncated_frac. Pure aggregate — map-side combined.
+    """
+    n_tok = F.size(F.col(tokens_col))
+    kept = F.least(n_tok, F.lit(max_tokens))
+    return df.agg(
+        F.count("*").alias("n_docs"),
+        F.sum((n_tok > max_tokens).cast("long")).alias("n_truncated"),
+        F.sum(n_tok.cast("long")).alias("tokens_before"),
+        F.sum(kept.cast("long")).alias("tokens_after"),
+        F.round(F.avg((n_tok > max_tokens).cast("double")), 6).alias("truncated_frac"),
+    )

@@ -83,3 +83,34 @@ def event_type_counts(events: DataFrame, n: int = 10) -> DataFrame:
         .orderBy(F.col("n").desc(), F.col("event_type").asc())
         .limit(n)
     )
+
+
+def corr_stats(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
+    """Pearson + Spearman correlation between two numeric columns — the
+    reference computes these with scipy over score lists
+    (useb/useb/useb/evaluators/twitterpara.py:110-117).
+
+    Pearson is Spark's built-in ``corr`` aggregate. Spearman = Pearson
+    over average ranks (scipy tie convention). Ranking avoids the
+    single-partition global-window trap: per column, aggregate to
+    (value, count) — |distinct values| rows, usually orders of magnitude
+    below |rows| — compute the average rank with a window over THAT
+    small relation (avg_rank = rows_before + (count+1)/2), and hash-join
+    the ranks back. Shuffles are keyed by value (high cardinality, no
+    skew beyond ties); nothing touches the driver.
+    """
+    a, b = F.col(col_a).cast("double"), F.col(col_b).cast("double")
+    base = df.select(a.alias("_a"), b.alias("_b"))
+    out = base
+    for c in ("_a", "_b"):
+        grp = base.groupBy(c).agg(F.count("*").alias("_cnt"))
+        w = Window.orderBy(F.col(c)).rowsBetween(Window.unboundedPreceding, -1)
+        ranks = grp.withColumn(
+            f"{c}_rk",
+            F.coalesce(F.sum("_cnt").over(w), F.lit(0)) + (F.col("_cnt") + 1) / 2.0,
+        ).select(c, f"{c}_rk")
+        out = out.join(ranks, c)
+    return out.agg(
+        F.round(F.corr("_a", "_b"), 6).alias("pearson"),
+        F.round(F.corr("_a_rk", "_b_rk"), 6).alias("spearman"),
+    )

@@ -42,11 +42,19 @@ def compare(name, sdf, sql, con):
         print(f"  [{name}] ROWCOUNT MISMATCH spark={len(spark_rows)} duck={len(duck_rows)}")
         ok = False
     if ok:
+        def row_key(row):
+            # None-safe total order (drivers canonicalize with pandas,
+            # which handles NaN; plain tuple sort does not)
+            return tuple((v is None, v) for v in row)
+
         s_set = sorted(
-            tuple(norm_cell(r[c]) for c in spark_cols) for r in spark_rows
+            (tuple(norm_cell(r[c]) for c in spark_cols) for r in spark_rows),
+            key=row_key,
         )
         d_idx = [duck_cols_raw.index(c) for c in duck_cols]
-        d_set = sorted(tuple(norm_cell(r[i]) for i in d_idx) for r in duck_rows)
+        d_set = sorted(
+            (tuple(norm_cell(r[i]) for i in d_idx) for r in duck_rows), key=row_key
+        )
         if s_set != d_set:
             ok = False
             diffs = [(a, b) for a, b in zip(s_set, d_set) if a != b][:5]

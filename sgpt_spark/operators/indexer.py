@@ -106,6 +106,60 @@ def _tokenize_codes_ws(texts) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.nd
     return codes, doc_idx, lens, vocab
 
 
+def _tokenize_codes_standard(texts) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Arrow-native twin of ``[analyze_py(t) for t in texts]`` — the
+    Lucene-standard analyzer as four C++ kernel passes, no Python string
+    objects. Same contract as ``_tokenize_codes_ws``.
+
+    Decomposition of the word regex [\\p{L}\\p{N}]+(?:'[\\p{L}\\p{N}]+)*
+    into Arrow ops (equality with analyze_py is property-tested):
+      1. utf8_lower
+      2. collapse runs of 2+ apostrophes to space (the regex never
+         crosses a double apostrophe)
+      3. replace every char outside [\\p{L}\\p{N}'] with space
+      4. split on whitespace, trim leading/trailing apostrophes per
+         token, drop empties
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    global _ARROW_POOL_CAPPED
+    if not _ARROW_POOL_CAPPED:
+        pa.set_cpu_count(1)  # see _tokenize_codes_ws (process-global)
+        _ARROW_POOL_CAPPED = True
+
+    arr = pa.array(texts, type=pa.large_string())
+    lowered = pc.utf8_lower(pc.coalesce(arr, pa.scalar("", type=pa.large_string())))
+    # one RE2 pass: junk runs OR double-apostrophe runs -> space
+    cleaned = pc.replace_substring_regex(
+        lowered, pattern=r"(?:[^\p{L}\p{N}']+|'')+", replacement=" "
+    )
+    split = pc.utf8_split_whitespace(cleaned)
+    raw_lens = pc.list_value_length(split).to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = pc.list_flatten(split)
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    flat = pc.utf8_trim(flat, characters="'")
+    denc = flat.dictionary_encode()
+    codes = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    vocab = np.asarray(denc.dictionary.to_pandas(), dtype=object)
+    doc_idx = np.repeat(np.arange(len(raw_lens), dtype=np.int64), raw_lens)
+    empty_code = pc.index(denc.dictionary, pa.scalar("", type=denc.dictionary.type)).as_py()
+    if empty_code is not None and empty_code >= 0:
+        keep = codes != empty_code
+        codes, doc_idx = codes[keep], doc_idx[keep]
+    lens = np.bincount(doc_idx, minlength=len(raw_lens)).astype(np.int64)
+    order = np.argsort(vocab)
+    rank = np.empty(len(order), dtype=np.int64)
+    rank[order] = np.arange(len(order), dtype=np.int64)
+    codes = rank[codes]
+    vocab = vocab[order]
+    if empty_code is not None and empty_code >= 0:
+        codes -= 1
+        vocab = vocab[1:]
+    return codes, doc_idx, lens, vocab
+
+
 def _tokenize_codes_py(texts, py_tokenizer) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
     """Generic-tokenizer fallback with the same contract as
     ``_tokenize_codes_ws`` (used for custom analyzers, e.g. standard)."""
@@ -272,10 +326,9 @@ def _fused_term_freqs(docs: DataFrame, py_tokenizer, text_col: str) -> DataFrame
     vectorized counting) — term frequencies are doc-local, so this needs
     no shuffle.
     """
+    from sgpt_spark.functions.analyzer import analyze_py as _std
     from sgpt_spark.functions.analyzer import tokenize_py_ws as _ws
     from sgpt_spark.operators.corpus import non_empty_text
-
-    arrow_fast = py_tokenizer is _ws
 
     def tok_count(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -285,9 +338,11 @@ def _fused_term_freqs(docs: DataFrame, py_tokenizer, text_col: str) -> DataFrame
             ids = pdf["doc_id"].to_numpy(dtype=np.int64)
             # One flat tokenize+code pass over the whole batch: tokens
             # become int codes, then (doc, term) pair counting is pure
-            # int math.
-            if arrow_fast:
+            # int math. Both built-in analyzers get Arrow-native paths.
+            if py_tokenizer is _ws:
                 codes, doc_idx, lens, uniques = _tokenize_codes_ws(pdf[text_col])
+            elif py_tokenizer is _std:
+                codes, doc_idx, lens, uniques = _tokenize_codes_standard(pdf[text_col])
             else:
                 codes, doc_idx, lens, uniques = _tokenize_codes_py(
                     pdf[text_col], py_tokenizer
@@ -326,6 +381,7 @@ def _encode_segment(
     total token count, min_dl = max doc_id — so the caller can derive
     IndexMeta from the written index without re-scanning the corpus.
     """
+    from sgpt_spark.functions.analyzer import analyze_py as _std
     from sgpt_spark.functions.analyzer import tokenize_py_ws as _ws
 
     chunks = list(batches)
@@ -341,6 +397,8 @@ def _encode_segment(
     texts = pdf[text_col].iloc[order]
     if py_tokenizer is _ws:
         codes, doc_idx, lens, terms_arr = _tokenize_codes_ws(texts)
+    elif py_tokenizer is _std:
+        codes, doc_idx, lens, terms_arr = _tokenize_codes_standard(texts)
     else:
         codes, doc_idx, lens, terms_arr = _tokenize_codes_py(texts, py_tokenizer)
 

@@ -58,6 +58,30 @@ def test_duckdb_matches_python_twin():
         assert got == want, t
 
 
+def test_arrow_standard_codes_match_python_twin():
+    """The Arrow-native standard tokenize path used by the fused index
+    builder must be code-for-code identical to analyze_py."""
+    import random
+    import string
+
+    import numpy as np
+    import pandas as pd
+
+    from sgpt_spark.operators.indexer import _tokenize_codes_py, _tokenize_codes_standard
+
+    random.seed(7)
+    alphabet = string.ascii_letters + string.digits + "'''   _-.,!?ü߀\n\t"
+    fuzz = [
+        "".join(random.choice(alphabet) for _ in range(random.randint(0, 60)))
+        for _ in range(400)
+    ]
+    texts = pd.Series(TRICKY + [None, "a''b x'''y", "' '' '''", "O'Brien's CAN'T"] + fuzz)
+    got = _tokenize_codes_standard(texts)
+    want = _tokenize_codes_py(texts, analyze_py)
+    for name, g, w in zip(("codes", "doc_idx", "lens", "vocab"), got, want):
+        assert np.array_equal(g, w), name
+
+
 def test_resolve_py_analyzer():
     assert resolve_py_analyzer("analyze_py") is analyze_py
     assert resolve_py_analyzer("tokenize_py_ws") is tokenize_py_ws

@@ -288,6 +288,48 @@ def _q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(emb, _emb_queries(spark, sf_dir), k=10)
 
 
+def _q_dot_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """score_function pluggability (exact_search.py:27-28): the same
+    chunked scan with dot-product scoring instead of cosine."""
+    from sgpt_spark.operators.similarity import cosine_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_topk(emb, _emb_queries(spark, sf_dir), k=10, score_function="dot")
+
+
+def _q_paraphrase_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Globally-capped most-similar pair mining (util.py:148-189),
+    exact by the per-item top-(N+1) containment bound."""
+    from sgpt_spark.operators.similarity import paraphrase_mining
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return paraphrase_mining(emb, max_pairs=50)
+
+
+def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering: connected components (min-label propagation)
+    over the exact n-gram Jaccard pair graph."""
+    from sgpt_spark.operators.dedup import dedup_clusters
+
+    return dedup_clusters(load_table(spark, sf_dir, "documents"), threshold=0.2, n=3)
+
+
+def _q_average_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global AP over one ranking (sklearn average_precision use,
+    twitterpara.py:110-117): label = known-item membership, score =
+    token count (deterministic tie order: score desc, doc_id asc)."""
+    from sgpt_spark.operators.metrics import average_precision
+    from sgpt_spark.operators.textstats import token_count_ws
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        (F.col("doc_id") % 7 == 0).alias("label"),
+        token_count_ws(F.col("text")).cast("double").alias("score"),
+    )
+    return average_precision(base)
+
+
 def _q_lsh_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sgpt_spark.operators.similarity import lsh_cosine_topk
 
@@ -485,6 +527,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_bucket_stats": _q_lsh_bucket_stats,    # rows-only (xxhash banding)
         "simhash_near_pairs": _q_simhash_pairs,     # rows-only (hash-dependent)
         "cosine_topk": _q_cosine_topk,
+        "dot_topk": _q_dot_topk,
+        "paraphrase_mining_top": _q_paraphrase_mining,
+        "dedup_clusters": _q_dedup_clusters,
+        "average_precision_global": _q_average_precision,
         "lsh_cosine_topk": _q_lsh_cosine_topk,      # rows-only (approximate)
         "text_profile": _q_text_profile,
         "rolling_fingerprints": _q_rolling_fps,     # rows-only (hash-dependent)
@@ -781,6 +827,76 @@ ranked AS (
 SELECT qid, vec_id, score, CAST(rnk AS INTEGER) AS rank FROM ranked WHERE rnk <= 10
 """
 
+_DOT_SQL = """
+WITH q AS (
+  SELECT vec_id AS qid, embedding::DOUBLE[] AS qe
+  FROM embeddings WHERE vec_id % 50 = 0
+),
+scored AS (
+  SELECT q.qid, e.vec_id,
+         round(list_dot_product(e.embedding::DOUBLE[], q.qe), 6) AS score
+  FROM embeddings e CROSS JOIN q
+),
+ranked AS (
+  SELECT qid, vec_id, score,
+         row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id ASC) AS rnk
+  FROM scored
+)
+SELECT qid, vec_id, score, CAST(rnk AS INTEGER) AS rank FROM ranked WHERE rnk <= 10
+"""
+
+_PARAPHRASE_SQL = """
+WITH pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                      b.embedding::DOUBLE[]), 6) AS score
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, score FROM pairs
+ORDER BY score DESC, id_a ASC, id_b ASC
+LIMIT 50
+"""
+
+# connected components over the exact jaccard pair graph: transitive
+# closure by recursive CTE (gate scale), min reachable id per node.
+_DEDUP_CLUSTERS_SQL = f"""
+WITH RECURSIVE pairs AS ({_NGRAM_SQL.strip()}),
+  edges AS (
+    SELECT id_a AS src, id_b AS dst FROM pairs
+    UNION ALL
+    SELECT id_b AS src, id_a AS dst FROM pairs
+  ),
+  nodes AS (SELECT doc_id FROM documents),
+  reach(node, r) AS (
+    SELECT doc_id, doc_id FROM nodes
+    UNION
+    SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.node
+  )
+SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node
+"""
+
+_AP_SQL = """
+WITH base AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END AS rel,
+         CAST(len(list_filter(string_split(coalesce(text, ''), ' '),
+                              x -> x <> '')) AS DOUBLE) AS score
+  FROM documents
+),
+ranked AS (
+  SELECT rel,
+         row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+  FROM base
+),
+run AS (
+  SELECT rel, rank, sum(rel) OVER (ORDER BY rank) AS cum_hits FROM ranked
+)
+SELECT round(sum(CASE WHEN rel = 1 THEN cum_hits * 1.0 / rank ELSE 0 END)
+             / sum(rel), 6) AS average_precision,
+       sum(rel) AS n_pos, count(*) AS n
+FROM run
+"""
+
 _EN = "['the','and','of','to','in','is','that','for','with','it']"
 _DE = "['der','die','das','und','ist','nicht','mit','ein','zu','auf']"
 _FR = "['le','la','les','et','est','pas','pour','que','une','dans']"
@@ -1010,6 +1126,10 @@ def oracle_sql() -> dict[str, str]:
               ON d.text = m.text
         """,
         "ngram_jaccard_pairs": _NGRAM_SQL,
+        "dot_topk": _DOT_SQL,
+        "paraphrase_mining_top": _PARAPHRASE_SQL,
+        "dedup_clusters": _DEDUP_CLUSTERS_SQL,
+        "average_precision_global": _AP_SQL,
         "minhash_lsh_pairs_md5": _minhash_md5_sql(16, 8, 0.2),
         "window_fingerprints": _WINDOW_FPS_SQL,
         "bm25_noself_top10": _bm25_sql(10, exclude_self=True),

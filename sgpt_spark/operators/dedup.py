@@ -212,6 +212,77 @@ def minhash_lsh_pairs(
 
 
 # --------------------------------------------------------------------------
+# connected components: pairs -> clusters
+# --------------------------------------------------------------------------
+
+def connected_components(
+    nodes: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    max_iters: int = 50,
+) -> DataFrame:
+    """-> (doc_id, cluster_id): connected components over an undirected
+    pair relation; cluster_id = min doc_id in the component (singletons
+    map to themselves).
+
+    The reference's community/overlap-removal step works on in-memory
+    score matrices (util.py:432-446); the distributed equivalent for
+    dedup pipelines is label propagation: every node starts as its own
+    label, and each round takes the min of its neighbors' labels —
+    converges in O(graph diameter) rounds, which for near-dup graphs
+    (dense clusters, no long chains) is 2-4. Each round is one join +
+    one groupBy keyed by node id; the frontier is checkpointed via
+    localCheckpoint to keep lineage flat (iterative plans otherwise grow
+    exponentially). Deterministic: min over labels.
+    """
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+    )
+    labels = nodes.select(
+        F.col(id_col).alias("node"), F.col(id_col).alias("label")
+    ).localCheckpoint()
+    for _ in range(max_iters):
+        neigh = (
+            edges.join(labels, edges["dst"] == labels["node"])
+            .groupBy("src")
+            .agg(F.min("label").alias("nlabel"))
+        )
+        updated = (
+            labels.join(neigh, labels["node"] == neigh["src"], "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce("nlabel", F.col("label"))).alias("label"),
+                (F.coalesce("nlabel", F.col("label")) < F.col("label")).alias("_chg"),
+            )
+        ).localCheckpoint()
+        changed = updated.filter(F.col("_chg")).limit(1).count()
+        labels = updated.drop("_chg")
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
+def dedup_clusters(
+    df: DataFrame,
+    pairs: DataFrame | None = None,
+    threshold: float = 0.8,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """-> (doc_id, cluster_id): near-duplicate clusters over the corpus —
+    connected components of the near-dup pair graph (by default the
+    exact n-gram Jaccard join; pass ``pairs`` to cluster MinHash/SimHash
+    output instead). The keep-one-per-cluster filter is then
+    ``cluster_id == doc_id``."""
+    if pairs is None:
+        pairs = ngram_jaccard_pairs(df, threshold=threshold, n=n, id_col=id_col, text_col=text_col)
+    return connected_components(df, pairs, id_col=id_col)
+
+
+# --------------------------------------------------------------------------
 # MinHash, md5 variant (oracle-checkable twin of the xxhash64 scale path)
 # --------------------------------------------------------------------------
 

@@ -198,6 +198,44 @@ def best_checkpoint(
     ).select(group_col, F.col(f"m.{arg_col}").alias(arg_col), F.col(f"m.{score_col}").alias(score_col))
 
 
+def average_precision(
+    df: DataFrame,
+    label_col: str = "label",
+    score_col: str = "score",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Global average precision over one ranking — the reference's
+    sklearn ``average_precision_score`` use (useb/.../twitterpara.py:
+    110-117), with the engine-wide deterministic order (score desc, id
+    asc; sklearn instead groups tied scores — identical when scores are
+    distinct at 6 dp).
+
+    AP = (1/n_pos) * sum over positive ranks of precision@rank. One
+    global ranking -> one window; the global sort is inherent to the
+    semantics (a single total ranking) and bounded by the candidate
+    list size, matching the reference's single-list usage. For per-query
+    AP at scale use ``per_query_metrics`` (its ``map`` column is AP@k,
+    partitioned by qid).
+    """
+    w = Window.orderBy(F.col(score_col).desc(), F.col(id_col).asc())
+    ranked = df.select(
+        F.col(label_col).cast("int").alias("rel"),
+        F.row_number().over(w).alias("rank"),
+    )
+    run = ranked.withColumn(
+        "cum_hits", F.sum("rel").over(Window.orderBy("rank"))
+    )
+    return run.agg(
+        F.round(
+            F.sum(F.when(F.col("rel") == 1, F.col("cum_hits") / F.col("rank")).otherwise(0.0))
+            / F.sum("rel"),
+            6,
+        ).alias("average_precision"),
+        F.sum("rel").alias("n_pos"),
+        F.count("*").alias("n"),
+    )
+
+
 def mean_metrics(results: DataFrame, qrels: DataFrame, k: int = 10) -> DataFrame:
     """Averages over the qrels query set — the reference's headline
     numbers (e.g. BM25 nDCG@10 avg, BASELINE.md)."""

@@ -46,20 +46,29 @@ def cosine_topk(
     emb_col: str = "embedding",
     qid_col: str = "qid",
     qemb_col: str = "embedding",
+    score_function: str = "cos_sim",
 ) -> DataFrame:
-    """Exact cosine top-k: (qid, vec_id, score, rank).
+    """Exact dense top-k: (qid, vec_id, score, rank).
 
     Queries are collected + broadcast (small by contract); the corpus
     streams through a pandas UDF that computes a [batch x Q] similarity
     matrix and keeps per-partition top-k per query.
+
+    ``score_function``: 'cos_sim' or 'dot' — the reference's pluggable
+    scorer dict (exact_search.py:27-28: {"cos_sim": cos_sim,
+    "dot": dot_score}).
     """
+    if score_function not in ("cos_sim", "dot"):
+        raise ValueError(f"unknown score_function {score_function!r}: cos_sim|dot")
+    normalize = score_function == "cos_sim"
     spark = embeddings.sparkSession
     qrows = [(r[qid_col], r[qemb_col]) for r in queries.collect()]
     if not qrows:
         return spark.createDataFrame([], "qid long, vec_id long, score double, rank int")
     qids, qmat = _as_matrix(qrows)
-    qnorm = qmat / np.maximum(np.linalg.norm(qmat, axis=1, keepdims=True), 1e-12)
-    bq = spark.sparkContext.broadcast((qids, qnorm))
+    if normalize:
+        qmat = qmat / np.maximum(np.linalg.norm(qmat, axis=1, keepdims=True), 1e-12)
+    bq = spark.sparkContext.broadcast((qids, qmat))
     kk = k
 
     from sgpt_spark.operators.index_search import deterministic_topk
@@ -70,7 +79,8 @@ def cosine_topk(
         for pdf in batches:
             ids = pdf["_id"].to_numpy()
             mat = np.asarray(pdf["_emb"].tolist(), dtype=np.float64)
-            mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+            if normalize:
+                mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
             sims = np.round(mat @ qn.T, SCORE_DECIMALS)  # [batch x Q]
             for qi in range(len(qids_b)):
                 col = sims[:, qi]
@@ -129,6 +139,53 @@ def cosine_topk_exhaustive(
     )
     return topk_per_group(scored, group_col="qid", score_col="score", id_col="vec_id", k=k).select(
         "qid", "vec_id", "score", "rank"
+    )
+
+
+def paraphrase_mining(
+    embeddings: DataFrame,
+    max_pairs: int = 100,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    score_function: str = "cos_sim",
+) -> DataFrame:
+    """Globally-capped most-similar pairs within ONE embedding set —
+    the reference's priority-queue pair mining
+    (util.py:148-189 paraphrase_mining: chunked score matrices, per-chunk
+    topk, global heap capped at max_pairs).
+
+    EXACT, unlike the reference's approximation: a pair in the global
+    top-N has at most N-1 better pairs, so each endpoint sees at most
+    N-1 better partners — per-item top-(N+1) retrieval (self included)
+    provably contains every global top-N pair. So: self-similarity
+    top-(max_pairs+1) per item -> drop self -> canonicalize (id_a<id_b)
+    -> dedup -> global top-N with deterministic ties.
+
+    Contract: the set must fit a broadcast (the reference holds it in
+    one GPU tensor, util.py:197-204 — same envelope); for web-scale
+    near-dup mining use dedup.near_dup_pairs instead.
+    """
+    hits = cosine_topk(
+        embeddings,
+        embeddings.select(F.col(id_col).alias("qid"), F.col(emb_col).alias("embedding")),
+        k=max_pairs + 1,
+        id_col=id_col,
+        emb_col=emb_col,
+        score_function=score_function,
+    )
+    pairs = (
+        hits.filter(F.col("qid") != F.col("vec_id"))
+        .select(
+            F.least("qid", "vec_id").alias("id_a"),
+            F.greatest("qid", "vec_id").alias("id_b"),
+            "score",
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.max("score").alias("score"))
+    )
+    return (
+        pairs.orderBy(F.col("score").desc(), F.col("id_a").asc(), F.col("id_b").asc())
+        .limit(max_pairs)
     )
 
 

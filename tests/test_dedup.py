@@ -138,3 +138,29 @@ def test_lsh_bucket_stats(spark, docs):
     assert row["n_buckets"] > 0
     assert row["max_bucket"] >= 2          # the exact dups share all buckets
     assert row["candidate_pairs"] >= 1
+
+
+def test_connected_components_chain_and_singletons(spark):
+    """A chain a-b, b-c, c-d needs multiple propagation rounds; e-f is a
+    separate component; g is a singleton."""
+    from sgpt_spark.operators.dedup import connected_components
+
+    nodes = spark.createDataFrame([(i,) for i in range(1, 8)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (5, 6)], "id_a long, id_b long"
+    )
+    got = {r["doc_id"]: r["cluster_id"] for r in
+           connected_components(nodes, pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5, 7: 7}
+
+
+def test_dedup_clusters_over_planted_dups(spark, docs):
+    from sgpt_spark.operators.dedup import dedup_clusters
+
+    got = {r["doc_id"]: r["cluster_id"] for r in
+           dedup_clusters(docs, threshold=0.5).collect()}
+    # 1,2 exact dups and 3 near-dup of 1 -> one cluster rooted at 1;
+    # 4 alone; 5,6 exact dups but too short for 3-gram shingles -> the
+    # jaccard edge set misses them (each its own cluster)
+    assert got[1] == got[2] == got[3] == 1
+    assert got[4] == 4

@@ -73,3 +73,50 @@ def test_lsh_recall(spark, emb, qvecs):
         for _, v, s in ah:
             if v in tmap:
                 assert math.isclose(s, tmap[v], abs_tol=1e-6)
+
+
+def test_dot_topk_matches_exhaustive(spark, emb):
+    """score_function='dot' through the chunked scan == JVM pairwise dot."""
+    from pyspark.sql import functions as F
+
+    from sgpt_spark.operators.similarity import cosine_topk
+    from sgpt_spark.operators.topk import topk_per_group
+
+    queries = emb.filter(F.col("vec_id") % 17 == 0).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    got = sorted(tuple(r) for r in
+                 cosine_topk(emb, queries, k=5, score_function="dot").collect())
+    q = queries.select("qid", F.col("embedding").cast("array<double>").alias("qe"))
+    e = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("de"))
+    dot = F.aggregate(F.zip_with("qe", "de", lambda a, b: a * b), F.lit(0.0),
+                      lambda acc, x: acc + x)
+    scored = e.crossJoin(F.broadcast(q)).select(
+        "qid", "vec_id", F.round(dot, 6).alias("score"))
+    want = sorted(tuple(r) for r in topk_per_group(
+        scored, group_col="qid", score_col="score", id_col="vec_id", k=5
+    ).select("qid", "vec_id", "score", "rank").collect())
+    assert got == want
+
+
+def test_paraphrase_mining_exact_vs_bruteforce(spark, emb):
+    import itertools
+
+    import numpy as np
+
+    from sgpt_spark.operators.similarity import paraphrase_mining
+
+    rows = emb.limit(60).collect()
+    vecs = {r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64) for r in rows}
+    sub = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in vecs.items()], "vec_id long, embedding array<double>"
+    )
+    want = []
+    for a, b in itertools.combinations(sorted(vecs), 2):
+        va, vb = vecs[a], vecs[b]
+        s = float(va @ vb / max(np.linalg.norm(va) * np.linalg.norm(vb), 1e-12))
+        want.append((round(s, 6), a, b))
+    want.sort(key=lambda t: (-t[0], t[1], t[2]))
+    got = [(r["score"], r["id_a"], r["id_b"])
+           for r in paraphrase_mining(sub, max_pairs=25).collect()]
+    assert got == [(s, a, b) for s, a, b in want[:25]]

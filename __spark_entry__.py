@@ -330,6 +330,15 @@ def _q_average_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
     return average_precision(base)
 
 
+def _q_embedding_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection + overlap-free assignment (util.py:299-347,
+    432-446 semantics, made deterministic via connected components)."""
+    from sgpt_spark.operators.similarity import embedding_communities
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_communities(emb, threshold=0.4, min_size=2)
+
+
 def _q_lsh_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sgpt_spark.operators.similarity import lsh_cosine_topk
 
@@ -406,6 +415,14 @@ def _q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sgpt_spark.operators.multimodal import generate_media, sample_video_frames
 
     return sample_video_frames(generate_media(spark, 300, partitions=4))
+
+
+def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (batch twin of the stateful streaming
+    operator in operators/sessions.py) over the events table."""
+    from sgpt_spark.operators.sessions import sessionize
+
+    return sessionize(load_table(spark, sf_dir, "events"), gap_seconds=28_800)
 
 
 def _q_udf_log_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -531,6 +548,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "paraphrase_mining_top": _q_paraphrase_mining,
         "dedup_clusters": _q_dedup_clusters,
         "average_precision_global": _q_average_precision,
+        "embedding_communities": _q_embedding_communities,
         "lsh_cosine_topk": _q_lsh_cosine_topk,      # rows-only (approximate)
         "text_profile": _q_text_profile,
         "rolling_fingerprints": _q_rolling_fps,     # rows-only (hash-dependent)
@@ -539,6 +557,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_frame_sample": _q_media_frames,      # rows-only (stub decoder)
         "bm25_rerank_top10": _q_rerank,
         "dense_cosine_topk": _q_dense_cosine,       # rows-only (hash encoder)
+        "sessionize": _q_sessionize,
         "udf_log_mode": _q_udf_log_mode,
         "doc_truncation": _q_doc_truncation,
         "truncation_stats": _q_truncation_stats,
@@ -875,6 +894,30 @@ WITH RECURSIVE pairs AS ({_NGRAM_SQL.strip()}),
 SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node
 """
 
+_COMMUNITIES_SQL = """
+WITH RECURSIVE p AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                     b.embedding::DOUBLE[]), 6) >= 0.4
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM p
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM p
+),
+reach(node, r) AS (
+  SELECT vec_id, vec_id FROM embeddings
+  UNION
+  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.node
+),
+comp AS (SELECT node, min(r) AS community_id FROM reach GROUP BY node),
+sizes AS (SELECT community_id, count(*) AS sz FROM comp GROUP BY community_id)
+SELECT c.node AS vec_id, c.community_id
+FROM comp c JOIN sizes s ON c.community_id = s.community_id
+WHERE s.sz >= 2
+"""
+
 _AP_SQL = """
 WITH base AS (
   SELECT doc_id,
@@ -1130,6 +1173,7 @@ def oracle_sql() -> dict[str, str]:
         "paraphrase_mining_top": _PARAPHRASE_SQL,
         "dedup_clusters": _DEDUP_CLUSTERS_SQL,
         "average_precision_global": _AP_SQL,
+        "embedding_communities": _COMMUNITIES_SQL,
         "minhash_lsh_pairs_md5": _minhash_md5_sql(16, 8, 0.2),
         "window_fingerprints": _WINDOW_FPS_SQL,
         "bm25_noself_top10": _bm25_sql(10, exclude_self=True),
@@ -1182,6 +1226,31 @@ def oracle_sql() -> dict[str, str]:
         "event_type_counts": """
             SELECT event_type, count(*) AS n FROM events
             GROUP BY event_type ORDER BY n DESC, event_type ASC LIMIT 10
+        """,
+        "sessionize": """
+            WITH e AS (
+              SELECT event_id, ts, CAST(floor(epoch(ts)) AS BIGINT) AS t,
+                     user_id, value
+              FROM events
+            ),
+            f AS (
+              SELECT user_id, ts, event_id, t, value,
+                     CASE WHEN lag(t) OVER w IS NULL
+                               OR t - lag(t) OVER w > 28800
+                          THEN 1 ELSE 0 END AS nw
+              FROM e
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ),
+            g AS (
+              SELECT user_id, t, value,
+                     sum(nw) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seq
+              FROM f
+            )
+            SELECT user_id, CAST(seq AS INTEGER) AS session_seq,
+                   min(t) AS start_ts, max(t) AS end_ts,
+                   count(*) AS n_events, round(sum(value), 6) AS sum_value
+            FROM g GROUP BY user_id, seq
         """,
         "udf_log_mode": """
             SELECT doc_id,

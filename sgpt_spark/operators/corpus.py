@@ -44,6 +44,26 @@ def normalize_newlines(text: Column) -> Column:
     return F.regexp_replace(text, "\n", " ")
 
 
+def order_by_length(
+    df: DataFrame, text_col: str = "text", desc: bool = True, within_partitions: bool = True
+) -> DataFrame:
+    """Length-ordered corpus — the reference's batching perf tactic
+    (exact_search.py:64-71 longest-first corpus sort;
+    SentenceTransformer.py:148-149 length-sorted encode batching): rows
+    of similar length land in the same Arrow batch, so padded/vectorized
+    UDFs waste less work and OOM on the longest batch surfaces first.
+
+    ``within_partitions=True`` (default) sorts without any shuffle —
+    batching benefits are per-batch anyway; set False for a global
+    range-partitioned order when downstream wants monotone lengths.
+    """
+    key = F.length(F.coalesce(F.col(text_col), F.lit("")))
+    key = key.desc() if desc else key.asc()
+    if within_partitions:
+        return df.sortWithinPartitions(key)
+    return df.orderBy(key)
+
+
 def truncate_chars(text: Column, max_chars: int, ellipsis: str = "...") -> Column:
     """Cap strings at ``max_chars`` characters, appending ``ellipsis``
     when something was cut (plugin_io_utils.py:45-62 semantics: the

@@ -189,6 +189,57 @@ def paraphrase_mining(
     )
 
 
+def embedding_communities(
+    embeddings: DataFrame,
+    threshold: float = 0.8,
+    min_size: int = 2,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """-> (vec_id, community_id) for vectors in communities of
+    >= min_size mutually-reachable (cosine >= threshold) members — the
+    distributed re-expression of the reference's community detection +
+    greedy overlap removal (sentence-transformers util.py:299-347,
+    432-446). Where the reference greedily drops overlapping
+    communities (order-dependent), this computes connected components of
+    the threshold graph: deterministic, order-free, and each vector
+    belongs to exactly one community by construction.
+
+    Plan: exact threshold pairs via the per-item top-k scan is wrong
+    (a community member can have more than k neighbors), so pairs come
+    from the JVM pairwise path restricted by a broadcast — at web scale
+    swap in lsh-bucketed candidate generation; the component step is
+    shared with dedup.connected_components.
+    """
+    from sgpt_spark.operators.dedup import connected_components
+
+    e1 = embeddings.select(
+        F.col(id_col).alias("id_a"), F.col(emb_col).cast("array<double>").alias("ea")
+    )
+    e2 = embeddings.select(
+        F.col(id_col).alias("id_b"), F.col(emb_col).cast("array<double>").alias("eb")
+    )
+    dot = F.aggregate(
+        F.zip_with("ea", "eb", lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
+    )
+    pairs = (
+        e1.join(F.broadcast(e2), F.col("id_a") < F.col("id_b"))
+        .withColumn("score", F.round(dot / (norm(F.col("ea")) * norm(F.col("eb"))), SCORE_DECIMALS))
+        .filter(F.col("score") >= threshold)
+        .select("id_a", "id_b")
+    )
+    nodes = embeddings.select(F.col(id_col).alias("doc_id"))
+    comp = connected_components(nodes, pairs)
+    sizes = comp.groupBy("cluster_id").agg(F.count("*").alias("sz"))
+    return (
+        comp.join(sizes.filter(F.col("sz") >= min_size), "cluster_id")
+        .select(F.col("doc_id").alias("vec_id"), F.col("cluster_id").alias("community_id"))
+    )
+
+
 def lsh_cosine_topk(
     embeddings: DataFrame,
     queries: DataFrame,

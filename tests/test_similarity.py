@@ -120,3 +120,37 @@ def test_paraphrase_mining_exact_vs_bruteforce(spark, emb):
     got = [(r["score"], r["id_a"], r["id_b"])
            for r in paraphrase_mining(sub, max_pairs=25).collect()]
     assert got == [(s, a, b) for s, a, b in want[:25]]
+
+
+def test_embedding_communities(spark):
+    import numpy as np
+
+    from sgpt_spark.operators.similarity import embedding_communities
+
+    rng = np.random.default_rng(3)
+    # two tight communities + isolated noise points
+    c1 = rng.standard_normal(8)
+    c2 = rng.standard_normal(8)
+    rows = []
+    for i in range(4):
+        rows.append((i, (c1 + rng.standard_normal(8) * 0.05).tolist()))
+    for i in range(4, 7):
+        rows.append((i, (c2 + rng.standard_normal(8) * 0.05).tolist()))
+    for i in range(7, 10):
+        rows.append((i, rng.standard_normal(8).tolist()))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {r["vec_id"]: r["community_id"] for r in
+           embedding_communities(emb, threshold=0.95, min_size=2).collect()}
+    assert {k for k in got if got[k] == 0} == {0, 1, 2, 3}
+    assert {k for k in got if got[k] == 4} == {4, 5, 6}
+    assert not any(k >= 7 for k in got)  # noise filtered by min_size
+
+
+def test_order_by_length(spark):
+    from sgpt_spark.operators.corpus import order_by_length
+
+    df = spark.createDataFrame(
+        [("a",), ("dddd",), ("ccc",), (None,), ("bb",)], "text string"
+    ).coalesce(1)
+    got = [r["text"] for r in order_by_length(df).collect()]
+    assert got == ["dddd", "ccc", "bb", "a", None]

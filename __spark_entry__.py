@@ -330,6 +330,25 @@ def _q_average_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
     return average_precision(base)
 
 
+def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat ANN: deterministic centroids + Lloyd refinement + n_probe
+    inverted-list search (rows-only: approximate by design; the full-
+    probe twin below is the value gate)."""
+    from sgpt_spark.operators.similarity import ivf_cosine_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_cosine_topk(emb, _emb_queries(spark, sf_dir), k=10, n_centroids=16, n_probe=4)
+
+
+def _q_ivf_full_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with n_probe == n_centroids probes every list -> must be
+    EXACTLY the brute-force cosine top-k (value-gated)."""
+    from sgpt_spark.operators.similarity import ivf_cosine_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_cosine_topk(emb, _emb_queries(spark, sf_dir), k=10, n_centroids=8, n_probe=8)
+
+
 def _q_embedding_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Community detection + overlap-free assignment (util.py:299-347,
     432-446 semantics, made deterministic via connected components)."""
@@ -549,6 +568,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": _q_dedup_clusters,
         "average_precision_global": _q_average_precision,
         "embedding_communities": _q_embedding_communities,
+        "ivf_cosine_topk": _q_ivf_topk,             # rows-only (approximate)
+        "ivf_full_probe_topk": _q_ivf_full_probe,
         "lsh_cosine_topk": _q_lsh_cosine_topk,      # rows-only (approximate)
         "text_profile": _q_text_profile,
         "rolling_fingerprints": _q_rolling_fps,     # rows-only (hash-dependent)
@@ -1174,6 +1195,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_clusters": _DEDUP_CLUSTERS_SQL,
         "average_precision_global": _AP_SQL,
         "embedding_communities": _COMMUNITIES_SQL,
+        "ivf_full_probe_topk": _COSINE_SQL,
         "minhash_lsh_pairs_md5": _minhash_md5_sql(16, 8, 0.2),
         "window_fingerprints": _WINDOW_FPS_SQL,
         "bm25_noself_top10": _bm25_sql(10, exclude_self=True),

@@ -94,6 +94,17 @@ def main() -> None:
     timings["index_build"] = round(build_s, 3)
     docs_per_sec = meta.n_docs / build_s
 
+    # --- standard-analyzer build (the ES-parity analysis chain) ----------
+    from sgpt_spark.functions.analyzer import analyze_py
+
+    t0 = time.time()
+    build_index(docs, "/dev/shm/sgpt_bench_index_std",
+                segment_size=max(N_DOCS // CPUS, 10_000),
+                py_tokenizer=analyze_py)
+    std_s = time.time() - t0
+    timings["index_build_standard"] = round(std_s, 3)
+    std_docs_per_sec = meta.n_docs / std_s
+
     # --- query throughput through the compressed index ------------------
     postings, _ = read_index(spark, "/dev/shm/sgpt_bench_index")
     docs.persist()
@@ -148,6 +159,7 @@ def main() -> None:
         "bench_docs": meta.n_docs,
         "bench_queries": n_q,
         "query_qps": round(qps, 1),
+        "std_index_docs_per_sec": round(std_docs_per_sec, 1),
         "rank_identity_rate": identity_rate,
         "result_rows": n_hits,
         "cpus": CPUS,

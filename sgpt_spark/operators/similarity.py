@@ -189,6 +189,127 @@ def paraphrase_mining(
     )
 
 
+def ivf_cosine_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    n_iters: int = 2,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    qid_col: str = "qid",
+    qemb_col: str = "embedding",
+) -> DataFrame:
+    """IVF-flat approximate cosine top-k — the inverted-file ANN scale
+    path next to ``lsh_cosine_topk``.
+
+    Build: deterministic seed centroids (xxhash64-sampled vectors — no
+    RNG, reproducible across runs/partitionings), refined by ``n_iters``
+    Lloyd iterations executed as DataFrame ops (assign via broadcast
+    centroid matmul in mapInPandas, re-center via groupBy(avg)); then
+    every vector is assigned to its nearest centroid (the inverted
+    lists).
+
+    Query: each query probes its ``n_probe`` nearest centroids
+    (driver-side — centroid count is small by construction); candidates
+    are the union of those lists, exactly rescored, top-k with the
+    engine tie-break. Scan cost per query ~ n_probe/n_centroids of the
+    corpus instead of all of it; at 10^9+ vectors this is the standard
+    recall/throughput dial (n_probe up = recall up).
+    """
+    spark = embeddings.sparkSession
+    qrows = [(r[qid_col], r[qemb_col]) for r in queries.collect()]
+    if not qrows:
+        return spark.createDataFrame([], "qid long, vec_id long, score double, rank int")
+
+    # --- seed centroids: hash-sampled vectors, unit-normalized --------
+    n_emb = embeddings.count()
+    stride = max(n_emb // n_centroids, 1)
+    seeds = (
+        embeddings.select(F.col(id_col).alias("_id"), F.col(emb_col).alias("_emb"))
+        .filter(F.xxhash64(F.col("_id")) % stride == 0)
+        .orderBy("_id")
+        .limit(n_centroids)
+        .collect()
+    )
+    cent = np.asarray([r["_emb"] for r in seeds], dtype=np.float64)
+    cent = cent / np.maximum(np.linalg.norm(cent, axis=1, keepdims=True), 1e-12)
+
+    src = embeddings.select(F.col(id_col).alias("_id"), F.col(emb_col).alias("_emb"))
+    id_t = embeddings.schema[id_col].dataType.simpleString()
+
+    def assigner(centroids: np.ndarray):
+        bc = spark.sparkContext.broadcast(centroids)
+
+        def assign(batches):
+            c = bc.value
+            for pdf in batches:
+                mat = np.asarray(pdf["_emb"].tolist(), dtype=np.float64)
+                mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+                cl = np.argmax(mat @ c.T, axis=1)
+                yield pd.DataFrame({"vec_id": pdf["_id"].to_numpy(), "cluster": cl.astype(np.int32)})
+
+        return src.mapInPandas(assign, schema=f"vec_id {id_t}, cluster int")
+
+    # --- Lloyd refinement: assign -> per-cluster mean (spherical) -----
+    for _ in range(max(n_iters, 0)):
+        assigned = assigner(cent)
+        sums = (
+            assigned.join(src, assigned["vec_id"] == src["_id"])
+            .select("cluster", F.col("_emb").cast("array<double>").alias("e"))
+            .groupBy("cluster")
+            .agg(
+                F.count("*").alias("n"),
+                *[F.sum(F.element_at("e", i + 1)).alias(f"s{i}") for i in range(cent.shape[1])],
+            )
+            .collect()
+        )
+        new_cent = cent.copy()
+        for r in sums:
+            v = np.asarray([r[f"s{i}"] for i in range(cent.shape[1])], dtype=np.float64)
+            nrm = np.linalg.norm(v)
+            if nrm > 1e-12:
+                new_cent[r["cluster"]] = v / nrm
+        cent = new_cent
+
+    lists = assigner(cent)  # final inverted lists
+
+    # --- probe: per query, its n_probe nearest centroids --------------
+    qids, qmat = _as_matrix(qrows)
+    qn = qmat / np.maximum(np.linalg.norm(qmat, axis=1, keepdims=True), 1e-12)
+    sims = qn @ cent.T
+    probe_rows = []
+    for qi, qid in enumerate(qids):
+        top = np.argsort(-sims[qi], kind="stable")[:n_probe]
+        probe_rows.extend((qid, int(c)) for c in top)
+    qid_t = queries.schema[qid_col].dataType.simpleString()
+    probes = spark.createDataFrame(probe_rows, f"qid {qid_t}, cluster int")
+
+    cand = lists.join(F.broadcast(probes), "cluster").select("qid", "vec_id")
+    q = queries.select(
+        F.col(qid_col).alias("qid"), F.col(qemb_col).cast("array<double>").alias("qemb")
+    )
+    e = embeddings.select(
+        F.col(id_col).alias("vec_id"), F.col(emb_col).cast("array<double>").alias("demb")
+    )
+    dot = F.aggregate(
+        F.zip_with("qemb", "demb", lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
+    )
+    scored = (
+        cand.join(e, "vec_id")
+        .join(F.broadcast(q), "qid")
+        .withColumn("score", dot / (norm(F.col("qemb")) * norm(F.col("demb"))))
+        .select("qid", "vec_id", "score")
+    )
+    return topk_per_group(scored, group_col="qid", score_col="score", id_col="vec_id", k=k).select(
+        "qid", "vec_id", "score", "rank"
+    )
+
+
 def embedding_communities(
     embeddings: DataFrame,
     threshold: float = 0.8,

@@ -154,3 +154,36 @@ def test_order_by_length(spark):
     ).coalesce(1)
     got = [r["text"] for r in order_by_length(df).collect()]
     assert got == ["dddd", "ccc", "bb", "a", None]
+
+
+def test_ivf_recall_vs_bruteforce(spark, emb):
+    from sgpt_spark.operators.similarity import cosine_topk, ivf_cosine_topk
+
+    queries = emb.filter(F.col("vec_id") % 23 == 0).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    exact = {}
+    for r in cosine_topk(emb, queries, k=10).collect():
+        exact.setdefault(r["qid"], set()).add(r["vec_id"])
+    approx = {}
+    for r in ivf_cosine_topk(emb, queries, k=10, n_centroids=8, n_probe=4).collect():
+        approx.setdefault(r["qid"], set()).add(r["vec_id"])
+    recalls = [len(exact[q] & approx.get(q, set())) / len(exact[q]) for q in exact]
+    assert sum(recalls) / len(recalls) >= 0.8
+    # full probe (n_probe == n_centroids) must be exact
+    full = {}
+    for r in ivf_cosine_topk(emb, queries, k=10, n_centroids=8, n_probe=8).collect():
+        full.setdefault(r["qid"], set()).add(r["vec_id"])
+    assert full == exact
+
+
+def test_ivf_deterministic(spark, emb):
+    from sgpt_spark.operators.similarity import ivf_cosine_topk
+
+    queries = emb.filter(F.col("vec_id") % 31 == 0).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    a = sorted(tuple(r) for r in ivf_cosine_topk(emb, queries, k=5).collect())
+    b = sorted(tuple(r) for r in
+               ivf_cosine_topk(emb.repartition(7), queries, k=5).collect())
+    assert a == b

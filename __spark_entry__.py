@@ -436,6 +436,25 @@ def _q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_video_frames(generate_media(spark, 300, partitions=4))
 
 
+def _q_media_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sgpt_spark.operators.multimodal import audio_stats, generate_media
+
+    return audio_stats(generate_media(spark, 300, partitions=4))
+
+
+def _q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-in/binary-out resize plumbing; payload digested to md5 for
+    the gate (driver canonicalizer needs scalar columns)."""
+    from sgpt_spark.operators.multimodal import generate_media, resize_images
+
+    out = resize_images(generate_media(spark, 300, partitions=4), out_w=8, out_h=6)
+    return out.select(
+        "media_id", "width", "height",
+        F.md5(F.col("payload")).alias("payload_md5"),
+        F.octet_length("payload").alias("n_bytes"),
+    )
+
+
 def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (batch twin of the stateful streaming
     operator in operators/sessions.py) over the events table."""
@@ -576,6 +595,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_fingerprints": _q_window_fps,       # full value oracle
         "media_image_features": _q_media_features,  # rows-only (stub decoder)
         "media_frame_sample": _q_media_frames,      # rows-only (stub decoder)
+        "media_audio_stats": _q_media_audio,        # rows-only (stub decoder)
+        "media_resize": _q_media_resize,            # rows-only (stub decoder)
         "bm25_rerank_top10": _q_rerank,
         "dense_cosine_topk": _q_dense_cosine,       # rows-only (hash encoder)
         "sessionize": _q_sessionize,

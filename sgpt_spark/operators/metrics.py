@@ -114,8 +114,10 @@ def per_query_metrics_at(
     grid = n_rel.crossJoin(
         results.sparkSession.createDataFrame([(k,) for k in ks], "k int")
     )
+    # both sides are |queries| x |k_values| rows — broadcast the probe
+    # side so the plan never sort-merge-joins at scale
     joined = (
-        grid.join(per_q, ["qid", "k"], "left")
+        grid.join(F.broadcast(per_q), ["qid", "k"], "left")
         .fillna(0.0, subset=["dcg", "precision_sum", "mrr"])
         .fillna(0, subset=["hits"])
     )

@@ -13,6 +13,10 @@ Subcommands:
                simhash|clusters] [--threshold J]
   profile      --docs <parquet> --out <dir>   (per-doc text profile)
   sessionize   --events <parquet> --out <dir> [--gap-seconds N]
+  beir         --corpus corpus.jsonl --queries queries.jsonl
+               --qrels qrels.tsv --out <dir> [--k-values ...]
+               [--analyzer standard|whitespace] [--rerank-top-k N]
+               [--exclude-self]   (the reference's whole run_bm25 flow)
   bench        (see bench.py at the repo root)
 
 Example cluster launch:
@@ -103,6 +107,24 @@ def cmd_evaluate(args) -> None:
     )
 
 
+def cmd_beir(args) -> None:
+    from sgpt_spark.plans.beir import run_beir_bm25
+
+    spark = _spark("sgpt-beir")
+    ks = tuple(int(x) for x in args.k_values.split(","))
+    metrics = run_beir_bm25(
+        spark, args.corpus, args.queries, args.qrels, args.out,
+        k_values=ks, analyzer=args.analyzer,
+        rerank_top_k=args.rerank_top_k, exclude_self=args.exclude_self,
+    )
+    for row in metrics.orderBy("k").collect():
+        k = row["k"]
+        print(
+            f"nDCG@{k}={row['ndcg']} MAP@{k}={row['map']} MRR@{k}={row['mrr']} "
+            f"P@{k}={row['precision']} R@{k}={row['recall']}"
+        )
+
+
 def cmd_dedup(args) -> None:
     spark = _spark("sgpt-dedup")
     docs = spark.read.parquet(args.docs)
@@ -176,6 +198,17 @@ def main(argv: list[str] | None = None) -> None:
     e.add_argument("--k", type=int, default=10)
     e.add_argument("--k-values", default=None, help="comma list, e.g. 1,3,5,10,100,1000")
     e.set_defaults(fn=cmd_evaluate)
+
+    br = sub.add_parser("beir")
+    br.add_argument("--corpus", required=True)
+    br.add_argument("--queries", required=True)
+    br.add_argument("--qrels", required=True)
+    br.add_argument("--out", required=True)
+    br.add_argument("--k-values", default="1,3,5,10,100,1000")
+    br.add_argument("--analyzer", choices=["whitespace", "standard"], default="standard")
+    br.add_argument("--rerank-top-k", type=int, default=None)
+    br.add_argument("--exclude-self", action="store_true")
+    br.set_defaults(fn=cmd_beir)
 
     d = sub.add_parser("dedup")
     d.add_argument("--docs", required=True)

@@ -1,0 +1,107 @@
+"""The reference's whole BM25 benchmark lifecycle as one callable —
+entry point A end to end (SURVEY.md §3.1, crossencoder_beir_bm25.ipynb
+cells 2-16):
+
+  load corpus/queries/qrels (BEIR JSONL/TSV)           cell 9
+  -> index build (ES delegated there; native here)     cell 10
+  -> top-k retrieval (k = max(k_values), default 1000) cell 10, :307-310
+  -> optional cross-encoder rerank of the top slice    sgptce.py:343
+  -> persist the run                                   cell 11
+  -> evaluate at every cutoff in k_values              cell 12
+
+A reference user's `run_bm25(dataset)` maps 1:1 onto this function.
+
+Engine notes: BEIR ids are strings; the compressed index wants dense
+int64 ids, so the pipeline assigns deterministic ids keyed on the
+external id, searches, and joins the external ids back (the id side
+table is |corpus| x 2 columns — the join is a broadcast of the RUN side,
+never a corpus shuffle). Document text is the title+text concat
+projection (beir_dense_retriever.py:341), analyzed with the
+Lucene-standard analyzer by default (ES parity).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sgpt_spark.functions.analyzer import analyze_py, tokenize_py_ws
+from sgpt_spark.operators.corpus import doc_fulltext
+from sgpt_spark.operators.index_search import search_index
+from sgpt_spark.operators.indexer import assign_doc_ids, build_index, read_index, release_doc_ids
+from sgpt_spark.operators.metrics import mean_metrics_at
+from sgpt_spark.sources.readers import read_beir_corpus, read_beir_qrels, read_beir_queries
+from sgpt_spark.sources.sinks import write_results_parquet
+
+DEFAULT_K_VALUES = (1, 3, 5, 10, 100, 1000)
+
+
+def run_beir_bm25(
+    spark: SparkSession,
+    corpus_path: str,
+    queries_path: str,
+    qrels_path: str,
+    out_dir: str,
+    k_values: tuple[int, ...] = DEFAULT_K_VALUES,
+    analyzer: str = "standard",
+    rerank_top_k: int | None = None,
+    exclude_self: bool = False,
+) -> DataFrame:
+    """-> metrics DataFrame (k, ndcg, map, mrr, precision, recall), one
+    row per cutoff; the ranked run is persisted at ``{out_dir}/run``
+    and the index at ``{out_dir}/index``.
+
+    ``rerank_top_k`` re-scores each query's head with the pluggable
+    pair scorer (stub CE by default) above the untouched tail
+    (sgptce.py:343 semantics). ``exclude_self`` drops doc_id == qid
+    hits (quora/cqadupstack-style query sets).
+    """
+    if analyzer not in ("whitespace", "standard"):
+        raise ValueError(f"unknown analyzer {analyzer!r}: whitespace|standard")
+    py_tok = analyze_py if analyzer == "standard" else tokenize_py_ws
+
+    corpus = read_beir_corpus(spark, corpus_path)
+    queries = read_beir_queries(spark, queries_path)
+    qrels = read_beir_qrels(spark, qrels_path)
+
+    # title+text concat projection; deterministic dense ids by ext-id order
+    docs_ext = corpus.select(
+        F.col("doc_id").alias("ext_id"), doc_fulltext(F.col("title"), F.col("text")).alias("text")
+    )
+    assigned = assign_doc_ids(docs_ext, id_source="ext_id")
+    docs = assigned.select("doc_id", "ext_id", "text")
+    build_index(docs.select("doc_id", "text"), f"{out_dir}/index", py_tokenizer=py_tok)
+    id_map = docs.select("doc_id", "ext_id")
+    id_map.write.mode("overwrite").parquet(f"{out_dir}/ids")
+    release_doc_ids(assigned)
+
+    postings, meta = read_index(spark, f"{out_dir}/index")
+    k = max(k_values)
+    # self-matches are defined on EXTERNAL ids (qid strings), so the
+    # filter happens after the id join: fetch one spare candidate (a
+    # query has at most one self doc), drop it, re-cut to k.
+    fetch_k = k + 1 if exclude_self else k
+    run = search_index(spark, postings, meta, queries, k=fetch_k)
+    # internal ids -> external BEIR ids: broadcast the run (|q| x k rows)
+    id_map = spark.read.parquet(f"{out_dir}/ids")
+    run_ext = (
+        F.broadcast(run).join(id_map, "doc_id")
+        .select("qid", F.col("ext_id").alias("doc_id"), "score", "rank")
+    )
+    if exclude_self:
+        from sgpt_spark.operators.topk import topk_per_group
+
+        run_ext = topk_per_group(
+            run_ext.filter(F.col("doc_id") != F.col("qid")).select("qid", "doc_id", "score"),
+            k=k,
+        ).select("qid", "doc_id", "score", "rank")
+
+    if rerank_top_k is not None:
+        from sgpt_spark.operators.rerank import rerank
+
+        corpus_texts = docs.select(F.col("ext_id").alias("doc_id"), "text")
+        run_ext = rerank(run_ext, corpus_texts, queries, top_k=rerank_top_k)
+
+    write_results_parquet(run_ext, f"{out_dir}/run")
+    run_ext = spark.read.parquet(f"{out_dir}/run")
+    return mean_metrics_at(run_ext, qrels, [kv for kv in k_values if kv <= k])

@@ -1,0 +1,125 @@
+"""End-to-end BEIR lifecycle (reference entry point A): JSONL/TSV in ->
+index -> deep retrieval -> (rerank) -> run parquet -> multi-k metrics.
+The run must be rank-identical to the exhaustive DataFrame path over the
+same title+text projection and analyzer."""
+
+from __future__ import annotations
+
+import json
+import tempfile
+from pathlib import Path
+
+import pytest
+from pyspark.sql import functions as F
+
+from sgpt_spark.functions.analyzer import tokenize_standard
+from sgpt_spark.operators.corpus import doc_fulltext
+from sgpt_spark.operators.search import bm25_search
+from sgpt_spark.plans.beir import run_beir_bm25
+from sgpt_spark.sources.pages import _VOCAB, _doc_terms
+
+
+@pytest.fixture(scope="module")
+def beir_dir(spark):
+    base = Path(tempfile.mkdtemp(prefix="sgpt_beir_"))
+    corpus = base / "corpus.jsonl"
+    queries = base / "queries.jsonl"
+    qrels = base / "qrels.tsv"
+    with corpus.open("w") as fp:
+        for i in range(40):
+            body = " ".join(_VOCAB[_doc_terms(i)][:60])
+            fp.write(json.dumps({"_id": f"d{i}", "title": f"Title {i}!", "text": body}) + "\n")
+    with queries.open("w") as fp, qrels.open("w") as qf:
+        qf.write("query-id\tcorpus-id\tscore\n")
+        for i in range(0, 40, 8):
+            body = " ".join(_VOCAB[_doc_terms(i)][:60])
+            q = " ".join(body.split(" ")[:5])
+            fp.write(json.dumps({"_id": f"q{i}", "text": q.upper() + "."}) + "\n")
+            qf.write(f"q{i}\td{i}\t1\n")
+    return base
+
+
+def test_beir_pipeline_end_to_end(spark, beir_dir):
+    out = Path(tempfile.mkdtemp(prefix="sgpt_beir_out_"))
+    metrics = run_beir_bm25(
+        spark,
+        str(beir_dir / "corpus.jsonl"),
+        str(beir_dir / "queries.jsonl"),
+        str(beir_dir / "qrels.tsv"),
+        str(out),
+        k_values=(1, 3, 10),
+    ).collect()
+    m = {r["k"]: r for r in metrics}
+    assert set(m) == {1, 3, 10}
+    # known-item queries, uppercased+punctuated -> only the standard
+    # analyzer retrieves them; source doc should top every list
+    assert m[1]["ndcg"] == 1.0 and m[1]["precision"] == 1.0
+    assert m[10]["recall"] == 1.0
+    assert (out / "run").exists() and (out / "index" / "meta.json").exists()
+
+    # rank-identity vs the exhaustive path over the same projection
+    run = spark.read.parquet(str(out / "run"))
+    corpus = spark.read.json(str(beir_dir / "corpus.jsonl")).select(
+        F.col("_id").alias("doc_id"),
+        doc_fulltext(F.col("title"), F.col("text")).alias("text"),
+    )
+    queries = spark.read.json(str(beir_dir / "queries.jsonl")).select(
+        F.col("_id").alias("qid"), F.col("text").alias("query")
+    )
+    want = sorted(
+        tuple(r) for r in bm25_search(corpus, queries, k=10, tokenizer=tokenize_standard).collect()
+    )
+    got = sorted(tuple(r) for r in run.filter(F.col("rank") <= 10).collect())
+    assert got == want
+
+
+def test_beir_pipeline_rerank_and_self_exclusion(spark, beir_dir):
+    out = Path(tempfile.mkdtemp(prefix="sgpt_beir_out2_"))
+    metrics = run_beir_bm25(
+        spark,
+        str(beir_dir / "corpus.jsonl"),
+        str(beir_dir / "queries.jsonl"),
+        str(beir_dir / "qrels.tsv"),
+        str(out),
+        k_values=(1, 10),
+        rerank_top_k=3,
+    ).collect()
+    assert {r["k"] for r in metrics} == {1, 10}
+    run = spark.read.parquet(str(out / "run"))
+    # tail below the reranked head keeps consecutive ranks
+    per_q = run.groupBy("qid").agg(F.max("rank").alias("mx"), F.count("*").alias("n")).collect()
+    assert all(r["mx"] == r["n"] for r in per_q)
+
+    # exclude_self with colliding ids: rename queries to doc ids
+    queries2 = Path(tempfile.mkdtemp(prefix="sgpt_beir_q2_")) / "queries.jsonl"
+    lines = [json.loads(l) for l in (beir_dir / "queries.jsonl").read_text().splitlines()]
+    with queries2.open("w") as fp:
+        for rec in lines:
+            rec["_id"] = "d" + rec["_id"][1:]  # q8 -> d8 (collides)
+            fp.write(json.dumps(rec) + "\n")
+    out2 = Path(tempfile.mkdtemp(prefix="sgpt_beir_out3_"))
+    run_beir_bm25(
+        spark,
+        str(beir_dir / "corpus.jsonl"),
+        str(queries2),
+        str(beir_dir / "qrels.tsv"),
+        str(out2),
+        k_values=(1, 10),
+        exclude_self=True,
+    ).collect()
+    run2 = spark.read.parquet(str(out2 / "run"))
+    assert run2.count() > 0
+    assert run2.filter(F.col("doc_id") == F.col("qid")).count() == 0
+
+
+def test_cli_beir(spark, beir_dir):
+    from sgpt_spark.cli import main
+
+    out = Path(tempfile.mkdtemp(prefix="sgpt_beir_cli_"))
+    main([
+        "beir", "--corpus", str(beir_dir / "corpus.jsonl"),
+        "--queries", str(beir_dir / "queries.jsonl"),
+        "--qrels", str(beir_dir / "qrels.tsv"),
+        "--out", str(out), "--k-values", "1,10",
+    ])
+    assert (out / "run").exists()

@@ -203,6 +203,98 @@ def encode_blocks_batch(
     return out
 
 
+def encode_blocks_arrow(
+    doc_ids: np.ndarray,
+    tfs: np.ndarray,
+    dls: np.ndarray,
+    group_starts: np.ndarray,
+    group_ends: np.ndarray,
+    block_size: int = BLOCK_SIZE,
+):
+    """Arrow-native twin of ``encode_blocks_batch``: the per-group block
+    lists come back as ONE ``pa.ListArray`` of block structs built from
+    whole-array numpy offsets and three shared byte buffers — zero
+    per-block Python objects, zero byte copies (the binary children
+    reference the varint buffers directly via offset arrays).
+
+    Requires the groups to be CONTIGUOUS ranges covering [0, n) with
+    doc_ids ascending within each group (the fused segment builder's
+    layout). Returns the ListArray; group-level stats are the caller's
+    (reduceat over group_starts, same arrays).
+    """
+    import pyarrow as pa
+
+    group_starts = np.asarray(group_starts, dtype=np.int64)
+    group_ends = np.asarray(group_ends, dtype=np.int64)
+    n = len(doc_ids)
+    struct_type = pa.struct(
+        [
+            pa.field("first_doc", pa.int64(), False),
+            pa.field("last_doc", pa.int64(), False),
+            pa.field("count", pa.int32(), False),
+            pa.field("max_tf", pa.int64(), False),
+            pa.field("min_dl", pa.int64(), False),
+            pa.field("doc_deltas", pa.binary(), False),
+            pa.field("tfs", pa.binary(), False),
+            pa.field("dls", pa.binary(), False),
+        ]
+    )
+    if n == 0:
+        empty_struct = pa.array([], type=struct_type)
+        offs = pa.array(np.zeros(len(group_starts) + 1, dtype=np.int32))
+        return pa.ListArray.from_arrays(offs, empty_struct)
+
+    sizes = group_ends - group_starts
+    nblocks = -(-sizes // block_size)
+    total_blocks = int(nblocks.sum())
+    grp_idx = np.repeat(np.arange(len(group_starts), dtype=np.int64), nblocks)
+    block_cum = np.concatenate(([0], np.cumsum(nblocks)))
+    within = np.arange(total_blocks, dtype=np.int64) - block_cum[grp_idx]
+    blk_starts = group_starts[grp_idx] + within * block_size
+    blk_ends = np.minimum(blk_starts + block_size, group_ends[grp_idx])
+
+    is_start = np.zeros(n, dtype=bool)
+    is_start[blk_starts] = True
+    deltas = np.empty(n, dtype=np.uint64)
+    deltas[0] = 0
+    deltas[1:] = (doc_ids[1:] - doc_ids[:-1]).astype(np.uint64)
+    keep = ~is_start
+    d_bytes, d_off = varint_encode_with_offsets(deltas[keep])
+    kept_pos = np.cumsum(keep) - 1
+    t_bytes, t_off = varint_encode_with_offsets(np.asarray(tfs, dtype=np.uint64))
+    l_bytes, l_off = varint_encode_with_offsets(np.asarray(dls, dtype=np.uint64))
+
+    def bin_array(data: np.ndarray, offsets64: np.ndarray) -> "pa.Array":
+        offs32 = offsets64.astype(np.int32)
+        return pa.Array.from_buffers(
+            pa.binary(),
+            len(offsets64) - 1,
+            [None, pa.py_buffer(offs32.tobytes()), pa.py_buffer(data.tobytes())],
+        )
+
+    # blocks are contiguous over [0, n), so each byte column's offsets
+    # are just the per-value offset table sampled at block boundaries
+    tfs_offsets = t_off[np.append(blk_starts, n)]
+    dls_offsets = l_off[np.append(blk_starts, n)]
+    # block i's deltas = kept deltas of postings (start, end) — kept
+    # positions are contiguous across blocks (block-start deltas dropped)
+    deltas_offsets = np.append(d_off[kept_pos[blk_starts] + 1], d_off[-1])
+
+    children = [
+        pa.array(doc_ids[blk_starts], type=pa.int64()),
+        pa.array(doc_ids[blk_ends - 1], type=pa.int64()),
+        pa.array((blk_ends - blk_starts).astype(np.int32), type=pa.int32()),
+        pa.array(np.maximum.reduceat(np.asarray(tfs, dtype=np.int64), blk_starts), type=pa.int64()),
+        pa.array(np.minimum.reduceat(np.asarray(dls, dtype=np.int64), blk_starts), type=pa.int64()),
+        bin_array(d_bytes, deltas_offsets),
+        bin_array(t_bytes, tfs_offsets),
+        bin_array(l_bytes, dls_offsets),
+    ]
+    struct_arr = pa.StructArray.from_arrays(children, fields=list(struct_type))
+    list_offsets = pa.array(block_cum.astype(np.int32))
+    return pa.ListArray.from_arrays(list_offsets, struct_arr)
+
+
 def decode_blocks(blocks: list) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """blocks -> (doc_ids, tfs, dls) concatenated across blocks."""
     ids, tfs, dls = [], [], []

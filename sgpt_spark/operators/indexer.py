@@ -78,7 +78,10 @@ def _tokenize_codes_ws(texts) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.nd
     # large_string: 64-bit offsets, so a segment whose concatenated text
     # exceeds 2 GB still yields a single (non-chunked) Array — plain
     # string would raise/chunk right at the 100 TB-regime partition sizes.
-    arr = pa.array(texts, type=pa.large_string())
+    if isinstance(texts, pa.Array):
+        arr = texts.cast(pa.large_string())
+    else:
+        arr = pa.array(texts, type=pa.large_string())
     split = pc.split_pattern(pc.coalesce(arr, pa.scalar("", type=pa.large_string())), " ")
     raw_lens = pc.list_value_length(split).to_numpy(zero_copy_only=False).astype(np.int64)
     flat = pc.list_flatten(split)
@@ -128,7 +131,10 @@ def _tokenize_codes_standard(texts) -> tuple[np.ndarray, np.ndarray, np.ndarray,
         pa.set_cpu_count(1)  # see _tokenize_codes_ws (process-global)
         _ARROW_POOL_CAPPED = True
 
-    arr = pa.array(texts, type=pa.large_string())
+    if isinstance(texts, pa.Array):
+        arr = texts.cast(pa.large_string())
+    else:
+        arr = pa.array(texts, type=pa.large_string())
     lowered = pc.utf8_lower(pc.coalesce(arr, pa.scalar("", type=pa.large_string())))
     # one RE2 pass: junk runs OR double-apostrophe runs -> space
     cleaned = pc.replace_substring_regex(
@@ -446,6 +452,110 @@ def _encode_segment(
     yield pd.concat([out, stats_row()], ignore_index=True) if emit_stats else out
 
 
+def _encode_segment_arrow(
+    batches,
+    py_tokenizer,
+    text_col: str,
+    emit_stats: bool,
+):
+    """Arrow-native twin of ``_encode_segment`` for ``mapInArrow``: text
+    never round-trips through pandas, the posting relation is emitted as
+    Arrow arrays built from whole-array numpy offsets (zero per-block
+    Python objects — see compress.encode_blocks_arrow). Used for the
+    built-in analyzers; custom tokenizers take the pandas path.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from sgpt_spark.functions.analyzer import analyze_py as _std
+    from sgpt_spark.functions.analyzer import tokenize_py_ws as _ws
+    from sgpt_spark.functions.compress import encode_blocks_arrow
+
+    chunks = list(batches)
+    if not chunks:
+        return
+    ids_chunks = [b.column("doc_id") for b in chunks]
+    txt_chunks = [b.column(text_col) for b in chunks]
+    seg = int(chunks[0].column("_seg")[0].as_py())
+    ids = pa.chunked_array(ids_chunks).combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+    texts = pa.chunked_array(txt_chunks).combine_chunks()
+    order = np.argsort(ids, kind="stable")
+    ids = ids[order]
+    texts = texts.take(pa.array(order))
+    if py_tokenizer is _ws:
+        codes, doc_idx, lens, terms_arr = _tokenize_codes_ws(texts)
+    elif py_tokenizer is _std:
+        codes, doc_idx, lens, terms_arr = _tokenize_codes_standard(texts)
+    else:  # pragma: no cover — callers route custom tokenizers to pandas
+        codes, doc_idx, lens, terms_arr = _tokenize_codes_py(
+            texts.to_pandas(), py_tokenizer
+        )
+
+    blocks_type = pa.list_(
+        pa.struct(
+            [
+                pa.field("first_doc", pa.int64(), False),
+                pa.field("last_doc", pa.int64(), False),
+                pa.field("count", pa.int32(), False),
+                pa.field("max_tf", pa.int64(), False),
+                pa.field("min_dl", pa.int64(), False),
+                pa.field("doc_deltas", pa.binary(), False),
+                pa.field("tfs", pa.binary(), False),
+                pa.field("dls", pa.binary(), False),
+            ]
+        )
+    )
+    names = ["term", "segment", "df", "max_tf", "min_dl", "blocks"]
+
+    def stats_batch() -> pa.RecordBatch:
+        trimmed = pc.utf8_trim(
+            pc.coalesce(texts.cast(pa.large_string()), pa.scalar("", pa.large_string())),
+            characters=" ",
+        )
+        nonempty = int(pc.sum(pc.not_equal(trimmed, "").cast(pa.int64())).as_py() or 0)
+        return pa.RecordBatch.from_arrays(
+            [
+                pa.array([None], pa.string()),
+                pa.array([seg], pa.int32()),
+                pa.array([nonempty], pa.int64()),
+                pa.array([int(lens.sum())], pa.int64()),
+                pa.array([int(ids[-1]) if len(ids) else 0], pa.int64()),
+                pa.array([[]], blocks_type),
+            ],
+            names=names,
+        )
+
+    if len(codes) == 0:
+        if emit_stats and len(ids):
+            yield stats_batch()
+        return
+    key = codes * len(ids) + doc_idx
+    uk, counts = np.unique(key, return_counts=True)
+    p_code = uk // len(ids)
+    p_docidx = uk % len(ids)
+    p_doc = ids[p_docidx]
+    p_tf = counts.astype(np.uint64)
+    p_dl = lens[p_docidx].astype(np.uint64)
+    bounds = np.flatnonzero(p_code[1:] != p_code[:-1]) + 1
+    starts = np.concatenate(([0], bounds))
+    ends = np.concatenate((bounds, [len(uk)]))
+    blocks = encode_blocks_arrow(p_doc, p_tf, p_dl, starts, ends)
+    batch = pa.RecordBatch.from_arrays(
+        [
+            pa.array(terms_arr[p_code[starts]], type=pa.string()),
+            pa.array(np.full(len(starts), seg, dtype=np.int32)),
+            pa.array((ends - starts).astype(np.int64)),
+            pa.array(np.maximum.reduceat(p_tf.astype(np.int64), starts)),
+            pa.array(np.minimum.reduceat(p_dl.astype(np.int64), starts)),
+            blocks,
+        ],
+        names=names,
+    )
+    yield batch
+    if emit_stats:
+        yield stats_batch()
+
+
 def build_index(
     docs: DataFrame,
     path: str,
@@ -480,9 +590,6 @@ def build_index(
     text_col = "text"
     src = docs.select("doc_id", text_col).withColumn("_seg", F.spark_partition_id())
 
-    def build_segment(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        yield from _encode_segment(batches, py_tokenizer, text_col, emit_stats=True)
-
     # POSTINGS with term nullable: sentinel stats rows carry term NULL
     schema = T.StructType(
         [
@@ -490,9 +597,24 @@ def build_index(
             for f in POSTINGS.fields
         ]
     )
-    src.mapInPandas(build_segment, schema=schema).write.mode("overwrite").parquet(
-        f"{path}/postings"
-    )
+    from sgpt_spark.functions.analyzer import analyze_py as _std_tok
+
+    if py_tokenizer in (tokenize_py_ws, _std_tok):
+        # Arrow-native end to end: text stays Arrow, the posting relation
+        # is emitted as RecordBatches with zero per-block Python objects
+        def build_segment_arrow(batches):
+            yield from _encode_segment_arrow(
+                batches, py_tokenizer, text_col, emit_stats=True
+            )
+
+        encoded = src.mapInArrow(build_segment_arrow, schema=schema)
+    else:
+
+        def build_segment(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            yield from _encode_segment(batches, py_tokenizer, text_col, emit_stats=True)
+
+        encoded = src.mapInPandas(build_segment, schema=schema)
+    encoded.write.mode("overwrite").parquet(f"{path}/postings")
     spark = docs.sparkSession
     row = (
         spark.read.parquet(f"{path}/postings")
@@ -596,11 +718,22 @@ def build_postings(
             .select("doc_id", text_col)
             .withColumn("_seg", F.spark_partition_id())
         )
+        from sgpt_spark.functions.analyzer import analyze_py as _std_tok
 
-        def build_segment(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            yield from _encode_segment(batches, py_tokenizer, text_col, emit_stats=False)
+        if py_tokenizer in (tokenize_py_ws, _std_tok):
 
-        postings = src.mapInPandas(build_segment, schema=POSTINGS)
+            def build_segment_arrow(batches):
+                yield from _encode_segment_arrow(
+                    batches, py_tokenizer, text_col, emit_stats=False
+                )
+
+            postings = src.mapInArrow(build_segment_arrow, schema=POSTINGS)
+        else:
+
+            def build_segment(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+                yield from _encode_segment(batches, py_tokenizer, text_col, emit_stats=False)
+
+            postings = src.mapInPandas(build_segment, schema=POSTINGS)
         return postings, meta
 
     # Fallback (custom JVM tokenizer without a Python twin): explode +

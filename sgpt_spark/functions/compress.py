@@ -295,6 +295,52 @@ def encode_blocks_arrow(
     return pa.ListArray.from_arrays(list_offsets, struct_arr)
 
 
+def decode_many(
+    block_lists,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Decode MANY posting rows at once -> (row_offsets int64 len r+1,
+    doc_ids, tfs, dls) flat arrays; row i's postings live at
+    [row_offsets[i], row_offsets[i+1]).
+
+    One varint pass per column over the CONCATENATED byte buffers
+    instead of three tiny passes per block — per-block numpy dispatch
+    (~70us/block) dominates ``decode_blocks`` at query time, so the
+    batch decode is ~10x faster over thousands of candidate rows.
+    Doc ids come back via a segmented cumsum (reset at block starts).
+    """
+    firsts, counts, dbytes, tbytes, lbytes = [], [], [], [], []
+    row_counts = np.zeros(len(block_lists), dtype=np.int64)
+    for ri, blocks in enumerate(block_lists):
+        tot = 0
+        for blk in blocks:
+            firsts.append(blk["first_doc"])
+            c = blk["count"]
+            counts.append(c)
+            tot += c
+            dbytes.append(bytes(blk["doc_deltas"]))
+            tbytes.append(bytes(blk["tfs"]))
+            lbytes.append(bytes(blk["dls"]))
+        row_counts[ri] = tot
+    counts_a = np.asarray(counts, dtype=np.int64)
+    firsts_a = np.asarray(firsts, dtype=np.int64)
+    n = int(counts_a.sum()) if len(counts_a) else 0
+    row_offsets = np.concatenate(([0], np.cumsum(row_counts)))
+    if n == 0:
+        z = np.empty(0, dtype=np.int64)
+        return row_offsets, z, z.astype(np.uint64), z.astype(np.uint64)
+    tfs = varint_decode(b"".join(tbytes))
+    dls = varint_decode(b"".join(lbytes))
+    deltas_all = varint_decode(b"".join(dbytes))
+    blk_starts = np.concatenate(([0], np.cumsum(counts_a)[:-1]))
+    v = np.zeros(n, dtype=np.int64)
+    mask = np.ones(n, dtype=bool)
+    mask[blk_starts] = False
+    v[mask] = deltas_all.astype(np.int64)
+    c = np.cumsum(v)
+    doc_ids = np.repeat(firsts_a, counts_a) + c - np.repeat(c[blk_starts], counts_a)
+    return row_offsets, doc_ids, tfs, dls
+
+
 def decode_blocks(blocks: list) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """blocks -> (doc_ids, tfs, dls) concatenated across blocks."""
     ids, tfs, dls = [], [], []

@@ -35,7 +35,7 @@ from pyspark.sql import functions as F
 
 from sgpt_spark.functions.analyzer import resolve_py_analyzer, tokenize_py_ws
 from sgpt_spark.functions.bm25 import idf_py
-from sgpt_spark.functions.compress import decode_blocks
+from sgpt_spark.functions.compress import decode_many
 from sgpt_spark.operators.indexer import IndexMeta
 from sgpt_spark.operators.topk import SCORE_DECIMALS, topk_per_group
 
@@ -162,15 +162,21 @@ def search_index(
 
     def score_segment_taat(pdf: pd.DataFrame) -> pd.DataFrame:
         qids_b, tmap = b_taat.value
-        # decode every candidate term once
+        # decode every candidate term once — ONE batched varint pass per
+        # column over all rows (compress.decode_many), then per-term
+        # views; the tf-norm is one vector op over all postings
+        offs, d_all, tf_all, dl_all = decode_many(list(pdf["blocks"]))
+        tfn_all = tf_all.astype(np.float64) / (
+            tf_all + k1 * (1.0 - b + b * dl_all.astype(np.float64) / avgdl)
+        )
         decoded = {}
         lo_doc, hi_doc = None, None
-        for term, blocks in zip(pdf["term"], pdf["blocks"]):
-            docs, tfs, dls = decode_blocks(blocks)
-            tfn = tfs.astype(np.float64) / (
-                tfs + k1 * (1.0 - b + b * dls.astype(np.float64) / avgdl)
-            )
-            decoded[term] = (docs, tfn)
+        for i, term in enumerate(pdf["term"]):
+            s, e = int(offs[i]), int(offs[i + 1])
+            if e == s:
+                continue
+            docs = d_all[s:e]
+            decoded[term] = (docs, tfn_all[s:e])
             lo = int(docs[0]); hi = int(docs[-1])
             lo_doc = lo if lo_doc is None else min(lo_doc, lo)
             hi_doc = hi if hi_doc is None else max(hi_doc, hi)
@@ -248,13 +254,15 @@ def search_index(
                 out_doc.extend(uniq[order].tolist())
                 out_score.extend(scores[order].tolist())
         else:
+            offs, d_all, tf_all, dl_all = decode_many(list(pdf["blocks"]))
+            tfn_all = tf_all.astype(np.float64) / (
+                tf_all + k1 * (1.0 - b + b * dl_all.astype(np.float64) / avgdl)
+            )
             decoded: dict[str, tuple[np.ndarray, np.ndarray]] = {}
-            for term, blocks in zip(pdf["term"], pdf["blocks"]):
-                docs, tfs, dls = decode_blocks(blocks)
-                tfn = tfs.astype(np.float64) / (
-                    tfs + k1 * (1.0 - b + b * dls.astype(np.float64) / avgdl)
-                )
-                decoded[term] = (docs, tfn)
+            for i, term in enumerate(pdf["term"]):
+                s, e = int(offs[i]), int(offs[i + 1])
+                if e > s:
+                    decoded[term] = (d_all[s:e], tfn_all[s:e])
             for qid, tws in b_queries.value.items():
                 present = [(t, w) for t, w in tws if t in decoded]
                 if not present:

@@ -117,3 +117,63 @@ def test_varint_known_values():
     assert varint_encode(np.array([127], dtype=np.uint64)) == b"\x7f"
     assert varint_encode(np.array([128], dtype=np.uint64)) == b"\x80\x01"
     assert varint_encode(np.array([300], dtype=np.uint64)) == b"\xac\x02"
+
+
+def test_decode_many_matches_per_row():
+    import numpy as np
+
+    from sgpt_spark.functions.compress import (
+        decode_blocks,
+        decode_many,
+        encode_blocks_batch,
+    )
+
+    rng = np.random.default_rng(5)
+    sizes = rng.integers(1, 500, 200)
+    starts = np.concatenate(([0], np.cumsum(sizes)[:-1]))
+    ends = np.cumsum(sizes)
+    n = int(ends[-1])
+    doc_ids = np.concatenate(
+        [np.sort(rng.choice(10**7, s, replace=False)) for s in sizes]
+    ).astype(np.int64)
+    tfs = rng.integers(1, 1000, n).astype(np.uint64)
+    dls = rng.integers(1, 100000, n).astype(np.uint64)
+    rows = encode_blocks_batch(doc_ids, tfs, dls, starts, ends)
+    offs, d, t, l = decode_many(rows)
+    assert offs[-1] == n
+    for i, blocks in enumerate(rows):
+        dd, tt, ll = decode_blocks(blocks)
+        s, e = offs[i], offs[i + 1]
+        assert np.array_equal(dd, d[s:e])
+        assert np.array_equal(tt, t[s:e])
+        assert np.array_equal(ll, l[s:e])
+    # empty rows interleaved
+    offs2, d2, t2, l2 = decode_many([[], rows[0], [], rows[1]])
+    assert offs2[1] == 0 and np.array_equal(d2[: offs2[2]], d[: offs[1]])
+
+
+def test_encode_blocks_arrow_matches_batch():
+    import numpy as np
+
+    from sgpt_spark.functions.compress import encode_blocks_arrow, encode_blocks_batch
+
+    rng = np.random.default_rng(9)
+    sizes = rng.integers(1, 300, 64)
+    starts = np.concatenate(([0], np.cumsum(sizes)[:-1]))
+    ends = np.cumsum(sizes)
+    n = int(ends[-1])
+    doc_ids = np.concatenate(
+        [np.sort(rng.choice(10**6, s, replace=False)) for s in sizes]
+    ).astype(np.int64)
+    tfs = rng.integers(1, 300, n).astype(np.uint64)
+    dls = rng.integers(1, 5000, n).astype(np.uint64)
+    want = encode_blocks_batch(doc_ids, tfs, dls, starts, ends)
+    got = encode_blocks_arrow(doc_ids, tfs, dls, starts, ends).to_pylist()
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        assert len(g) == len(w)
+        for bg, bw in zip(g, w):
+            for k in ("first_doc", "last_doc", "count", "max_tf", "min_dl"):
+                assert bg[k] == bw[k], k
+            for k in ("doc_deltas", "tfs", "dls"):
+                assert bytes(bg[k]) == bytes(bw[k]), k

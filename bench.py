@@ -114,7 +114,10 @@ def main() -> None:
     std_docs_per_sec = meta.n_docs / std_s
 
     # --- query throughput through the compressed index ------------------
+    from sgpt_spark.operators.indexer import read_term_stats
+
     postings, _ = read_index(spark, "/dev/shm/sgpt_bench_index")
+    tstats = read_term_stats(spark, "/dev/shm/sgpt_bench_index")
     docs.persist()
     qdf = (
         docs.filter((F.col("doc_id") % max(meta.n_docs // N_QUERIES, 1) == 0)
@@ -134,7 +137,7 @@ def main() -> None:
     n_hits = 0
     for _ in range(2):  # best-of-2, same noise rationale as the build
         t0 = time.time()
-        run = search_index(spark, postings, meta, qdf, k=10)
+        run = search_index(spark, postings, meta, qdf, k=10, term_stats=tstats)
         n_hits = run.count()
         query_s = min(query_s, time.time() - t0)
     timings["bm25_index_queries"] = round(query_s, 3)

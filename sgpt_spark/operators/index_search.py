@@ -85,6 +85,7 @@ def search_index(
     strategy: str = "taat",
     use_wand: bool | None = None,
     exclude_self: bool = False,
+    term_stats: DataFrame | None = None,
 ) -> DataFrame:
     """-> RESULTS (qid, doc_id, score, rank), rank-identical to the
     exhaustive path and the brute-force oracle under every strategy.
@@ -125,12 +126,20 @@ def search_index(
     terms = sorted({t for _, t, _ in qterms})
     cand = postings.filter(F.col("term").isin(terms))
 
-    # Global df per query term = sum of segment-local dfs — a tiny agg
-    # over candidate rows only (the "global stats" ES keeps per shard).
-    global_df = {
-        r["term"]: int(r["df"])
-        for r in cand.groupBy("term").agg(F.sum("df").alias("df")).collect()
-    }
+    # Global df per query term — from the build-time (term, df) side
+    # table when available (one pruned scan of a tiny term-sorted
+    # relation, the "global stats" ES precomputes), else a fallback agg
+    # over the candidate postings.
+    if term_stats is not None:
+        global_df = {
+            r["term"]: int(r["df"])
+            for r in term_stats.filter(F.col("term").isin(terms)).collect()
+        }
+    else:
+        global_df = {
+            r["term"]: int(r["df"])
+            for r in cand.groupBy("term").agg(F.sum("df").alias("df")).collect()
+        }
     idf = {t: idf_py(d, meta.n_docs) for t, d in global_df.items()}
 
     # qid -> [(term, weight = qtf * idf)]

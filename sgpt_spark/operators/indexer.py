@@ -639,6 +639,18 @@ def build_index(
         total_len=total_len,
         next_doc_id=(int(row["max_id"]) + 1) if row["max_id"] is not None else 0,
     )
+    # global term stats (what ES keeps as index-level stats): one
+    # column-pruned agg over the WRITTEN postings, term-sorted so query
+    # scans row-group-prune — query time then never re-aggregates df
+    (
+        spark.read.parquet(f"{path}/postings")
+        .filter(F.col("term").isNotNull())
+        .groupBy("term")
+        .agg(F.sum("df").alias("df"))
+        .sortWithinPartitions("term")
+        .write.mode("overwrite")
+        .parquet(f"{path}/termstats")
+    )
     os.makedirs(path, exist_ok=True)
     with open(f"{path}/meta.json", "w") as fp:
         json.dump(meta.__dict__, fp)
@@ -811,3 +823,14 @@ def read_index(spark, path: str) -> tuple[DataFrame, IndexMeta]:
         spark.read.parquet(f"{path}/postings").filter(F.col("term").isNotNull()),
         meta,
     )
+
+
+def read_term_stats(spark, path: str) -> DataFrame | None:
+    """(term, df) global stats written by ``build_index`` — pass to
+    ``search_index(term_stats=...)`` to skip the query-time df
+    aggregation (None for older/append-modified layouts, which fall back
+    to aggregating over the candidate postings)."""
+    import os
+
+    p = f"{path}/termstats"
+    return spark.read.parquet(p) if os.path.isdir(p) else None

@@ -77,6 +77,31 @@ def append_to_index(
     new_postings.write.mode("append").parquet(f"{index_path}/postings")
     release_doc_ids(assigned)  # terminal action done — free the ranged cache
 
+    # keep the global (term, df) side table fresh: merge the old stats
+    # with the APPENDED segments' dfs only (never a full postings rescan)
+    import os
+    import shutil
+
+    ts_dir = f"{index_path}/termstats"
+    if os.path.isdir(ts_dir):
+        old_ts = spark.read.parquet(ts_dir)
+        new_ts = (
+            spark.read.parquet(f"{index_path}/postings")
+            .filter(F.col("term").isNotNull() & (F.col("segment") >= seg_offset))
+            .groupBy("term")
+            .agg(F.sum("df").alias("df"))
+        )
+        merged_ts = (
+            old_ts.unionByName(new_ts)
+            .groupBy("term")
+            .agg(F.sum("df").alias("df"))
+            .sortWithinPartitions("term")
+        )
+        tmp = f"{index_path}/termstats_new"
+        merged_ts.write.mode("overwrite").parquet(tmp)
+        shutil.rmtree(ts_dir)
+        os.rename(tmp, ts_dir)
+
     total_len = meta_old.total_len + new_meta.total_len
     n_docs = meta_old.n_docs + new_meta.n_docs
     merged = replace(

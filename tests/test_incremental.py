@@ -108,3 +108,50 @@ def test_streaming_appends(spark, tmp_path):
     )
     hits = search_index(spark, postings, meta, probe, k=5).collect()
     assert len(hits) > 0
+
+
+def test_term_stats_fresh_after_append(spark, tmp_path):
+    """build_index writes the (term, df) side table; appends merge it
+    incrementally; search with term_stats == search with the fallback
+    candidate aggregation."""
+    from pyspark.sql import functions as F
+
+    from sgpt_spark.operators.index_search import search_index
+    from sgpt_spark.operators.indexer import read_index, read_term_stats
+    from sgpt_spark.operators.indexer import build_index
+    from sgpt_spark.sources.pages import generate_pages
+    from sgpt_spark.streaming.incremental import append_to_index
+
+    idx = str(tmp_path / "idx")
+    pages = generate_pages(spark, 300, partitions=3)
+    from sgpt_spark.operators.indexer import assign_doc_ids, release_doc_ids
+
+    assigned = assign_doc_ids(pages.select("url", "text"))
+    build_index(assigned.select("doc_id", "text"), idx, segment_size=100)
+    release_doc_ids(assigned)
+
+    batch2 = generate_pages(spark, 380, partitions=2).filter(
+        ~F.col("url").isin([r["url"] for r in pages.select("url").collect()])
+    )
+    append_to_index(spark, batch2, idx)
+
+    postings, meta = read_index(spark, idx)
+    ts = read_term_stats(spark, idx)
+    assert ts is not None
+    # side table == re-aggregated postings
+    want = {r["term"]: r["df"] for r in
+            postings.groupBy("term").agg(F.sum("df").alias("df")).collect()}
+    got = {r["term"]: r["df"] for r in ts.collect()}
+    assert got == want
+    # identical search results either way
+    from sgpt_spark.sources.pages import make_page
+
+    body = make_page(5)[3].split("\n")[1].split(" ")
+    queries = spark.createDataFrame(
+        [(1, " ".join(body[:4])), (2, " ".join(body[4:8]))], "qid long, query string"
+    )
+    a = sorted(tuple(r) for r in
+               search_index(spark, postings, meta, queries, k=10).collect())
+    b = sorted(tuple(r) for r in
+               search_index(spark, postings, meta, queries, k=10, term_stats=ts).collect())
+    assert a == b and a

@@ -104,11 +104,16 @@ def _q_bm25_index_fast_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sgpt_spark.operators.index_search import search_index
     from sgpt_spark.operators.indexer import build_index, read_index
 
+    from sgpt_spark.operators.indexer import read_term_stats
+
     docs = load_table(spark, sf_dir, "documents")
     path = tempfile.mkdtemp(prefix="sgpt_idx_fast_")
     build_index(docs.repartition(8, "doc_id"), path, segment_size=200)
     postings, meta = read_index(spark, path)
-    return search_index(spark, postings, meta, derived_queries(docs), k=10)
+    return search_index(
+        spark, postings, meta, derived_queries(docs), k=10,
+        term_stats=read_term_stats(spark, path),
+    )
 
 
 def _q_bm25_standard_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -132,11 +137,16 @@ def _q_bm25_standard_index_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sgpt_spark.operators.index_search import search_index
     from sgpt_spark.operators.indexer import build_index, read_index
 
+    from sgpt_spark.operators.indexer import read_term_stats
+
     docs = load_table(spark, sf_dir, "documents")
     path = tempfile.mkdtemp(prefix="sgpt_idx_std_")
     build_index(docs.repartition(8, "doc_id"), path, py_tokenizer=analyze_py)
     postings, meta = read_index(spark, path)
-    return search_index(spark, postings, meta, derived_queries(docs), k=10)
+    return search_index(
+        spark, postings, meta, derived_queries(docs), k=10,
+        term_stats=read_term_stats(spark, path),
+    )
 
 
 def _q_ir_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -73,8 +73,11 @@ def cmd_query(args) -> None:
         queries = read_beir_queries(spark, args.queries)
     else:
         queries = spark.read.parquet(args.queries)
+    from sgpt_spark.operators.indexer import read_term_stats
+
     run = search_index(
-        spark, postings, meta, queries, k=args.k, exclude_self=args.exclude_self
+        spark, postings, meta, queries, k=args.k, exclude_self=args.exclude_self,
+        term_stats=read_term_stats(spark, args.index),
     )
     run.write.mode("overwrite").parquet(args.out)
     print(f"wrote run to {args.out}")

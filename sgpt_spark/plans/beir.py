@@ -28,7 +28,13 @@ from pyspark.sql import functions as F
 from sgpt_spark.functions.analyzer import analyze_py, tokenize_py_ws
 from sgpt_spark.operators.corpus import doc_fulltext
 from sgpt_spark.operators.index_search import search_index
-from sgpt_spark.operators.indexer import assign_doc_ids, build_index, read_index, release_doc_ids
+from sgpt_spark.operators.indexer import (
+    assign_doc_ids,
+    build_index,
+    read_index,
+    read_term_stats,
+    release_doc_ids,
+)
 from sgpt_spark.operators.metrics import mean_metrics_at
 from sgpt_spark.sources.readers import read_beir_corpus, read_beir_qrels, read_beir_queries
 from sgpt_spark.sources.sinks import write_results_parquet
@@ -81,7 +87,10 @@ def run_beir_bm25(
     # filter happens after the id join: fetch one spare candidate (a
     # query has at most one self doc), drop it, re-cut to k.
     fetch_k = k + 1 if exclude_self else k
-    run = search_index(spark, postings, meta, queries, k=fetch_k)
+    run = search_index(
+        spark, postings, meta, queries, k=fetch_k,
+        term_stats=read_term_stats(spark, f"{out_dir}/index"),
+    )
     # internal ids -> external BEIR ids: broadcast the run (|q| x k rows)
     id_map = spark.read.parquet(f"{out_dir}/ids")
     run_ext = (

@@ -291,6 +291,18 @@ def _q_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_near_dup_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same pre-collapse pipeline with engine-portable md5 hashes —
+    the WHOLE pipeline (canon, representatives, LSH, star union) is
+    value-checked against DuckDB."""
+    from sgpt_spark.operators.dedup import near_dup_pairs
+
+    return near_dup_pairs(
+        load_table(spark, sf_dir, "documents"),
+        method="minhash_md5", n_hashes=16, bands=8, threshold=0.2, n=3,
+    )
+
+
 def _q_lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sgpt_spark.operators.dedup import lsh_bucket_stats
 
@@ -603,6 +615,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": _q_minhash_pairs,      # rows-only (hash-dependent)
         "minhash_lsh_pairs_md5": _q_minhash_md5,    # full value oracle
         "near_dup_pairs": _q_near_dup,              # rows-only (xxhash banding)
+        "near_dup_pairs_md5": _q_near_dup_md5,      # full value oracle
         "lsh_bucket_stats": _q_lsh_bucket_stats,    # rows-only (xxhash banding)
         "simhash_near_pairs": _q_simhash_pairs,     # rows-only (hash-dependent)
         "cosine_topk": _q_cosine_topk,
@@ -835,10 +848,11 @@ WHERE round(i_n * 1.0 / (sa.n_sh + sb.n_sh - i_n), 6) >= 0.2
 """
 
 def _minhash_md5_sql(
-    n_hashes: int = 16, bands: int = 8, threshold: float = 0.2
+    n_hashes: int = 16, bands: int = 8, threshold: float = 0.2, source: str = "documents"
 ) -> str:
     """DuckDB twin of dedup.minhash_lsh_pairs_md5 (3-gram shingles):
-    md5 hex strings min/compare identically in both engines."""
+    md5 hex strings min/compare identically in both engines. ``source``
+    parameterizes the doc relation (e.g. exact-dup representatives)."""
     r = n_hashes // bands
     hcols = ",\n           ".join(
         f"min(md5(concat('{i}:', shingle))) AS h{i}" for i in range(n_hashes)
@@ -849,8 +863,9 @@ def _minhash_md5_sql(
         + ")) AS bucket FROM sig"
         for b in range(bands)
     )
+    toks_cte = _TOKS_NE.replace("FROM documents", f"FROM {source}")
     return f"""
-WITH {_TOKS_NE},
+WITH {toks_cte},
   sh AS (
     SELECT DISTINCT doc_id, u.shingle
     FROM tdocs,
@@ -885,6 +900,32 @@ JOIN sizes sb ON i.id_b = sb.doc_id
 WHERE round(i.i_n * 1.0 / (sa.n_sh + sb.n_sh - i.i_n), 6) >= {threshold}
 """
 
+
+# full-oracle twin of the pre-collapse pipeline: exact-dup canon ->
+# md5 MinHash-LSH over distinct-text representatives -> linear star pairs
+_NEAR_DUP_MD5_SQL = f"""
+WITH canon AS (
+  SELECT d.doc_id, m.canonical_id
+  FROM documents d
+  JOIN (SELECT text, min(doc_id) AS canonical_id FROM documents GROUP BY text) m
+    ON d.text = m.text
+),
+reps AS (
+  SELECT d.doc_id, d.text FROM documents d
+  JOIN canon c ON d.doc_id = c.doc_id
+  WHERE c.doc_id = c.canonical_id
+),
+rep_pairs AS ({_minhash_md5_sql(16, 8, 0.2, source="reps")}),
+star AS (
+  SELECT least(canonical_id, doc_id) AS id_a,
+         greatest(canonical_id, doc_id) AS id_b,
+         1.0 AS jaccard
+  FROM canon WHERE doc_id <> canonical_id
+)
+SELECT id_a, id_b, jaccard FROM rep_pairs
+UNION ALL
+SELECT id_a, id_b, jaccard FROM star
+"""
 
 _WINDOW_FPS_SQL = f"""
 WITH {_TOKS_NE}
@@ -1243,6 +1284,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_communities": _COMMUNITIES_SQL,
         "ivf_full_probe_topk": _COSINE_SQL,
         "minhash_lsh_pairs_md5": _minhash_md5_sql(16, 8, 0.2),
+        "near_dup_pairs_md5": _NEAR_DUP_MD5_SQL,
         "window_fingerprints": _WINDOW_FPS_SQL,
         "bm25_noself_top10": _bm25_sql(10, exclude_self=True),
         "bm25_index_noself_top10": _bm25_sql(10, exclude_self=True),

@@ -383,12 +383,17 @@ def near_dup_pairs(
         rep_pairs = minhash_lsh_pairs(reps, id_col=id_col, text_col=text_col, **kwargs)
         exact_score = F.lit(1.0).alias("jaccard")
         score_col = "jaccard"
+    elif method == "minhash_md5":
+        # engine-portable hashes -> the whole pipeline is oracle-checkable
+        rep_pairs = minhash_lsh_pairs_md5(reps, id_col=id_col, text_col=text_col, **kwargs)
+        exact_score = F.lit(1.0).alias("jaccard")
+        score_col = "jaccard"
     elif method == "simhash":
         rep_pairs = simhash_near_pairs(reps, id_col=id_col, text_col=text_col, **kwargs)
         exact_score = F.lit(0).cast("int").alias("hamming")
         score_col = "hamming"
     else:
-        raise ValueError(f"unknown method {method!r}: use minhash|simhash")
+        raise ValueError(f"unknown method {method!r}: use minhash|minhash_md5|simhash")
     star = canon.filter(F.col("doc_id") != F.col("canonical_id")).select(
         F.least("canonical_id", "doc_id").alias("id_a"),
         F.greatest("canonical_id", "doc_id").alias("id_b"),

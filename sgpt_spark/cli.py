@@ -28,7 +28,6 @@ Example cluster launch:
 from __future__ import annotations
 
 import argparse
-import sys
 
 from pyspark.sql import SparkSession
 

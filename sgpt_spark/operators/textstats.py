@@ -8,7 +8,6 @@ The rolling hash is a vectorized pandas UDF with a tested Python twin.
 
 from __future__ import annotations
 
-import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F

@@ -9,6 +9,7 @@ Subcommands:
                --out <run_dir> [--k K] [--exclude-self]
   evaluate     --run <results parquet> --qrels <qrels.tsv|parquet> [--k K]
                [--k-values 1,3,5,10,100,1000]
+  compact      --index <index_dir> --target-segments N   (segment merge)
   dedup        --docs <parquet> --out <dir> [--method exact|minhash|
                simhash|clusters] [--threshold J]
   profile      --docs <parquet> --out <dir>   (per-doc text profile)
@@ -109,6 +110,14 @@ def cmd_evaluate(args) -> None:
     )
 
 
+def cmd_compact(args) -> None:
+    from sgpt_spark.operators.indexer import compact_index
+
+    spark = _spark("sgpt-compact")
+    n = compact_index(spark, args.index, args.target_segments)
+    print(f"compacted {args.index} to {n} segments")
+
+
 def cmd_beir(args) -> None:
     from sgpt_spark.plans.beir import run_beir_bm25
 
@@ -200,6 +209,11 @@ def main(argv: list[str] | None = None) -> None:
     e.add_argument("--k", type=int, default=10)
     e.add_argument("--k-values", default=None, help="comma list, e.g. 1,3,5,10,100,1000")
     e.set_defaults(fn=cmd_evaluate)
+
+    cp = sub.add_parser("compact")
+    cp.add_argument("--index", required=True)
+    cp.add_argument("--target-segments", type=int, required=True)
+    cp.set_defaults(fn=cmd_compact)
 
     br = sub.add_parser("beir")
     br.add_argument("--corpus", required=True)

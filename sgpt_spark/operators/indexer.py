@@ -825,6 +825,81 @@ def read_index(spark, path: str) -> tuple[DataFrame, IndexMeta]:
     )
 
 
+def compact_index(spark, path: str, target_segments: int) -> int:
+    """Merge index segments down to ``target_segments`` — the external
+    merge stage that unifies partition-local segments (the Lucene
+    TieredMergePolicy role; incremental appends create one segment per
+    batch partition, and query-side per-segment overhead grows with the
+    segment count).
+
+    Plan: old segments map deterministically onto target buckets
+    (contiguous by sorted segment id); per (term, new_segment) group the
+    posting rows are decoded (batched), merge-sorted by doc id, and
+    re-encoded into fresh blocks; per-segment sentinel stats rows merge
+    additively (doc count/token totals sum, max doc id maxes). The
+    shuffle is keyed by (term, bucket) — head terms get groups bounded
+    by their global df, acceptable at maintenance cadence (this is the
+    sequential merge Lucene does too); the (term, df) side table is
+    unchanged (global stats don't move). Search results are identical
+    before and after (tested). Returns the new segment count.
+    """
+    import os
+    import shutil
+
+    from sgpt_spark.functions.compress import decode_many, encode_blocks
+
+    raw = spark.read.parquet(f"{path}/postings")
+    segs = sorted(r["segment"] for r in raw.select("segment").distinct().collect())
+    n_old = len(segs)
+    target_segments = max(1, min(target_segments, n_old))
+    bucket = {s: (i * target_segments) // n_old for i, s in enumerate(segs)}
+    mapping_df = spark.createDataFrame(
+        [(s, b) for s, b in bucket.items()], "segment int, _new_seg int"
+    )
+    with_bucket = raw.join(F.broadcast(mapping_df), "segment")
+
+    postings_schema = raw.schema
+
+    def merge_group(key, pdf: pd.DataFrame):
+        term, new_seg = key
+        if term is None:
+            # merged sentinel: df/token totals sum, max doc id maxes
+            return pd.DataFrame(
+                {
+                    "term": [None],
+                    "segment": [int(new_seg)],
+                    "df": [int(pdf["df"].sum())],
+                    "max_tf": [int(pdf["max_tf"].sum())],
+                    "min_dl": [int(pdf["min_dl"].max())],
+                    "blocks": [[]],
+                }
+            )
+        offs, d_all, tf_all, dl_all = decode_many(list(pdf["blocks"]))
+        order = np.argsort(d_all, kind="stable")
+        blocks = encode_blocks(
+            d_all[order], tf_all[order], dl_all[order], presorted=True
+        )
+        return pd.DataFrame(
+            {
+                "term": [term],
+                "segment": [int(new_seg)],
+                "df": [int(len(d_all))],
+                "max_tf": [int(tf_all.max())],
+                "min_dl": [int(dl_all.min())],
+                "blocks": [blocks],
+            }
+        )
+
+    merged = with_bucket.groupBy("term", "_new_seg").applyInPandas(
+        lambda key, pdf: merge_group(key, pdf), schema=postings_schema
+    )
+    tmp = f"{path}/postings_compact"
+    merged.write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(f"{path}/postings")
+    os.rename(tmp, f"{path}/postings")
+    return target_segments
+
+
 def read_term_stats(spark, path: str) -> DataFrame | None:
     """(term, df) global stats written by ``build_index`` — pass to
     ``search_index(term_stats=...)`` to skip the query-time df

@@ -1,0 +1,86 @@
+"""Segment compaction: merge many append-created segments down, search
+results identical, sentinel stats still derive the same IndexMeta."""
+
+from __future__ import annotations
+
+import json
+import tempfile
+
+from pyspark.sql import functions as F
+
+from sgpt_spark.operators.index_search import search_index
+from sgpt_spark.operators.indexer import (
+    assign_doc_ids,
+    build_index,
+    compact_index,
+    read_index,
+    release_doc_ids,
+)
+from sgpt_spark.sources.pages import generate_pages, make_page
+from sgpt_spark.streaming.incremental import append_to_index
+
+
+def test_compaction_preserves_results_and_stats(spark, tmp_path):
+    idx = str(tmp_path / "idx")
+    base = generate_pages(spark, 400, partitions=4).persist()
+    assigned = assign_doc_ids(base.select("url", "text"))
+    build_index(assigned.select("doc_id", "text"), idx, segment_size=100)
+    release_doc_ids(assigned)
+
+    # two appends -> many small segments
+    all_pages = generate_pages(spark, 560, partitions=4).persist()
+    seen = {r["url"] for r in base.select("url").collect()}
+    batch2 = all_pages.filter(~F.col("url").isin(list(seen))).limit(80)
+    append_to_index(spark, batch2, idx)
+    seen |= {r["url"] for r in batch2.select("url").collect()}
+    batch3 = all_pages.filter(~F.col("url").isin(list(seen)))
+    append_to_index(spark, batch3, idx)
+
+    postings_before, meta_before = read_index(spark, idx)
+    n_seg_before = postings_before.select("segment").distinct().count()
+    assert n_seg_before >= 6
+
+    body = make_page(3)[3].split("\n")[1].split(" ")
+    queries = spark.createDataFrame(
+        [(1, " ".join(body[:4])), (2, " ".join(body[4:9]))], "qid long, query string"
+    )
+    before = sorted(
+        tuple(r) for r in search_index(spark, postings_before, meta_before, queries, k=20).collect()
+    )
+    sent_before = (
+        spark.read.parquet(f"{idx}/postings")
+        .filter(F.col("term").isNull())
+        .agg(F.sum("df").alias("n"), F.sum("max_tf").alias("total"), F.max("min_dl").alias("mx"))
+        .collect()[0]
+    )
+
+    new_n = compact_index(spark, idx, target_segments=2)
+    assert new_n == 2
+    postings_after, meta_after = read_index(spark, idx)
+    assert postings_after.select("segment").distinct().count() == 2
+    after = sorted(
+        tuple(r) for r in search_index(spark, postings_after, meta_after, queries, k=20).collect()
+    )
+    assert after == before and before
+
+    # sentinel data is preserved through the merge (append-created
+    # segments carry no sentinels — meta.json stays authoritative; the
+    # invariant is that compaction loses nothing it was given)
+    row = (
+        spark.read.parquet(f"{idx}/postings")
+        .filter(F.col("term").isNull())
+        .agg(F.sum("df").alias("n"), F.sum("max_tf").alias("total"), F.max("min_dl").alias("mx"))
+        .collect()[0]
+    )
+    assert (int(row["n"]), int(row["total"]), int(row["mx"])) == (
+        int(sent_before["n"]), int(sent_before["total"]), int(sent_before["mx"])
+    )
+
+    # WAND strategy agrees post-compaction too (block metadata rebuilt)
+    wand = sorted(
+        tuple(r)
+        for r in search_index(
+            spark, postings_after, meta_after, queries, k=20, strategy="wand"
+        ).collect()
+    )
+    assert wand == before

@@ -69,7 +69,16 @@ def append_to_index(
 
     assigned = assign_doc_ids(new_pages.select("url", "text"))
     docs = assigned.withColumn("doc_id", F.col("doc_id") + id_offset)
-    new_postings, new_meta = build_postings(docs, segment_size=meta_old.segment_size)
+    # appended segments MUST analyze with the index's analyzer — a
+    # ws-tokenized append into a standard-analyzed index would silently
+    # split the vocabulary
+    from sgpt_spark.functions.analyzer import resolve_py_analyzer
+
+    new_postings, new_meta = build_postings(
+        docs,
+        segment_size=meta_old.segment_size,
+        py_tokenizer=resolve_py_analyzer(meta_old.analyzer),
+    )
     if new_meta.n_docs == 0:
         release_doc_ids(assigned)
         return meta_old
@@ -109,7 +118,10 @@ def append_to_index(
         n_docs=n_docs,
         total_len=total_len,
         avgdl=(total_len / n_docs) if n_docs else 0.0,
-        next_doc_id=id_offset + (new_meta.next_doc_id or 0),
+        # build_postings already saw the offset ids, so its next_doc_id
+        # is absolute — adding id_offset again would leave ever-growing
+        # id gaps between appends
+        next_doc_id=new_meta.next_doc_id or id_offset,
     )
     with open(f"{index_path}/meta.json", "w") as fp:
         json.dump(merged.__dict__, fp)

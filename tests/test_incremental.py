@@ -155,3 +155,48 @@ def test_term_stats_fresh_after_append(spark, tmp_path):
     b = sorted(tuple(r) for r in
                search_index(spark, postings, meta, queries, k=10, term_stats=ts).collect())
     assert a == b and a
+
+
+def test_append_uses_index_analyzer(spark, tmp_path):
+    """Appending to a standard-analyzer index must analyze the new docs
+    with the standard analyzer — the incremental index must equal a full
+    standard rebuild over the union corpus."""
+    from sgpt_spark.functions.analyzer import analyze_py, tokenize_standard
+    from sgpt_spark.operators.index_search import search_index
+    from sgpt_spark.operators.indexer import (
+        assign_doc_ids,
+        build_index,
+        read_index,
+        release_doc_ids,
+    )
+    from sgpt_spark.operators.search import bm25_search
+
+    rows1 = [(f"u{i:03d}", f"The Word{i % 7}, CASE tests! item {i}") for i in range(30)]
+    rows2 = [(f"v{i:03d}", f"More WORD{i % 5} Punct... doc {i}") for i in range(12)]
+    pages1 = spark.createDataFrame(rows1, "url string, text string")
+    pages2 = spark.createDataFrame(rows2, "url string, text string")
+
+    idx = str(tmp_path / "std_idx")
+    a1 = assign_doc_ids(pages1)
+    build_index(a1.select("doc_id", "text"), idx, py_tokenizer=analyze_py)
+    release_doc_ids(a1)
+    append_to_index(spark, pages2, idx)
+
+    postings, meta = read_index(spark, idx)
+    assert meta.analyzer == "analyze_py"
+    queries = spark.createDataFrame(
+        [(1, "word3 CASE"), (2, "punct doc"), (3, "THE more")], "qid long, query string"
+    )
+    got = sorted(tuple(r) for r in search_index(spark, postings, meta, queries, k=10).collect())
+
+    # exhaustive standard search over the union corpus with the SAME ids
+    union_docs = spark.createDataFrame(
+        [(i, rows1[i][1]) for i in range(30)]
+        + [(meta.next_doc_id - 12 + j, rows2[j][1]) for j in range(12)],
+        "doc_id long, text string",
+    )
+    want = sorted(
+        tuple(r)
+        for r in bm25_search(union_docs, queries, k=10, tokenizer=tokenize_standard).collect()
+    )
+    assert got == want and got

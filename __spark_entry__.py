@@ -129,6 +129,17 @@ def _q_bm25_index_wand_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_bm25_index_join_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fully join-based index query path (no driver-side query collect —
+    the millions-of-queries scale variant); must equal every other path."""
+    from sgpt_spark.operators.index_search import search_index_join
+    from sgpt_spark.operators.indexer import build_postings
+
+    docs = load_table(spark, sf_dir, "documents")
+    postings, meta = build_postings(docs, segment_size=200)
+    return search_index_join(spark, postings, meta, derived_queries(docs), k=10)
+
+
 def _q_bm25_standard_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship query under the Lucene-standard analyzer (lowercase +
     Unicode word runs) — reference parity for ES ``standard`` analysis
@@ -595,6 +606,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_index_top10": _q_bm25_index_top10,
         "bm25_index_fast_top10": _q_bm25_index_fast_top10,
         "bm25_index_wand_top10": _q_bm25_index_wand_top10,
+        "bm25_index_join_top10": _q_bm25_index_join_top10,
         "bm25_standard_top10": _q_bm25_standard_top10,
         "bm25_standard_index_top10": _q_bm25_standard_index_top10,
         "queryset_derive": _q_queryset,
@@ -1267,6 +1279,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_index_top10": _BM25_SQL,
         "bm25_index_fast_top10": _BM25_SQL,
         "bm25_index_wand_top10": _BM25_SQL,
+        "bm25_index_join_top10": _BM25_SQL,
         "bm25_standard_top10": _BM25_STANDARD_SQL,
         "bm25_standard_index_top10": _BM25_STANDARD_SQL,
         "bm25_rerank_top10": _RERANK_SQL,

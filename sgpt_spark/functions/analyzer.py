@@ -78,6 +78,15 @@ def resolve_py_analyzer(name: str):
     )
 
 
+def resolve_jvm_analyzer(name: str):
+    """IndexMeta.analyzer name -> JVM column tokenizer (the twin of
+    ``resolve_py_analyzer`` for plans that analyze queries inside the
+    DataFrame plan rather than on the driver)."""
+    return {"tokenize_py_ws": tokenize_ws, "analyze_py": tokenize_standard}.get(
+        name, tokenize_ws
+    )
+
+
 def analyze_py(text: str) -> list[str]:
     """Driver/oracle-side twin of ``tokenize_standard`` (same word
     pattern, Python ``re`` spelling).

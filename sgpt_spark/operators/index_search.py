@@ -40,6 +40,77 @@ from sgpt_spark.operators.indexer import IndexMeta
 from sgpt_spark.operators.topk import SCORE_DECIMALS, topk_per_group
 
 
+def flatten_postings(postings: DataFrame) -> DataFrame:
+    """Compressed postings -> flat (term, doc_id, tf, doc_len) relation,
+    decoded per Arrow batch with the batched varint pass. The bridge
+    between the compressed index and fully-relational query plans."""
+    import pandas as pd
+
+    def unpack(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            offs, d_all, tf_all, dl_all = decode_many(list(pdf["blocks"]))
+            counts = np.diff(offs)
+            yield pd.DataFrame(
+                {
+                    "term": np.repeat(pdf["term"].to_numpy(), counts),
+                    "doc_id": d_all,
+                    "tf": tf_all.astype(np.int64),
+                    "doc_len": dl_all.astype(np.int64),
+                }
+            )
+
+    return postings.select("term", "blocks").mapInPandas(
+        unpack, schema="term string, doc_id long, tf long, doc_len long"
+    )
+
+
+def search_index_join(
+    spark: SparkSession,
+    postings: DataFrame,
+    meta: IndexMeta,
+    queries: DataFrame,
+    k: int = 10,
+    term_stats: DataFrame | None = None,
+    exclude_self: bool = False,
+) -> DataFrame:
+    """Fully join-based query path over the compressed index — for query
+    sets too large to collect/broadcast (the driver-side
+    ``collect_query_terms`` contract caps at ~10^4 queries; this path
+    has NO driver-side step and scales to millions of queries).
+
+    Plan: queries tokenize inside the plan (analyzer resolved from
+    IndexMeta), postings decode to the flat relation per Arrow batch,
+    and the probe is a shuffle join on term -> groupBy(qid, doc_id)
+    partial-sum -> per-qid top-k. Same BM25 values and tie-break as
+    every other path (rank-identical, gated).
+    """
+    from sgpt_spark.functions.analyzer import resolve_jvm_analyzer
+    from sgpt_spark.operators.search import query_terms, score_candidates
+    from sgpt_spark.operators.stats import CorpusStats
+
+    tokenizer = resolve_jvm_analyzer(meta.analyzer)
+    qt = query_terms(queries, tokenizer=tokenizer)
+    flat = flatten_postings(postings)
+    if term_stats is not None:
+        dfs = term_stats
+    else:
+        dfs = postings.groupBy("term").agg(F.sum("df").alias("df"))
+    scored = score_candidates(
+        flat,
+        qt,
+        dfs,
+        CorpusStats(n_docs=meta.n_docs, avgdl=meta.avgdl),
+        k1=meta.k1,
+        b=meta.b,
+        broadcast_queries=False,
+    )
+    if exclude_self:
+        scored = scored.filter(F.col("doc_id") != F.col("qid"))
+    return topk_per_group(scored, k=k).select("qid", "doc_id", "score", "rank")
+
+
 def collect_query_terms(
     queries: DataFrame | Iterable[tuple], tokenize=tokenize_py_ws
 ) -> list[tuple]:

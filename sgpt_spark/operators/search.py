@@ -59,16 +59,21 @@ def score_candidates(
     stats: CorpusStats,
     k1: float = K1,
     b: float = B,
+    broadcast_queries: bool = True,
 ) -> DataFrame:
     """-> (qid, doc_id, score): BM25 over every (query, matching doc).
 
     ``qterms`` and ``dfs``-restricted-to-query-terms are both tiny ->
     broadcast; the big postings relation is filtered by the join without
-    shuffling.
+    shuffling. For query sets too large to broadcast (millions of
+    queries), pass ``broadcast_queries=False`` and the probe becomes a
+    plain shuffle join on term.
     """
     # df lookup only needed for terms that appear in some query.
     qterm_df = qterms.join(dfs, "term", "inner")
-    partial = postings_flat.join(F.broadcast(qterm_df), "term", "inner").select(
+    if broadcast_queries:
+        qterm_df = F.broadcast(qterm_df)
+    partial = postings_flat.join(qterm_df, "term", "inner").select(
         "qid",
         "doc_id",
         (

@@ -168,3 +168,41 @@ def test_assign_doc_ids_fast_deterministic(spark, tmp_path_factory):
          assign_doc_ids_fast(spark.read.parquet(path).select("url", "text")).collect()}
     assert a == b
     assert sorted(a.values()) == list(range(500))
+
+
+def test_join_path_matches_collect_path(spark):
+    """search_index_join (no driver-side query collect) is rank- and
+    score-identical to the broadcast TAAT path, including the standard
+    analyzer resolved from IndexMeta and exclude_self."""
+    import tempfile
+
+    from sgpt_spark.functions.analyzer import analyze_py
+    from sgpt_spark.operators.index_search import search_index, search_index_join
+    from sgpt_spark.operators.indexer import build_index, build_postings, read_index
+    from sgpt_spark.sources.pages import _VOCAB, _doc_terms
+
+    rows = [(i, " ".join(_VOCAB[_doc_terms(i)][:40])) for i in range(80)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    queries = spark.createDataFrame(
+        [(i, " ".join(rows[i][1].split(" ")[:5])) for i in range(0, 80, 9)],
+        "qid long, query string",
+    )
+    postings, meta = build_postings(docs, segment_size=20)
+    a = sorted(tuple(r) for r in search_index(spark, postings, meta, queries, k=10).collect())
+    b = sorted(tuple(r) for r in search_index_join(spark, postings, meta, queries, k=10).collect())
+    assert a == b and a
+    # exclude_self agreement
+    a2 = sorted(tuple(r) for r in
+                search_index(spark, postings, meta, queries, k=10, exclude_self=True).collect())
+    b2 = sorted(tuple(r) for r in
+                search_index_join(spark, postings, meta, queries, k=10, exclude_self=True).collect())
+    assert a2 == b2 and a2
+    # standard analyzer resolved from meta
+    path = tempfile.mkdtemp(prefix="sgpt_join_std_")
+    build_index(docs.repartition(4, "doc_id"), path, py_tokenizer=analyze_py)
+    p2, m2 = read_index(spark, path)
+    qs2 = spark.createDataFrame([(1, rows[3][1].split(" ")[0].upper() + "!")],
+                                "qid long, query string")
+    s1 = sorted(tuple(r) for r in search_index(spark, p2, m2, qs2, k=10).collect())
+    s2 = sorted(tuple(r) for r in search_index_join(spark, p2, m2, qs2, k=10).collect())
+    assert s1 == s2 and s1

@@ -93,3 +93,55 @@ def test_rank_identity_testdata(spark):
         for g, w in zip(hits, want[qid]):
             assert g[2] == w[2]
             assert math.isclose(g[1], w[1], abs_tol=1e-6)
+
+
+def test_randomized_differential_vs_oracle(spark):
+    """Randomized corpora/queries: the Spark engine (exhaustive AND all
+    index strategies AND the join path) must be rank- and score-identical
+    to the pure-Python brute-force oracle."""
+    import random
+
+    from sgpt_spark.operators.index_search import search_index, search_index_join
+    from sgpt_spark.operators.indexer import build_postings
+
+    rng = random.Random(20240816)
+    vocab = [f"w{i}" for i in range(60)] + ["the", "a", "of"]
+    for trial in range(3):
+        n_docs = rng.randint(15, 60)
+        # zero-padded keys: the oracle tie-breaks on STRING doc ids, the
+        # engine on numeric — padding makes the two orders coincide
+        corpus = {
+            f"{d:04d}": " ".join(rng.choices(vocab, k=rng.randint(0, 30)))
+            for d in range(n_docs)
+        }
+        queries = {
+            f"{100 + q}": " ".join(rng.choices(vocab, k=rng.randint(1, 4)))
+            for q in range(6)
+        }
+        k = rng.choice([3, 10])
+        want = {
+            qid: [(int(doc), round(sc, 6), rk) for doc, sc, rk in hits]
+            for qid, hits in bm25_topk(corpus, queries, k=k).items()
+            if hits
+        }
+        cdf = spark.createDataFrame(
+            [(int(i), t) for i, t in corpus.items()], "doc_id long, text string"
+        )
+        qdf = spark.createDataFrame(
+            [(int(i), t) for i, t in queries.items()], "qid long, query string"
+        )
+
+        def runs(df):
+            got: dict = {}
+            for r in df.collect():
+                got.setdefault(str(r["qid"]), []).append(
+                    (int(r["doc_id"]), r["score"], r["rank"])
+                )
+            return {q: sorted(v, key=lambda t: t[2]) for q, v in got.items()}
+
+        assert runs(bm25_search(cdf, qdf, k=k)) == want, f"exhaustive trial {trial}"
+        postings, meta = build_postings(cdf, segment_size=7)
+        for strat in ("taat", "wand", "exhaustive"):
+            got = runs(search_index(spark, postings, meta, qdf, k=k, strategy=strat))
+            assert got == want, f"{strat} trial {trial}"
+        assert runs(search_index_join(spark, postings, meta, qdf, k=k)) == want, trial

@@ -84,3 +84,54 @@ def test_compaction_preserves_results_and_stats(spark, tmp_path):
         ).collect()
     )
     assert wand == before
+
+
+def test_append_after_compaction(spark, tmp_path):
+    """Compaction renumbers segments 0..target-1; a subsequent append
+    must pick fresh segment ids and the index must stay exact."""
+    from sgpt_spark.operators.search import bm25_search
+
+    idx = str(tmp_path / "idx2")
+    base = generate_pages(spark, 200, partitions=4).persist()
+    assigned = assign_doc_ids(base.select("url", "text"))
+    build_index(assigned.select("doc_id", "text"), idx, segment_size=50)
+    release_doc_ids(assigned)
+    compact_index(spark, idx, target_segments=2)
+
+    more = generate_pages(spark, 260, partitions=2)
+    seen = {r["url"] for r in base.select("url").collect()}
+    batch = more.filter(~F.col("url").isin(list(seen)))
+    append_to_index(spark, batch, idx)
+
+    postings, meta = read_index(spark, idx)
+    segs = sorted(r["segment"] for r in postings.select("segment").distinct().collect())
+    assert len(segs) == len(set(segs)) and len(segs) >= 3
+
+    body = make_page(7)[3].split("\n")[1].split(" ")
+    queries = spark.createDataFrame(
+        [(1, " ".join(body[:5])), (2, " ".join(body[5:9]))], "qid long, query string"
+    )
+    got = sorted(tuple(r) for r in search_index(spark, postings, meta, queries, k=15).collect())
+
+    # ground truth: exhaustive search over union docs with index ids
+    union = spark.createDataFrame(
+        [(r["doc_id"], r["text"]) for r in _index_docs(spark, base, batch, meta)],
+        "doc_id long, text string",
+    )
+    want = sorted(tuple(r) for r in bm25_search(union, queries, k=15).collect())
+    assert got == want and got
+
+
+def _index_docs(spark, base, batch, meta):
+    """Reconstruct the (doc_id, text) mapping the index used: base docs
+    by url order starting at 0, appended docs by url order at the old
+    next id."""
+    rows = []
+    base_rows = sorted(base.select("url", "text").collect(), key=lambda r: r["url"])
+    for i, r in enumerate(base_rows):
+        rows.append({"doc_id": i, "text": r["text"]})
+    batch_rows = sorted(batch.select("url", "text").collect(), key=lambda r: r["url"])
+    off = len(base_rows)
+    for j, r in enumerate(batch_rows):
+        rows.append({"doc_id": off + j, "text": r["text"]})
+    return rows

@@ -182,6 +182,16 @@ def search_index(
         strategy = "wand" if use_wand else "exhaustive"
     if strategy not in ("taat", "wand", "exhaustive"):
         raise ValueError(f"unknown strategy {strategy!r}: use taat|wand|exhaustive")
+    if exclude_self and isinstance(queries, DataFrame):
+        qt = queries.schema["qid"].dataType.simpleString()
+        if qt not in ("bigint", "int", "long", "smallint", "tinyint"):
+            # comparing string qids against int64 index doc ids would
+            # null out and silently drop every row — demand matching ids
+            # (external-id query sets: filter after mapping ids back,
+            # see plans/beir.run_beir_bm25)
+            raise ValueError(
+                f"exclude_self needs integer qids matching index doc ids; got qid type {qt}"
+            )
     # analyze queries with the SAME analyzer the index was built with
     qterms = collect_query_terms(queries, tokenize=resolve_py_analyzer(meta.analyzer))
     qid_type = (

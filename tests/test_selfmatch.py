@@ -64,3 +64,12 @@ def test_index_path_matches_exhaustive_noself(spark, corpus, queries):
             ).collect()
         )
         assert alt == exhaustive, strat
+
+
+def test_exclude_self_rejects_string_qids(spark, corpus):
+    import pytest as _pytest
+
+    queries = spark.createDataFrame([("q1", "whatever")], "qid string, query string")
+    postings, meta = build_postings(corpus, segment_size=16)
+    with _pytest.raises(ValueError, match="exclude_self"):
+        search_index(spark, postings, meta, queries, k=5, exclude_self=True)

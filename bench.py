@@ -143,6 +143,16 @@ def main() -> None:
     timings["bm25_index_queries"] = round(query_s, 3)
     qps = n_q / query_s if query_s else 0.0
 
+    # join-based path (no driver collect — the millions-of-queries
+    # scale-out shape; per-query it is relational and ~10x slower than
+    # the vectorized TAAT scan, measured on a 200-query subsample)
+    from sgpt_spark.operators.index_search import search_index_join
+
+    sub = qdf.limit(200)
+    t0 = time.time()
+    search_index_join(spark, postings, meta, sub, k=10, term_stats=tstats).count()
+    timings["bm25_index_queries_join_200q"] = round(time.time() - t0, 3)
+
     # --- rank-identity: index path vs independent exhaustive path -------
     sample = qdf.limit(100)
     got = {}

@@ -92,7 +92,12 @@ def search_index_join(
 
     tokenizer = resolve_jvm_analyzer(meta.analyzer)
     qt = query_terms(queries, tokenizer=tokenizer)
-    flat = flatten_postings(postings)
+    # prune BEFORE decoding: a semi-join against the distinct query
+    # vocabulary keeps only candidate posting rows (AQE broadcasts the
+    # term set while it's small; at millions of queries it degrades
+    # gracefully to a shuffle semi-join bounded by |vocabulary|)
+    cand = postings.join(qt.select("term").distinct(), "term", "left_semi")
+    flat = flatten_postings(cand)
     if term_stats is not None:
         dfs = term_stats
     else:

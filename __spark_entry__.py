@@ -741,7 +741,7 @@ _STD_RE = STANDARD_RE_SQL.replace("'", "''")
 
 _BM25_STANDARD_SQL = f"""
 WITH sdocs AS (
-    SELECT doc_id, regexp_extract_all(lower(text), '{_STD_RE}') AS toks
+    SELECT doc_id, regexp_extract_all(replace(lower(text), 'ς', 'σ'), '{_STD_RE}') AS toks
     FROM documents
     WHERE text IS NOT NULL AND length(trim(text)) > 0
   ),
@@ -756,7 +756,7 @@ WITH sdocs AS (
   sqterms AS (
     SELECT qid, u.term AS term, count(*) AS qtf
     FROM queryset,
-         unnest(regexp_extract_all(lower(query), '{_STD_RE}')) AS u(term)
+         unnest(regexp_extract_all(replace(lower(query), 'ς', 'σ'), '{_STD_RE}')) AS u(term)
     GROUP BY qid, u.term
   ),
   sscored AS (

@@ -22,9 +22,13 @@ One word-pattern, three spellings (tested for agreement):
   Java regex (Spark) [\\p{L}\\p{N}]+(?:'[\\p{L}\\p{N}]+)*
   RE2 (DuckDB)       same as Java
 All three classify "word chars" as Unicode letters+digits (L*, N*).
-Lowercasing uses each engine's default Unicode lowering — identical on
-ASCII; exotic context-sensitive cases (final sigma) may differ and are
-out of scope for parity.
+Lowercasing uses each engine's default Unicode lowering, which is
+identical on ASCII. The one known divergence — the Greek Final_Sigma
+rule (Python/JVM lower 'ΟΣ' -> 'ος', Arrow/DuckDB -> 'οσ') — is
+canonicalized away: every analyzer maps final sigma to σ after
+lowering, so the SAME bytes yield the SAME terms in the Arrow-native
+index builder, the Python twin, the JVM expression, and the DuckDB
+oracle (tested).
 """
 
 from __future__ import annotations
@@ -59,9 +63,8 @@ def tokenize_standard(text: Column) -> Column:
     to (crossencoder_beir_bm25.ipynb:298-310 cell 10): real text such as
     "The end." retrieves under query term "the".
     """
-    return F.regexp_extract_all(
-        F.lower(F.coalesce(text, F.lit(""))), F.lit(STANDARD_RE_JAVA), F.lit(0)
-    )
+    lowered = F.translate(F.lower(F.coalesce(text, F.lit(""))), "ς", "σ")
+    return F.regexp_extract_all(lowered, F.lit(STANDARD_RE_JAVA), F.lit(0))
 
 
 def tokenize_py_ws(text: str) -> list[str]:
@@ -97,4 +100,4 @@ def analyze_py(text: str) -> list[str]:
     """
     import re
 
-    return re.findall(_WORD_RE, (text or "").lower())
+    return re.findall(_WORD_RE, (text or "").lower().replace("ς", "σ"))

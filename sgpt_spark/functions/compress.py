@@ -265,6 +265,14 @@ def encode_blocks_arrow(
     l_bytes, l_off = varint_encode_with_offsets(np.asarray(dls, dtype=np.uint64))
 
     def bin_array(data: np.ndarray, offsets64: np.ndarray) -> "pa.Array":
+        if offsets64[-1] > np.iinfo(np.int32).max:
+            # pa.binary() carries 32-bit offsets; wrapping would write a
+            # silently-corrupt index. >2GB per-column segments must be
+            # split upstream (smaller input partitions).
+            raise ValueError(
+                "segment varint buffer exceeds 2GB (int32 binary offsets) — "
+                "repartition the corpus into smaller segments"
+            )
         offs32 = offsets64.astype(np.int32)
         return pa.Array.from_buffers(
             pa.binary(),

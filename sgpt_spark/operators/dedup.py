@@ -261,6 +261,12 @@ def connected_components(
         labels = updated.drop("_chg")
         if changed == 0:
             break
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} rounds "
+            "(graph diameter exceeds max_iters) — returning partial labels "
+            "would silently split components; raise max_iters"
+        )
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
 
 

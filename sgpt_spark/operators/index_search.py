@@ -112,6 +112,9 @@ def search_index_join(
         broadcast_queries=False,
     )
     if exclude_self:
+        from sgpt_spark.operators.search import _check_self_comparable
+
+        _check_self_comparable(scored.schema["doc_id"], queries.schema["qid"])
         scored = scored.filter(F.col("doc_id") != F.col("qid"))
     return topk_per_group(scored, k=k).select("qid", "doc_id", "score", "rank")
 

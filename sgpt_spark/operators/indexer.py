@@ -136,6 +136,10 @@ def _tokenize_codes_standard(texts) -> tuple[np.ndarray, np.ndarray, np.ndarray,
     else:
         arr = pa.array(texts, type=pa.large_string())
     lowered = pc.utf8_lower(pc.coalesce(arr, pa.scalar("", type=pa.large_string())))
+    # canonicalize Greek final sigma (see functions/analyzer.py header):
+    # covers both Σ->σ (utf8_lower already non-contextual) and inputs
+    # that ALREADY contain lowercase 'ς'
+    lowered = pc.replace_substring(lowered, pattern="ς", replacement="σ")
     # one RE2 pass: junk runs OR double-apostrophe runs -> space
     cleaned = pc.replace_substring_regex(
         lowered, pattern=r"(?:[^\p{L}\p{N}']+|'')+", replacement=" "
@@ -471,7 +475,7 @@ def _encode_segment_arrow(
     from sgpt_spark.functions.analyzer import tokenize_py_ws as _ws
     from sgpt_spark.functions.compress import encode_blocks_arrow
 
-    chunks = list(batches)
+    chunks = [b for b in batches if b.num_rows]
     if not chunks:
         return
     ids_chunks = [b.column("doc_id") for b in chunks]
@@ -679,6 +683,21 @@ def build_postings(
     """
     if py_tokenizer is None and tokenizer is tokenize_ws:
         py_tokenizer = tokenize_py_ws
+    # keep the JVM stats tokenizer consistent with the Python build
+    # tokenizer: stats counted with a DIFFERENT analyzer than the
+    # postings would corrupt total_len/avgdl (and therefore every BM25
+    # score) for standard-analyzer builds/appends
+    if py_tokenizer is not None and tokenizer is tokenize_ws:
+        from sgpt_spark.functions.analyzer import analyze_py as _std
+        from sgpt_spark.functions.analyzer import tokenize_standard
+
+        if py_tokenizer is _std:
+            tokenizer = tokenize_standard
+        elif py_tokenizer is not tokenize_py_ws:
+            raise ValueError(
+                "build_postings: custom py_tokenizer requires passing the "
+                "matching JVM `tokenizer` for the corpus-stats scan"
+            )
 
     from sgpt_spark.operators.corpus import non_empty_text
 

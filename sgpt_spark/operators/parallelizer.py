@@ -48,8 +48,11 @@ def apply_batched(
     """
     if error_mode not in ("fail", "log"):
         raise ValueError(f"unknown error_mode {error_mode!r}: use fail|log")
-    # column names from the DDL schema string: "a int, b string" -> [a, b]
-    out_cols = [c.strip().split()[0] for c in output_schema.split(",")]
+    # column names via Spark's DDL parser (naive comma-splitting breaks
+    # on parameterized/nested types like decimal(10,2) or map<...>)
+    from pyspark.sql.types import _parse_datatype_string
+
+    out_cols = list(_parse_datatype_string(output_schema).fieldNames())
 
     if error_mode == "fail":
 

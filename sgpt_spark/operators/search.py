@@ -110,6 +110,8 @@ def bm25_search(
     non-self candidates (the reference retrieves k+1 then drops self
     for the same reason).
     """
+    if exclude_self:
+        _check_self_comparable(corpus.schema[id_col], queries.schema["qid"])
     dt = doc_terms(corpus, id_col=id_col, text_col=text_col, tokenizer=tokenizer)
     tf = term_freqs(dt)
     dfs = term_df(tf)
@@ -119,3 +121,18 @@ def bm25_search(
     if exclude_self:
         scored = scored.filter(F.col("doc_id") != F.col("qid"))
     return topk_per_group(scored, k=k).select("qid", "doc_id", "score", "rank")
+
+
+_NUMERIC = ("bigint", "int", "long", "smallint", "tinyint")
+
+
+def _check_self_comparable(doc_field, qid_field) -> None:
+    """Mismatched doc_id/qid types under exclude_self would cast to NULL
+    and silently drop every row — fail loudly instead (external-id query
+    sets: filter after mapping ids back, see plans/beir.run_beir_bm25)."""
+    dt, qt = doc_field.dataType.simpleString(), qid_field.dataType.simpleString()
+    same_family = (dt in _NUMERIC and qt in _NUMERIC) or (dt == qt)
+    if not same_family:
+        raise ValueError(
+            f"exclude_self needs comparable id types; got doc_id {dt} vs qid {qt}"
+        )

@@ -99,6 +99,8 @@ def _merge_session(
     pdfs: Iterator[pd.DataFrame],
     state,
     gap_seconds: int,
+    id_col: str = "event_id",
+    value_col: str = "value",
 ) -> Iterator[pd.DataFrame]:
     """applyInPandasWithState body: fold this batch's events for one
     user into the open-session state; emit every session closed either
@@ -116,13 +118,13 @@ def _merge_session(
         return
 
     rows = pd.concat(list(pdfs), ignore_index=True)
-    rows = rows.sort_values(["_ts", "event_id"], kind="mergesort")
+    rows = rows.sort_values(["_ts", id_col], kind="mergesort")
     if state.exists:
         start, last, n, val = state.get
     else:
         start = last = None
         n, val = 0, 0.0
-    for ts, v in zip(rows["_ts"].astype("int64"), rows["value"].astype("float64")):
+    for ts, v in zip(rows["_ts"].astype("int64"), rows[value_col].astype("float64")):
         ts = int(ts)
         if last is not None and ts - last > gap_seconds:
             closed.append((user, start, last, n, round(val, 6)))
@@ -145,6 +147,8 @@ def sessionize_stream(
     watermark: str = "1 hour",
     user_col: str = "user_id",
     ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
 ):
     """Streaming sessionization over an event stream -> stream of CLOSED
     sessions (same schema as the batch twin minus session_seq, which is
@@ -162,7 +166,7 @@ def sessionize_stream(
     )
 
     def fn(key, pdfs, state):
-        yield from _merge_session(key, pdfs, state, gap_seconds)
+        yield from _merge_session(key, pdfs, state, gap_seconds, id_col, value_col)
 
     return prepared.groupBy(F.col(user_col)).applyInPandasWithState(
         fn,

@@ -33,6 +33,7 @@ from sgpt_spark.operators.indexer import (
     assign_doc_ids,
     build_index,
     read_index,
+    release_doc_ids,
 )
 
 MANIFEST = "_MANIFEST.json"
@@ -98,10 +99,11 @@ def build_index_pipeline(
     docs_dir = f"{out_path}/docs"
     docs_params = {"src": pages_src, "order_by": "url"}
     if not stage_done(docs_dir, docs_params):
-        docs = assign_doc_ids(
+        assigned = assign_doc_ids(
             pages_df.select("url", "text"), num_partitions=num_partitions
         )
-        docs.write.mode("overwrite").parquet(f"{docs_dir}/data")
+        assigned.write.mode("overwrite").parquet(f"{docs_dir}/data")
+        release_doc_ids(assigned)  # stage materialized — free the cache
         n = spark.read.parquet(f"{docs_dir}/data").count()
         write_manifest(docs_dir, "docs", docs_params, {"rows": n})
     docs = spark.read.parquet(f"{docs_dir}/data")

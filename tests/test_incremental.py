@@ -172,7 +172,10 @@ def test_append_uses_index_analyzer(spark, tmp_path):
     from sgpt_spark.operators.search import bm25_search
 
     rows1 = [(f"u{i:03d}", f"The Word{i % 7}, CASE tests! item {i}") for i in range(30)]
-    rows2 = [(f"v{i:03d}", f"More WORD{i % 5} Punct... doc {i}") for i in range(12)]
+    # standalone "..." tokens: ws counts them, standard doesn't — so a
+    # ws-tokenized stats scan would corrupt total_len/avgdl (regression
+    # guard for the append stats-tokenizer bug)
+    rows2 = [(f"v{i:03d}", f"More WORD{i % 5} ... doc {i} !!!") for i in range(12)]
     pages1 = spark.createDataFrame(rows1, "url string, text string")
     pages2 = spark.createDataFrame(rows2, "url string, text string")
 
@@ -184,6 +187,10 @@ def test_append_uses_index_analyzer(spark, tmp_path):
 
     postings, meta = read_index(spark, idx)
     assert meta.analyzer == "analyze_py"
+    from sgpt_spark.functions.analyzer import analyze_py as _ap
+
+    want_total = sum(len(_ap(t)) for _, t in rows1 + rows2)
+    assert meta.total_len == want_total  # stats counted with the INDEX analyzer
     queries = spark.createDataFrame(
         [(1, "word3 CASE"), (2, "punct doc"), (3, "THE more")], "qid long, query string"
     )

@@ -74,20 +74,39 @@ def tokenize_py_ws(text: str) -> list[str]:
 
 def resolve_py_analyzer(name: str):
     """IndexMeta.analyzer name -> Python tokenizer fn, so the query side
-    analyzes with the SAME analyzer the index was built with (falls back
-    to whitespace for unknown/custom names)."""
-    return {"tokenize_py_ws": tokenize_py_ws, "analyze_py": analyze_py}.get(
-        name, tokenize_py_ws
-    )
+    analyzes with the SAME analyzer the index was built with.
+
+    Unknown/custom names raise: an index built with a custom
+    ``py_tokenizer`` records that custom name in IndexMeta, and silently
+    whitespace-analyzing its appends/queries would split the vocabulary
+    and mis-score. Callers with custom analyzers must pass the tokenizer
+    explicitly (``collect_query_terms(tokenize=...)`` /
+    ``append_to_index(py_tokenizer=...)``).
+    """
+    table = {"tokenize_py_ws": tokenize_py_ws, "analyze_py": analyze_py}
+    if name not in table:
+        raise ValueError(
+            f"unknown analyzer {name!r} in IndexMeta: this index was built "
+            "with a custom tokenizer — pass it explicitly (tokenize=/"
+            f"py_tokenizer=) instead of relying on resolution. Built-ins: "
+            f"{sorted(table)}"
+        )
+    return table[name]
 
 
 def resolve_jvm_analyzer(name: str):
     """IndexMeta.analyzer name -> JVM column tokenizer (the twin of
     ``resolve_py_analyzer`` for plans that analyze queries inside the
-    DataFrame plan rather than on the driver)."""
-    return {"tokenize_py_ws": tokenize_ws, "analyze_py": tokenize_standard}.get(
-        name, tokenize_ws
-    )
+    DataFrame plan rather than on the driver). Unknown names raise for
+    the same vocabulary-split reason."""
+    table = {"tokenize_py_ws": tokenize_ws, "analyze_py": tokenize_standard}
+    if name not in table:
+        raise ValueError(
+            f"unknown analyzer {name!r} in IndexMeta: this index was built "
+            "with a custom tokenizer — analyze queries with that tokenizer "
+            f"explicitly. Built-ins: {sorted(table)}"
+        )
+    return table[name]
 
 
 def analyze_py(text: str) -> list[str]:

@@ -165,6 +165,7 @@ def search_index(
     use_wand: bool | None = None,
     exclude_self: bool = False,
     term_stats: DataFrame | None = None,
+    tokenize=None,
 ) -> DataFrame:
     """-> RESULTS (qid, doc_id, score, rank), rank-identical to the
     exhaustive path and the brute-force oracle under every strategy.
@@ -190,18 +191,34 @@ def search_index(
         strategy = "wand" if use_wand else "exhaustive"
     if strategy not in ("taat", "wand", "exhaustive"):
         raise ValueError(f"unknown strategy {strategy!r}: use taat|wand|exhaustive")
-    if exclude_self and isinstance(queries, DataFrame):
-        qt = queries.schema["qid"].dataType.simpleString()
-        if qt not in ("bigint", "int", "long", "smallint", "tinyint"):
-            # comparing string qids against int64 index doc ids would
-            # null out and silently drop every row — demand matching ids
-            # (external-id query sets: filter after mapping ids back,
-            # see plans/beir.run_beir_bm25)
-            raise ValueError(
-                f"exclude_self needs integer qids matching index doc ids; got qid type {qt}"
-            )
+    if exclude_self:
+        if isinstance(queries, DataFrame):
+            qt = queries.schema["qid"].dataType.simpleString()
+            if qt not in ("bigint", "int", "long", "smallint", "tinyint"):
+                # comparing string qids against int64 index doc ids would
+                # null out and silently drop every row — demand matching
+                # ids (external-id query sets: filter after mapping ids
+                # back, see plans/beir.run_beir_bm25)
+                raise ValueError(
+                    f"exclude_self needs integer qids matching index doc ids; got qid type {qt}"
+                )
+        else:
+            # same silent-null failure mode for the iterable-of-tuples
+            # input: string qids there would make doc_id != qid drop
+            # every row
+            qpairs = list(queries)
+            queries = qpairs
+            if qpairs and not isinstance(qpairs[0][0], (int, np.integer)):
+                raise ValueError(
+                    "exclude_self needs integer qids matching index doc ids; "
+                    f"got qid type {type(qpairs[0][0]).__name__}"
+                )
     # analyze queries with the SAME analyzer the index was built with
-    qterms = collect_query_terms(queries, tokenize=resolve_py_analyzer(meta.analyzer))
+    # (custom-analyzer indexes must pass tokenize= explicitly — the
+    # resolver refuses to guess, see functions/analyzer.py)
+    qterms = collect_query_terms(
+        queries, tokenize=tokenize or resolve_py_analyzer(meta.analyzer)
+    )
     qid_type = (
         queries.schema["qid"].dataType.simpleString()
         if isinstance(queries, DataFrame)

@@ -91,10 +91,14 @@ def run_beir_bm25(
         spark, postings, meta, queries, k=fetch_k,
         term_stats=read_term_stats(spark, f"{out_dir}/index"),
     )
-    # internal ids -> external BEIR ids: broadcast the run (|q| x k rows)
+    # internal ids -> external BEIR ids. No explicit broadcast hint: the
+    # run is |q| x k rows, which at the reference's defaults (tens of
+    # thousands of queries x k=1000) can exceed the broadcast/driver
+    # limit — a shuffle join on doc_id is always safe, and AQE will
+    # still broadcast whichever side is actually small at runtime.
     id_map = spark.read.parquet(f"{out_dir}/ids")
     run_ext = (
-        F.broadcast(run).join(id_map, "doc_id")
+        run.join(id_map, "doc_id")
         .select("qid", F.col("ext_id").alias("doc_id"), "score", "rank")
     )
     if exclude_self:

@@ -47,12 +47,17 @@ def _max_doc_id(postings: DataFrame) -> int:
 
 
 def append_to_index(
-    spark: SparkSession, new_pages: DataFrame, index_path: str
+    spark: SparkSession,
+    new_pages: DataFrame,
+    index_path: str,
+    py_tokenizer=None,
 ) -> IndexMeta:
     """Append a batch of pages as new segments; returns the merged meta.
 
     New doc ids continue after the current max (url-ordered within the
     batch); new segment ids continue after the current max segment.
+    ``py_tokenizer`` is required for custom-analyzer indexes (the
+    resolver raises rather than silently whitespace-analyzing them).
     """
     postings_old, meta_old = read_index(spark, index_path)
     id_offset = meta_old.next_doc_id or (_max_doc_id(postings_old) + 1)
@@ -77,23 +82,38 @@ def append_to_index(
     new_postings, new_meta = build_postings(
         docs,
         segment_size=meta_old.segment_size,
-        py_tokenizer=resolve_py_analyzer(meta_old.analyzer),
+        py_tokenizer=py_tokenizer or resolve_py_analyzer(meta_old.analyzer),
     )
     if new_meta.n_docs == 0:
         release_doc_ids(assigned)
         return meta_old
-    new_postings = new_postings.withColumn("segment", F.col("segment") + seg_offset)
-    new_postings.write.mode("append").parquet(f"{index_path}/postings")
-    release_doc_ids(assigned)  # terminal action done — free the ranged cache
 
-    # keep the global (term, df) side table fresh: merge the old stats
-    # with the APPENDED segments' dfs only (never a full postings rescan)
+    # Failure-atomicity of the (postings, termstats) pair: termstats is
+    # a derived cache, so take it OFFLINE (rename aside) BEFORE the
+    # postings append. A crash anywhere between here and the rebuild
+    # below leaves NO termstats dir -> read_term_stats falls back to
+    # re-aggregation over postings, which is always consistent. The old
+    # order (append postings, then rewrite termstats) could strand a
+    # silently-stale side table that inflates IDF with no error.
     import os
     import shutil
 
     ts_dir = f"{index_path}/termstats"
-    if os.path.isdir(ts_dir):
-        old_ts = spark.read.parquet(ts_dir)
+    ts_aside = f"{index_path}/termstats_prev"
+    had_ts = os.path.isdir(ts_dir)
+    if os.path.isdir(ts_aside):  # leftover from an earlier crash: stale
+        shutil.rmtree(ts_aside)  # (postings may have advanced) — drop it
+    if had_ts:
+        os.rename(ts_dir, ts_aside)
+
+    new_postings = new_postings.withColumn("segment", F.col("segment") + seg_offset)
+    new_postings.write.mode("append").parquet(f"{index_path}/postings")
+    release_doc_ids(assigned)  # terminal action done — free the ranged cache
+
+    # rebuild the global (term, df) side table: merge the set-aside
+    # stats with the APPENDED segments' dfs only (never a full rescan)
+    if had_ts:
+        old_ts = spark.read.parquet(ts_aside)
         new_ts = (
             spark.read.parquet(f"{index_path}/postings")
             .filter(F.col("term").isNotNull() & (F.col("segment") >= seg_offset))
@@ -108,8 +128,8 @@ def append_to_index(
         )
         tmp = f"{index_path}/termstats_new"
         merged_ts.write.mode("overwrite").parquet(tmp)
-        shutil.rmtree(ts_dir)
-        os.rename(tmp, ts_dir)
+        os.rename(tmp, ts_dir)  # publish the fresh table last
+        shutil.rmtree(ts_aside)
 
     total_len = meta_old.total_len + new_meta.total_len
     n_docs = meta_old.n_docs + new_meta.n_docs

@@ -86,7 +86,17 @@ def test_arrow_standard_codes_match_python_twin():
 def test_resolve_py_analyzer():
     assert resolve_py_analyzer("analyze_py") is analyze_py
     assert resolve_py_analyzer("tokenize_py_ws") is tokenize_py_ws
-    assert resolve_py_analyzer("whatever") is tokenize_py_ws
+    # unknown/custom analyzer names must raise, not silently fall back
+    # to whitespace (that would split a custom-analyzed index's vocab)
+    with pytest.raises(ValueError, match="unknown analyzer"):
+        resolve_py_analyzer("whatever")
+
+
+def test_resolve_jvm_analyzer_unknown_raises():
+    from sgpt_spark.functions.analyzer import resolve_jvm_analyzer
+
+    with pytest.raises(ValueError, match="unknown analyzer"):
+        resolve_jvm_analyzer("my_custom_tok")
 
 
 @pytest.fixture()

@@ -27,14 +27,43 @@ def norm_cell(v):
     return v
 
 
+# DuckDB type name -> Spark simpleString, for the type parity check.
+# The driver's hash canonicalizer is TYPE-sensitive (round-2 lesson:
+# DuckDB sum() widening to HUGEINT hash-mismatched against Spark
+# BIGINT even with identical values), so any pair outside this map or
+# mapping to a different Spark type is flagged.
+_DUCK2SPARK = {
+    "BIGINT": "bigint",
+    "INTEGER": "int",
+    "SMALLINT": "smallint",
+    "TINYINT": "tinyint",
+    "DOUBLE": "double",
+    "FLOAT": "float",
+    "VARCHAR": "string",
+    "BOOLEAN": "boolean",
+    "DATE": "date",
+    "TIMESTAMP": "timestamp",
+}
+
+
 def compare(name, sdf, sql, con):
     spark_rows = sdf.collect()
     spark_cols = sorted(sdf.columns)
     duck = con.sql(sql)
     duck_cols_raw = list(duck.columns)
+    duck_types_raw = [str(t) for t in duck.types]
     duck_rows = duck.fetchall()
     duck_cols = sorted(duck_cols_raw)
     ok = True
+    spark_types = {f.name: f.dataType.simpleString() for f in sdf.schema.fields}
+    for c, dt in zip(duck_cols_raw, duck_types_raw):
+        st = spark_types.get(c)
+        if st is None:
+            continue  # schema mismatch reported below
+        mapped = _DUCK2SPARK.get(dt.split("(")[0])
+        if mapped != st:
+            print(f"  [{name}] TYPE MISMATCH col={c} spark={st} duck={dt}")
+            ok = False
     if spark_cols != duck_cols:
         print(f"  [{name}] SCHEMA MISMATCH spark={spark_cols} duck={duck_cols}")
         ok = False

@@ -254,6 +254,23 @@ def _q_bm25_index_noself(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_bm25_multifield(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-field BM25 (ES ``multi_match`` best_fields, tie_breaker=0.5
+    — the query the reference actually ran,
+    crossencoder_beir_bm25.ipynb:298-310 cell 10). The testdata has no
+    title column, so a deterministic one is derived (first 3 tokens of
+    text) identically in the Spark plan and the DuckDB oracle; each
+    field is an independent BM25 index (own N/avgdl/df)."""
+    from sgpt_spark.operators.search import bm25_multifield_search
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "title", F.array_join(F.slice(F.split(F.col("text"), " ", -1), 1, 3), " ")
+    )
+    return bm25_multifield_search(
+        docs, derived_queries(docs), k=10, fields=("title", "text"), tie_breaker=0.5
+    )
+
+
 # --- dedup / similarity / text analysis (training-data pipeline ops) -----
 
 def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -616,6 +633,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_index_join_top10": _q_bm25_index_join_top10,
         "bm25_standard_top10": _q_bm25_standard_top10,
         "bm25_standard_index_top10": _q_bm25_standard_index_top10,
+        "bm25_multifield_top10": _q_bm25_multifield,
         "queryset_derive": _q_queryset,
         "corpus_stats": _q_corpus_stats,
         "doc_stats": _q_doc_stats,
@@ -792,6 +810,76 @@ WITH sdocs AS (
   )
 SELECT qid, doc_id, score, CAST(rnk AS INTEGER) AS rank
 FROM sranked WHERE rnk <= 10
+"""
+
+
+# Multi-field BM25 twin (ES multi_match best_fields, tie_breaker=0.5).
+# Title derived as the first 3 whitespace tokens of text, identically to
+# the Spark plan; each field is an independent BM25 index (per-field
+# N/avgdl/df, docs with an empty field absent from that field's index).
+_BM25_MULTIFIELD_SQL = f"""
+WITH base AS (
+    SELECT doc_id,
+           array_to_string(list_slice(string_split(text, ' '), 1, 3), ' ') AS title,
+           text
+    FROM documents
+  ),
+  fraw AS (
+    SELECT doc_id, 'title' AS field,
+           list_filter(string_split(title, ' '), x -> x <> '') AS toks FROM base
+    UNION ALL
+    SELECT doc_id, 'text' AS field,
+           list_filter(string_split(text, ' '), x -> x <> '') AS toks FROM base
+  ),
+  fdocs AS (SELECT * FROM fraw WHERE len(toks) > 0),
+  fterms AS (
+    SELECT doc_id, field, u.term AS term FROM fdocs, unnest(toks) AS u(term)
+  ),
+  fdoclen AS (SELECT field, doc_id, len(toks) AS doc_len FROM fdocs),
+  ftf AS (
+    SELECT field, term, doc_id, count(*) AS tf
+    FROM fterms GROUP BY field, term, doc_id
+  ),
+  fdf AS (SELECT field, term, count(*) AS df FROM ftf GROUP BY field, term),
+  fstats AS (
+    SELECT field, count(*) AS n, avg(len(toks)) AS avgdl FROM fdocs GROUP BY field
+  ),
+  queryset AS ({QUERIES_SQL}),
+  mqterms AS (
+    SELECT qid, u.term AS term, count(*) AS qtf
+    FROM queryset, unnest(string_split(query, ' ')) AS u(term)
+    WHERE u.term <> ''
+    GROUP BY qid, u.term
+  ),
+  fscored AS (
+    SELECT q.qid, ftf.doc_id, ftf.field,
+           sum(
+             q.qtf
+             * ln(1 + (s.n - fdf.df + 0.5) / (fdf.df + 0.5))
+             * ftf.tf / (ftf.tf + {K1} * (1 - {B} + {B} * dl.doc_len / s.avgdl))
+           ) AS fscore
+    FROM mqterms q
+    JOIN ftf ON q.term = ftf.term
+    JOIN fdf ON ftf.field = fdf.field AND ftf.term = fdf.term
+    JOIN fdoclen dl ON ftf.field = dl.field AND ftf.doc_id = dl.doc_id
+    JOIN fstats s ON ftf.field = s.field
+    GROUP BY q.qid, ftf.doc_id, ftf.field
+  ),
+  mcombined AS (
+    SELECT qid, doc_id,
+           max(fscore) + 0.5 * (sum(fscore) - max(fscore)) AS raw_score
+    FROM fscored GROUP BY qid, doc_id
+  ),
+  mranked AS (
+    SELECT qid, doc_id, round(raw_score, {SCORE_DECIMALS}) AS score,
+           row_number() OVER (
+             PARTITION BY qid
+             ORDER BY round(raw_score, {SCORE_DECIMALS}) DESC, doc_id ASC
+           ) AS rnk
+    FROM mcombined
+  )
+SELECT qid, doc_id, score, CAST(rnk AS INTEGER) AS rank
+FROM mranked WHERE rnk <= 10
 """
 
 
@@ -1292,6 +1380,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_index_join_top10": _BM25_SQL,
         "bm25_standard_top10": _BM25_STANDARD_SQL,
         "bm25_standard_index_top10": _BM25_STANDARD_SQL,
+        "bm25_multifield_top10": _BM25_MULTIFIELD_SQL,
         "bm25_rerank_top10": _RERANK_SQL,
         "dedup_exact": """
             SELECT d.doc_id, m.canonical_id

@@ -88,6 +88,40 @@ def bm25_topk(
     return out
 
 
+def bm25_multifield_topk(
+    fields_corpus: dict[str, dict[str, str]],
+    queries: dict[str, str],
+    k: int = 10,
+    tie_breaker: float = 0.5,
+    tokenize: Callable[[str], list[str]] = tokenize_ws,
+    k1: float = K1,
+    b: float = B,
+) -> dict[str, list[tuple[str, float, int]]]:
+    """ES multi_match best_fields oracle: each field an independent BM25
+    index (own N/avgdl/df); combine = max_f + tie_breaker*(sum_f - max_f).
+    ``fields_corpus``: field -> {doc_id: field_text}."""
+    indexes = {f: bm25_index(c, tokenize) for f, c in fields_corpus.items()}
+    out: dict[str, list[tuple[str, float, int]]] = {}
+    for qid, qtext in queries.items():
+        qterms = tokenize(qtext)
+        if not qterms:
+            continue
+        per_doc: dict[str, list[float]] = {}
+        for idx in indexes.values():
+            for doc_id in idx["tfs"]:
+                s = bm25_score(idx, qterms, doc_id, k1, b)
+                if s > 0.0:
+                    per_doc.setdefault(doc_id, []).append(s)
+        hits = []
+        for doc_id, fscores in per_doc.items():
+            mx = max(fscores)
+            combined = mx + tie_breaker * (sum(fscores) - mx)
+            hits.append((doc_id, round(combined, SCORE_DECIMALS)))
+        hits.sort(key=lambda h: (-h[1], h[0]))
+        out[qid] = [(d, s, i + 1) for i, (d, s) in enumerate(hits[:k])]
+    return out
+
+
 # --- IR metrics per the reference's InformationRetrievalEvaluator --------
 # (biencoder/nli_msmarco/sentence-transformers/sentence_transformers/
 #  evaluation/InformationRetrievalEvaluator.py:189-271)

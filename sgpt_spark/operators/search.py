@@ -123,6 +123,111 @@ def bm25_search(
     return topk_per_group(scored, k=k).select("qid", "doc_id", "score", "rank")
 
 
+def bm25_multifield_search(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    fields: tuple[str, ...] = ("title", "text"),
+    tie_breaker: float = 0.5,
+    tokenizer: Tokenizer = tokenize_ws,
+    id_col: str = "doc_id",
+    k1: float = K1,
+    b: float = B,
+    exclude_self: bool = False,
+) -> DataFrame:
+    """Multi-field BM25 top-k — the ES ``multi_match`` query the
+    reference actually ran (crossencoder_beir_bm25.ipynb:298-310 cell
+    10): BEIR 0.2.3's ``BM25Search`` indexes each doc as
+    ``{"title", "txt"}`` and queries both fields with
+    ``type=best_fields, tie_breaker=0.5``.
+
+    Semantics (Lucene/ES, public docs):
+      - each field is scored as an INDEPENDENT BM25 index: per-field
+        docCount N_f (docs with >=1 token in that field), per-field
+        avgdl_f, per-field df_f — a doc with an empty title simply has
+        no rows in the title index;
+      - best_fields combine: score = max_f s_f + tie_breaker *
+        (sum_f s_f - max_f s_f).  tie_breaker=0 is pure dis-max,
+        tie_breaker=1 is a plain per-field sum.
+
+    Plan shape (scale notes as ``bm25_search``): the per-field posting
+    relations are one UNION of narrow projections over a single corpus
+    scan; query terms x per-field dfs stay broadcast, so the only
+    shuffles are the (field, term, doc_id) tf aggregation and the final
+    per-query top-k — both keyed on high-cardinality keys.
+    """
+    if exclude_self:
+        _check_self_comparable(corpus.schema[id_col], queries.schema["qid"])
+    base = corpus
+    fdocs = None
+    for f in fields:
+        part = base.select(
+            F.col(id_col).alias("doc_id"),
+            F.lit(f).alias("field"),
+            tokenizer(F.col(f)).alias("terms"),
+        ).filter(F.size("terms") > 0)
+        fdocs = part if fdocs is None else fdocs.unionByName(part)
+
+    # per-field posting relation (field, term, doc_id, tf, doc_len)
+    tf = (
+        fdocs.select(
+            "field",
+            "doc_id",
+            F.size("terms").alias("doc_len"),
+            F.explode("terms").alias("term"),
+        )
+        .groupBy("field", "term", "doc_id")
+        .agg(F.count("*").alias("tf"), F.first("doc_len").alias("doc_len"))
+    )
+    dfs = tf.groupBy("field", "term").agg(F.count("*").alias("df"))
+    # per-field docCount/avgdl: |fields| rows — safe to collect and fold
+    # into the plan as literals (same contract as corpus_stats)
+    stats = {
+        r["field"]: (int(r["n"]), float(r["avgdl"] or 0.0))
+        for r in fdocs.groupBy("field")
+        .agg(F.count("*").alias("n"), F.avg(F.size("terms")).alias("avgdl"))
+        .collect()
+    }
+    qt = query_terms(queries, tokenizer=tokenizer)
+    qterm_df = F.broadcast(qt.join(dfs, "term", "inner"))
+
+    n_map = F.create_map(
+        *[x for f in fields for x in (F.lit(f), F.lit(float(stats.get(f, (0, 0.0))[0])))]
+    )
+    avgdl_map = F.create_map(
+        *[x for f in fields for x in (F.lit(f), F.lit(stats.get(f, (0, 1.0))[1] or 1.0))]
+    )
+    partial = tf.join(qterm_df, ["field", "term"], "inner").select(
+        "qid",
+        "doc_id",
+        "field",
+        (
+            F.col("qtf")
+            * F.log(
+                1.0
+                + (n_map[F.col("field")] - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            )
+            * F.col("tf")
+            / (
+                F.col("tf")
+                + k1 * (1.0 - b + b * F.col("doc_len") / avgdl_map[F.col("field")])
+            )
+        ).alias("partial"),
+    )
+    fieldscore = partial.groupBy("qid", "doc_id", "field").agg(
+        F.sum("partial").alias("fscore")
+    )
+    combined = fieldscore.groupBy("qid", "doc_id").agg(
+        (
+            F.max("fscore")
+            + F.lit(float(tie_breaker)) * (F.sum("fscore") - F.max("fscore"))
+        ).alias("score")
+    )
+    if exclude_self:
+        combined = combined.filter(F.col("doc_id") != F.col("qid"))
+    return topk_per_group(combined, k=k).select("qid", "doc_id", "score", "rank")
+
+
 _NUMERIC = ("bigint", "int", "long", "smallint", "tinyint")
 
 

@@ -52,6 +52,7 @@ def run_beir_bm25(
     analyzer: str = "standard",
     rerank_top_k: int | None = None,
     exclude_self: bool = False,
+    fields: str = "concat",
 ) -> DataFrame:
     """-> metrics DataFrame (k, ndcg, map, mrr, precision, recall), one
     row per cutoff; the ranked run is persisted at ``{out_dir}/run``
@@ -61,14 +62,31 @@ def run_beir_bm25(
     pair scorer (stub CE by default) above the untouched tail
     (sgptce.py:343 semantics). ``exclude_self`` drops doc_id == qid
     hits (quora/cqadupstack-style query sets).
+
+    ``fields``: ``"concat"`` (default) indexes the title+text concat as
+    one field; ``"multi"`` scores ``title`` and ``text`` as independent
+    BM25 fields combined with ES ``best_fields, tie_breaker=0.5`` — the
+    multi_match query the reference actually ran
+    (crossencoder_beir_bm25.ipynb:298-310 cell 10). The multi path runs
+    the exhaustive DataFrame plan directly on external ids (no dense-id
+    index is persisted); everything downstream (run parquet, rerank,
+    metrics) is identical.
     """
     if analyzer not in ("whitespace", "standard"):
         raise ValueError(f"unknown analyzer {analyzer!r}: whitespace|standard")
+    if fields not in ("concat", "multi"):
+        raise ValueError(f"unknown fields mode {fields!r}: concat|multi")
     py_tok = analyze_py if analyzer == "standard" else tokenize_py_ws
 
     corpus = read_beir_corpus(spark, corpus_path)
     queries = read_beir_queries(spark, queries_path)
     qrels = read_beir_qrels(spark, qrels_path)
+
+    if fields == "multi":
+        return _run_multi(
+            spark, corpus, queries, qrels, out_dir, k_values, analyzer,
+            rerank_top_k, exclude_self,
+        )
 
     # title+text concat projection; deterministic dense ids by ext-id order
     docs_ext = corpus.select(
@@ -113,6 +131,43 @@ def run_beir_bm25(
         from sgpt_spark.operators.rerank import rerank
 
         corpus_texts = docs.select(F.col("ext_id").alias("doc_id"), "text")
+        run_ext = rerank(run_ext, corpus_texts, queries, top_k=rerank_top_k)
+
+    write_results_parquet(run_ext, f"{out_dir}/run")
+    run_ext = spark.read.parquet(f"{out_dir}/run")
+    return mean_metrics_at(run_ext, qrels, [kv for kv in k_values if kv <= k])
+
+
+def _run_multi(
+    spark: SparkSession,
+    corpus: DataFrame,
+    queries: DataFrame,
+    qrels: DataFrame,
+    out_dir: str,
+    k_values: tuple[int, ...],
+    analyzer: str,
+    rerank_top_k: int | None,
+    exclude_self: bool,
+) -> DataFrame:
+    """fields="multi" body: exhaustive multi-field BM25 over external
+    ids (both sides are BEIR string ids, so the self filter pushes into
+    the operator and no id mapping is needed)."""
+    from sgpt_spark.functions.analyzer import tokenize_standard, tokenize_ws
+    from sgpt_spark.operators.search import bm25_multifield_search
+
+    jvm_tok = tokenize_standard if analyzer == "standard" else tokenize_ws
+    k = max(k_values)
+    run_ext = bm25_multifield_search(
+        corpus, queries, k=k, fields=("title", "text"), tie_breaker=0.5,
+        tokenizer=jvm_tok, exclude_self=exclude_self,
+    )
+
+    if rerank_top_k is not None:
+        from sgpt_spark.operators.rerank import rerank
+
+        corpus_texts = corpus.select(
+            "doc_id", doc_fulltext(F.col("title"), F.col("text")).alias("text")
+        )
         run_ext = rerank(run_ext, corpus_texts, queries, top_k=rerank_top_k)
 
     write_results_parquet(run_ext, f"{out_dir}/run")

@@ -123,3 +123,49 @@ def test_cli_beir(spark, beir_dir):
         "--out", str(out), "--k-values", "1,10",
     ])
     assert (out / "run").exists()
+
+
+def test_beir_pipeline_multifield(spark, beir_dir):
+    """fields="multi": the persisted run must be value-identical to the
+    exhaustive multi-field plan (standard analyzer, tie_breaker=0.5) over
+    the raw (title, text) corpus, and known-item metrics must stay
+    perfect — the titles here are noise ("Title i!"), so the text field
+    dominates via best_fields."""
+    from sgpt_spark.operators.search import bm25_multifield_search
+
+    out = Path(tempfile.mkdtemp(prefix="sgpt_beir_mf_"))
+    metrics = run_beir_bm25(
+        spark,
+        str(beir_dir / "corpus.jsonl"),
+        str(beir_dir / "queries.jsonl"),
+        str(beir_dir / "qrels.tsv"),
+        str(out),
+        k_values=(1, 10),
+        fields="multi",
+    ).collect()
+    m = {r["k"]: r for r in metrics}
+    assert m[1]["ndcg"] == 1.0
+    assert m[10]["recall"] == 1.0
+
+    run = spark.read.parquet(str(out / "run"))
+    corpus = spark.read.json(str(beir_dir / "corpus.jsonl")).select(
+        F.col("_id").alias("doc_id"),
+        F.coalesce("title", F.lit("")).alias("title"),
+        F.coalesce("text", F.lit("")).alias("text"),
+    )
+    queries = spark.read.json(str(beir_dir / "queries.jsonl")).select(
+        F.col("_id").alias("qid"), F.col("text").alias("query")
+    )
+    want = sorted(
+        tuple(r)
+        for r in bm25_multifield_search(
+            corpus, queries, k=10, tokenizer=tokenize_standard
+        ).collect()
+    )
+    got = sorted(tuple(r) for r in run.filter(F.col("rank") <= 10).collect())
+    assert got == want
+    # a doc whose TITLE matches must be retrievable: title tokens only
+    # exist in the title field ("title" itself appears in every title)
+    tq = spark.createDataFrame([("tq1", "title")], "qid string, query string")
+    hits = bm25_multifield_search(corpus, tq, k=5, tokenizer=tokenize_standard)
+    assert hits.count() == 5

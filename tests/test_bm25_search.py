@@ -9,6 +9,7 @@ from __future__ import annotations
 import math
 
 import pytest
+from pyspark.sql import functions as F
 
 from oracle.bm25_oracle import bm25_topk
 from sgpt_spark.operators.search import bm25_search
@@ -145,3 +146,59 @@ def test_randomized_differential_vs_oracle(spark):
             got = runs(search_index(spark, postings, meta, qdf, k=k, strategy=strat))
             assert got == want, f"{strat} trial {trial}"
         assert runs(search_index_join(spark, postings, meta, qdf, k=k)) == want, trial
+
+
+# --- multi-field BM25 (ES multi_match best_fields, tie_breaker=0.5) ------
+
+TITLES = {
+    "d1": "fox report",
+    "d2": "quick summary",
+    "d3": "",  # empty title — absent from the title index
+    "d4": "spark shuffles explained",
+    "d5": "orphan title",  # doc with title but empty body
+    "d6": "fox",
+}
+
+
+@pytest.fixture(scope="module")
+def tiny_mf(spark):
+    rows = [(k, TITLES.get(k, ""), v) for k, v in CORPUS.items()]
+    corpus = spark.createDataFrame(rows, "doc_id string, title string, text string")
+    queries = spark.createDataFrame(
+        [(k, v) for k, v in QUERIES.items()], "qid string, query string"
+    )
+    return corpus, queries
+
+
+@pytest.mark.parametrize("tie_breaker", [0.0, 0.5, 1.0])
+def test_multifield_matches_oracle(spark, tiny_mf, tie_breaker):
+    from oracle.bm25_oracle import bm25_multifield_topk
+    from sgpt_spark.operators.search import bm25_multifield_search
+
+    corpus, queries = tiny_mf
+    got = collect_run(
+        bm25_multifield_search(corpus, queries, k=10, tie_breaker=tie_breaker)
+    )
+    want = bm25_multifield_topk(
+        {"title": TITLES, "text": CORPUS}, QUERIES, k=10, tie_breaker=tie_breaker
+    )
+    want = {q: hits for q, hits in want.items() if hits}
+    assert set(got) == set(want)
+    for qid, hits in got.items():
+        assert [h[0] for h in hits] == [h[0] for h in want[qid]], qid
+        for (gd, gs, gr), (wd, ws, wr) in zip(hits, want[qid]):
+            assert gr == wr
+            assert math.isclose(gs, ws, abs_tol=1e-6), (qid, gd, gs, ws)
+
+
+def test_multifield_all_empty_titles_degenerates_to_single_field(spark, tiny):
+    """With every title empty the title index is empty, so best_fields
+    over (title, text) must equal plain single-field BM25 over text —
+    for ANY tie_breaker."""
+    from sgpt_spark.operators.search import bm25_multifield_search
+
+    corpus, queries = tiny
+    mf = corpus.withColumn("title", F.lit(""))
+    got = collect_run(bm25_multifield_search(mf, queries, k=10, tie_breaker=0.5))
+    want = collect_run(bm25_search(corpus, queries, k=10))
+    assert got == want

@@ -94,6 +94,7 @@ def compare(name, sdf, sql, con):
 
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])  # optional: check just these query names
     spark = get_spark(master="local[8]", shuffle_partitions=8)
     con = duckdb.connect()
     for t in TABLES:
@@ -104,6 +105,8 @@ def main():
     oracles = entry_mod.oracle_sql()
     failures = []
     for name, fn in qs.items():
+        if only and name not in only:
+            continue
         t0 = time.time()
         sdf = fn(spark, sf_dir)
         if name in oracles:

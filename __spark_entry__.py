@@ -414,11 +414,19 @@ def _q_ivf_full_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_embedding_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Community detection + overlap-free assignment (util.py:299-347,
-    432-446 semantics, made deterministic via connected components)."""
+    432-446 semantics, made deterministic via connected components) —
+    through the LSH-bucketed candidate path (the scale path). At this
+    deliberately LOW threshold (0.4 — wide angle) per-table collision
+    odds are weak, so the gate runs 4 planes x 24 tables: measured
+    candidate recall 1.0 on this (seeded, fixed) dataset, making the
+    value gate deterministic. At realistic thresholds (>=0.8) the
+    operator defaults (6 x 12) prune far harder."""
     from sgpt_spark.operators.similarity import embedding_communities
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return embedding_communities(emb, threshold=0.4, min_size=2)
+    return embedding_communities(
+        emb, threshold=0.4, min_size=2, candidates="lsh", n_planes=4, n_tables=24
+    )
 
 
 def _q_lsh_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -235,10 +235,15 @@ def connected_components(
     localCheckpoint to keep lineage flat (iterative plans otherwise grow
     exponentially). Deterministic: min over labels.
     """
-    edges = pairs.select(
-        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
-    ).unionByName(
-        pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+        )
+        # materialize ONCE: the pair pipeline upstream (LSH bucketing,
+        # candidate join, exact rescore) would otherwise re-execute on
+        # every propagation round below
+        .localCheckpoint()
     )
     labels = nodes.select(
         F.col(id_col).alias("node"), F.col(id_col).alias("label")

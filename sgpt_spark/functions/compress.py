@@ -360,3 +360,104 @@ def decode_blocks(blocks: list) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         z = np.empty(0, dtype=np.int64)
         return z, z.astype(np.uint64), z.astype(np.uint64)
     return np.concatenate(ids), np.concatenate(tfs), np.concatenate(dls)
+
+
+def merge_runs_streaming(
+    runs: list[list],
+    block_size: int = BLOCK_SIZE,
+    flush_postings: int = 8192,
+    _peak_out: list | None = None,
+) -> list[dict]:
+    """K-way merge of doc-sorted encoded runs -> fresh encoded blocks,
+    decoding AT MOST ONE block per run at a time.
+
+    The compaction working-set fix (round-2 verdict): a head term's
+    merged posting list can be ~corpus-sized, so decoding it whole
+    (decode_many + argsort) is O(df) peak memory in one task. Runs are
+    already doc-sorted, so this merges like external merge sort: keep
+    one decoded block per run, repeatedly emit every buffered posting
+    below the smallest first_doc among UNDECODED next blocks (anything
+    below that bound can never be preceded by an unseen doc), and
+    re-encode in block_size multiples as the buffer fills. Peak decoded
+    rows = O(n_runs x block_size + flush_postings), independent of df.
+
+    All inner steps are numpy (searchsorted / concatenate / argsort over
+    <=flush-sized arrays) — no per-posting Python.
+    """
+    runs = [r for r in runs if r]
+    k = len(runs)
+    if k == 0:
+        return []
+    if k == 1:
+        # single run: already sorted and encoded; reuse as-is
+        return list(runs[0])
+    bi = [0] * k          # next block index to decode, per run
+    pos = [0] * k         # consumed offset into the decoded buffer
+    buf_d = [None] * k    # decoded (doc, tf, dl) buffers, one block each
+    buf_tf = [None] * k
+    buf_dl = [None] * k
+    pend: list[tuple[np.ndarray, np.ndarray, np.ndarray]] = []
+    pend_n = 0
+    carry = None  # remainder postings below one block_size
+    out: list[dict] = []
+    peak = 0
+
+    def flush(final: bool) -> None:
+        nonlocal pend, pend_n, carry
+        parts = ([carry] if carry is not None else []) + pend
+        if not parts:
+            return
+        d = np.concatenate([p[0] for p in parts])
+        tf = np.concatenate([p[1] for p in parts])
+        dl = np.concatenate([p[2] for p in parts])
+        cut = len(d) if final else (len(d) // block_size) * block_size
+        if cut:
+            out.extend(encode_blocks(d[:cut], tf[:cut], dl[:cut], block_size, presorted=True))
+        carry = (d[cut:], tf[cut:], dl[cut:]) if cut < len(d) else None
+        pend, pend_n = [], 0
+
+    while True:
+        live = 0
+        for i in range(k):
+            if buf_d[i] is not None and pos[i] < len(buf_d[i]):
+                live += len(buf_d[i]) - pos[i]
+                continue
+            if bi[i] < len(runs[i]):
+                blk = runs[i][bi[i]]
+                bi[i] += 1
+                buf_d[i] = delta_decode(
+                    blk["first_doc"], bytes(blk["doc_deltas"]), blk["count"]
+                )
+                buf_tf[i] = varint_decode(bytes(blk["tfs"]))
+                buf_dl[i] = varint_decode(bytes(blk["dls"]))
+                pos[i] = 0
+                live += len(buf_d[i])
+            else:
+                buf_d[i] = None
+        peak = max(peak, live)
+        active = [i for i in range(k) if buf_d[i] is not None]
+        if not active:
+            break
+        bounds = [runs[i][bi[i]]["first_doc"] for i in active if bi[i] < len(runs[i])]
+        safe = min(bounds) if bounds else None
+        take = []
+        for i in active:
+            d = buf_d[i][pos[i]:]
+            cut = len(d) if safe is None else int(np.searchsorted(d, safe, side="left"))
+            if cut:
+                s, e = pos[i], pos[i] + cut
+                take.append((buf_d[i][s:e], buf_tf[i][s:e], buf_dl[i][s:e]))
+                pos[i] = e
+        if take:
+            d = np.concatenate([t[0] for t in take])
+            order = np.argsort(d, kind="stable")
+            tf = np.concatenate([t[1] for t in take])[order]
+            dl = np.concatenate([t[2] for t in take])[order]
+            pend.append((d[order], tf, dl))
+            pend_n += len(d)
+            if pend_n >= flush_postings:
+                flush(final=False)
+    flush(final=True)
+    if _peak_out is not None:
+        _peak_out.append(peak)
+    return out

@@ -853,19 +853,23 @@ def compact_index(spark, path: str, target_segments: int) -> int:
 
     Plan: old segments map deterministically onto target buckets
     (contiguous by sorted segment id); per (term, new_segment) group the
-    posting rows are decoded (batched), merge-sorted by doc id, and
-    re-encoded into fresh blocks; per-segment sentinel stats rows merge
-    additively (doc count/token totals sum, max doc id maxes). The
-    shuffle is keyed by (term, bucket) — head terms get groups bounded
-    by their global df, acceptable at maintenance cadence (this is the
-    sequential merge Lucene does too); the (term, df) side table is
-    unchanged (global stats don't move). Search results are identical
-    before and after (tested). Returns the new segment count.
+    source rows' block lists — each already doc-sorted — are k-way
+    merged STREAMING (compress.merge_runs_streaming: one decoded block
+    per run at a time, re-encoded in block-size multiples), so peak
+    decoded memory per task is O(n_runs x block), independent of the
+    term's df — a head term over 10^12 docs no longer decodes its whole
+    merged posting list in one task. Per-segment sentinel stats rows
+    merge additively (doc count/token totals sum, max doc id maxes);
+    term-row stats (df/max_tf/min_dl) fold from the source rows' own
+    stats without any decode. The shuffle is keyed by (term, bucket);
+    the (term, df) side table is unchanged (global stats don't move).
+    Search results are identical before and after (tested). Returns the
+    new segment count.
     """
     import os
     import shutil
 
-    from sgpt_spark.functions.compress import decode_many, encode_blocks
+    from sgpt_spark.functions.compress import merge_runs_streaming
 
     raw = spark.read.parquet(f"{path}/postings")
     segs = sorted(r["segment"] for r in raw.select("segment").distinct().collect())
@@ -893,18 +897,14 @@ def compact_index(spark, path: str, target_segments: int) -> int:
                     "blocks": [[]],
                 }
             )
-        offs, d_all, tf_all, dl_all = decode_many(list(pdf["blocks"]))
-        order = np.argsort(d_all, kind="stable")
-        blocks = encode_blocks(
-            d_all[order], tf_all[order], dl_all[order], presorted=True
-        )
+        blocks = merge_runs_streaming(list(pdf["blocks"]))
         return pd.DataFrame(
             {
                 "term": [term],
                 "segment": [int(new_seg)],
-                "df": [int(len(d_all))],
-                "max_tf": [int(tf_all.max())],
-                "min_dl": [int(dl_all.min())],
+                "df": [int(pdf["df"].sum())],
+                "max_tf": [int(pdf["max_tf"].max())],
+                "min_dl": [int(pdf["min_dl"].min())],
                 "blocks": [blocks],
             }
         )

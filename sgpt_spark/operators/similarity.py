@@ -189,6 +189,65 @@ def paraphrase_mining(
     )
 
 
+def _lloyd_refine(
+    src: DataFrame, assigner, cent: np.ndarray, n_iters: int
+) -> np.ndarray:
+    """``n_iters`` spherical-k-means refinement passes over ``src``
+    (columns ``_id``, ``_emb``), returning the refined centroid matrix.
+
+    One ``mapInPandas`` per pass does assignment AND per-cluster partial
+    sums in the same numpy matmul: each task accumulates a local
+    (n_clusters x dim) sum matrix + count vector across its Arrow
+    batches and emits ONE row per non-empty cluster per partition —
+    (cluster, sum_vec, n). The driver combines at most
+    n_partitions x n_clusters tiny rows. This replaces the round-2
+    plan's dim-many ``F.sum(element_at(...))`` aggregate columns, which
+    at 768-4096-dim real embeddings meant thousands of Catalyst
+    expressions per pass; here the plan shape is dimension-independent.
+    ``assigner`` is only used by the caller for the final lists; it is
+    accepted for interface symmetry and ignored.
+    """
+    spark = src.sparkSession
+    n_clusters, dim = cent.shape
+    for _ in range(max(n_iters, 0)):
+        bc = spark.sparkContext.broadcast(cent)
+
+        def partial_sums(batches):
+            c = bc.value
+            sums = np.zeros((c.shape[0], c.shape[1]), dtype=np.float64)
+            counts = np.zeros(c.shape[0], dtype=np.int64)
+            for pdf in batches:
+                mat = np.asarray(pdf["_emb"].tolist(), dtype=np.float64)
+                nrm = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+                cl = np.argmax(nrm @ c.T, axis=1)
+                np.add.at(sums, cl, mat)
+                np.add.at(counts, cl, 1)
+            live = np.flatnonzero(counts)
+            yield pd.DataFrame(
+                {
+                    "cluster": live.astype(np.int32),
+                    "sum_vec": [sums[i].tolist() for i in live],
+                    "n": counts[live],
+                }
+            )
+
+        parts = src.mapInPandas(
+            partial_sums, schema="cluster int, sum_vec array<double>, n long"
+        ).collect()
+        new_cent = cent.copy()
+        tot = np.zeros((n_clusters, dim), dtype=np.float64)
+        cnt = np.zeros(n_clusters, dtype=np.int64)
+        for r in parts:
+            tot[r["cluster"]] += np.asarray(r["sum_vec"], dtype=np.float64)
+            cnt[r["cluster"]] += r["n"]
+        for ci in np.flatnonzero(cnt):
+            nrm = np.linalg.norm(tot[ci])
+            if nrm > 1e-12:
+                new_cent[ci] = tot[ci] / nrm
+        cent = new_cent
+    return cent
+
+
 def ivf_cosine_topk(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -206,10 +265,10 @@ def ivf_cosine_topk(
 
     Build: deterministic seed centroids (xxhash64-sampled vectors — no
     RNG, reproducible across runs/partitionings), refined by ``n_iters``
-    Lloyd iterations executed as DataFrame ops (assign via broadcast
-    centroid matmul in mapInPandas, re-center via groupBy(avg)); then
-    every vector is assigned to its nearest centroid (the inverted
-    lists).
+    Lloyd iterations (assign + per-cluster partial sums fused in one
+    broadcast-centroid mapInPandas matmul per pass — plan shape is
+    dimension-independent, see ``_lloyd_refine``); then every vector is
+    assigned to its nearest centroid (the inverted lists).
 
     Query: each query probes its ``n_probe`` nearest centroids
     (driver-side — centroid count is small by construction); candidates
@@ -253,25 +312,7 @@ def ivf_cosine_topk(
         return src.mapInPandas(assign, schema=f"vec_id {id_t}, cluster int")
 
     # --- Lloyd refinement: assign -> per-cluster mean (spherical) -----
-    for _ in range(max(n_iters, 0)):
-        assigned = assigner(cent)
-        sums = (
-            assigned.join(src, assigned["vec_id"] == src["_id"])
-            .select("cluster", F.col("_emb").cast("array<double>").alias("e"))
-            .groupBy("cluster")
-            .agg(
-                F.count("*").alias("n"),
-                *[F.sum(F.element_at("e", i + 1)).alias(f"s{i}") for i in range(cent.shape[1])],
-            )
-            .collect()
-        )
-        new_cent = cent.copy()
-        for r in sums:
-            v = np.asarray([r[f"s{i}"] for i in range(cent.shape[1])], dtype=np.float64)
-            nrm = np.linalg.norm(v)
-            if nrm > 1e-12:
-                new_cent[r["cluster"]] = v / nrm
-        cent = new_cent
+    cent = _lloyd_refine(src, assigner, cent, n_iters)
 
     lists = assigner(cent)  # final inverted lists
 

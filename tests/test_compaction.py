@@ -135,3 +135,41 @@ def _index_docs(spark, base, batch, meta):
     for j, r in enumerate(batch_rows):
         rows.append({"doc_id": off + j, "text": r["text"]})
     return rows
+
+
+def test_merge_runs_streaming_bounded_peak_and_identity():
+    """Adversarial head term (appears in EVERY doc) merged from many
+    runs into one target segment: the streaming merge must produce the
+    exact sorted posting list while never holding more than
+    O(n_runs x block + flush buffer) decoded postings — NOT O(df)."""
+    import numpy as np
+
+    from sgpt_spark.functions.compress import (
+        BLOCK_SIZE,
+        decode_blocks,
+        encode_blocks,
+        merge_runs_streaming,
+    )
+
+    rng = np.random.default_rng(5)
+    n_runs, per_run = 16, 4000  # df = 64k postings
+    all_ids = rng.permutation(n_runs * per_run)
+    runs, want = [], []
+    for i in range(n_runs):
+        ids = np.sort(all_ids[i * per_run : (i + 1) * per_run])
+        tfs = (ids % 7 + 1).astype(np.uint64)
+        dls = (ids % 50 + 10).astype(np.uint64)
+        runs.append(encode_blocks(ids, tfs, dls, presorted=True))
+        want.append((ids, tfs, dls))
+    peak: list = []
+    flush = 8192
+    merged = merge_runs_streaming(runs, flush_postings=flush, _peak_out=peak)
+    d, tf, dl = decode_blocks(merged)
+    wd = np.sort(np.concatenate([w[0] for w in want]))
+    assert np.array_equal(d, wd)
+    assert np.array_equal(tf, (d % 7 + 1)) and np.array_equal(dl, (d % 50 + 10))
+    # full blocks except possibly the last
+    assert all(b["count"] == BLOCK_SIZE for b in merged[:-1])
+    # the bound: decoded working set stays O(k x block), never O(df)
+    assert peak[0] <= n_runs * BLOCK_SIZE + flush
+    assert peak[0] < n_runs * per_run / 4

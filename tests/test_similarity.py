@@ -253,3 +253,38 @@ def test_lsh_candidate_pairs_bounded_on_clustered_input(spark):
     cross = {p for p in cand if p not in intra}
     assert intra <= cand  # full recall on the near-duplicate pairs
     assert len(cross) < 160  # <10% of the 1600 cross pairs ever scored
+
+
+def test_lloyd_refine_matches_numpy_at_dim512(spark):
+    """The partial-sum re-centering (one mapInPandas per pass, plan
+    shape independent of dimension) must reproduce plain numpy
+    spherical k-means exactly — asserted at dim=512, where the old
+    per-dimension F.sum(element_at) plan would have built 512
+    aggregate expressions per pass."""
+    from sgpt_spark.operators.similarity import _lloyd_refine
+
+    rng = np.random.default_rng(7)
+    dim, n, n_clusters = 512, 300, 6
+    mat = rng.standard_normal((n, dim))
+    emb = spark.createDataFrame(
+        [(i, mat[i].tolist()) for i in range(n)], "_id long, _emb array<double>"
+    ).repartition(5)
+    cent0 = rng.standard_normal((n_clusters, dim))
+    cent0 /= np.linalg.norm(cent0, axis=1, keepdims=True)
+
+    got = _lloyd_refine(emb, None, cent0.copy(), n_iters=3)
+
+    want = cent0.copy()
+    normed = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    for _ in range(3):
+        cl = np.argmax(normed @ want.T, axis=1)
+        nxt = want.copy()
+        for ci in range(n_clusters):
+            members = mat[cl == ci]
+            if len(members):
+                s = members.sum(axis=0)
+                nrm = np.linalg.norm(s)
+                if nrm > 1e-12:
+                    nxt[ci] = s / nrm
+        want = nxt
+    assert np.allclose(got, want, atol=1e-9)

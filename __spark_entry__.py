@@ -360,6 +360,17 @@ def _q_dot_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(emb, _emb_queries(spark, sf_dir), k=10, score_function="dot")
 
 
+def _q_dense_join_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-based exact dense top-k (the dense twin of
+    search_index_join): the query set never leaves the plan, so the same
+    code runs a million-query set. Values identical to cosine_topk —
+    gated by the same DuckDB oracle."""
+    from sgpt_spark.operators.similarity import dense_search_join
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return dense_search_join(emb, _emb_queries(spark, sf_dir), k=10)
+
+
 def _q_paraphrase_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Globally-capped most-similar pair mining (util.py:148-189),
     exact by the per-item top-(N+1) containment bound."""
@@ -668,6 +679,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_pairs_md5": _q_near_dup_md5,
         "cosine_topk": _q_cosine_topk,
         "dot_topk": _q_dot_topk,
+        "dense_join_topk": _q_dense_join_topk,
         "paraphrase_mining_top": _q_paraphrase_mining,
         "dedup_clusters": _q_dedup_clusters,
         "embedding_communities": _q_embedding_communities,
@@ -1398,6 +1410,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ngram_jaccard_pairs": _NGRAM_SQL,
         "dot_topk": _DOT_SQL,
+        "dense_join_topk": _COSINE_SQL,
         "paraphrase_mining_top": _PARAPHRASE_SQL,
         "dedup_clusters": _DEDUP_CLUSTERS_SQL,
         "average_precision_global": _AP_SQL,

@@ -142,6 +142,115 @@ def cosine_topk_exhaustive(
     )
 
 
+def dense_search_join(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_query_chunks: int | None = None,
+    n_emb_blocks: int | None = None,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    qid_col: str = "qid",
+    qemb_col: str = "embedding",
+    score_function: str = "cos_sim",
+) -> DataFrame:
+    """Join-based exact dense top-k — the dense twin of
+    ``index_search.search_index_join``: the query set STAYS IN THE PLAN
+    (never ``collect()``-ed to the driver), so it scales to millions of
+    queries where ``cosine_topk``'s broadcast contract breaks.
+
+    Distributed block nested-loop: queries are hash-packed into C chunk
+    rows and embeddings into B block rows (ids + row-major flattened
+    matrix per row — Arrow moves each matrix once, no per-pair
+    duplication); their crossJoin is only B x C *rows*, each scored with
+    ONE numpy matmul in ``mapInPandas`` that emits at most k rows per
+    (query, block). Shuffle volume is C x |E| + B x |Q| packed bytes
+    plus k x B rows per query into the final global top-k merge — the
+    classic communication-optimal block tradeoff. Same deterministic
+    contract as ``cosine_topk`` (round to 6 dp, ties by id asc):
+    identical output (tested).
+
+    Sizing at scale: pick C ~ |Q| / (rows that fit one task's memory)
+    and B ~ |E| / block_rows; both default to the session's default
+    parallelism, which is right for gate/bench scale.
+    """
+    if score_function not in ("cos_sim", "dot"):
+        raise ValueError(f"unknown score_function {score_function!r}: cos_sim|dot")
+    normalize = score_function == "cos_sim"
+    spark = embeddings.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    n_c = max(int(n_query_chunks or par), 1)
+    n_b = max(int(n_emb_blocks or par), 1)
+    qid_t = queries.schema[qid_col].dataType.simpleString()
+    id_t = embeddings.schema[id_col].dataType.simpleString()
+
+    def packer(id_name: str):
+        def pack(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+            mat = np.asarray(pdf["_emb"].tolist(), dtype=np.float64)
+            if normalize:
+                mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+            return pd.DataFrame(
+                {
+                    "grp": [int(key[0])],
+                    id_name: [pdf["_id"].tolist()],
+                    "flat": [mat.ravel().tolist()],
+                    "dim": [int(mat.shape[1]) if len(pdf) else 0],
+                }
+            )
+
+        return pack
+
+    qpacked = (
+        queries.select(F.col(qid_col).alias("_id"), F.col(qemb_col).alias("_emb"))
+        .groupBy(F.pmod(F.xxhash64(F.col("_id").cast("string")), F.lit(n_c)).alias("_g"))
+        .applyInPandas(
+            packer("ids"), schema=f"grp int, ids array<{qid_t}>, flat array<double>, dim int"
+        )
+        .select(
+            F.col("ids").alias("qids"), F.col("flat").alias("qflat"), F.col("dim").alias("qdim")
+        )
+    )
+    epacked = (
+        embeddings.select(F.col(id_col).alias("_id"), F.col(emb_col).alias("_emb"))
+        .groupBy(F.pmod(F.xxhash64(F.col("_id").cast("string")), F.lit(n_b)).alias("_g"))
+        .applyInPandas(
+            packer("ids"), schema=f"grp int, ids array<{id_t}>, flat array<double>, dim int"
+        )
+        .select(
+            F.col("ids").alias("vids"), F.col("flat").alias("eflat"), F.col("dim").alias("edim")
+        )
+    )
+
+    from sgpt_spark.operators.index_search import deterministic_topk
+
+    kk = k
+
+    def score_pairs(batches):
+        for pdf in batches:
+            out_q, out_i, out_s = [], [], []
+            for row in pdf.itertuples(index=False):
+                qids = np.asarray(row.qids)
+                vids = np.asarray(row.vids)
+                if not len(qids) or not len(vids):
+                    continue
+                qm = np.asarray(row.qflat, dtype=np.float64).reshape(len(qids), row.qdim)
+                em = np.asarray(row.eflat, dtype=np.float64).reshape(len(vids), row.edim)
+                sims = np.round(em @ qm.T, SCORE_DECIMALS)  # [block x chunk]
+                for qi in range(len(qids)):
+                    keep = deterministic_topk(vids, sims[:, qi], kk)
+                    out_q.extend([qids[qi]] * len(keep))
+                    out_i.extend(vids[keep].tolist())
+                    out_s.extend(sims[keep, qi].tolist())
+            yield pd.DataFrame({"qid": out_q, "vec_id": out_i, "score": out_s})
+
+    part = qpacked.crossJoin(epacked).mapInPandas(
+        score_pairs, schema=f"qid {qid_t}, vec_id {id_t}, score double"
+    )
+    return topk_per_group(part, group_col="qid", score_col="score", id_col="vec_id", k=k).select(
+        "qid", "vec_id", "score", "rank"
+    )
+
+
 def paraphrase_mining(
     embeddings: DataFrame,
     max_pairs: int = 100,

@@ -288,3 +288,29 @@ def test_lloyd_refine_matches_numpy_at_dim512(spark):
                     nxt[ci] = s / nrm
         want = nxt
     assert np.allclose(got, want, atol=1e-9)
+
+
+def test_dense_search_join_matches_cosine_topk(spark, emb, qvecs):
+    """The join-based dense path (queries stay in the plan) must return
+    exactly what the broadcast path returns — ranks, ids, scores."""
+    from sgpt_spark.operators.similarity import dense_search_join
+
+    a = as_runs(cosine_topk(emb, qvecs, k=10).collect())
+    b = as_runs(dense_search_join(emb, qvecs, k=10).collect())
+    assert set(a) == set(b) and len(a) > 0
+    for qid in a:
+        assert a[qid] == b[qid], qid
+
+
+def test_dense_search_join_dot_and_partitioning(spark, emb, qvecs):
+    """Dot scoring and block/chunk sizing must not change the result."""
+    from sgpt_spark.operators.similarity import dense_search_join
+
+    a = as_runs(cosine_topk(emb, qvecs, k=5, score_function="dot").collect())
+    b = as_runs(
+        dense_search_join(
+            emb.repartition(7), qvecs, k=5, score_function="dot",
+            n_query_chunks=3, n_emb_blocks=11,
+        ).collect()
+    )
+    assert a == b

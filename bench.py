@@ -153,6 +153,34 @@ def main() -> None:
     search_index_join(spark, postings, meta, sub, k=10, term_stats=tstats).count()
     timings["bm25_index_queries_join_200q"] = round(time.time() - t0, 3)
 
+    # --- retrieval-depth evidence: TAAT vs block-max WAND at k=1000 ------
+    # The reference retrieves at depth 1000 (beir_dense_retriever.py:442
+    # k_values up to 1000); pruning only pays when the heap threshold
+    # can rise above block maxima, so the k=10 headline says nothing
+    # about deep-k. Measure both strategies at the real depth on a
+    # 100-query sample (best-of-2 each).
+    deep = qdf.limit(100)
+    for strat in ("taat", "wand"):
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            search_index(spark, postings, meta, deep, k=1000,
+                         term_stats=tstats, strategy=strat).count()
+            best = min(best, time.time() - t0)
+        timings[f"bm25_index_{strat}_k1000_100q"] = round(best, 3)
+
+    # interactive point (few queries, shallow k) — where block skipping
+    # can win because the top-10 threshold rises fast
+    tiny = qdf.limit(10)
+    for strat in ("taat", "wand"):
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            search_index(spark, postings, meta, tiny, k=10,
+                         term_stats=tstats, strategy=strat).count()
+            best = min(best, time.time() - t0)
+        timings[f"bm25_index_{strat}_k10_10q"] = round(best, 3)
+
     # --- rank-identity: index path vs independent exhaustive path -------
     sample = qdf.limit(100)
     got = {}

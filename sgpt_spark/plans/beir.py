@@ -88,52 +88,68 @@ def run_beir_bm25(
             rerank_top_k, exclude_self,
         )
 
+    # Lifecycle resumability (north rule): the two expensive stages —
+    # index build and retrieval — are manifest-checkpointed exactly like
+    # plans/pipeline.build_index_pipeline. A job killed between stages
+    # resumes from the last completed manifest and produces identical
+    # metrics (tested); params mismatches (different analyzer/k/...)
+    # invalidate the checkpoint rather than silently reusing it.
+    from sgpt_spark.plans.pipeline import stage_done, write_manifest
+
     # title+text concat projection; deterministic dense ids by ext-id order
     docs_ext = corpus.select(
         F.col("doc_id").alias("ext_id"), doc_fulltext(F.col("title"), F.col("text")).alias("text")
     )
-    assigned = assign_doc_ids(docs_ext, id_source="ext_id")
-    docs = assigned.select("doc_id", "ext_id", "text")
-    build_index(docs.select("doc_id", "text"), f"{out_dir}/index", py_tokenizer=py_tok)
-    id_map = docs.select("doc_id", "ext_id")
-    id_map.write.mode("overwrite").parquet(f"{out_dir}/ids")
-    release_doc_ids(assigned)
-
-    postings, meta = read_index(spark, f"{out_dir}/index")
     k = max(k_values)
-    # self-matches are defined on EXTERNAL ids (qid strings), so the
-    # filter happens after the id join: fetch one spare candidate (a
-    # query has at most one self doc), drop it, re-cut to k.
-    fetch_k = k + 1 if exclude_self else k
-    run = search_index(
-        spark, postings, meta, queries, k=fetch_k,
-        term_stats=read_term_stats(spark, f"{out_dir}/index"),
-    )
-    # internal ids -> external BEIR ids. No explicit broadcast hint: the
-    # run is |q| x k rows, which at the reference's defaults (tens of
-    # thousands of queries x k=1000) can exceed the broadcast/driver
-    # limit — a shuffle join on doc_id is always safe, and AQE will
-    # still broadcast whichever side is actually small at runtime.
-    id_map = spark.read.parquet(f"{out_dir}/ids")
-    run_ext = (
-        run.join(id_map, "doc_id")
-        .select("qid", F.col("ext_id").alias("doc_id"), "score", "rank")
-    )
-    if exclude_self:
-        from sgpt_spark.operators.topk import topk_per_group
+    index_params = {"src": corpus_path, "analyzer": analyzer, "fields": fields}
+    if not stage_done(f"{out_dir}/index", index_params):
+        assigned = assign_doc_ids(docs_ext, id_source="ext_id")
+        docs = assigned.select("doc_id", "ext_id", "text")
+        build_index(docs.select("doc_id", "text"), f"{out_dir}/index", py_tokenizer=py_tok)
+        docs.select("doc_id", "ext_id").write.mode("overwrite").parquet(f"{out_dir}/ids")
+        release_doc_ids(assigned)
+        write_manifest(f"{out_dir}/index", "beir_index", index_params)
 
-        run_ext = topk_per_group(
-            run_ext.filter(F.col("doc_id") != F.col("qid")).select("qid", "doc_id", "score"),
-            k=k,
-        ).select("qid", "doc_id", "score", "rank")
+    run_params = {**index_params, "k": k, "exclude_self": exclude_self,
+                  "rerank_top_k": rerank_top_k, "queries": queries_path}
+    if not stage_done(f"{out_dir}/run", run_params):
+        postings, meta = read_index(spark, f"{out_dir}/index")
+        # self-matches are defined on EXTERNAL ids (qid strings), so the
+        # filter happens after the id join: fetch one spare candidate (a
+        # query has at most one self doc), drop it, re-cut to k.
+        fetch_k = k + 1 if exclude_self else k
+        run = search_index(
+            spark, postings, meta, queries, k=fetch_k,
+            term_stats=read_term_stats(spark, f"{out_dir}/index"),
+        )
+        # internal ids -> external BEIR ids. No explicit broadcast hint:
+        # the run is |q| x k rows, which at the reference's defaults
+        # (tens of thousands of queries x k=1000) can exceed the
+        # broadcast/driver limit — a shuffle join on doc_id is always
+        # safe, and AQE will still broadcast whichever side is actually
+        # small at runtime.
+        id_map = spark.read.parquet(f"{out_dir}/ids")
+        run_ext = (
+            run.join(id_map, "doc_id")
+            .select("qid", F.col("ext_id").alias("doc_id"), "score", "rank")
+        )
+        if exclude_self:
+            from sgpt_spark.operators.topk import topk_per_group
 
-    if rerank_top_k is not None:
-        from sgpt_spark.operators.rerank import rerank
+            run_ext = topk_per_group(
+                run_ext.filter(F.col("doc_id") != F.col("qid")).select("qid", "doc_id", "score"),
+                k=k,
+            ).select("qid", "doc_id", "score", "rank")
 
-        corpus_texts = docs.select(F.col("ext_id").alias("doc_id"), "text")
-        run_ext = rerank(run_ext, corpus_texts, queries, top_k=rerank_top_k)
+        if rerank_top_k is not None:
+            from sgpt_spark.operators.rerank import rerank
 
-    write_results_parquet(run_ext, f"{out_dir}/run")
+            corpus_texts = docs_ext.select(F.col("ext_id").alias("doc_id"), "text")
+            run_ext = rerank(run_ext, corpus_texts, queries, top_k=rerank_top_k)
+
+        write_results_parquet(run_ext, f"{out_dir}/run")
+        write_manifest(f"{out_dir}/run", "beir_run", run_params)
+
     run_ext = spark.read.parquet(f"{out_dir}/run")
     return mean_metrics_at(run_ext, qrels, [kv for kv in k_values if kv <= k])
 

@@ -169,3 +169,52 @@ def test_beir_pipeline_multifield(spark, beir_dir):
     tq = spark.createDataFrame([("tq1", "title")], "qid string, query string")
     hits = bm25_multifield_search(corpus, tq, k=5, tokenizer=tokenize_standard)
     assert hits.count() == 5
+
+
+def test_beir_kill_resume_between_index_and_search(spark, beir_dir, monkeypatch):
+    """North-rule resumability, end to end: kill the lifecycle between
+    index build and retrieval; the resumed run must (a) NOT rebuild the
+    index (manifest checkpoint) and (b) produce metrics identical to an
+    uninterrupted run."""
+    import sgpt_spark.plans.beir as beir_mod
+
+    args = (
+        str(beir_dir / "corpus.jsonl"),
+        str(beir_dir / "queries.jsonl"),
+        str(beir_dir / "qrels.tsv"),
+    )
+    # uninterrupted baseline
+    out_a = Path(tempfile.mkdtemp(prefix="sgpt_beir_base_"))
+    baseline = sorted(
+        tuple(r) for r in run_beir_bm25(spark, *args, str(out_a), k_values=(1, 10)).collect()
+    )
+
+    # killed run: die exactly between the two stages
+    out_b = Path(tempfile.mkdtemp(prefix="sgpt_beir_kill_"))
+    real_search = beir_mod.search_index
+
+    def killed(*a, **kw):
+        raise RuntimeError("killed between index build and search")
+
+    monkeypatch.setattr(beir_mod, "search_index", killed)
+    with pytest.raises(RuntimeError, match="killed"):
+        run_beir_bm25(spark, *args, str(out_b), k_values=(1, 10))
+    assert (out_b / "index" / "_MANIFEST.json").exists()  # stage 1 committed
+    assert not (out_b / "run" / "_MANIFEST.json").exists()  # stage 2 did not
+
+    # resume: search works again, but any index rebuild is a failure
+    monkeypatch.setattr(beir_mod, "search_index", real_search)
+
+    def no_rebuild(*a, **kw):
+        raise AssertionError("resume must not rebuild the index")
+
+    monkeypatch.setattr(beir_mod, "build_index", no_rebuild)
+    resumed = sorted(
+        tuple(r) for r in run_beir_bm25(spark, *args, str(out_b), k_values=(1, 10)).collect()
+    )
+    assert resumed == baseline
+
+    # param change invalidates the checkpoint instead of silently reusing
+    monkeypatch.setattr(beir_mod, "build_index", no_rebuild)
+    with pytest.raises(AssertionError, match="rebuild"):
+        run_beir_bm25(spark, *args, str(out_b), k_values=(1, 10), analyzer="whitespace")

@@ -285,16 +285,12 @@ def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"), threshold=0.2, n=3)
 
 
-def _q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from sgpt_spark.operators.dedup import minhash_lsh_pairs
+def _q_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs with md5 token hashes — the value-gated
+    twin of simhash_near_pairs (same banding/join/Hamming cut)."""
+    from sgpt_spark.operators.dedup import simhash_near_pairs_md5
 
-    return minhash_lsh_pairs(load_table(spark, sf_dir, "documents"), threshold=0.2, n=3)
-
-
-def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from sgpt_spark.operators.dedup import simhash_near_pairs
-
-    return simhash_near_pairs(load_table(spark, sf_dir, "documents"), max_hamming=3)
+    return simhash_near_pairs_md5(load_table(spark, sf_dir, "documents"), max_hamming=3)
 
 
 def _q_minhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -305,17 +301,6 @@ def _q_minhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return minhash_lsh_pairs_md5(
         load_table(spark, sf_dir, "documents"), n_hashes=16, bands=8, n=3, threshold=0.2
-    )
-
-
-def _q_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scale pipeline: exact-dup pre-collapse -> LSH over distinct-text
-    representatives -> linear star pairs for exact clusters (closes the
-    giant-bucket quadratic hole)."""
-    from sgpt_spark.operators.dedup import near_dup_pairs
-
-    return near_dup_pairs(
-        load_table(spark, sf_dir, "documents"), method="minhash", threshold=0.2, n=3
     )
 
 
@@ -451,12 +436,6 @@ def _q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sgpt_spark.operators.textstats import text_profile
 
     return text_profile(load_table(spark, sf_dir, "documents"))
-
-
-def _q_rolling_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from sgpt_spark.operators.textstats import rolling_fingerprints
-
-    return rolling_fingerprints(load_table(spark, sf_dir, "documents"))
 
 
 def _q_window_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -677,6 +656,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": _q_ngram_jaccard,
         "minhash_lsh_pairs_md5": _q_minhash_md5,
         "near_dup_pairs_md5": _q_near_dup_md5,
+        "simhash_near_pairs_md5": _q_simhash_md5,
         "cosine_topk": _q_cosine_topk,
         "dot_topk": _q_dot_topk,
         "dense_join_topk": _q_dense_join_topk,
@@ -692,20 +672,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customers_without_orders": _q_cust_no_orders,
         "user_running_value": _q_running_value,
         "event_type_counts": _q_event_type_counts,
-        # ---- rows-only tail (no oracle_sql by nature; each has a
-        # value-gated twin above and/or pytest equality evidence) ----
+        # ---- rows-only tail (no oracle_sql by nature: approximate /
+        # stub-backed / hash-dependent). The driver checks the first 50
+        # registry entries, so this tail is ranked by uniqueness of the
+        # evidence; everything past 50 is pytest-covered and documented
+        # in SURVEY.md. The xxhash scale-path twins of the gated md5
+        # pipelines (minhash_lsh_pairs, near_dup_pairs, simhash pairs,
+        # rolling fingerprints) are exercised by pytest equality tests
+        # and no longer take registry slots. ----
+        "dense_cosine_topk": _q_dense_cosine,       # hash encoder (stub, declared)
+        "ivf_cosine_topk": _q_ivf_topk,             # approximate (gated twin: ivf_full_probe_topk)
+        "lsh_cosine_topk": _q_lsh_cosine_topk,      # approximate (gated twin: cosine_topk)
         "media_image_features": _q_media_features,  # stub decoder
         "media_frame_sample": _q_media_frames,      # stub decoder
         "media_audio_stats": _q_media_audio,        # stub decoder
         "media_resize": _q_media_resize,            # stub decoder
-        "dense_cosine_topk": _q_dense_cosine,       # hash encoder
-        "ivf_cosine_topk": _q_ivf_topk,             # approximate (twin: ivf_full_probe_topk)
-        "lsh_cosine_topk": _q_lsh_cosine_topk,      # approximate (twin: cosine_topk)
-        "minhash_lsh_pairs": _q_minhash_pairs,      # xxhash (twin: minhash_lsh_pairs_md5)
-        "near_dup_pairs": _q_near_dup,              # xxhash (twin: near_dup_pairs_md5)
-        "lsh_bucket_stats": _q_lsh_bucket_stats,    # xxhash banding
-        "simhash_near_pairs": _q_simhash_pairs,     # hash-dependent (pytest ==brute force)
-        "rolling_fingerprints": _q_rolling_fps,     # hash-dependent (twin: window_fingerprints)
+        "lsh_bucket_stats": _q_lsh_bucket_stats,    # xxhash banding telemetry
     }
 
 
@@ -975,6 +957,44 @@ JOIN sizes sa ON inter.id_a = sa.doc_id
 JOIN sizes sb ON inter.id_b = sb.doc_id
 WHERE round(i_n * 1.0 / (sa.n_sh + sb.n_sh - i_n), 6) >= 0.2
 """
+
+# DuckDB twin of dedup.simhash_near_pairs_md5: recompute every 64-bit
+# SimHash signature nibble-for-nibble from the md5 hex (strpos/pow
+# arithmetic), fold to a signed BIGINT, then brute-force the Hamming<=3
+# pair set — which the banded engine output provably equals
+# (pigeonhole completeness of Manku multi-block banding).
+_SIMHASH_MD5_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split(coalesce(text, ''), ' '), t -> t <> '')) AS t
+  FROM documents
+),
+th AS (SELECT doc_id, md5(t) AS h FROM toks),
+bits AS (
+  SELECT doc_id, j.j AS j,
+         CASE WHEN (strpos('0123456789abcdef', substr(h, 16 - (j.j // 4), 1)) - 1)
+                   // CAST(pow(2, j.j % 4) AS INTEGER) % 2 = 1
+              THEN 1 ELSE -1 END AS pm
+  FROM th CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS j) j
+),
+acc AS (SELECT doc_id, j, sum(pm) AS s FROM bits GROUP BY doc_id, j),
+sig AS (
+  SELECT doc_id,
+         CAST(CASE WHEN tot >= 9223372036854775808::HUGEINT
+                   THEN tot - 18446744073709551616::HUGEINT ELSE tot END AS BIGINT) AS sh
+  FROM (
+    SELECT doc_id,
+           sum(CASE WHEN s > 0 THEN CAST(pow(2, j) AS HUGEINT)
+               ELSE 0::HUGEINT END) AS tot
+    FROM acc GROUP BY doc_id
+  )
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.sh, b.sh)) AS INTEGER) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sh, b.sh)) <= 3
+"""
+
 
 def _minhash_md5_sql(
     n_hashes: int = 16, bands: int = 8, threshold: float = 0.2, source: str = "documents"
@@ -1417,6 +1437,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_communities": _COMMUNITIES_SQL,
         "ivf_full_probe_topk": _COSINE_SQL,
         "minhash_lsh_pairs_md5": _minhash_md5_sql(16, 8, 0.2),
+        "simhash_near_pairs_md5": _SIMHASH_MD5_SQL,
         "near_dup_pairs_md5": _NEAR_DUP_MD5_SQL,
         "window_fingerprints": _WINDOW_FPS_SQL,
         "bm25_noself_top10": _bm25_sql(10, exclude_self=True),

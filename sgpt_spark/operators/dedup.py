@@ -471,14 +471,22 @@ def simhash64_py(tokens: list[str]) -> int:
 
 
 def simhash64(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_name: str = "blake2b",
 ) -> DataFrame:
     """-> (doc_id, simhash long): 64-bit SimHash over whitespace tokens.
 
     Vectorized pandas UDF (Arrow batches); per-batch the token hashing is
-    numpy bit math. blake2b keeps the hash stable across JVM/Python and
-    Spark versions (xxhash64 is not exposed to Python).
-    """
+    numpy bit math. ``hash_name``: 'blake2b' (default scale path —
+    stable across JVM/Python and Spark versions; xxhash64 is not exposed
+    to Python) or 'md5' (first 16 hex chars as uint64 — the
+    ANSI-SQL-expressible twin the DuckDB oracle reproduces nibble for
+    nibble, see ``simhash_near_pairs_md5``)."""
+    if hash_name not in ("blake2b", "md5"):
+        raise ValueError(f"unknown hash_name {hash_name!r}: blake2b|md5")
+    use_md5 = hash_name == "md5"
 
     @F.pandas_udf(T.LongType())
     def _simhash(texts: pd.Series) -> pd.Series:
@@ -490,12 +498,18 @@ def simhash64(
             if not toks:
                 out[i] = 0
                 continue
-            hs = np.frombuffer(
-                b"".join(
-                    hashlib.blake2b(t.encode(), digest_size=8).digest() for t in toks
-                ),
-                dtype=">u8",
-            ).astype(np.uint64)
+            if use_md5:
+                hs = np.array(
+                    [int(hashlib.md5(t.encode()).hexdigest()[:16], 16) for t in toks],
+                    dtype=np.uint64,
+                )
+            else:
+                hs = np.frombuffer(
+                    b"".join(
+                        hashlib.blake2b(t.encode(), digest_size=8).digest() for t in toks
+                    ),
+                    dtype=">u8",
+                ).astype(np.uint64)
             bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(
                 np.int64
             )
@@ -525,6 +539,7 @@ def simhash_near_pairs(
     n_blocks: int = 6,
     id_col: str = "doc_id",
     text_col: str = "text",
+    hash_name: str = "blake2b",
 ) -> DataFrame:
     """-> (id_a, id_b, hamming<=max_hamming) near-dup pairs by SimHash.
 
@@ -547,7 +562,7 @@ def simhash_near_pairs(
     n_blocks = max(n_blocks, max_hamming + 1)
     from itertools import combinations
 
-    sig = simhash64(df, id_col, text_col)
+    sig = simhash64(df, id_col, text_col, hash_name=hash_name)
     bounds = _block_bounds(64, n_blocks)
 
     def block_val(i: int) -> Column:
@@ -578,7 +593,37 @@ def simhash_near_pairs(
         .distinct()
     )
     return (
-        cand.withColumn("hamming", F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))))
+        cand.withColumn(
+            "hamming", F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))).cast("int")
+        )
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
+    )
+
+
+def simhash_near_pairs_md5(
+    df: DataFrame,
+    max_hamming: int = 3,
+    n_blocks: int = 6,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Value-gated twin of ``simhash_near_pairs``: identical pipeline
+    (same banding, same join, same Hamming cut) with md5-derived token
+    hashes, so a DuckDB oracle can recompute every signature nibble for
+    nibble (strpos/pow arithmetic over the md5 hex) and value-check the
+    FULL near-dup result — banding completeness included, since the
+    banded output provably equals the brute-force Hamming<=h pair set
+    (pigeonhole; also pytest-asserted for the blake2b path).
+
+    Docs with no tokens are dropped (an empty doc has no SimHash; the
+    SQL twin's unnest drops them implicitly).
+    """
+    src = df.filter(
+        F.size(F.filter(F.split(F.coalesce(F.col(text_col), F.lit("")), " ", -1),
+                        lambda t: t != F.lit(""))) > 0
+    )
+    return simhash_near_pairs(
+        src, max_hamming=max_hamming, n_blocks=n_blocks,
+        id_col=id_col, text_col=text_col, hash_name="md5",
     )

@@ -164,3 +164,27 @@ def test_dedup_clusters_over_planted_dups(spark, docs):
     # jaccard edge set misses them (each its own cluster)
     assert got[1] == got[2] == got[3] == 1
     assert got[4] == 4
+
+
+def test_simhash_md5_twin_matches_bruteforce(spark):
+    """The md5 twin (value-gated by the DuckDB oracle) must equal the
+    brute-force Hamming<=3 pair set computed from its own signatures —
+    same soundness/completeness contract as the blake2b scale path."""
+    import itertools
+
+    from sgpt_spark.operators.dedup import simhash_near_pairs_md5
+
+    rows = [(i, " ".join(_VOCAB[_doc_terms(i % 5)][: 40 + i % 7])) for i in range(40)]
+    rows.append((99, ""))  # empty doc: no tokens -> excluded, never paired
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = {
+        r["doc_id"]: r["simhash"]
+        for r in simhash64(docs, hash_name="md5").collect()
+        if r["doc_id"] != 99
+    }
+    want = set()
+    for a, b in itertools.combinations(sorted(sigs), 2):
+        if bin((sigs[a] ^ sigs[b]) & ((1 << 64) - 1)).count("1") <= 3:
+            want.add((a, b))
+    got = {(r["id_a"], r["id_b"]) for r in simhash_near_pairs_md5(docs).collect()}
+    assert got == want and all(99 not in p for p in got)

@@ -149,9 +149,12 @@ def main() -> None:
     from sgpt_spark.operators.index_search import search_index_join
 
     sub = qdf.limit(200)
-    t0 = time.time()
-    search_index_join(spark, postings, meta, sub, k=10, term_stats=tstats).count()
-    timings["bm25_index_queries_join_200q"] = round(time.time() - t0, 3)
+    join_s = float("inf")
+    for _ in range(2):  # best-of-2, same noise rationale
+        t0 = time.time()
+        search_index_join(spark, postings, meta, sub, k=10, term_stats=tstats).count()
+        join_s = min(join_s, time.time() - t0)
+    timings["bm25_index_queries_join_200q"] = round(join_s, 3)
 
     # --- retrieval-depth evidence: TAAT vs block-max WAND at k=1000 ------
     # The reference retrieves at depth 1000 (beir_dense_retriever.py:442

@@ -59,16 +59,27 @@ from pyspark.sql import functions as F
 w = docs.filter(F.xxhash64("url") % 10 == 0)
 build_index(w, f"/tmp/sgpt_bench/scaling_warm_{{cpus}}", segment_size=5000)
 
-t0 = time.time()
 # single-pass build: tokenize+tf+encode+write in ONE corpus scan, meta
 # from sentinel stats rows. tmpfs target: isolates engine scaling from
 # single-VM disk contention (a real cluster writes to distributed
-# storage whose bandwidth scales with the executor count)
-meta = build_index(docs, f"/dev/shm/sgpt_scaling_index_{{cpus}}",
-                   segment_size=max(n_docs // (cpus * 2), 10000))
-dt = time.time() - t0
+# storage whose bandwidth scales with the executor count).
+# Best-of-2 timed builds per level: this shared VM's host scheduler
+# injects +-40% wall-clock noise and a single reading per level can
+# swing the 2->8 ratio by +-0.4; the min of warmed repeats measures
+# the engine, not the neighbor (same rationale as bench.py).
 import shutil
-shutil.rmtree(f"/dev/shm/sgpt_scaling_index_{{cpus}}", ignore_errors=True)
+dt = float("inf")
+for _ in range(2):
+    t0 = time.time()
+    # FIXED segment size across levels: per-doc work must be identical
+    # at every level or the ratio measures segment-dictionary locality,
+    # not scaling (n_docs//(cpus*2) gave local[2] 400k-doc segments and
+    # misread 2->8 by ~0.2). 25k-doc segments = 64 waves-of-work at
+    # 1.6M docs: balanced at every level measured here.
+    meta = build_index(docs, f"/dev/shm/sgpt_scaling_index_{{cpus}}",
+                       segment_size=max(n_docs // 64, 10000))
+    dt = min(dt, time.time() - t0)
+    shutil.rmtree(f"/dev/shm/sgpt_scaling_index_{{cpus}}", ignore_errors=True)
 print(json.dumps({{"cpus": cpus, "n_docs": meta.n_docs, "seconds": round(dt, 2),
                    "docs_per_sec": round(meta.n_docs / dt, 1)}}))
 spark.stop()
@@ -96,7 +107,10 @@ def run_level(cpus: int, n_docs: int) -> dict:
 
 
 def main() -> None:
-    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 200_000
+    # 1.6M docs: the timed level-2 build must run minutes, not seconds,
+    # or per-job fixed overhead (JVM spin-up amortizers, scan planning)
+    # masquerades as poor scaling — a 200k-doc run misreads 2->8 by ~0.4
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 1_600_000
     levels = [int(x) for x in (sys.argv[2].split(",") if len(sys.argv) > 2 else [2, 8, 32])]
     results = {}
     for cpus in levels:

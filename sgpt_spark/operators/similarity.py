@@ -505,6 +505,59 @@ def rh_buckets(
     return src.mapInPandas(bucketize, schema=f"vec_id {id_t}, table int, bucket long")
 
 
+def lsh_search_join(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_planes: int = 8,
+    n_tables: int = 4,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    qid_col: str = "qid",
+    qemb_col: str = "embedding",
+) -> DataFrame:
+    """Join-based LSH ANN — ``lsh_cosine_topk`` with the query set kept
+    IN THE PLAN (the ANN member of the join-based family next to
+    ``search_index_join`` and ``dense_search_join``).
+
+    Both sides run the SAME seeded ``rh_buckets`` stage (identical plane
+    matrix -> identical buckets -> identical candidates and scores as
+    ``lsh_cosine_topk``, tested), candidates are the (table, bucket)
+    equi-join — a plain shuffle join that AQE broadcasts only if the
+    query side really is small — and only candidates get the exact JVM
+    cosine. Data volume: |docs| x n_tables + |queries| x n_tables narrow
+    bucket rows; no driver collect anywhere, so millions of queries
+    scale horizontally.
+    """
+    db = rh_buckets(embeddings, n_planes, n_tables, id_col=id_col, emb_col=emb_col)
+    qb = (
+        rh_buckets(queries, n_planes, n_tables, id_col=qid_col, emb_col=qemb_col)
+        .withColumnRenamed("vec_id", "qid")
+    )
+    cand = db.join(qb, ["table", "bucket"]).select("qid", "vec_id").distinct()
+    q = queries.select(
+        F.col(qid_col).alias("qid"), F.col(qemb_col).cast("array<double>").alias("qemb")
+    )
+    e = embeddings.select(
+        F.col(id_col).alias("vec_id"), F.col(emb_col).cast("array<double>").alias("demb")
+    )
+    dot = F.aggregate(
+        F.zip_with("qemb", "demb", lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
+    )
+    scored = (
+        cand.join(e, "vec_id")
+        .join(q, "qid")
+        .withColumn("score", dot / (norm(F.col("qemb")) * norm(F.col("demb"))))
+        .select("qid", "vec_id", "score")
+    )
+    return topk_per_group(scored, group_col="qid", score_col="score", id_col="vec_id", k=k).select(
+        "qid", "vec_id", "score", "rank"
+    )
+
+
 def lsh_candidate_pairs(
     embeddings: DataFrame,
     n_planes: int = 6,

@@ -314,3 +314,14 @@ def test_dense_search_join_dot_and_partitioning(spark, emb, qvecs):
         ).collect()
     )
     assert a == b
+
+
+def test_lsh_search_join_matches_collect_path(spark, emb, qvecs):
+    """The join-based LSH path (queries stay in the plan) must return
+    exactly what the collect-based lsh_cosine_topk returns — same seeded
+    planes, same buckets, same candidates, same exact rescore."""
+    from sgpt_spark.operators.similarity import lsh_search_join
+
+    a = as_runs(lsh_cosine_topk(emb, qvecs, k=10, n_planes=6, n_tables=6).collect())
+    b = as_runs(lsh_search_join(emb, qvecs, k=10, n_planes=6, n_tables=6).collect())
+    assert a == b and len(a) > 0

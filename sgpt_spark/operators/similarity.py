@@ -357,6 +357,122 @@ def _lloyd_refine(
     return cent
 
 
+def _ivf_fit(
+    embeddings: DataFrame,
+    n_centroids: int,
+    n_iters: int,
+    id_col: str,
+    emb_col: str,
+) -> tuple[np.ndarray, DataFrame]:
+    """IVF build shared by ``ivf_cosine_topk`` and ``ivf_search_join``:
+    deterministic hash-sampled seed centroids, ``n_iters`` spherical
+    Lloyd passes (``_lloyd_refine``), final inverted lists. Returns the
+    (unit-normalized) centroid matrix and the (vec_id, cluster) lists
+    DataFrame."""
+    spark = embeddings.sparkSession
+    # --- seed centroids: hash-sampled vectors, unit-normalized --------
+    n_emb = embeddings.count()
+    stride = max(n_emb // n_centroids, 1)
+    seeds = (
+        embeddings.select(F.col(id_col).alias("_id"), F.col(emb_col).alias("_emb"))
+        .filter(F.xxhash64(F.col("_id")) % stride == 0)
+        .orderBy("_id")
+        .limit(n_centroids)
+        .collect()
+    )
+    cent = np.asarray([r["_emb"] for r in seeds], dtype=np.float64)
+    cent = cent / np.maximum(np.linalg.norm(cent, axis=1, keepdims=True), 1e-12)
+
+    src = embeddings.select(F.col(id_col).alias("_id"), F.col(emb_col).alias("_emb"))
+    id_t = embeddings.schema[id_col].dataType.simpleString()
+
+    def assigner(centroids: np.ndarray):
+        bc = spark.sparkContext.broadcast(centroids)
+
+        def assign(batches):
+            c = bc.value
+            for pdf in batches:
+                mat = np.asarray(pdf["_emb"].tolist(), dtype=np.float64)
+                mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+                cl = np.argmax(mat @ c.T, axis=1)
+                yield pd.DataFrame({"vec_id": pdf["_id"].to_numpy(), "cluster": cl.astype(np.int32)})
+
+        return src.mapInPandas(assign, schema=f"vec_id {id_t}, cluster int")
+
+    # --- Lloyd refinement: assign -> per-cluster mean (spherical) -----
+    cent = _lloyd_refine(src, assigner, cent, n_iters)
+    return cent, assigner(cent)
+
+
+def ivf_search_join(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    n_iters: int = 2,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    qid_col: str = "qid",
+    qemb_col: str = "embedding",
+) -> DataFrame:
+    """Join-based IVF ANN — ``ivf_cosine_topk`` with probe assignment
+    done IN THE PLAN (the IVF member of the join-based family next to
+    ``search_index_join`` / ``dense_search_join`` / ``lsh_search_join``).
+
+    The build is identical (shared ``_ivf_fit``, deterministic). Each
+    query's ``n_probe`` nearest centroids are computed by a
+    ``mapInPandas`` matmul against the broadcast centroid matrix —
+    centroid count is small by construction, the query set is not —
+    then probes join the inverted lists and candidates get the exact
+    JVM cosine. No driver collect of the query set anywhere, so the
+    same argsort tie-order as the collect path yields IDENTICAL output
+    (tested) while millions of queries scale horizontally.
+    """
+    spark = embeddings.sparkSession
+    cent, lists = _ivf_fit(embeddings, n_centroids, n_iters, id_col, emb_col)
+    bc = spark.sparkContext.broadcast(cent)
+    npb = min(n_probe, cent.shape[0])
+    qid_t = queries.schema[qid_col].dataType.simpleString()
+
+    def probe(batches):
+        c = bc.value
+        for pdf in batches:
+            mat = np.asarray(pdf["_emb"].tolist(), dtype=np.float64)
+            qn = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+            sims = qn @ c.T
+            top = np.argsort(-sims, axis=1, kind="stable")[:, :npb]
+            ids = np.repeat(pdf["_id"].to_numpy(), npb)
+            yield pd.DataFrame({"qid": ids, "cluster": top.ravel().astype(np.int32)})
+
+    probes = queries.select(
+        F.col(qid_col).alias("_id"), F.col(qemb_col).alias("_emb")
+    ).mapInPandas(probe, schema=f"qid {qid_t}, cluster int")
+
+    cand = lists.join(probes, "cluster").select("qid", "vec_id")
+    q = queries.select(
+        F.col(qid_col).alias("qid"), F.col(qemb_col).cast("array<double>").alias("qemb")
+    )
+    e = embeddings.select(
+        F.col(id_col).alias("vec_id"), F.col(emb_col).cast("array<double>").alias("demb")
+    )
+    dot = F.aggregate(
+        F.zip_with("qemb", "demb", lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
+    )
+    scored = (
+        cand.join(e, "vec_id")
+        .join(q, "qid")
+        .withColumn("score", dot / (norm(F.col("qemb")) * norm(F.col("demb"))))
+        .select("qid", "vec_id", "score")
+    )
+    return topk_per_group(scored, group_col="qid", score_col="score", id_col="vec_id", k=k).select(
+        "qid", "vec_id", "score", "rank"
+    )
+
+
 def ivf_cosine_topk(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -391,39 +507,7 @@ def ivf_cosine_topk(
     if not qrows:
         return spark.createDataFrame([], "qid long, vec_id long, score double, rank int")
 
-    # --- seed centroids: hash-sampled vectors, unit-normalized --------
-    n_emb = embeddings.count()
-    stride = max(n_emb // n_centroids, 1)
-    seeds = (
-        embeddings.select(F.col(id_col).alias("_id"), F.col(emb_col).alias("_emb"))
-        .filter(F.xxhash64(F.col("_id")) % stride == 0)
-        .orderBy("_id")
-        .limit(n_centroids)
-        .collect()
-    )
-    cent = np.asarray([r["_emb"] for r in seeds], dtype=np.float64)
-    cent = cent / np.maximum(np.linalg.norm(cent, axis=1, keepdims=True), 1e-12)
-
-    src = embeddings.select(F.col(id_col).alias("_id"), F.col(emb_col).alias("_emb"))
-    id_t = embeddings.schema[id_col].dataType.simpleString()
-
-    def assigner(centroids: np.ndarray):
-        bc = spark.sparkContext.broadcast(centroids)
-
-        def assign(batches):
-            c = bc.value
-            for pdf in batches:
-                mat = np.asarray(pdf["_emb"].tolist(), dtype=np.float64)
-                mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
-                cl = np.argmax(mat @ c.T, axis=1)
-                yield pd.DataFrame({"vec_id": pdf["_id"].to_numpy(), "cluster": cl.astype(np.int32)})
-
-        return src.mapInPandas(assign, schema=f"vec_id {id_t}, cluster int")
-
-    # --- Lloyd refinement: assign -> per-cluster mean (spherical) -----
-    cent = _lloyd_refine(src, assigner, cent, n_iters)
-
-    lists = assigner(cent)  # final inverted lists
+    cent, lists = _ivf_fit(embeddings, n_centroids, n_iters, id_col, emb_col)
 
     # --- probe: per query, its n_probe nearest centroids --------------
     qids, qmat = _as_matrix(qrows)

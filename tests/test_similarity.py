@@ -325,3 +325,14 @@ def test_lsh_search_join_matches_collect_path(spark, emb, qvecs):
     a = as_runs(lsh_cosine_topk(emb, qvecs, k=10, n_planes=6, n_tables=6).collect())
     b = as_runs(lsh_search_join(emb, qvecs, k=10, n_planes=6, n_tables=6).collect())
     assert a == b and len(a) > 0
+
+
+def test_ivf_search_join_matches_collect_path(spark, emb, qvecs):
+    """The join-based IVF path (in-plan probe assignment) must return
+    exactly what the collect-based ivf_cosine_topk returns — same build,
+    same probes, same candidates, same exact rescore."""
+    from sgpt_spark.operators.similarity import ivf_cosine_topk, ivf_search_join
+
+    a = as_runs(ivf_cosine_topk(emb, qvecs, k=10, n_centroids=8, n_probe=4).collect())
+    b = as_runs(ivf_search_join(emb, qvecs, k=10, n_centroids=8, n_probe=4).collect())
+    assert a == b and len(a) > 0

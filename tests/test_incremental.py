@@ -207,3 +207,64 @@ def test_append_uses_index_analyzer(spark, tmp_path):
         for r in bm25_search(union_docs, queries, k=10, tokenizer=tokenize_standard).collect()
     )
     assert got == want and got
+
+
+def test_termstats_crash_window_is_safe(spark, tmp_path):
+    """Failure atomicity of the (postings, termstats) pair: a job that
+    dies in the window between the postings append and the termstats
+    rebuild leaves NO termstats dir (only the set-aside copy). In that
+    state (a) read_term_stats must fall back, never serve the stale
+    side table, (b) search must equal the ground-truth aggregation, and
+    (c) the next append must drop the stale set-aside and finish with a
+    termstats table consistent with the postings."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from sgpt_spark.operators.index_search import search_index
+    from sgpt_spark.operators.indexer import (
+        assign_doc_ids,
+        build_index,
+        read_index,
+        read_term_stats,
+        release_doc_ids,
+    )
+    from sgpt_spark.sources.pages import generate_pages, make_page
+    from sgpt_spark.streaming.incremental import append_to_index
+
+    idx = str(tmp_path / "idx")
+    pages = generate_pages(spark, 200, partitions=2)
+    assigned = assign_doc_ids(pages.select("url", "text"))
+    build_index(assigned.select("doc_id", "text"), idx, segment_size=100)
+    release_doc_ids(assigned)
+
+    batch2 = generate_pages(spark, 260, partitions=2).filter(
+        ~F.col("url").isin([r["url"] for r in pages.select("url").collect()])
+    )
+    append_to_index(spark, batch2, idx)
+
+    # --- reconstruct the crash window: postings already appended (the
+    # append above), termstats renamed aside, rebuild never ran ---------
+    os.rename(f"{idx}/termstats", f"{idx}/termstats_prev")
+    assert read_term_stats(spark, idx) is None  # (a) stale table not served
+
+    postings, meta = read_index(spark, idx)
+    body = make_page(5)[3].split("\n")[1].split(" ")
+    queries = spark.createDataFrame([(1, " ".join(body[:4]))], "qid long, query string")
+    want = sorted(tuple(r) for r in
+                  search_index(spark, postings, meta, queries, k=10).collect())
+    assert want  # (b) fallback aggregation serves correct results
+
+    # --- (c) next append recovers: stale aside dropped, fresh termstats
+    batch3 = generate_pages(spark, 300, partitions=2).filter(F.col("url").contains("9"))
+    append_to_index(spark, batch3.limit(20), idx)
+    assert not os.path.isdir(f"{idx}/termstats_prev")
+    ts = read_term_stats(spark, idx)
+    postings2, _ = read_index(spark, idx)
+    if ts is not None:
+        wantdf = {r["term"]: r["df"] for r in
+                  postings2.groupBy("term").agg(F.sum("df").alias("df")).collect()}
+        gotdf = {r["term"]: r["df"] for r in ts.collect()}
+        assert gotdf == wantdf
+    shutil.rmtree(idx, ignore_errors=True)

@@ -13,6 +13,9 @@ Subcommands:
   dedup        --docs <parquet> --out <dir> [--method exact|minhash|
                simhash|clusters] [--threshold J]
   profile      --docs <parquet> --out <dir>   (per-doc text profile)
+  ann          --embeddings <parquet> --queries <parquet> --out <dir>
+               [--method brute|lsh|ivf] [--k K] [--n-probe P]
+               (join-based dense retrieval; query set stays in the plan)
   sessionize   --events <parquet> --out <dir> [--gap-seconds N]
   beir         --corpus corpus.jsonl --queries queries.jsonl
                --qrels qrels.tsv --out <dir> [--k-values ...]
@@ -161,6 +164,32 @@ def cmd_dedup(args) -> None:
     print(f"wrote {args.method} dedup output to {args.out}")
 
 
+def cmd_ann(args) -> None:
+    """Dense/ANN retrieval over a parquet embeddings table
+    (vec_id, embedding) with a parquet query table (qid, embedding).
+    All methods use the join-based paths — the query set never leaves
+    the plan, so the same command handles millions of queries."""
+    spark = _spark("sgpt-ann")
+    emb = spark.read.parquet(args.embeddings)
+    queries = spark.read.parquet(args.queries)
+    if args.method == "brute":
+        from sgpt_spark.operators.similarity import dense_search_join
+
+        out = dense_search_join(emb, queries, k=args.k)
+    elif args.method == "lsh":
+        from sgpt_spark.operators.similarity import lsh_search_join
+
+        out = lsh_search_join(emb, queries, k=args.k)
+    elif args.method == "ivf":
+        from sgpt_spark.operators.similarity import ivf_search_join
+
+        out = ivf_search_join(emb, queries, k=args.k, n_probe=args.n_probe)
+    else:
+        raise SystemExit(f"unknown --method {args.method}")
+    out.write.mode("overwrite").parquet(args.out)
+    print(f"wrote {args.method} ann top-{args.k} run to {args.out}")
+
+
 def cmd_profile(args) -> None:
     from sgpt_spark.operators.textstats import text_profile
 
@@ -233,6 +262,15 @@ def main(argv: list[str] | None = None) -> None:
                    default="minhash")
     d.add_argument("--threshold", type=float, default=0.8)
     d.set_defaults(fn=cmd_dedup)
+
+    an = sub.add_parser("ann")
+    an.add_argument("--embeddings", required=True)
+    an.add_argument("--queries", required=True)
+    an.add_argument("--out", required=True)
+    an.add_argument("--method", default="brute", choices=["brute", "lsh", "ivf"])
+    an.add_argument("--k", type=int, default=10)
+    an.add_argument("--n-probe", type=int, default=4)
+    an.set_defaults(fn=cmd_ann)
 
     pr = sub.add_parser("profile")
     pr.add_argument("--docs", required=True)

@@ -95,3 +95,27 @@ def test_cli_build_standard_analyzer(spark, tmp_path):
     import json
     meta = json.loads((idx / "index" / "meta.json").read_text())
     assert meta["analyzer"] == "analyze_py"
+
+
+def test_cli_ann(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from sgpt_spark.cli import main
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    emb.write.mode("overwrite").parquet(str(tmp_path / "emb"))
+    (emb.filter(F.col("vec_id") % 50 == 0)
+        .select(F.col("vec_id").alias("qid"), "embedding")
+        .write.mode("overwrite").parquet(str(tmp_path / "q")))
+    for method in ("brute", "lsh", "ivf"):
+        out = str(tmp_path / f"run_{method}")
+        main(["ann", "--embeddings", str(tmp_path / "emb"),
+              "--queries", str(tmp_path / "q"), "--out", out,
+              "--method", method, "--k", "5"])
+        run = spark.read.parquet(out)
+        assert run.count() > 0
+        assert set(run.columns) == {"qid", "vec_id", "score", "rank"}
+        # a vector's own id must top its list for the exact method
+        if method == "brute":
+            top1 = run.filter(F.col("rank") == 1)
+            assert top1.filter(F.col("qid") != F.col("vec_id")).count() == 0

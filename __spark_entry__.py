@@ -271,6 +271,26 @@ def _q_bm25_multifield(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_bm25_multifield_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-backed multi-field BM25: the same multi_match best_fields
+    values as bm25_multifield_top10, computed THROUGH the compressed
+    per-field indexes (co-segmented build, segment-local dis-max
+    combine) — gated by the same DuckDB oracle."""
+    import tempfile
+
+    from sgpt_spark.operators.index_search import search_multifield_index
+    from sgpt_spark.operators.indexer import build_multifield_index
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "title", F.array_join(F.slice(F.split(F.col("text"), " ", -1), 1, 3), " ")
+    )
+    out = tempfile.mkdtemp(prefix="sgpt_gate_mf_")
+    build_multifield_index(docs, out, fields=("title", "text"), segment_size=200)
+    return search_multifield_index(
+        spark, out, derived_queries(docs), k=10, tie_breaker=0.5
+    )
+
+
 # --- dedup / similarity / text analysis (training-data pipeline ops) -----
 
 def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -632,6 +652,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_standard_top10": _q_bm25_standard_top10,
         "bm25_standard_index_top10": _q_bm25_standard_index_top10,
         "bm25_multifield_top10": _q_bm25_multifield,
+        "bm25_multifield_index_top10": _q_bm25_multifield_index,
         "queryset_derive": _q_queryset,
         "corpus_stats": _q_corpus_stats,
         "doc_stats": _q_doc_stats,
@@ -1421,6 +1442,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_standard_top10": _BM25_STANDARD_SQL,
         "bm25_standard_index_top10": _BM25_STANDARD_SQL,
         "bm25_multifield_top10": _BM25_MULTIFIELD_SQL,
+        "bm25_multifield_index_top10": _BM25_MULTIFIELD_SQL,
         "bm25_rerank_top10": _RERANK_SQL,
         "dedup_exact": """
             SELECT d.doc_id, m.canonical_id

@@ -413,3 +413,151 @@ def search_index(
     if exclude_self:
         seg_topk = seg_topk.filter(F.col("doc_id") != F.col("qid"))
     return topk_per_group(seg_topk, k=k).select("qid", "doc_id", "score", "rank")
+
+
+def search_multifield_index(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame | Iterable[tuple],
+    k: int = 10,
+    tie_breaker: float = 0.5,
+    fields: tuple[str, ...] | None = None,
+    tokenize=None,
+) -> DataFrame:
+    """Multi-field BM25 top-k THROUGH the compressed per-field indexes
+    built by ``indexer.build_multifield_index`` — the index-backed twin
+    of ``search.bm25_multifield_search`` (ES ``multi_match``
+    best_fields + tie_breaker; value-identical, tested + oracle-gated).
+
+    Plan: each field's candidate postings (term-pruned parquet scan) are
+    unioned with a field tag and grouped by segment — the builder's
+    co-segmentation invariant means segment s holds the SAME doc range
+    in every field index, so one task sees all of a doc's per-field
+    postings. Inside the task: decode once, per-field exhaustive
+    bincount scores with that field's avgdl/idf, dis-max combine
+    (max + tie_breaker * (sum - max)), per-segment top-k. Then the
+    usual global merge. Shuffle volume: <= k rows per (query, segment)
+    — identical to the single-field index path; nothing ever shuffles
+    postings.
+    """
+    import json as _json
+
+    from sgpt_spark.operators.indexer import read_index, read_term_stats
+
+    if fields is None:
+        with open(f"{path}/fields.json") as fp:
+            fields = tuple(_json.load(fp)["fields"])
+
+    idx = {}
+    analyzer = None
+    for f in fields:
+        postings_f, meta_f = read_index(spark, f"{path}/{f}_index")
+        if analyzer is None:
+            analyzer = meta_f.analyzer
+        elif meta_f.analyzer != analyzer:
+            raise ValueError(
+                f"field indexes disagree on analyzer: {analyzer!r} vs "
+                f"{meta_f.analyzer!r} ({f})"
+            )
+        idx[f] = (postings_f, meta_f, read_term_stats(spark, f"{path}/{f}_index"))
+
+    qterms = collect_query_terms(
+        queries, tokenize=tokenize or resolve_py_analyzer(analyzer)
+    )
+    qid_type = (
+        queries.schema["qid"].dataType.simpleString()
+        if isinstance(queries, DataFrame)
+        else "string"
+    )
+    seg_schema = f"qid {qid_type}, doc_id long, score double"
+    empty = spark.createDataFrame([], seg_schema + ", rank int")
+    if not qterms:
+        return empty
+    terms = sorted({t for _, t, _ in qterms})
+
+    # per-field query weights: w_{f,t} = qtf * idf_f(t) with the FIELD's
+    # df and docCount (each field is an independent BM25 index)
+    per_query: dict = {}  # qid -> {field: [(term, w)]}
+    cand = None
+    avgdls = {}
+    for f in fields:
+        postings_f, meta_f, tstats_f = idx[f]
+        avgdls[f] = meta_f.avgdl
+        if tstats_f is not None:
+            gdf = {
+                r["term"]: int(r["df"])
+                for r in tstats_f.filter(F.col("term").isin(terms)).collect()
+            }
+        else:
+            gdf = {
+                r["term"]: int(r["df"])
+                for r in postings_f.filter(F.col("term").isin(terms))
+                .groupBy("term").agg(F.sum("df").alias("df")).collect()
+            }
+        idf_f = {t: idf_py(d, meta_f.n_docs) for t, d in gdf.items()}
+        for qid, t, qtf in qterms:
+            if t in idf_f:
+                per_query.setdefault(qid, {}).setdefault(f, []).append((t, qtf * idf_f[t]))
+        part = postings_f.filter(F.col("term").isin(terms)).withColumn(
+            "field", F.lit(f)
+        )
+        cand = part if cand is None else cand.unionByName(part)
+    if not per_query:
+        return empty
+    b_queries = spark.sparkContext.broadcast(per_query)
+    k1, b = idx[fields[0]][1].k1, idx[fields[0]][1].b
+    b_avgdl = spark.sparkContext.broadcast(avgdls)
+    tie = float(tie_breaker)
+    kk = k
+
+    def score_segment_mf(pdf: pd.DataFrame) -> pd.DataFrame:
+        offs, d_all, tf_all, dl_all = decode_many(list(pdf["blocks"]))
+        av = b_avgdl.value
+        decoded: dict = {}  # field -> {term: (docs, tfn)}
+        for i, (fld, term) in enumerate(zip(pdf["field"], pdf["term"])):
+            s, e = int(offs[i]), int(offs[i + 1])
+            if e == s:
+                continue
+            tf = tf_all[s:e].astype(np.float64)
+            dl = dl_all[s:e].astype(np.float64)
+            tfn = tf / (tf + k1 * (1.0 - b + b * dl / av[fld]))
+            decoded.setdefault(fld, {})[term] = (d_all[s:e], tfn)
+        out_qid, out_doc, out_score = [], [], []
+        for qid, by_field in b_queries.value.items():
+            fscores = []  # [(ids, scores)] per field with any match
+            for fld, tws in by_field.items():
+                dec = decoded.get(fld)
+                if not dec:
+                    continue
+                present = [(t, w) for t, w in tws if t in dec]
+                if not present:
+                    continue
+                docs_cat = np.concatenate([dec[t][0] for t, _ in present])
+                w_cat = np.concatenate([dec[t][1] * w for t, w in present])
+                ids_f, inv = np.unique(docs_cat, return_inverse=True)
+                fscores.append((ids_f, np.bincount(inv, weights=w_cat)))
+            if not fscores:
+                continue
+            if len(fscores) == 1:
+                all_ids, best = fscores[0][0], fscores[0][1]
+                combined = best  # max == sum == the one field
+            else:
+                all_ids = fscores[0][0]
+                for ids_f, _ in fscores[1:]:
+                    all_ids = np.union1d(all_ids, ids_f)
+                mat = np.zeros((len(fscores), len(all_ids)))
+                for r, (ids_f, sc) in enumerate(fscores):
+                    mat[r, np.searchsorted(all_ids, ids_f)] = sc
+                mx = mat.max(axis=0)
+                combined = mx + tie * (mat.sum(axis=0) - mx)
+            scores = np.round(combined, SCORE_DECIMALS)
+            order = deterministic_topk(all_ids, scores, kk)
+            out_qid.extend([qid] * len(order))
+            out_doc.extend(all_ids[order].tolist())
+            out_score.extend(scores[order].tolist())
+        return pd.DataFrame({"qid": out_qid, "doc_id": out_doc, "score": out_score})
+
+    seg_topk = cand.groupBy("segment").applyInPandas(
+        lambda _key, pdf: score_segment_mf(pdf), schema=seg_schema
+    )
+    return topk_per_group(seg_topk, k=k).select("qid", "doc_id", "score", "rank")

@@ -831,6 +831,61 @@ def write_index(postings: DataFrame, meta: IndexMeta, path: str) -> None:
         json.dump(meta.__dict__, fp)
 
 
+def build_multifield_index(
+    docs: DataFrame,
+    path: str,
+    fields: tuple[str, ...] = ("title", "text"),
+    segment_size: int = DEFAULT_SEGMENT_SIZE,
+    py_tokenizer=None,
+) -> dict:
+    """docs(doc_id, <field columns>) -> one standard index per field
+    under ``{path}/{field}_index`` — the index-backed substrate for ES
+    ``multi_match`` scoring (each field an INDEPENDENT BM25 index with
+    its own N/avgdl/df, exactly BEIR's ``{"title", "txt"}`` mapping,
+    crossencoder_beir_bm25.ipynb:298-310 cell 10).
+
+    CO-SEGMENTATION invariant: all field indexes are built from ONE
+    range-partitioned scan of ``docs`` (partition == segment in the
+    single-pass builder, and the per-field empty filter is narrow), so
+    segment s covers the SAME doc-id range in every field index. The
+    multifield scorer relies on this to combine per-field scores
+    segment-locally without any cross-segment shuffle
+    (``index_search.search_multifield_index``).
+
+    Per-field docs are pre-filtered to >=1 token under the build
+    analyzer (JVM twin in the filter, Python twin in the build — one
+    word pattern, tested spellings), so each field's meta.n_docs/avgdl
+    equal the exhaustive operator's per-field docCount/avgdl even for
+    punctuation-only field values under the standard analyzer.
+    """
+    import json as _json
+    import os
+
+    from sgpt_spark.functions.analyzer import resolve_jvm_analyzer
+
+    py_tok = py_tokenizer or tokenize_py_ws
+    jvm_tok = resolve_jvm_analyzer(getattr(py_tok, "__name__", "custom"))
+    n = docs.count()
+    n_seg = max(1, -(-n // segment_size))
+    src = docs.repartitionByRange(n_seg, "doc_id")
+    src.persist()
+    try:
+        metas = {}
+        for f in fields:
+            fd = src.select("doc_id", F.col(f).alias("text")).filter(
+                F.size(jvm_tok(F.col("text"))) > 0
+            )
+            metas[f] = build_index(
+                fd, f"{path}/{f}_index", segment_size=segment_size, py_tokenizer=py_tok
+            )
+    finally:
+        src.unpersist()
+    os.makedirs(path, exist_ok=True)
+    with open(f"{path}/fields.json", "w") as fp:
+        _json.dump({"fields": list(fields)}, fp)
+    return metas
+
+
 def read_index(spark, path: str) -> tuple[DataFrame, IndexMeta]:
     import json
 

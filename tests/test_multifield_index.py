@@ -1,0 +1,106 @@
+"""Index-backed multi-field BM25 (ES multi_match best_fields through
+the compressed per-field indexes) must be value-identical to the
+exhaustive DataFrame operator — both analyzers, degenerate fields
+included."""
+
+from __future__ import annotations
+
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from sgpt_spark.functions.analyzer import analyze_py, tokenize_standard
+from sgpt_spark.operators.index_search import search_multifield_index
+from sgpt_spark.operators.indexer import build_multifield_index
+from sgpt_spark.operators.search import bm25_multifield_search
+
+SF = "/root/testdata/sf0.001"
+
+
+def runs(rows):
+    return sorted((r["qid"], r["rank"], r["doc_id"], r["score"]) for r in rows)
+
+
+def test_matches_exhaustive_ws_on_documents(spark):
+    docs = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .select("doc_id", "text")
+        .withColumn(
+            "title", F.array_join(F.slice(F.split(F.col("text"), " ", -1), 1, 3), " ")
+        )
+    )
+    queries = (
+        docs.filter(F.col("doc_id") % 25 == 0)
+        .select(
+            F.col("doc_id").alias("qid"),
+            F.array_join(F.slice(F.split("text", " ", -1), 1, 4), " ").alias("query"),
+        )
+    )
+    want = runs(bm25_multifield_search(docs, queries, k=10).collect())
+
+    out = tempfile.mkdtemp(prefix="sgpt_mf_")
+    build_multifield_index(docs, out, fields=("title", "text"), segment_size=100)
+    got = runs(search_multifield_index(spark, out, queries, k=10).collect())
+    assert got == want and len(got) > 0
+
+
+def test_matches_exhaustive_standard_with_degenerate_fields(spark):
+    """Standard analyzer + adversarial fields: empty titles,
+    punctuation-only titles (tokenize to NOTHING but are trim-nonempty
+    — the per-field docCount trap), docs matching in one field only."""
+    rows = []
+    for i in range(60):
+        title = (
+            ""
+            if i % 7 == 0
+            else "!!! ..." if i % 7 == 1 else f"Shared Title alpha{i % 5}"
+        )
+        body = f"body token beta{i % 4} gamma{i % 9} common word filler number{i}"
+        rows.append((i, title, body))
+    docs = spark.createDataFrame(rows, "doc_id long, title string, text string")
+    queries = spark.createDataFrame(
+        [(1, "alpha1 beta2"), (2, "common word"), (3, "SHARED title."), (4, "zzz")],
+        "qid long, query string",
+    )
+    want = runs(
+        bm25_multifield_search(docs, queries, k=10, tokenizer=tokenize_standard).collect()
+    )
+    out = tempfile.mkdtemp(prefix="sgpt_mf_std_")
+    build_multifield_index(
+        docs, out, fields=("title", "text"), segment_size=17, py_tokenizer=analyze_py
+    )
+    got = runs(search_multifield_index(spark, out, queries, k=10).collect())
+    assert got == want and len(got) > 0
+
+
+def test_tie_breaker_variants(spark):
+    """tie_breaker=0 (pure dis-max) and 1 (plain sum) must both match
+    the exhaustive operator."""
+    rows = [(i, f"alpha{i % 3} topic", f"alpha{i % 3} topic body word{i}") for i in range(30)]
+    docs = spark.createDataFrame(rows, "doc_id long, title string, text string")
+    queries = spark.createDataFrame([(1, "alpha1 topic")], "qid long, query string")
+    out = tempfile.mkdtemp(prefix="sgpt_mf_tb_")
+    build_multifield_index(docs, out, segment_size=10)
+    for tb in (0.0, 1.0):
+        want = runs(bm25_multifield_search(docs, queries, k=5, tie_breaker=tb).collect())
+        got = runs(search_multifield_index(spark, out, queries, k=5, tie_breaker=tb).collect())
+        assert got == want, tb
+
+
+def test_analyzer_mismatch_raises(spark, tmp_path):
+    import json
+    import os
+
+    rows = [(i, f"t{i}", f"b{i} c{i}") for i in range(10)]
+    docs = spark.createDataFrame(rows, "doc_id long, title string, text string")
+    out = str(tmp_path / "mf")
+    build_multifield_index(docs, out, segment_size=5)
+    # corrupt one field's analyzer record
+    mp = os.path.join(out, "title_index", "meta.json")
+    meta = json.load(open(mp))
+    meta["analyzer"] = "analyze_py"
+    json.dump(meta, open(mp, "w"))
+    queries = spark.createDataFrame([(1, "b1")], "qid long, query string")
+    with pytest.raises(ValueError, match="disagree on analyzer"):
+        search_multifield_index(spark, out, queries, k=5)

@@ -53,6 +53,7 @@ def run_beir_bm25(
     rerank_top_k: int | None = None,
     exclude_self: bool = False,
     fields: str = "concat",
+    engine: str = "auto",
 ) -> DataFrame:
     """-> metrics DataFrame (k, ndcg, map, mrr, precision, recall), one
     row per cutoff; the ranked run is persisted at ``{out_dir}/run``
@@ -67,15 +68,21 @@ def run_beir_bm25(
     one field; ``"multi"`` scores ``title`` and ``text`` as independent
     BM25 fields combined with ES ``best_fields, tie_breaker=0.5`` — the
     multi_match query the reference actually ran
-    (crossencoder_beir_bm25.ipynb:298-310 cell 10). The multi path runs
-    the exhaustive DataFrame plan directly on external ids (no dense-id
-    index is persisted); everything downstream (run parquet, rerank,
-    metrics) is identical.
+    (crossencoder_beir_bm25.ipynb:298-310 cell 10).
+
+    ``engine`` (multi mode only): ``"index"`` builds the co-segmented
+    per-field compressed indexes and searches through them — the scale
+    path; ``"exhaustive"`` runs the DataFrame plan directly on external
+    ids (the value-oracle twin); ``"auto"`` = ``"index"``. Both return
+    identical metrics (tested); everything downstream (run parquet,
+    rerank, metrics) is shared.
     """
     if analyzer not in ("whitespace", "standard"):
         raise ValueError(f"unknown analyzer {analyzer!r}: whitespace|standard")
     if fields not in ("concat", "multi"):
         raise ValueError(f"unknown fields mode {fields!r}: concat|multi")
+    if engine not in ("auto", "index", "exhaustive"):
+        raise ValueError(f"unknown engine {engine!r}: auto|index|exhaustive")
     py_tok = analyze_py if analyzer == "standard" else tokenize_py_ws
 
     corpus = read_beir_corpus(spark, corpus_path)
@@ -85,7 +92,7 @@ def run_beir_bm25(
     if fields == "multi":
         return _run_multi(
             spark, corpus, queries, qrels, out_dir, k_values, analyzer,
-            rerank_top_k, exclude_self,
+            rerank_top_k, exclude_self, engine,
         )
 
     # Lifecycle resumability (north rule): the two expensive stages —
@@ -164,19 +171,63 @@ def _run_multi(
     analyzer: str,
     rerank_top_k: int | None,
     exclude_self: bool,
+    engine: str = "auto",
 ) -> DataFrame:
-    """fields="multi" body: exhaustive multi-field BM25 over external
-    ids (both sides are BEIR string ids, so the self filter pushes into
-    the operator and no id mapping is needed)."""
+    """fields="multi" body. engine="index" (and "auto"): dense ids by
+    ext-id order, co-segmented per-field compressed indexes, dis-max
+    through the index, ids mapped back — the scale path.
+    engine="exhaustive": the DataFrame plan over external ids (both
+    sides BEIR string ids, so the self filter pushes into the operator).
+    Identical values either way (tie-break by internal id == by ext-id
+    lexicographic order, because ids are assigned in ext-id order)."""
     from sgpt_spark.functions.analyzer import tokenize_standard, tokenize_ws
     from sgpt_spark.operators.search import bm25_multifield_search
 
     jvm_tok = tokenize_standard if analyzer == "standard" else tokenize_ws
     k = max(k_values)
-    run_ext = bm25_multifield_search(
-        corpus, queries, k=k, fields=("title", "text"), tie_breaker=0.5,
-        tokenizer=jvm_tok, exclude_self=exclude_self,
-    )
+    if engine in ("auto", "index"):
+        from sgpt_spark.functions.analyzer import analyze_py, tokenize_py_ws
+        from sgpt_spark.operators.index_search import search_multifield_index
+        from sgpt_spark.operators.indexer import (
+            assign_doc_ids,
+            build_multifield_index,
+            release_doc_ids,
+        )
+        from sgpt_spark.operators.topk import topk_per_group
+
+        py_tok = analyze_py if analyzer == "standard" else tokenize_py_ws
+        docs_ext = corpus.select(
+            F.col("doc_id").alias("ext_id"), "title", "text"
+        )
+        assigned = assign_doc_ids(docs_ext, id_source="ext_id")
+        docs = assigned.select("doc_id", "ext_id", "title", "text")
+        build_multifield_index(
+            docs.select("doc_id", "title", "text"), f"{out_dir}/mf_index",
+            fields=("title", "text"), py_tokenizer=py_tok,
+        )
+        docs.select("doc_id", "ext_id").write.mode("overwrite").parquet(f"{out_dir}/ids")
+        release_doc_ids(assigned)
+        fetch_k = k + 1 if exclude_self else k
+        run = search_multifield_index(
+            spark, f"{out_dir}/mf_index", queries, k=fetch_k, tie_breaker=0.5
+        )
+        id_map = spark.read.parquet(f"{out_dir}/ids")
+        run_ext = (
+            run.join(id_map, "doc_id")
+            .select("qid", F.col("ext_id").alias("doc_id"), "score", "rank")
+        )
+        if exclude_self:
+            run_ext = topk_per_group(
+                run_ext.filter(F.col("doc_id") != F.col("qid")).select(
+                    "qid", "doc_id", "score"
+                ),
+                k=k,
+            ).select("qid", "doc_id", "score", "rank")
+    else:
+        run_ext = bm25_multifield_search(
+            corpus, queries, k=k, fields=("title", "text"), tie_breaker=0.5,
+            tokenizer=jvm_tok, exclude_self=exclude_self,
+        )
 
     if rerank_top_k is not None:
         from sgpt_spark.operators.rerank import rerank

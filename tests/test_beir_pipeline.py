@@ -218,3 +218,26 @@ def test_beir_kill_resume_between_index_and_search(spark, beir_dir, monkeypatch)
     monkeypatch.setattr(beir_mod, "build_index", no_rebuild)
     with pytest.raises(AssertionError, match="rebuild"):
         run_beir_bm25(spark, *args, str(out_b), k_values=(1, 10), analyzer="whitespace")
+
+
+def test_beir_multifield_engines_agree(spark, beir_dir):
+    """fields="multi": the index engine (co-segmented per-field indexes,
+    the scale path and the default) must produce the same persisted run
+    and metrics as the exhaustive DataFrame engine."""
+    out_i = Path(tempfile.mkdtemp(prefix="sgpt_beir_mfi_"))
+    out_e = Path(tempfile.mkdtemp(prefix="sgpt_beir_mfe_"))
+    args = (
+        str(beir_dir / "corpus.jsonl"),
+        str(beir_dir / "queries.jsonl"),
+        str(beir_dir / "qrels.tsv"),
+    )
+    mi = sorted(tuple(r) for r in run_beir_bm25(
+        spark, *args, str(out_i), k_values=(1, 10), fields="multi", engine="index"
+    ).collect())
+    me = sorted(tuple(r) for r in run_beir_bm25(
+        spark, *args, str(out_e), k_values=(1, 10), fields="multi", engine="exhaustive"
+    ).collect())
+    assert mi == me
+    run_i = sorted(tuple(r) for r in spark.read.parquet(str(out_i / "run")).collect())
+    run_e = sorted(tuple(r) for r in spark.read.parquet(str(out_e / "run")).collect())
+    assert run_i == run_e and run_i

@@ -114,10 +114,20 @@ def cmd_evaluate(args) -> None:
 
 
 def cmd_compact(args) -> None:
-    from sgpt_spark.operators.indexer import compact_index
+    import os
 
     spark = _spark("sgpt-compact")
-    n = compact_index(spark, args.index, args.target_segments)
+    if os.path.exists(os.path.join(args.index, "fields.json")):
+        # multifield layout: one shared bucket mapping across all field
+        # indexes (independent per-field compaction would break the
+        # co-segmentation invariant and is refused by compact_index)
+        from sgpt_spark.operators.indexer import compact_multifield_index
+
+        n = compact_multifield_index(spark, args.index, args.target_segments)
+    else:
+        from sgpt_spark.operators.indexer import compact_index
+
+        n = compact_index(spark, args.index, args.target_segments)
     print(f"compacted {args.index} to {n} segments")
 
 

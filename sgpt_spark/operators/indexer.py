@@ -899,7 +899,9 @@ def read_index(spark, path: str) -> tuple[DataFrame, IndexMeta]:
     )
 
 
-def compact_index(spark, path: str, target_segments: int) -> int:
+def compact_index(
+    spark, path: str, target_segments: int, _seg_map: dict | None = None
+) -> int:
     """Merge index segments down to ``target_segments`` — the external
     merge stage that unifies partition-local segments (the Lucene
     TieredMergePolicy role; incremental appends create one segment per
@@ -920,17 +922,41 @@ def compact_index(spark, path: str, target_segments: int) -> int:
     the (term, df) side table is unchanged (global stats don't move).
     Search results are identical before and after (tested). Returns the
     new segment count.
+
+    Multifield layouts: the per-field indexes of
+    ``build_multifield_index`` share doc-id ranges segment-for-segment
+    (the co-segmentation invariant ``search_multifield_index`` depends
+    on). Compacting ONE field independently would renumber its buckets
+    by ITS OWN segment id set — a field with missing segments (e.g.
+    all-empty-title partitions) would land docs in different buckets
+    than its siblings and silently mis-combine scores. This function
+    therefore REFUSES to run on a ``{path}/..._index`` that sits next to
+    a ``fields.json``; use ``compact_multifield_index`` on the parent
+    path, which derives ONE bucket mapping from the union of all
+    fields' segment ids (``_seg_map``) and applies it to every field.
     """
     import os
     import shutil
 
     from sgpt_spark.functions.compress import merge_runs_streaming
 
+    parent = os.path.dirname(path.rstrip("/"))
+    if _seg_map is None and os.path.exists(os.path.join(parent, "fields.json")):
+        raise ValueError(
+            f"{path!r} is one field of a multifield index: compacting it "
+            "alone breaks co-segmentation — call compact_multifield_index "
+            f"on {parent!r} instead"
+        )
+
     raw = spark.read.parquet(f"{path}/postings")
-    segs = sorted(r["segment"] for r in raw.select("segment").distinct().collect())
-    n_old = len(segs)
-    target_segments = max(1, min(target_segments, n_old))
-    bucket = {s: (i * target_segments) // n_old for i, s in enumerate(segs)}
+    if _seg_map is not None:
+        bucket = dict(_seg_map)
+        target_segments = len(set(bucket.values()))
+    else:
+        segs = sorted(r["segment"] for r in raw.select("segment").distinct().collect())
+        n_old = len(segs)
+        target_segments = max(1, min(target_segments, n_old))
+        bucket = {s: (i * target_segments) // n_old for i, s in enumerate(segs)}
     mapping_df = spark.createDataFrame(
         [(s, b) for s, b in bucket.items()], "segment int, _new_seg int"
     )
@@ -971,6 +997,33 @@ def compact_index(spark, path: str, target_segments: int) -> int:
     merged.write.mode("overwrite").parquet(tmp)
     shutil.rmtree(f"{path}/postings")
     os.rename(tmp, f"{path}/postings")
+    return target_segments
+
+
+def compact_multifield_index(spark, path: str, target_segments: int) -> int:
+    """Compact every field index of a ``build_multifield_index`` layout
+    with ONE shared bucket mapping, preserving the co-segmentation
+    invariant: the mapping is derived from the UNION of all fields'
+    segment ids (a field missing some segments — all-empty-field
+    partitions — still lands every doc in the same bucket as its
+    siblings, because the mapping is keyed by the shared original
+    segment id, not by each field's own contiguous renumbering).
+    Returns the new segment count. Search results identical before and
+    after (tested, incl. a field with a missing segment)."""
+    import json as _json
+
+    with open(f"{path}/fields.json") as fp:
+        fields = _json.load(fp)["fields"]
+    all_segs: set = set()
+    for f in fields:
+        raw = spark.read.parquet(f"{path}/{f}_index/postings")
+        all_segs.update(r["segment"] for r in raw.select("segment").distinct().collect())
+    segs = sorted(all_segs)
+    n_old = len(segs)
+    target_segments = max(1, min(target_segments, n_old))
+    seg_map = {s: (i * target_segments) // n_old for i, s in enumerate(segs)}
+    for f in fields:
+        compact_index(spark, f"{path}/{f}_index", target_segments, _seg_map=seg_map)
     return target_segments
 
 

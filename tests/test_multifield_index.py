@@ -104,3 +104,49 @@ def test_analyzer_mismatch_raises(spark, tmp_path):
     queries = spark.createDataFrame([(1, "b1")], "qid long, query string")
     with pytest.raises(ValueError, match="disagree on analyzer"):
         search_multifield_index(spark, out, queries, k=5)
+
+
+def test_compact_multifield_preserves_results_with_missing_segment(spark, tmp_path):
+    """Co-segmented compaction: one field is missing a segment (a
+    partition whose titles were ALL empty), so per-field contiguous
+    renumbering would diverge — the shared union mapping must keep
+    results identical, and per-field compaction must refuse."""
+    from sgpt_spark.operators.indexer import (
+        compact_index,
+        compact_multifield_index,
+    )
+
+    rows = []
+    for i in range(60):
+        # docs 20..39 (the middle range partition) have empty titles
+        title = "" if 20 <= i < 40 else f"head alpha{i % 5}"
+        rows.append((i, title, f"body beta{i % 4} gamma{i % 7} word{i}"))
+    docs = spark.createDataFrame(rows, "doc_id long, title string, text string")
+    out = str(tmp_path / "mf")
+    build_multifield_index(docs, out, segment_size=20)  # 3 segments; title misses one
+
+    title_segs = {
+        r["segment"]
+        for r in spark.read.parquet(f"{out}/title_index/postings")
+        .select("segment").distinct().collect()
+    }
+    text_segs = {
+        r["segment"]
+        for r in spark.read.parquet(f"{out}/text_index/postings")
+        .select("segment").distinct().collect()
+    }
+    assert title_segs < text_segs  # the invariant-breaking setup is real
+
+    queries = spark.createDataFrame(
+        [(1, "alpha1 beta2"), (2, "gamma3 word25"), (3, "head body")],
+        "qid long, query string",
+    )
+    before = runs(search_multifield_index(spark, out, queries, k=10).collect())
+
+    with pytest.raises(ValueError, match="co-segmentation"):
+        compact_index(spark, f"{out}/title_index", 2)
+
+    n = compact_multifield_index(spark, out, 2)
+    assert n == 2
+    after = runs(search_multifield_index(spark, out, queries, k=10).collect())
+    assert after == before and before

@@ -61,16 +61,7 @@ def append_to_index(
     """
     postings_old, meta_old = read_index(spark, index_path)
     id_offset = meta_old.next_doc_id or (_max_doc_id(postings_old) + 1)
-    # max(segment) over the RAW parquet, sentinel rows included: a
-    # build_index segment whose docs were all empty-text exists only as
-    # its sentinel stats row, and its id must not be reused by appends
-    # (read_index's term-null filter would hide it).
-    seg_offset = int(
-        spark.read.parquet(f"{index_path}/postings")
-        .agg(F.max("segment"))
-        .collect()[0][0]
-        or 0
-    ) + 1
+    seg_offset = _next_segment_id(spark, index_path)
 
     assigned = assign_doc_ids(new_pages.select("url", "text"))
     docs = assigned.withColumn("doc_id", F.col("doc_id") + id_offset)
@@ -88,13 +79,48 @@ def append_to_index(
         release_doc_ids(assigned)
         return meta_old
 
-    # Failure-atomicity of the (postings, termstats) pair: termstats is
-    # a derived cache, so take it OFFLINE (rename aside) BEFORE the
-    # postings append. A crash anywhere between here and the rebuild
-    # below leaves NO termstats dir -> read_term_stats falls back to
-    # re-aggregation over postings, which is always consistent. The old
-    # order (append postings, then rewrite termstats) could strand a
-    # silently-stale side table that inflates IDF with no error.
+    merged = _commit_append(
+        spark, index_path, new_postings, new_meta, meta_old, seg_offset,
+        fallback_next_id=id_offset,
+    )
+    release_doc_ids(assigned)  # terminal action done — free the ranged cache
+    return merged
+
+
+def _next_segment_id(spark: SparkSession, index_path: str) -> int:
+    """max(segment) + 1 over the RAW parquet, sentinel rows included: a
+    build_index segment whose docs were all empty-text exists only as
+    its sentinel stats row, and its id must not be reused by appends
+    (read_index's term-null filter would hide it)."""
+    return int(
+        spark.read.parquet(f"{index_path}/postings")
+        .agg(F.max("segment"))
+        .collect()[0][0]
+        or 0
+    ) + 1
+
+
+def _commit_append(
+    spark: SparkSession,
+    index_path: str,
+    new_postings: DataFrame,
+    new_meta: IndexMeta,
+    meta_old: IndexMeta,
+    seg_offset: int,
+    fallback_next_id: int,
+) -> IndexMeta:
+    """Durably append already-built postings to one index: shift segment
+    ids, append parquet, refresh the (term, df) side table, merge meta.
+
+    Failure-atomicity of the (postings, termstats) pair: termstats is a
+    derived cache, so it is taken OFFLINE (rename aside) BEFORE the
+    postings append. A crash anywhere between here and the rebuild
+    below leaves NO termstats dir -> read_term_stats falls back to
+    re-aggregation over postings, which is always consistent. The old
+    order (append postings, then rewrite termstats) could strand a
+    silently-stale side table that inflates IDF with no error (tested:
+    test_termstats_crash_window_is_safe).
+    """
     import os
     import shutil
 
@@ -108,7 +134,6 @@ def append_to_index(
 
     new_postings = new_postings.withColumn("segment", F.col("segment") + seg_offset)
     new_postings.write.mode("append").parquet(f"{index_path}/postings")
-    release_doc_ids(assigned)  # terminal action done — free the ranged cache
 
     # rebuild the global (term, df) side table: merge the set-aside
     # stats with the APPENDED segments' dfs only (never a full rescan)
@@ -139,12 +164,95 @@ def append_to_index(
         total_len=total_len,
         avgdl=(total_len / n_docs) if n_docs else 0.0,
         # build_postings already saw the offset ids, so its next_doc_id
-        # is absolute — adding id_offset again would leave ever-growing
+        # is absolute — adding the offset again would leave ever-growing
         # id gaps between appends
-        next_doc_id=new_meta.next_doc_id or id_offset,
+        next_doc_id=new_meta.next_doc_id or fallback_next_id,
     )
     with open(f"{index_path}/meta.json", "w") as fp:
         json.dump(merged.__dict__, fp)
+    return merged
+
+
+def append_to_multifield_index(
+    spark: SparkSession,
+    new_pages: DataFrame,
+    path: str,
+    py_tokenizer=None,
+) -> dict:
+    """Append a batch to every field index of a
+    ``build_multifield_index`` layout, preserving co-segmentation.
+
+    Per-field ``append_to_index`` calls would break BOTH shared spaces:
+    each field's id offset is its own max (a field that missed trailing
+    empty-value docs is behind), and each would pick its own segment
+    ids. Here doc ids are assigned ONCE (url order, offset = max
+    next_doc_id across fields) and one shared segment offset (max
+    segment across all fields + 1) applies to every field; the batch is
+    range-partitioned once and every field builds from that one layout,
+    exactly like the initial build. Returns {field: merged IndexMeta}.
+    """
+    import json as _json
+
+    from sgpt_spark.functions.analyzer import resolve_jvm_analyzer, resolve_py_analyzer
+
+    with open(f"{path}/fields.json") as fp:
+        fields = _json.load(fp)["fields"]
+    metas_old = {}
+    analyzer = None
+    for f in fields:
+        _, m = read_index(spark, f"{path}/{f}_index")
+        metas_old[f] = m
+        if analyzer is None:
+            analyzer = m.analyzer
+        elif m.analyzer != analyzer:
+            raise ValueError(
+                f"field indexes disagree on analyzer: {analyzer!r} vs {m.analyzer!r} ({f})"
+            )
+    py_tok = py_tokenizer or resolve_py_analyzer(analyzer)
+    jvm_tok = resolve_jvm_analyzer(getattr(py_tok, "__name__", "custom"))
+
+    id_offset = max(
+        m.next_doc_id or (_max_doc_id(read_index(spark, f"{path}/{f}_index")[0]) + 1)
+        for f, m in metas_old.items()
+    )
+    seg_offset = max(_next_segment_id(spark, f"{path}/{f}_index") for f in fields)
+
+    assigned = assign_doc_ids(new_pages.select("url", *fields))
+    docs = assigned.withColumn("doc_id", F.col("doc_id") + id_offset)
+    seg_size = metas_old[fields[0]].segment_size
+    n = docs.count()
+    if n == 0:
+        release_doc_ids(assigned)
+        return metas_old
+    n_seg = max(1, -(-n // seg_size))
+    src = docs.repartitionByRange(n_seg, "doc_id")
+    src.persist().count()
+
+    merged = {}
+    try:
+        for f in fields:
+            fd = src.select("doc_id", F.col(f).alias("text")).filter(
+                F.size(jvm_tok(F.col("text"))) > 0
+            )
+            new_postings, new_meta = build_postings(
+                fd, segment_size=seg_size, py_tokenizer=py_tok
+            )
+            if new_meta.n_docs == 0:
+                merged[f] = metas_old[f]
+                continue
+            merged[f] = _commit_append(
+                spark, f"{path}/{f}_index", new_postings, new_meta,
+                metas_old[f], seg_offset, fallback_next_id=id_offset + n,
+            )
+            # fields share one id space: next id advances past the whole
+            # batch for every field, matched or not
+            if merged[f].next_doc_id < id_offset + n:
+                merged[f] = replace(merged[f], next_doc_id=id_offset + n)
+                with open(f"{path}/{f}_index/meta.json", "w") as fp:
+                    _json.dump(merged[f].__dict__, fp)
+    finally:
+        src.unpersist()
+        release_doc_ids(assigned)
     return merged
 
 

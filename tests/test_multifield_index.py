@@ -150,3 +150,39 @@ def test_compact_multifield_preserves_results_with_missing_segment(spark, tmp_pa
     assert n == 2
     after = runs(search_multifield_index(spark, out, queries, k=10).collect())
     assert after == before and before
+
+
+def test_append_multifield_equals_rebuild(spark, tmp_path):
+    """Incremental multifield append == full rebuild over the union
+    corpus, with shared id/segment spaces across fields even when a
+    field skips docs (empty titles) in both batches."""
+    from sgpt_spark.streaming.incremental import append_to_multifield_index
+
+    def batch(lo, hi):
+        rows = []
+        for i in range(lo, hi):
+            title = "" if i % 5 == 0 else f"head alpha{i % 4}"
+            rows.append((f"https://x/{i:05d}", title, f"body beta{i % 3} word{i}"))
+        return spark.createDataFrame(rows, "url string, title string, text string")
+
+    from sgpt_spark.operators.indexer import assign_doc_ids, release_doc_ids
+
+    inc = str(tmp_path / "inc")
+    b1, b2 = batch(0, 40), batch(40, 70)
+    a1 = assign_doc_ids(b1.select("url", "title", "text"))
+    build_multifield_index(a1.select("doc_id", "title", "text"), inc, segment_size=15)
+    release_doc_ids(a1)
+    metas = append_to_multifield_index(spark, b2, inc)
+    assert metas["text"].n_docs == 70
+
+    full = str(tmp_path / "full")
+    au = assign_doc_ids(b1.unionByName(b2).select("url", "title", "text"))
+    build_multifield_index(au.select("doc_id", "title", "text"), full, segment_size=15)
+    release_doc_ids(au)
+
+    queries = spark.createDataFrame(
+        [(1, "alpha1 beta2"), (2, "head body"), (3, "word55")], "qid long, query string"
+    )
+    got = runs(search_multifield_index(spark, inc, queries, k=10).collect())
+    want = runs(search_multifield_index(spark, full, queries, k=10).collect())
+    assert got == want and got

@@ -186,3 +186,39 @@ def test_append_multifield_equals_rebuild(spark, tmp_path):
     got = runs(search_multifield_index(spark, inc, queries, k=10).collect())
     want = runs(search_multifield_index(spark, full, queries, k=10).collect())
     assert got == want and got
+
+
+def test_randomized_differential_index_vs_exhaustive(spark, tmp_path):
+    """Randomized (title, text) corpora and queries: the index-backed
+    multifield path must be rank- and score-identical to the exhaustive
+    operator (itself DuckDB-oracle-gated) across trials with empty
+    fields, tiny segments, and varying tie_breakers."""
+    import random
+
+    rng = random.Random(20260817)
+    vocab = [f"w{i}" for i in range(40)] + ["the", "of"]
+    for trial in range(3):
+        n_docs = rng.randint(12, 50)
+        rows = []
+        for d in range(n_docs):
+            title = "" if rng.random() < 0.2 else " ".join(
+                rng.choices(vocab, k=rng.randint(1, 5))
+            )
+            text = "" if rng.random() < 0.1 else " ".join(
+                rng.choices(vocab, k=rng.randint(0, 25))
+            )
+            rows.append((d, title, text))
+        docs = spark.createDataFrame(rows, "doc_id long, title string, text string")
+        queries = spark.createDataFrame(
+            [(q, " ".join(rng.choices(vocab, k=rng.randint(1, 3)))) for q in range(5)],
+            "qid long, query string",
+        )
+        k = rng.choice([3, 10])
+        tb = rng.choice([0.0, 0.5, 1.0])
+        want = runs(bm25_multifield_search(docs, queries, k=k, tie_breaker=tb).collect())
+        out = str(tmp_path / f"mf_rnd_{trial}")
+        build_multifield_index(docs, out, segment_size=rng.choice([5, 9, 100]))
+        got = runs(
+            search_multifield_index(spark, out, queries, k=k, tie_breaker=tb).collect()
+        )
+        assert got == want, f"trial {trial} k={k} tb={tb}"

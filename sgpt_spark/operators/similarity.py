@@ -170,17 +170,32 @@ def dense_search_join(
     contract as ``cosine_topk`` (round to 6 dp, ties by id asc):
     identical output (tested).
 
-    Sizing at scale: pick C ~ |Q| / (rows that fit one task's memory)
-    and B ~ |E| / block_rows; both default to the session's default
-    parallelism, which is right for gate/bench scale.
+    Sizing: by default the block/chunk counts are DATA-aware, not
+    cluster-aware — each packed row targets ~8 MB (row count derived
+    from the embedding dimension), so a 10^9-vector corpus gets ~10^5
+    blocks of bounded size instead of 32 multi-GB rows, and the pair
+    relation is repartitioned so no task materializes more than a few
+    packed rows per Arrow batch. Pass ``n_emb_blocks``/``n_query_chunks``
+    to override (e.g. fewer, larger blocks when executors have the
+    memory — fewer pairs means less replication: data volume is
+    C x |E| + B x |Q| packed bytes).
     """
     if score_function not in ("cos_sim", "dot"):
         raise ValueError(f"unknown score_function {score_function!r}: cos_sim|dot")
     normalize = score_function == "cos_sim"
     spark = embeddings.sparkSession
     par = spark.sparkContext.defaultParallelism
-    n_c = max(int(n_query_chunks or par), 1)
-    n_b = max(int(n_emb_blocks or par), 1)
+    if n_query_chunks is None or n_emb_blocks is None:
+        first = embeddings.select(F.size(F.col(emb_col)).alias("d")).limit(1).collect()
+        dim = int(first[0]["d"]) if first else 1
+        # ~8 MB of float64 per packed row, floor 1024 rows
+        rows_per_block = max(8 * 1024 * 1024 // max(dim * 8, 1), 1024)
+        if n_emb_blocks is None:
+            n_emb_blocks = max(-(-embeddings.count() // rows_per_block), par)
+        if n_query_chunks is None:
+            n_query_chunks = max(-(-queries.count() // rows_per_block), 1)
+    n_c = max(int(n_query_chunks), 1)
+    n_b = max(int(n_emb_blocks), 1)
     qid_t = queries.schema[qid_col].dataType.simpleString()
     id_t = embeddings.schema[id_col].dataType.simpleString()
 
@@ -243,7 +258,11 @@ def dense_search_join(
                     out_s.extend(sims[keep, qi].tolist())
             yield pd.DataFrame({"qid": out_q, "vec_id": out_i, "score": out_s})
 
-    part = qpacked.crossJoin(epacked).mapInPandas(
+    # spread the B x C pair rows so no task's Arrow batch materializes
+    # more than a handful of packed rows at once (each row is ~8-16 MB)
+    pairs = qpacked.crossJoin(epacked)
+    n_part = min(n_b * n_c, max(par * 4, par))
+    part = pairs.repartition(n_part).mapInPandas(
         score_pairs, schema=f"qid {qid_t}, vec_id {id_t}, score double"
     )
     return topk_per_group(part, group_col="qid", score_col="score", id_col="vec_id", k=k).select(

@@ -428,6 +428,10 @@ def search_multifield_index(
     built by ``indexer.build_multifield_index`` — the index-backed twin
     of ``search.bm25_multifield_search`` (ES ``multi_match``
     best_fields + tie_breaker; value-identical, tested + oracle-gated).
+    Query sets are collected to the driver (the ``search_index``
+    contract — query sets are small relative to the corpus); a
+    join-based twin a la ``search_index_join`` is the escape hatch to
+    build if a multifield workload ever carries millions of queries.
 
     Plan: each field's candidate postings (term-pruned parquet scan) are
     unioned with a field tag and grouped by segment — the builder's

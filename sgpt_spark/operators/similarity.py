@@ -317,9 +317,7 @@ def paraphrase_mining(
     )
 
 
-def _lloyd_refine(
-    src: DataFrame, assigner, cent: np.ndarray, n_iters: int
-) -> np.ndarray:
+def _lloyd_refine(src: DataFrame, cent: np.ndarray, n_iters: int) -> np.ndarray:
     """``n_iters`` spherical-k-means refinement passes over ``src``
     (columns ``_id``, ``_emb``), returning the refined centroid matrix.
 
@@ -332,8 +330,6 @@ def _lloyd_refine(
     plan's dim-many ``F.sum(element_at(...))`` aggregate columns, which
     at 768-4096-dim real embeddings meant thousands of Catalyst
     expressions per pass; here the plan shape is dimension-independent.
-    ``assigner`` is only used by the caller for the final lists; it is
-    accepted for interface symmetry and ignored.
     """
     spark = src.sparkSession
     n_clusters, dim = cent.shape
@@ -419,7 +415,7 @@ def _ivf_fit(
         return src.mapInPandas(assign, schema=f"vec_id {id_t}, cluster int")
 
     # --- Lloyd refinement: assign -> per-cluster mean (spherical) -----
-    cent = _lloyd_refine(src, assigner, cent, n_iters)
+    cent = _lloyd_refine(src, cent, n_iters)
     return cent, assigner(cent)
 
 

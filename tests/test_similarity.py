@@ -272,7 +272,7 @@ def test_lloyd_refine_matches_numpy_at_dim512(spark):
     cent0 = rng.standard_normal((n_clusters, dim))
     cent0 /= np.linalg.norm(cent0, axis=1, keepdims=True)
 
-    got = _lloyd_refine(emb, None, cent0.copy(), n_iters=3)
+    got = _lloyd_refine(emb, cent0.copy(), n_iters=3)
 
     want = cent0.copy()
     normed = mat / np.linalg.norm(mat, axis=1, keepdims=True)

@@ -1,0 +1,157 @@
+"""Physical-plan audit: regenerate PLANS.md with annotated
+`.explain("formatted")` evidence for the headline operators.
+
+What the audit asserts (and PLANS.md documents):
+- the postings scan is term-pruned at the parquet reader
+  (PushedFilters on `term`, pruned ReadSchema);
+- relational/BM25-math stages run inside WholeStageCodegen;
+- small dimension joins broadcast, big runs shuffle (AQE-decided);
+- Python appears only as mapInPandas/mapInArrow islands (Arrow-batched),
+  never row-at-a-time UDFs.
+
+Usage: python tools/plan_audit.py   (writes PLANS.md at the repo root)
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import re
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO))
+
+SF = "/root/testdata/sf0.01"
+
+
+def captured_plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def trimmed(plan: str, max_lines: int = 40) -> str:
+    lines = [l.rstrip() for l in plan.splitlines() if l.strip()]
+    if len(lines) > max_lines:
+        lines = lines[:max_lines] + [f"... ({len(lines) - max_lines} more lines)"]
+    return "\n".join(lines)
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from sgpt_spark.operators.index_search import search_index
+    from sgpt_spark.operators.indexer import (
+        assign_doc_ids_fast,
+        build_index,
+        read_index,
+        read_term_stats,
+    )
+    from sgpt_spark.operators.similarity import cosine_topk, dense_search_join
+    from sgpt_spark.session import get_spark
+    from sgpt_spark.sources.tables import load_table
+
+    spark = get_spark(master="local[8]", shuffle_partitions=8)
+    sections: list[tuple[str, str, str]] = []  # (title, commentary, plan)
+
+    # --- 1. term-pruned postings scan -------------------------------------
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    idx_path = "/tmp/sgpt_plan_audit_idx"
+    build_index(
+        assign_doc_ids_fast(
+            docs.select(F.col("doc_id").cast("string").alias("url"), "text")
+        ),
+        idx_path,
+        segment_size=200,
+    )
+    postings, meta = read_index(spark, idx_path)
+    tstats = read_term_stats(spark, idx_path)
+    some_text = docs.filter(F.length("text") > 20).select("text").first()["text"]
+    qtext = " ".join(some_text.split()[:4])
+    run = search_index(spark, postings, meta, [("0", qtext)], k=10, term_stats=tstats)
+    plan = captured_plan(run)
+    pushed = re.search(r"PushedFilters: \[[^\]]*term[^\]]*\]", plan)
+    sections.append((
+        "BM25 through the compressed index (`search_index`)",
+        "The postings scan must reach the parquet reader already pruned "
+        "to the query's terms — row groups are term-sorted at build time, "
+        "so the pushed `In(term, ...)` filter skips whole row groups via "
+        "min/max stats. Verified below: "
+        + (f"`{pushed.group(0)[:120]}...`" if pushed else "PUSHDOWN MISSING (BUG)")
+        + ". The per-segment top-k UDF is the only Python island; the "
+        "global merge is a JVM window.",
+        plan,
+    ))
+    assert pushed, "term pushdown missing from the postings scan!"
+
+    # --- 2. relational: pricing summary (pure codegen) --------------------
+    li = load_table(spark, SF, "lineitem")
+    agg = (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(F.round(F.sum("l_quantity"), 6).alias("sum_qty"))
+    )
+    plan = captured_plan(agg)
+    pushed2 = "LessThanOrEqual(l_shipdate" in plan
+    partial = "partial_sum" in plan
+    pruned = re.search(r"ReadSchema: struct<[^>]*>", plan)
+    n_cols = pruned.group(0).count(":") - 1 if pruned else -1
+    sections.append((
+        "Relational aggregation (pricing summary core)",
+        "Entirely JVM (whole-stage codegen at execution; AQE hides the "
+        "codegen ids in the pre-execution formatted plan, so the audit "
+        "asserts the structure instead): the `l_shipdate` predicate is "
+        + ("pushed to the parquet scan" if pushed2 else "NOT pushed (BUG)")
+        + ", the aggregate is split partial/final ("
+        + ("`partial_sum` before the exchange — map-side combine" if partial
+           else "NO map-side combine (BUG)")
+        + f"), and ReadSchema is pruned to {n_cols} of lineitem's 16 columns.",
+        plan,
+    ))
+    assert pushed2 and partial and 0 < n_cols <= 4
+
+    # --- 3. dense brute-force (broadcast queries, Arrow island) -----------
+    emb = load_table(spark, SF, "embeddings")
+    q = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    plan = captured_plan(cosine_topk(emb, q, k=10))
+    sections.append((
+        "Dense exact top-k (`cosine_topk`)",
+        "One corpus scan feeds a single mapInPandas (Arrow-batched "
+        "matmul + per-partition top-k); shuffle volume is k rows per "
+        "(query, partition) into the JVM window merge — the matrix "
+        "never shuffles.",
+        plan,
+    ))
+
+    # --- 4. join-based dense (packed block nested-loop) -------------------
+    plan = captured_plan(dense_search_join(emb, q, k=10))
+    sections.append((
+        "Join-based dense top-k (`dense_search_join`)",
+        "Both sides pack into bounded ~8 MB rows (hash groupBy -> "
+        "applyInPandas), the cross join is B x C packed rows (a "
+        "BroadcastNestedLoopJoin at this scale; a shuffle nested-loop "
+        "when both sides are large), and the matmul runs per pair row "
+        "in mapInPandas. The query set never reaches the driver.",
+        plan,
+    ))
+
+    out = ["# PLANS — physical-plan audit of the headline operators",
+           "",
+           f"Regenerated by `python tools/plan_audit.py` at sf0.01 "
+           "(plan SHAPE is scale-independent; numbers in BENCH_r*.json).",
+           ""]
+    for title, commentary, plan in sections:
+        out += [f"## {title}", "", commentary, "", "```",
+                trimmed(plan), "```", ""]
+    (REPO / "PLANS.md").write_text("\n".join(out))
+    print(f"wrote {REPO / 'PLANS.md'} ({len(sections)} sections)")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -184,6 +184,30 @@ def main() -> None:
             best = min(best, time.time() - t0)
         timings[f"bm25_index_{strat}_k10_10q"] = round(best, 3)
 
+    # --- multi-field BM25 through the co-segmented per-field indexes -----
+    # (ES multi_match best_fields — the query shape the reference ran).
+    # Title derived from the first text line, same recipe as the gate.
+    from sgpt_spark.operators.index_search import search_multifield_index
+    from sgpt_spark.operators.indexer import build_multifield_index
+
+    mf_docs = docs.withColumn(
+        "title", F.array_join(F.slice(F.split("text", " ", -1), 1, 4), " ")
+    ).select("doc_id", "title", "text")
+    mf_build = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        build_multifield_index(mf_docs, "/dev/shm/sgpt_bench_mf",
+                               segment_size=max(N_DOCS // CPUS, 10_000))
+        mf_build = min(mf_build, time.time() - t0)
+    timings["multifield_index_build"] = round(mf_build, 3)
+    mf_q = qdf.limit(200)
+    mf_s = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        search_multifield_index(spark, "/dev/shm/sgpt_bench_mf", mf_q, k=10).count()
+        mf_s = min(mf_s, time.time() - t0)
+    timings["bm25_multifield_index_200q"] = round(mf_s, 3)
+
     # --- rank-identity: index path vs independent exhaustive path -------
     sample = qdf.limit(100)
     got = {}

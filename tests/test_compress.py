@@ -177,3 +177,47 @@ def test_encode_blocks_arrow_matches_batch():
                 assert bg[k] == bw[k], k
             for k in ("doc_deltas", "tfs", "dls"):
                 assert bytes(bg[k]) == bytes(bw[k]), k
+
+
+@given(
+    st.lists(  # candidate runs; ids are made globally unique below
+        st.lists(st.integers(min_value=0, max_value=100_000), min_size=0, max_size=300),
+        min_size=0,
+        max_size=6,
+    ),
+    st.integers(min_value=8, max_value=64),   # block size
+    st.integers(min_value=16, max_value=512),  # flush threshold
+)
+@settings(max_examples=60, deadline=None)
+def test_merge_runs_streaming_property(run_ids, block_size, flush):
+    """Property: for ANY doc-sorted disjoint runs and any block/flush
+    sizing, the streaming k-way merge equals the sorted concatenation,
+    emits full blocks except possibly the last, and never holds more
+    than runs x block + flush decoded postings."""
+    from sgpt_spark.functions.compress import merge_runs_streaming
+
+    # make ids globally unique then split back into sorted runs
+    seen: set = set()
+    runs, all_rows = [], []
+    for li in run_ids:
+        ids = sorted({i for i in li if i not in seen})
+        seen.update(ids)
+        if not ids:
+            continue
+        ids = np.array(ids, dtype=np.int64)
+        tfs = (ids % 13 + 1).astype(np.uint64)
+        dls = (ids % 31 + 2).astype(np.uint64)
+        runs.append(encode_blocks(ids, tfs, dls, block_size, presorted=True))
+        all_rows.extend(ids.tolist())
+    peak: list = []
+    merged = merge_runs_streaming(
+        runs, block_size=block_size, flush_postings=flush, _peak_out=peak
+    )
+    d, tf, dl = decode_blocks(merged)
+    want = np.array(sorted(all_rows), dtype=np.int64)
+    assert np.array_equal(d, want)
+    assert np.array_equal(tf, (d % 13 + 1).astype(np.uint64))
+    assert np.array_equal(dl, (d % 31 + 2).astype(np.uint64))
+    assert all(b["count"] == block_size for b in merged[:-1])
+    if peak and len(runs) > 1:
+        assert peak[0] <= len(runs) * block_size + flush + block_size

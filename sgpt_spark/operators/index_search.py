@@ -236,7 +236,14 @@ def search_index(
     # table when available (one pruned scan of a tiny term-sorted
     # relation, the "global stats" ES precomputes), else a fallback agg
     # over the candidate postings.
-    if term_stats is not None:
+    if isinstance(term_stats, dict):
+        # pre-collected {term: global df} — the long-running-service
+        # shape (ES keeps global term stats resident the same way):
+        # skips one Spark job per query batch. Caller contract: the
+        # dict is the FULL side table for this index (indexer.
+        # read_term_stats_dict), refreshed after appends/compaction.
+        global_df = {t: int(term_stats[t]) for t in terms if t in term_stats}
+    elif term_stats is not None:
         global_df = {
             r["term"]: int(r["df"])
             for r in term_stats.filter(F.col("term").isin(terms)).collect()

@@ -1027,6 +1027,20 @@ def compact_multifield_index(spark, path: str, target_segments: int) -> int:
     return target_segments
 
 
+def read_term_stats_dict(spark, path: str) -> dict | None:
+    """The (term, df) side table collected to a plain ``{term: df}``
+    dict — for long-running query services that answer many batches
+    against one index snapshot: pass it as ``search_index(term_stats=
+    ...)`` and the per-batch stats job disappears (ES keeps global term
+    stats resident the same way). Driver memory is O(vocabulary); for
+    web-scale vocabularies keep the DataFrame form instead. Refresh
+    after appends/compaction (stats move)."""
+    ts = read_term_stats(spark, path)
+    if ts is None:
+        return None
+    return {r["term"]: int(r["df"]) for r in ts.collect()}
+
+
 def read_term_stats(spark, path: str) -> DataFrame | None:
     """(term, df) global stats written by ``build_index`` — pass to
     ``search_index(term_stats=...)`` to skip the query-time df

@@ -206,3 +206,39 @@ def test_join_path_matches_collect_path(spark):
     s1 = sorted(tuple(r) for r in search_index(spark, p2, m2, qs2, k=10).collect())
     s2 = sorted(tuple(r) for r in search_index_join(spark, p2, m2, qs2, k=10).collect())
     assert s1 == s2 and s1
+
+
+def test_term_stats_dict_equals_dataframe(spark, tmp_path):
+    """A pre-collected {term: df} dict (read_term_stats_dict — the
+    long-running-service shape) must give bit-identical results to the
+    DataFrame side table and to no side table at all."""
+    from pyspark.sql import functions as F
+
+    from sgpt_spark.operators.index_search import search_index
+    from sgpt_spark.operators.indexer import (
+        assign_doc_ids,
+        build_index,
+        read_index,
+        read_term_stats,
+        read_term_stats_dict,
+        release_doc_ids,
+    )
+    from sgpt_spark.sources.pages import generate_pages
+
+    idx = str(tmp_path / "idx")
+    assigned = assign_doc_ids(generate_pages(spark, 200, partitions=2).select("url", "text"))
+    build_index(assigned.select("doc_id", "text"), idx, segment_size=50)
+    release_doc_ids(assigned)
+    postings, meta = read_index(spark, idx)
+    some = (
+        generate_pages(spark, 200, partitions=2)
+        .filter(F.length("text") > 20).select("text").first()["text"]
+    )
+    queries = [("q1", " ".join(some.split()[:4])), ("q2", " ".join(some.split()[4:7]))]
+    runs = []
+    for ts in (None, read_term_stats(spark, idx), read_term_stats_dict(spark, idx)):
+        runs.append(sorted(
+            tuple(r) for r in search_index(spark, postings, meta, queries, k=10,
+                                           term_stats=ts).collect()
+        ))
+    assert runs[0] == runs[1] == runs[2] and runs[0]

@@ -291,6 +291,27 @@ def _q_bm25_multifield_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_bm25_multifield_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-based multifield query path (index_search.
+    search_multifield_index_join): queries tokenize inside the plan —
+    no driver-side query collect, the millions-of-queries scale-out
+    shape for the reference's ES multi_match workload — gated by the
+    same DuckDB multi_match oracle as the other two multifield paths."""
+    import tempfile
+
+    from sgpt_spark.operators.index_search import search_multifield_index_join
+    from sgpt_spark.operators.indexer import build_multifield_index
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "title", F.array_join(F.slice(F.split(F.col("text"), " ", -1), 1, 3), " ")
+    )
+    out = tempfile.mkdtemp(prefix="sgpt_gate_mfj_")
+    build_multifield_index(docs, out, fields=("title", "text"), segment_size=200)
+    return search_multifield_index_join(
+        spark, out, derived_queries(docs), k=10, tie_breaker=0.5
+    )
+
+
 # --- dedup / similarity / text analysis (training-data pipeline ops) -----
 
 def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -653,6 +674,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_standard_index_top10": _q_bm25_standard_index_top10,
         "bm25_multifield_top10": _q_bm25_multifield,
         "bm25_multifield_index_top10": _q_bm25_multifield_index,
+        "bm25_multifield_join_top10": _q_bm25_multifield_join,
         "queryset_derive": _q_queryset,
         "corpus_stats": _q_corpus_stats,
         "doc_stats": _q_doc_stats,
@@ -1443,6 +1465,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_standard_index_top10": _BM25_STANDARD_SQL,
         "bm25_multifield_top10": _BM25_MULTIFIELD_SQL,
         "bm25_multifield_index_top10": _BM25_MULTIFIELD_SQL,
+        "bm25_multifield_join_top10": _BM25_MULTIFIELD_SQL,
         "bm25_rerank_top10": _RERANK_SQL,
         "dedup_exact": """
             SELECT d.doc_id, m.canonical_id

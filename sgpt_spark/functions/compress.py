@@ -1,4 +1,5 @@
-"""Vectorized posting-list block codecs: delta + LEB128 varint.
+"""Vectorized posting-list block codecs: delta + LEB128 varint, and a
+patched-frame-of-reference bit-packed codec (PForDelta).
 
 The compressed representation Elasticsearch/Lucene keeps hidden from the
 reference (SURVEY.md §1.1 "Derived index structure"). Everything here is

@@ -74,6 +74,7 @@ def search_index_join(
     k: int = 10,
     term_stats: DataFrame | None = None,
     exclude_self: bool = False,
+    tokenizer=None,
 ) -> DataFrame:
     """Fully join-based query path over the compressed index — for query
     sets too large to collect/broadcast (the driver-side
@@ -81,16 +82,18 @@ def search_index_join(
     has NO driver-side step and scales to millions of queries).
 
     Plan: queries tokenize inside the plan (analyzer resolved from
-    IndexMeta), postings decode to the flat relation per Arrow batch,
-    and the probe is a shuffle join on term -> groupBy(qid, doc_id)
-    partial-sum -> per-qid top-k. Same BM25 values and tie-break as
-    every other path (rank-identical, gated).
+    IndexMeta; indexes built with a custom ``py_tokenizer`` must pass
+    its JVM column twin via ``tokenizer=``, mirroring ``search_index``'s
+    ``tokenize=`` escape hatch), postings decode to the flat relation
+    per Arrow batch, and the probe is a shuffle join on term ->
+    groupBy(qid, doc_id) partial-sum -> per-qid top-k. Same BM25 values
+    and tie-break as every other path (rank-identical, gated).
     """
     from sgpt_spark.functions.analyzer import resolve_jvm_analyzer
     from sgpt_spark.operators.search import query_terms, score_candidates
     from sgpt_spark.operators.stats import CorpusStats
 
-    tokenizer = resolve_jvm_analyzer(meta.analyzer)
+    tokenizer = tokenizer or resolve_jvm_analyzer(meta.analyzer)
     qt = query_terms(queries, tokenizer=tokenizer)
     # prune BEFORE decoding: a semi-join against the distinct query
     # vocabulary keeps only candidate posting rows (AQE broadcasts the
@@ -117,6 +120,32 @@ def search_index_join(
         _check_self_comparable(scored.schema["doc_id"], queries.schema["qid"])
         scored = scored.filter(F.col("doc_id") != F.col("qid"))
     return topk_per_group(scored, k=k).select("qid", "doc_id", "score", "rank")
+
+
+def normalize_queries(
+    queries: DataFrame | Iterable[tuple],
+) -> tuple["DataFrame | list[tuple]", str]:
+    """Materialize the query input and derive the OUTPUT qid schema type
+    — the single source of truth for the dual DataFrame/iterable query
+    contract (three hand-rolled copies of this subtle derivation is how
+    the round-3 iterable-qid schema bug happened).
+
+    DataFrame: passed through, qid type read from the schema verbatim.
+    Iterable of (qid, text) tuples: materialized to a list ONCE (the
+    input may be a one-shot generator), and the qid type follows the
+    FIRST tuple's qid — ``bigint`` for Python ints / numpy integers,
+    else ``string``. Declaring ``string`` unconditionally made
+    ``exclude_self=True`` with integer-qid iterables emit int values
+    under a string schema and crash in the Arrow conversion. Mixed qid
+    types within one iterable are a contract violation (the first tuple
+    wins; later rows fail loudly in Arrow rather than corrupting).
+    """
+    if isinstance(queries, DataFrame):
+        return queries, queries.schema["qid"].dataType.simpleString()
+    pairs = list(queries)
+    if pairs and isinstance(pairs[0][0], (int, np.integer)):
+        return pairs, "bigint"
+    return pairs, "string"
 
 
 def collect_query_terms(
@@ -191,38 +220,20 @@ def search_index(
         strategy = "wand" if use_wand else "exhaustive"
     if strategy not in ("taat", "wand", "exhaustive"):
         raise ValueError(f"unknown strategy {strategy!r}: use taat|wand|exhaustive")
-    if exclude_self:
-        if isinstance(queries, DataFrame):
-            qt = queries.schema["qid"].dataType.simpleString()
-            if qt not in ("bigint", "int", "long", "smallint", "tinyint"):
-                # comparing string qids against int64 index doc ids would
-                # null out and silently drop every row — demand matching
-                # ids (external-id query sets: filter after mapping ids
-                # back, see plans/beir.run_beir_bm25)
-                raise ValueError(
-                    f"exclude_self needs integer qids matching index doc ids; got qid type {qt}"
-                )
-        else:
-            # same silent-null failure mode for the iterable-of-tuples
-            # input: string qids there would make doc_id != qid drop
-            # every row
-            qpairs = list(queries)
-            queries = qpairs
-            if qpairs and not isinstance(qpairs[0][0], (int, np.integer)):
-                raise ValueError(
-                    "exclude_self needs integer qids matching index doc ids; "
-                    f"got qid type {type(qpairs[0][0]).__name__}"
-                )
+    queries, qid_type = normalize_queries(queries)
+    if exclude_self and qid_type not in ("bigint", "int", "long", "smallint", "tinyint"):
+        # comparing string qids against int64 index doc ids would null
+        # out and silently drop every row — demand matching ids
+        # (external-id query sets: filter after mapping ids back, see
+        # plans/beir.run_beir_bm25)
+        raise ValueError(
+            f"exclude_self needs integer qids matching index doc ids; got qid type {qid_type}"
+        )
     # analyze queries with the SAME analyzer the index was built with
     # (custom-analyzer indexes must pass tokenize= explicitly — the
     # resolver refuses to guess, see functions/analyzer.py)
     qterms = collect_query_terms(
         queries, tokenize=tokenize or resolve_py_analyzer(meta.analyzer)
-    )
-    qid_type = (
-        queries.schema["qid"].dataType.simpleString()
-        if isinstance(queries, DataFrame)
-        else "string"
     )
     seg_schema = f"qid {qid_type}, doc_id long, score double"
     empty = spark.createDataFrame([], seg_schema + ", rank int")
@@ -422,6 +433,40 @@ def search_index(
     return topk_per_group(seg_topk, k=k).select("qid", "doc_id", "score", "rank")
 
 
+def _load_multifield(
+    spark: SparkSession, path: str, fields: tuple[str, ...] | None
+) -> tuple[tuple[str, ...], dict, str]:
+    """Load every field index of a ``build_multifield_index`` layout and
+    validate the invariants both multifield query paths rely on: one
+    shared analyzer AND shared scoring/layout params (k1, b,
+    segment_size) — the combiner takes k1/b from the first field, so a
+    silent disagreement would mis-score every other field (round-3
+    ADVICE). -> (fields, {field: (postings, meta, term_stats)}, analyzer)."""
+    import json as _json
+
+    from sgpt_spark.operators.indexer import read_index, read_term_stats
+
+    if fields is None:
+        with open(f"{path}/fields.json") as fp:
+            fields = tuple(_json.load(fp)["fields"])
+    idx = {}
+    first_meta = None
+    for f in fields:
+        postings_f, meta_f = read_index(spark, f"{path}/{f}_index")
+        if first_meta is None:
+            first_meta = meta_f
+        else:
+            for attr in ("analyzer", "k1", "b", "segment_size"):
+                if getattr(meta_f, attr) != getattr(first_meta, attr):
+                    raise ValueError(
+                        f"field indexes disagree on {attr}: "
+                        f"{getattr(first_meta, attr)!r} ({fields[0]}) vs "
+                        f"{getattr(meta_f, attr)!r} ({f})"
+                    )
+        idx[f] = (postings_f, meta_f, read_term_stats(spark, f"{path}/{f}_index"))
+    return tuple(fields), idx, first_meta.analyzer
+
+
 def search_multifield_index(
     spark: SparkSession,
     path: str,
@@ -430,6 +475,7 @@ def search_multifield_index(
     tie_breaker: float = 0.5,
     fields: tuple[str, ...] | None = None,
     tokenize=None,
+    exclude_self: bool = False,
 ) -> DataFrame:
     """Multi-field BM25 top-k THROUGH the compressed per-field indexes
     built by ``indexer.build_multifield_index`` — the index-backed twin
@@ -451,34 +497,15 @@ def search_multifield_index(
     — identical to the single-field index path; nothing ever shuffles
     postings.
     """
-    import json as _json
+    fields, idx, analyzer = _load_multifield(spark, path, fields)
 
-    from sgpt_spark.operators.indexer import read_index, read_term_stats
-
-    if fields is None:
-        with open(f"{path}/fields.json") as fp:
-            fields = tuple(_json.load(fp)["fields"])
-
-    idx = {}
-    analyzer = None
-    for f in fields:
-        postings_f, meta_f = read_index(spark, f"{path}/{f}_index")
-        if analyzer is None:
-            analyzer = meta_f.analyzer
-        elif meta_f.analyzer != analyzer:
-            raise ValueError(
-                f"field indexes disagree on analyzer: {analyzer!r} vs "
-                f"{meta_f.analyzer!r} ({f})"
-            )
-        idx[f] = (postings_f, meta_f, read_term_stats(spark, f"{path}/{f}_index"))
-
+    queries, qid_type = normalize_queries(queries)
+    if exclude_self and qid_type not in ("bigint", "int", "long", "smallint", "tinyint"):
+        raise ValueError(
+            f"exclude_self needs integer qids matching index doc ids; got qid type {qid_type}"
+        )
     qterms = collect_query_terms(
         queries, tokenize=tokenize or resolve_py_analyzer(analyzer)
-    )
-    qid_type = (
-        queries.schema["qid"].dataType.simpleString()
-        if isinstance(queries, DataFrame)
-        else "string"
     )
     seg_schema = f"qid {qid_type}, doc_id long, score double"
     empty = spark.createDataFrame([], seg_schema + ", rank int")
@@ -519,7 +546,10 @@ def search_multifield_index(
     k1, b = idx[fields[0]][1].k1, idx[fields[0]][1].b
     b_avgdl = spark.sparkContext.broadcast(avgdls)
     tie = float(tie_breaker)
-    kk = k
+    # same spare-candidate trick as search_index: a doc lives in exactly
+    # one (co-segmented) segment, so one extra per-segment candidate
+    # covers the dropped self row
+    kk = k + 1 if exclude_self else k
 
     def score_segment_mf(pdf: pd.DataFrame) -> pd.DataFrame:
         offs, d_all, tf_all, dl_all = decode_many(list(pdf["blocks"]))
@@ -571,4 +601,91 @@ def search_multifield_index(
     seg_topk = cand.groupBy("segment").applyInPandas(
         lambda _key, pdf: score_segment_mf(pdf), schema=seg_schema
     )
+    if exclude_self:
+        seg_topk = seg_topk.filter(F.col("doc_id") != F.col("qid"))
     return topk_per_group(seg_topk, k=k).select("qid", "doc_id", "score", "rank")
+
+
+def search_multifield_index_join(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    tie_breaker: float = 0.5,
+    fields: tuple[str, ...] | None = None,
+    tokenizer=None,
+    exclude_self: bool = False,
+) -> DataFrame:
+    """Fully join-based multifield BM25 top-k through the per-field
+    compressed indexes — the scale-out twin of
+    ``search_multifield_index``, with NO driver-side query collect
+    (``search_index_join``'s contract: millions of queries stay in the
+    plan; the round-3 verdict's last collect-only query path).
+
+    Plan, per field f (ES ``multi_match`` best_fields semantics — each
+    field an independent BM25 index):
+      queries ──tokenize in-plan──> (qid, term, qtf)
+      postings_f ──left-semi join on the distinct query vocabulary──>
+        candidate rows only (parquet term pruning + AQE broadcast while
+        the vocabulary is small) ──flatten (Arrow-batched decode)──>
+      ──shuffle join on term x query terms──groupBy(qid, doc_id)──>
+        per-field BM25 score with THAT field's N/avgdl/df
+    then the per-field score relations union with a field tag and one
+    groupBy(qid, doc_id) computes the dis-max combine
+    max + tie_breaker x (sum - max) (tie_breaker=0 pure dis-max, 1 plain
+    sum), followed by the usual global top-k. Value-identical to the
+    collect path and the exhaustive operator (pytest equality on both
+    analyzers + tie_breaker variants; oracle-gated as
+    bm25_multifield_join_top10).
+
+    ``tokenizer=`` is the custom-analyzer escape hatch (a JVM column
+    tokenizer matching the build analyzer), mirroring
+    ``search_index_join``.
+    """
+    from sgpt_spark.functions.analyzer import resolve_jvm_analyzer
+    from sgpt_spark.operators.search import query_terms, score_candidates
+    from sgpt_spark.operators.stats import CorpusStats
+
+    fields, idx, analyzer = _load_multifield(spark, path, fields)
+    if exclude_self:
+        qtype = queries.schema["qid"].dataType.simpleString()
+        if qtype not in ("bigint", "int", "long", "smallint", "tinyint"):
+            # string qids vs int64 index doc ids null out and silently
+            # drop every row — same contract as search_index
+            raise ValueError(
+                f"exclude_self needs integer qids matching index doc ids; got qid type {qtype}"
+            )
+    tok = tokenizer or resolve_jvm_analyzer(analyzer)
+    qt = query_terms(queries, tokenizer=tok)
+    qvocab = qt.select("term").distinct()
+    k1, b = idx[fields[0]][1].k1, idx[fields[0]][1].b
+
+    per_field = None
+    for f in fields:
+        postings_f, meta_f, tstats_f = idx[f]
+        cand = postings_f.join(qvocab, "term", "left_semi")
+        flat = flatten_postings(cand)
+        if tstats_f is not None:
+            dfs = tstats_f
+        else:
+            dfs = postings_f.groupBy("term").agg(F.sum("df").alias("df"))
+        scored = score_candidates(
+            flat,
+            qt,
+            dfs,
+            CorpusStats(n_docs=meta_f.n_docs, avgdl=meta_f.avgdl),
+            k1=k1,
+            b=b,
+            broadcast_queries=False,
+        )
+        per_field = scored if per_field is None else per_field.unionByName(scored)
+
+    combined = per_field.groupBy("qid", "doc_id").agg(
+        (
+            F.max("score")
+            + F.lit(float(tie_breaker)) * (F.sum("score") - F.max("score"))
+        ).alias("score")
+    )
+    if exclude_self:
+        combined = combined.filter(F.col("doc_id") != F.col("qid"))
+    return topk_per_group(combined, k=k).select("qid", "doc_id", "score", "rank")

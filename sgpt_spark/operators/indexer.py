@@ -831,12 +831,34 @@ def write_index(postings: DataFrame, meta: IndexMeta, path: str) -> None:
         json.dump(meta.__dict__, fp)
 
 
+def _multifield_jvm_twin(py_tok, tokenizer: Tokenizer | None):
+    """JVM column twin of the multifield build analyzer, used for the
+    per-field >=1-token filter. Built-in analyzers resolve automatically;
+    a custom ``py_tokenizer`` must come WITH its JVM twin (``tokenizer=``)
+    — the old behavior raised "pass py_tokenizer=" at callers who already
+    had (round-3 ADVICE)."""
+    from sgpt_spark.functions.analyzer import resolve_jvm_analyzer
+
+    if tokenizer is not None:
+        return tokenizer
+    try:
+        return resolve_jvm_analyzer(getattr(py_tok, "__name__", "custom"))
+    except ValueError:
+        raise ValueError(
+            "multifield build/append with a custom py_tokenizer also needs "
+            "its JVM column twin for the per-field empty filter: pass "
+            "tokenizer= (a Column -> Column tokenizer matching py_tokenizer), "
+            "or use a built-in analyzer"
+        ) from None
+
+
 def build_multifield_index(
     docs: DataFrame,
     path: str,
     fields: tuple[str, ...] = ("title", "text"),
     segment_size: int = DEFAULT_SEGMENT_SIZE,
     py_tokenizer=None,
+    tokenizer: Tokenizer | None = None,
 ) -> dict:
     """docs(doc_id, <field columns>) -> one standard index per field
     under ``{path}/{field}_index`` — the index-backed substrate for ES
@@ -856,15 +878,16 @@ def build_multifield_index(
     analyzer (JVM twin in the filter, Python twin in the build — one
     word pattern, tested spellings), so each field's meta.n_docs/avgdl
     equal the exhaustive operator's per-field docCount/avgdl even for
-    punctuation-only field values under the standard analyzer.
+    punctuation-only field values under the standard analyzer. A custom
+    ``py_tokenizer`` therefore needs its JVM column twin passed as
+    ``tokenizer=`` (the ``build_postings`` contract) for that filter;
+    with the built-in analyzers the twin is resolved automatically.
     """
     import json as _json
     import os
 
-    from sgpt_spark.functions.analyzer import resolve_jvm_analyzer
-
     py_tok = py_tokenizer or tokenize_py_ws
-    jvm_tok = resolve_jvm_analyzer(getattr(py_tok, "__name__", "custom"))
+    jvm_tok = _multifield_jvm_twin(py_tok, tokenizer)
     n = docs.count()
     n_seg = max(1, -(-n // segment_size))
     src = docs.repartitionByRange(n_seg, "doc_id")

@@ -720,6 +720,22 @@ def embedding_communities(
     """
     if candidates not in ("lsh", "exact"):
         raise ValueError(f"unknown candidates mode {candidates!r}: lsh|exact")
+    if candidates == "lsh" and threshold < 0.8 and (n_planes, n_tables) == (6, 12):
+        # the default table count is tuned for threshold ~0.8; at lower
+        # thresholds the per-pair miss rate grows and a missed edge can
+        # SPLIT a community — make the approximation opt-in-visible
+        # (round-3 ADVICE). More tables (or candidates="exact") restores
+        # recall: the gate query needs 4x24 at threshold 0.4.
+        import warnings
+
+        warnings.warn(
+            f"embedding_communities: LSH candidate generation with default "
+            f"n_planes/n_tables at threshold={threshold} < 0.8 has "
+            f"non-trivial edge miss probability (missed edges can split "
+            f"communities). Raise n_tables / lower n_planes, or pass "
+            f"candidates='exact' for exact (quadratic) candidates.",
+            stacklevel=2,
+        )
     from sgpt_spark.operators.dedup import connected_components
 
     e1 = embeddings.select(

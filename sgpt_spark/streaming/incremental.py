@@ -178,6 +178,7 @@ def append_to_multifield_index(
     new_pages: DataFrame,
     path: str,
     py_tokenizer=None,
+    tokenizer=None,
 ) -> dict:
     """Append a batch to every field index of a
     ``build_multifield_index`` layout, preserving co-segmentation.
@@ -193,7 +194,8 @@ def append_to_multifield_index(
     """
     import json as _json
 
-    from sgpt_spark.functions.analyzer import resolve_jvm_analyzer, resolve_py_analyzer
+    from sgpt_spark.functions.analyzer import resolve_py_analyzer
+    from sgpt_spark.operators.indexer import _multifield_jvm_twin
 
     with open(f"{path}/fields.json") as fp:
         fields = _json.load(fp)["fields"]
@@ -209,7 +211,7 @@ def append_to_multifield_index(
                 f"field indexes disagree on analyzer: {analyzer!r} vs {m.analyzer!r} ({f})"
             )
     py_tok = py_tokenizer or resolve_py_analyzer(analyzer)
-    jvm_tok = resolve_jvm_analyzer(getattr(py_tok, "__name__", "custom"))
+    jvm_tok = _multifield_jvm_twin(py_tok, tokenizer)
 
     id_offset = max(
         m.next_doc_id or (_max_doc_id(read_index(spark, f"{path}/{f}_index")[0]) + 1)
@@ -235,7 +237,7 @@ def append_to_multifield_index(
                 F.size(jvm_tok(F.col("text"))) > 0
             )
             new_postings, new_meta = build_postings(
-                fd, segment_size=seg_size, py_tokenizer=py_tok
+                fd, segment_size=seg_size, py_tokenizer=py_tok, tokenizer=jvm_tok
             )
             if new_meta.n_docs == 0:
                 merged[f] = metas_old[f]

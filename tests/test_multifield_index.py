@@ -88,6 +88,112 @@ def test_tie_breaker_variants(spark):
         assert got == want, tb
 
 
+def test_join_path_matches_collect_path(spark, tmp_path):
+    """search_multifield_index_join (no driver query collect) must be
+    value-identical to the collect path — both analyzers, degenerate
+    fields, every tie_breaker variant."""
+    from sgpt_spark.operators.index_search import search_multifield_index_join
+
+    rows = []
+    for i in range(60):
+        title = (
+            "" if i % 7 == 0 else "!!! ..." if i % 7 == 1 else f"Shared Title alpha{i % 5}"
+        )
+        rows.append((i, title, f"body beta{i % 4} gamma{i % 9} common word filler number{i}"))
+    docs = spark.createDataFrame(rows, "doc_id long, title string, text string")
+    queries = spark.createDataFrame(
+        [(1, "alpha1 beta2"), (2, "common word"), (3, "SHARED title."), (4, "zzz")],
+        "qid long, query string",
+    )
+    for name, py_tok in (("ws", None), ("std", analyze_py)):
+        out = str(tmp_path / f"mf_join_{name}")
+        build_multifield_index(
+            docs, out, fields=("title", "text"), segment_size=17, py_tokenizer=py_tok
+        )
+        for tb in (0.0, 0.5, 1.0):
+            want = runs(search_multifield_index(spark, out, queries, k=10, tie_breaker=tb).collect())
+            got = runs(
+                search_multifield_index_join(spark, out, queries, k=10, tie_breaker=tb).collect()
+            )
+            assert got == want and got, (name, tb)
+
+
+def test_multifield_exclude_self(spark, tmp_path):
+    """exclude_self through the multifield index (per-segment k+1 +
+    filter + global merge) == the exhaustive operator's filter — collect
+    AND join paths; string qids must raise."""
+    from sgpt_spark.operators.index_search import search_multifield_index_join
+
+    rows = [
+        (i, f"head alpha{i % 5}", f"body beta{i % 4} gamma{i % 7} word{i}")
+        for i in range(60)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, title string, text string")
+    # known-item queries: qid == source doc_id, so self would rank 1st
+    queries = spark.createDataFrame(
+        [(i, f"head alpha{i % 5} beta{i % 4}") for i in range(0, 60, 7)],
+        "qid long, query string",
+    )
+    out = str(tmp_path / "mf_noself")
+    build_multifield_index(docs, out, segment_size=20)
+    want = runs(bm25_multifield_search(docs, queries, k=5, exclude_self=True).collect())
+    got = runs(search_multifield_index(spark, out, queries, k=5, exclude_self=True).collect())
+    got_join = runs(
+        search_multifield_index_join(spark, out, queries, k=5, exclude_self=True).collect()
+    )
+    assert got == want and got_join == want and want
+    assert all(qid != doc for qid, _, doc, _ in got)
+
+    sq = spark.createDataFrame([("a", "head body")], "qid string, query string")
+    for fn in (search_multifield_index, search_multifield_index_join):
+        with pytest.raises(ValueError, match="integer qids"):
+            fn(spark, out, sq, k=5, exclude_self=True)
+
+
+def test_k1_b_mismatch_raises(spark, tmp_path):
+    import json
+    import os
+
+    rows = [(i, f"t{i}", f"b{i} c{i}") for i in range(10)]
+    docs = spark.createDataFrame(rows, "doc_id long, title string, text string")
+    out = str(tmp_path / "mf_k1b")
+    build_multifield_index(docs, out, segment_size=5)
+    mp = os.path.join(out, "title_index", "meta.json")
+    meta = json.load(open(mp))
+    meta["k1"] = 0.9
+    json.dump(meta, open(mp, "w"))
+    queries = spark.createDataFrame([(1, "b1")], "qid long, query string")
+    with pytest.raises(ValueError, match="disagree on k1"):
+        search_multifield_index(spark, out, queries, k=5)
+
+
+def test_custom_tokenizer_multifield_build(spark, tmp_path):
+    """A custom py_tokenizer + its JVM twin must build and query; the
+    same py_tokenizer WITHOUT the twin raises the actionable error."""
+    def tok_comma(s):
+        return [t for t in (s or "").split(",") if t]
+
+    def tok_comma_jvm(col):
+        return F.filter(F.split(col, ",", -1), lambda t: t != F.lit(""))
+
+    rows = [(i, f"t{i % 3},shared", f"b{i % 4},shared,x{i}") for i in range(20)]
+    docs = spark.createDataFrame(rows, "doc_id long, title string, text string")
+    out = str(tmp_path / "mf_custom")
+    with pytest.raises(ValueError, match="tokenizer="):
+        build_multifield_index(docs, out, segment_size=7, py_tokenizer=tok_comma)
+    build_multifield_index(
+        docs, out, segment_size=7, py_tokenizer=tok_comma, tokenizer=tok_comma_jvm
+    )
+    queries = spark.createDataFrame([(1, "shared,b1")], "qid long, query string")
+    want = runs(
+        bm25_multifield_search(docs, queries, k=5, tokenizer=tok_comma_jvm).collect()
+    )
+    got = runs(
+        search_multifield_index(spark, out, queries, k=5, tokenize=tok_comma).collect()
+    )
+    assert got == want and got
+
+
 def test_analyzer_mismatch_raises(spark, tmp_path):
     import json
     import os

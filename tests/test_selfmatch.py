@@ -73,3 +73,36 @@ def test_exclude_self_rejects_string_qids(spark, corpus):
     postings, meta = build_postings(corpus, segment_size=16)
     with _pytest.raises(ValueError, match="exclude_self"):
         search_index(spark, postings, meta, queries, k=5, exclude_self=True)
+
+
+def test_iterable_int_qids_exclude_self_matches_dataframe(spark, corpus, queries):
+    """Round-3 verdict bug: iterable-of-tuples queries with INT qids
+    declared `qid string` in the output schema, so exclude_self=True
+    (which requires int qids) crashed in the Arrow conversion. The qid
+    type must now follow the first tuple's qid, and the iterable path
+    must return exactly the DataFrame path's rows."""
+    postings, meta = build_postings(corpus, segment_size=16)
+    pairs = [(r["qid"], r["query"]) for r in queries.collect()]
+    via_iter = search_index(
+        spark, postings, meta, iter(pairs), k=10, exclude_self=True
+    )
+    assert via_iter.schema["qid"].dataType.simpleString() == "bigint"
+    got = sorted(tuple(r) for r in via_iter.collect())
+    want = sorted(
+        tuple(r)
+        for r in search_index(
+            spark, postings, meta, queries, k=10, exclude_self=True
+        ).collect()
+    )
+    assert got == want and got
+    # string-qid iterables still raise under exclude_self, and still
+    # declare a string schema without it
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="integer qids"):
+        search_index(
+            spark, postings, meta, [("q1", "whatever")], k=5, exclude_self=True
+        )
+    s = search_index(spark, postings, meta, [("q1", pairs[0][1])], k=5)
+    assert s.schema["qid"].dataType.simpleString() == "string"
+    assert s.count() > 0

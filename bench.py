@@ -208,6 +208,97 @@ def main() -> None:
         mf_s = min(mf_s, time.time() - t0)
     timings["bm25_multifield_index_200q"] = round(mf_s, 3)
 
+    # join-based multifield twin (queries stay in the plan — the
+    # millions-of-queries shape) + the deep-k multifield point at the
+    # reference's retrieval depth
+    from sgpt_spark.operators.index_search import search_multifield_index_join
+
+    mfj_s = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        search_multifield_index_join(spark, "/dev/shm/sgpt_bench_mf", mf_q, k=10).count()
+        mfj_s = min(mfj_s, time.time() - t0)
+    timings["bm25_multifield_join_200q"] = round(mfj_s, 3)
+    mf_deep = qdf.limit(100)
+    mfd_s = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        search_multifield_index(spark, "/dev/shm/sgpt_bench_mf", mf_deep, k=1000).count()
+        mfd_s = min(mfd_s, time.time() - t0)
+    timings["bm25_multifield_index_k1000_100q"] = round(mfd_s, 3)
+
+    # --- WAND crossover point: ONE query, k=10, ONE deep segment ---------
+    # BENCH_r03 showed TAAT winning every batch shape; WAND's claimed
+    # regime is few queries x deep postings where the top-10 threshold
+    # rises fast enough to skip blocks. Merge the whole bench index into
+    # a single segment (streaming compaction) and measure the
+    # single-(query,segment) task wall for each strategy.
+    import shutil
+
+    from sgpt_spark.operators.indexer import compact_index
+
+    shutil.rmtree("/dev/shm/sgpt_bench_1seg", ignore_errors=True)
+    shutil.copytree("/dev/shm/sgpt_bench_index", "/dev/shm/sgpt_bench_1seg")
+    t0 = time.time()
+    compact_index(spark, "/dev/shm/sgpt_bench_1seg", 1)
+    timings["compact_to_1seg"] = round(time.time() - t0, 3)
+    postings1, meta1 = read_index(spark, "/dev/shm/sgpt_bench_1seg")
+    tstats1 = read_term_stats(spark, "/dev/shm/sgpt_bench_1seg")
+    one_q = qdf.limit(1)
+    for strat in ("taat", "wand", "exhaustive"):
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.time()
+            search_index(spark, postings1, meta1, one_q, k=10,
+                         term_stats=tstats1, strategy=strat).count()
+            best = min(best, time.time() - t0)
+        timings[f"wand_crossover_{strat}_1q_k10_1seg"] = round(best, 3)
+
+    # also a mid-size compaction on the real Zipf corpus (head terms
+    # merge across every segment — the term-keyed stage skew evidence;
+    # see tests/test_skew.py for the bounded-peak adversarial check)
+    shutil.rmtree("/dev/shm/sgpt_bench_c8", ignore_errors=True)
+    shutil.copytree("/dev/shm/sgpt_bench_index", "/dev/shm/sgpt_bench_c8")
+    t0 = time.time()
+    compact_index(spark, "/dev/shm/sgpt_bench_c8", 8)
+    timings["compact_to_8seg"] = round(time.time() - t0, 3)
+
+    # --- codec table: varint vs PForDelta (north_star names both) --------
+    # Same 10%-slice corpus under each codec: build wall, raw codec
+    # bytes/posting (octet_length over the block buffers — parquet's own
+    # compression excluded), and a 200-query search through each.
+    codec_bytes = {}
+    for codec in ("varint", "pfor"):
+        cpath = f"/dev/shm/sgpt_codec_{codec}"
+        t0 = time.time()
+        cmeta = build_index(warm, cpath, segment_size=5000, codec=codec)
+        timings[f"codec_{codec}_build_{cmeta.n_docs // 1000}k"] = round(
+            time.time() - t0, 3
+        )
+        cpost, _ = read_index(spark, cpath)
+        row = (
+            cpost.select(F.explode("blocks").alias("blk"))
+            .agg(
+                F.sum(
+                    F.octet_length("blk.doc_deltas")
+                    + F.octet_length("blk.tfs")
+                    + F.octet_length("blk.dls")
+                ).alias("bytes"),
+                F.sum("blk.count").alias("n"),
+            )
+            .collect()[0]
+        )
+        codec_bytes[codec] = round(int(row["bytes"]) / max(int(row["n"]), 1), 3)
+        cts = read_term_stats(spark, cpath)
+        cmeta_r = read_index(spark, cpath)[1]
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            search_index(spark, cpost, cmeta_r, qdf.limit(200), k=10,
+                         term_stats=cts).count()
+            best = min(best, time.time() - t0)
+        timings[f"codec_{codec}_200q"] = round(best, 3)
+
     # --- rank-identity: index path vs independent exhaustive path -------
     sample = qdf.limit(100)
     got = {}
@@ -242,6 +333,7 @@ def main() -> None:
         "bench_queries": n_q,
         "query_qps": round(qps, 1),
         "std_index_docs_per_sec": round(std_docs_per_sec, 1),
+        "codec_bytes_per_posting": codec_bytes,
         "rank_identity_rate": identity_rate,
         "result_rows": n_hits,
         "cpus": CPUS,

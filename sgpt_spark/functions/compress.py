@@ -69,6 +69,178 @@ def varint_decode(data: bytes) -> np.ndarray:
     return np.add.reduceat(contrib, starts)
 
 
+# ---- PForDelta: patched frame-of-reference bit packing ---------------------
+#
+# The bit-packed codec option north_star names alongside varint. Lucene
+# packs each 128-posting block at the block's max bit width (FOR);
+# classic PForDelta keeps the width at the "common case" and patches the
+# outliers ("exceptions") separately, so one huge delta doesn't widen
+# the whole block. This implementation picks, per buffer, the width b
+# that MINIMIZES total encoded bytes (NewPFD-style exception patching):
+#
+#   [b:u8][n_exc:u16le][packed low b bits, ceil(n*b/8) bytes, LSB-first]
+#   [exception positions u16le x n_exc][exception high parts, varint]
+#
+# Exceptions contribute their low b bits to the packed payload like
+# every other value; decode ORs the varint-coded high part back in at
+# the stored position. All encode/decode math is whole-array numpy; the
+# width search is over the (<=65) distinct bit lengths in the buffer.
+
+PFOR_HEADER = 3
+CODECS = ("varint", "pfor")
+
+
+def _bit_lengths(v: np.ndarray) -> np.ndarray:
+    """Exact bit length per uint64 value (0 -> 0), vectorized."""
+    out = np.zeros(v.shape, dtype=np.int64)
+    for k in range(64):
+        out += (v >= (np.uint64(1) << np.uint64(k))).astype(np.int64)
+    return out
+
+
+def _varint_sizes(v: np.ndarray) -> np.ndarray:
+    nb = np.ones(v.shape, dtype=np.int64)
+    for k in range(1, _MAX_VARINT_BYTES):
+        nb += (v >= (np.uint64(1) << np.uint64(7 * k))).astype(np.int64)
+    return nb
+
+
+def pfor_encode(values: np.ndarray) -> bytes:
+    """PForDelta-encode a uint64 array (format above). The empty array
+    still carries the 3-byte header so every buffer is self-describing."""
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    n = len(v)
+    if n == 0:
+        return b"\x00\x00\x00"
+    bl = _bit_lengths(v)
+    best_b, best_cost = 64, None
+    for b in sorted(set(bl.tolist())):
+        exc = bl > b
+        n_exc = int(exc.sum())
+        high_bytes = int(_varint_sizes(v[exc] >> np.uint64(b)).sum()) if n_exc else 0
+        cost = PFOR_HEADER + (n * b + 7) // 8 + 2 * n_exc + high_bytes
+        if best_cost is None or cost < best_cost:
+            best_b, best_cost = b, cost
+    b = best_b
+    exc = bl > b
+    pos = np.flatnonzero(exc)
+    mask = np.uint64((1 << b) - 1)
+    parts = [bytes([b]), int(len(pos)).to_bytes(2, "little")]
+    if b:
+        low = v & mask
+        bits = ((low[:, None] >> np.arange(b, dtype=np.uint64)) & np.uint64(1)).astype(
+            np.uint8
+        )
+        parts.append(np.packbits(bits.ravel(), bitorder="little").tobytes())
+    if len(pos):
+        parts.append(pos.astype("<u2").tobytes())
+        parts.append(varint_encode(v[exc] >> np.uint64(b)))
+    return b"".join(parts)
+
+
+def pfor_decode(data: bytes, count: int) -> np.ndarray:
+    """Inverse of ``pfor_encode``; ``count`` is externally known (the
+    block's ``count`` field — deltas carry count-1)."""
+    if count == 0:
+        return np.empty(0, dtype=np.uint64)
+    buf = np.frombuffer(data, dtype=np.uint8)
+    b = int(buf[0])
+    n_exc = int(buf[1]) | (int(buf[2]) << 8)
+    payload = (count * b + 7) // 8
+    if b:
+        bits = np.unpackbits(buf[PFOR_HEADER : PFOR_HEADER + payload], bitorder="little")
+        weights = np.uint64(1) << np.arange(b, dtype=np.uint64)
+        out = (bits[: count * b].reshape(count, b).astype(np.uint64) * weights).sum(
+            axis=1, dtype=np.uint64
+        )
+    else:
+        out = np.zeros(count, dtype=np.uint64)
+    if n_exc:
+        p = PFOR_HEADER + payload
+        pos = np.frombuffer(data, dtype="<u2", count=n_exc, offset=p).astype(np.int64)
+        high = varint_decode(bytes(data[p + 2 * n_exc :]))
+        out[pos] |= high << np.uint64(b)
+    return out
+
+
+def pfor_decode_many(buffers: list, counts: np.ndarray) -> np.ndarray:
+    """Decode MANY pfor buffers -> one concatenated uint64 array, in
+    width-GROUPED whole-array passes (one unpackbits + one gather per
+    distinct width) instead of per-buffer dispatch — the pfor twin of
+    the varint batch decode; exceptions (rare by construction) are
+    patched in a short per-buffer loop."""
+    counts = np.asarray(counts, dtype=np.int64)
+    total = int(counts.sum())
+    out = np.zeros(total, dtype=np.uint64)
+    if total == 0:
+        return out
+    offs = np.concatenate(([0], np.cumsum(counts)))
+    nb = len(buffers)
+    widths = np.full(nb, -1, dtype=np.int64)
+    nexcs = np.zeros(nb, dtype=np.int64)
+    for i, d in enumerate(buffers):
+        if counts[i] == 0:
+            continue
+        widths[i] = d[0]
+        nexcs[i] = d[1] | (d[2] << 8)
+    for b in np.unique(widths):
+        b = int(b)
+        if b <= 0:  # -1: empty buffer; 0: zeros (exceptions patch below)
+            continue
+        sel = np.flatnonzero(widths == b)
+        c = counts[sel]
+        payloads = [
+            memoryview(buffers[i])[PFOR_HEADER : PFOR_HEADER + ((int(counts[i]) * b + 7) // 8)]
+            for i in sel
+        ]
+        byte_off = np.concatenate(
+            ([0], np.cumsum([len(p) for p in payloads]))
+        ).astype(np.int64)
+        bits = np.unpackbits(
+            np.frombuffer(b"".join(payloads), dtype=np.uint8), bitorder="little"
+        )
+        grp_total = int(c.sum())
+        # bit index of value j of buffer i = payload_byte_offset(i)*8 + j*b
+        within = np.arange(grp_total, dtype=np.int64) - np.repeat(
+            np.concatenate(([0], np.cumsum(c)[:-1])), c
+        )
+        base = np.repeat(byte_off[:-1] * 8, c) + within * b
+        weights = np.uint64(1) << np.arange(b, dtype=np.uint64)
+        vals = (
+            bits[base[:, None] + np.arange(b)].astype(np.uint64) * weights
+        ).sum(axis=1, dtype=np.uint64)
+        out[np.repeat(offs[sel], c) + within] = vals
+    for i in np.flatnonzero(nexcs > 0):
+        b = int(widths[i])
+        d = buffers[i]
+        p = PFOR_HEADER + (int(counts[i]) * b + 7) // 8
+        n_exc = int(nexcs[i])
+        pos = np.frombuffer(d, dtype="<u2", count=n_exc, offset=p).astype(np.int64)
+        high = varint_decode(bytes(d[p + 2 * n_exc :]))
+        out[offs[i] + pos] |= high << np.uint64(b)
+    return out
+
+
+def encode_column(values: np.ndarray, codec: str) -> bytes:
+    """One posting-column buffer under the named codec."""
+    if codec == "pfor":
+        return pfor_encode(np.asarray(values, dtype=np.uint64))
+    return varint_encode(values)
+
+
+def decode_column(data: bytes, count: int, codec: str) -> np.ndarray:
+    if codec == "pfor":
+        return pfor_decode(data, count)
+    return varint_decode(bytes(data))
+
+
+def decode_columns_many(buffers: list, counts: np.ndarray, codec: str) -> np.ndarray:
+    """Batch decode of many per-block buffers of one column."""
+    if codec == "pfor":
+        return pfor_decode_many(buffers, counts)
+    return varint_decode(b"".join(bytes(d) for d in buffers))
+
+
 def delta_encode(sorted_ids: np.ndarray) -> tuple[int, bytes]:
     """Strictly-ascending int64 ids -> (first_id, varint(diffs))."""
     ids = np.ascontiguousarray(sorted_ids, dtype=np.int64)
@@ -77,11 +249,13 @@ def delta_encode(sorted_ids: np.ndarray) -> tuple[int, bytes]:
     return int(ids[0]), varint_encode(np.diff(ids).astype(np.uint64))
 
 
-def delta_decode(first_id: int, data: bytes, count: int) -> np.ndarray:
+def delta_decode(
+    first_id: int, data: bytes, count: int, codec: str = "varint"
+) -> np.ndarray:
     out = np.empty(count, dtype=np.int64)
     out[0] = first_id
     if count > 1:
-        out[1:] = varint_decode(data).astype(np.int64)
+        out[1:] = decode_column(data, count - 1, codec).astype(np.int64)
     return np.cumsum(out)
 
 
@@ -91,12 +265,15 @@ def encode_blocks(
     dls: np.ndarray,
     block_size: int = BLOCK_SIZE,
     presorted: bool = False,
+    codec: str = "varint",
 ) -> list[dict]:
     """Sorted postings arrays -> list of block dicts (POSTINGS.blocks rows).
 
     Block-max metadata is (max_tf, min_dl) — avgdl-independent, see
     schema.POSTINGS. Pass ``presorted=True`` when doc_ids are already
     ascending (the indexer sorts within partitions) to skip the argsort.
+    ``codec`` selects the per-column byte coding (varint | pfor); the
+    block struct is codec-agnostic, IndexMeta records the choice.
     """
     if not presorted:
         order = np.argsort(doc_ids, kind="stable")
@@ -104,17 +281,17 @@ def encode_blocks(
     blocks = []
     for s in range(0, len(doc_ids), block_size):
         d = doc_ids[s : s + block_size]
-        first, deltas = delta_encode(d)
+        deltas = encode_column(np.diff(d).astype(np.uint64), codec)
         blocks.append(
             {
-                "first_doc": first,
+                "first_doc": int(d[0]),
                 "last_doc": int(d[-1]),
                 "count": int(len(d)),
                 "max_tf": int(tfs[s : s + block_size].max()),
                 "min_dl": int(dls[s : s + block_size].min()),
                 "doc_deltas": deltas,
-                "tfs": varint_encode(tfs[s : s + block_size].astype(np.uint64)),
-                "dls": varint_encode(dls[s : s + block_size].astype(np.uint64)),
+                "tfs": encode_column(tfs[s : s + block_size].astype(np.uint64), codec),
+                "dls": encode_column(dls[s : s + block_size].astype(np.uint64), codec),
             }
         )
     return blocks
@@ -127,6 +304,7 @@ def encode_blocks_batch(
     group_starts: np.ndarray,
     group_ends: np.ndarray,
     block_size: int = BLOCK_SIZE,
+    codec: str = "varint",
 ) -> list[list[dict]]:
     """Encode MANY posting groups at once -> list of block-lists, one per
     group (same block format as ``encode_blocks``).
@@ -136,7 +314,20 @@ def encode_blocks_batch(
     ~20x faster than looping ``encode_blocks`` because small-array numpy
     dispatch overhead dominates there. Requires doc_ids ascending within
     each group (the indexer sorts).
+
+    ``codec="pfor"`` takes the per-group path (each block's bit width is
+    intrinsic to the block, so there is no whole-array shortcut) —
+    measured slower to BUILD than varint; its payoff is bytes/posting
+    and block-local decode (see bench codec table).
     """
+    if codec != "varint":
+        return [
+            encode_blocks(
+                doc_ids[s:e], tfs[s:e], dls[s:e], block_size,
+                presorted=True, codec=codec,
+            )
+            for s, e in zip(group_starts, group_ends)
+        ]
     n = len(doc_ids)
     if n == 0:
         return [[] for _ in range(len(group_starts))]
@@ -306,6 +497,7 @@ def encode_blocks_arrow(
 
 def decode_many(
     block_lists,
+    codec: str = "varint",
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
     """Decode MANY posting rows at once -> (row_offsets int64 len r+1,
     doc_ids, tfs, dls) flat arrays; row i's postings live at
@@ -326,9 +518,9 @@ def decode_many(
             c = blk["count"]
             counts.append(c)
             tot += c
-            dbytes.append(bytes(blk["doc_deltas"]))
-            tbytes.append(bytes(blk["tfs"]))
-            lbytes.append(bytes(blk["dls"]))
+            dbytes.append(blk["doc_deltas"])
+            tbytes.append(blk["tfs"])
+            lbytes.append(blk["dls"])
         row_counts[ri] = tot
     counts_a = np.asarray(counts, dtype=np.int64)
     firsts_a = np.asarray(firsts, dtype=np.int64)
@@ -337,9 +529,9 @@ def decode_many(
     if n == 0:
         z = np.empty(0, dtype=np.int64)
         return row_offsets, z, z.astype(np.uint64), z.astype(np.uint64)
-    tfs = varint_decode(b"".join(tbytes))
-    dls = varint_decode(b"".join(lbytes))
-    deltas_all = varint_decode(b"".join(dbytes))
+    tfs = decode_columns_many(tbytes, counts_a, codec)
+    dls = decode_columns_many(lbytes, counts_a, codec)
+    deltas_all = decode_columns_many(dbytes, np.maximum(counts_a - 1, 0), codec)
     blk_starts = np.concatenate(([0], np.cumsum(counts_a)[:-1]))
     v = np.zeros(n, dtype=np.int64)
     mask = np.ones(n, dtype=bool)
@@ -350,13 +542,17 @@ def decode_many(
     return row_offsets, doc_ids, tfs, dls
 
 
-def decode_blocks(blocks: list) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+def decode_blocks(
+    blocks: list, codec: str = "varint"
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """blocks -> (doc_ids, tfs, dls) concatenated across blocks."""
     ids, tfs, dls = [], [], []
     for blk in blocks:
-        ids.append(delta_decode(blk["first_doc"], bytes(blk["doc_deltas"]), blk["count"]))
-        tfs.append(varint_decode(bytes(blk["tfs"])))
-        dls.append(varint_decode(bytes(blk["dls"])))
+        ids.append(
+            delta_decode(blk["first_doc"], bytes(blk["doc_deltas"]), blk["count"], codec)
+        )
+        tfs.append(decode_column(blk["tfs"], blk["count"], codec))
+        dls.append(decode_column(blk["dls"], blk["count"], codec))
     if not ids:
         z = np.empty(0, dtype=np.int64)
         return z, z.astype(np.uint64), z.astype(np.uint64)
@@ -368,6 +564,7 @@ def merge_runs_streaming(
     block_size: int = BLOCK_SIZE,
     flush_postings: int = 8192,
     _peak_out: list | None = None,
+    codec: str = "varint",
 ) -> list[dict]:
     """K-way merge of doc-sorted encoded runs -> fresh encoded blocks,
     decoding AT MOST ONE block per run at a time.
@@ -385,13 +582,67 @@ def merge_runs_streaming(
     All inner steps are numpy (searchsorted / concatenate / argsort over
     <=flush-sized arrays) — no per-posting Python.
     """
-    runs = [r for r in runs if r]
+    # len(), not truthiness: under applyInPandas each run arrives as a
+    # numpy object array of block dicts, and `if r` on a multi-block
+    # array raises the ambiguous-truth ValueError (latent until a
+    # compacted row exceeded one block = 128 postings)
+    runs = [r for r in runs if len(r)]
     k = len(runs)
     if k == 0:
         return []
     if k == 1:
         # single run: already sorted and encoded; reuse as-is
         return list(runs[0])
+    # FAST PATH — doc-disjoint runs (THE case for this engine: segments
+    # partition the doc-id space, so runs never interleave): merging is
+    # an append, not a k-way merge (Lucene's append-merge). Full blocks
+    # are copied VERBATIM (zero decode/re-encode — measured 15x faster
+    # compaction on the bench corpus); only short tail blocks
+    # (< block_size, one per run boundary at most) are decoded and
+    # re-blocked so the merged list doesn't accumulate fragment blocks.
+    order = sorted(range(k), key=lambda i: runs[i][0]["first_doc"])
+    if all(
+        runs[order[j]][-1]["last_doc"] < runs[order[j + 1]][0]["first_doc"]
+        for j in range(k - 1)
+    ):
+        out: list = []
+        pend_d: list = []
+        pend_t: list = []
+        pend_l: list = []
+        pend_n = 0
+
+        def flush_short() -> None:
+            nonlocal pend_d, pend_t, pend_l, pend_n
+            if not pend_n:
+                return
+            out.extend(
+                encode_blocks(
+                    np.concatenate(pend_d), np.concatenate(pend_t),
+                    np.concatenate(pend_l), block_size, presorted=True, codec=codec,
+                )
+            )
+            pend_d, pend_t, pend_l, pend_n = [], [], [], 0
+
+        for i in order:
+            for blk in runs[i]:
+                if blk["count"] >= block_size and pend_n == 0:
+                    out.append(blk)
+                else:
+                    pend_d.append(
+                        delta_decode(
+                            blk["first_doc"], bytes(blk["doc_deltas"]),
+                            blk["count"], codec,
+                        )
+                    )
+                    pend_t.append(decode_column(blk["tfs"], blk["count"], codec))
+                    pend_l.append(decode_column(blk["dls"], blk["count"], codec))
+                    pend_n += blk["count"]
+                    if pend_n >= block_size:
+                        flush_short()
+        flush_short()
+        if _peak_out is not None:
+            _peak_out.append(2 * block_size)  # pend never exceeds this
+        return out
     bi = [0] * k          # next block index to decode, per run
     pos = [0] * k         # consumed offset into the decoded buffer
     buf_d = [None] * k    # decoded (doc, tf, dl) buffers, one block each
@@ -413,7 +664,12 @@ def merge_runs_streaming(
         dl = np.concatenate([p[2] for p in parts])
         cut = len(d) if final else (len(d) // block_size) * block_size
         if cut:
-            out.extend(encode_blocks(d[:cut], tf[:cut], dl[:cut], block_size, presorted=True))
+            out.extend(
+                encode_blocks(
+                    d[:cut], tf[:cut], dl[:cut], block_size,
+                    presorted=True, codec=codec,
+                )
+            )
         carry = (d[cut:], tf[cut:], dl[cut:]) if cut < len(d) else None
         pend, pend_n = [], 0
 
@@ -427,10 +683,10 @@ def merge_runs_streaming(
                 blk = runs[i][bi[i]]
                 bi[i] += 1
                 buf_d[i] = delta_decode(
-                    blk["first_doc"], bytes(blk["doc_deltas"]), blk["count"]
+                    blk["first_doc"], bytes(blk["doc_deltas"]), blk["count"], codec
                 )
-                buf_tf[i] = varint_decode(bytes(blk["tfs"]))
-                buf_dl[i] = varint_decode(bytes(blk["dls"]))
+                buf_tf[i] = decode_column(blk["tfs"], blk["count"], codec)
+                buf_dl[i] = decode_column(blk["dls"], blk["count"], codec)
                 pos[i] = 0
                 live += len(buf_d[i])
             else:

@@ -40,17 +40,18 @@ from sgpt_spark.operators.indexer import IndexMeta
 from sgpt_spark.operators.topk import SCORE_DECIMALS, topk_per_group
 
 
-def flatten_postings(postings: DataFrame) -> DataFrame:
+def flatten_postings(postings: DataFrame, codec: str = "varint") -> DataFrame:
     """Compressed postings -> flat (term, doc_id, tf, doc_len) relation,
-    decoded per Arrow batch with the batched varint pass. The bridge
-    between the compressed index and fully-relational query plans."""
+    decoded per Arrow batch with the batched column pass (varint or
+    pfor per the index's IndexMeta.codec). The bridge between the
+    compressed index and fully-relational query plans."""
     import pandas as pd
 
     def unpack(batches):
         for pdf in batches:
             if not len(pdf):
                 continue
-            offs, d_all, tf_all, dl_all = decode_many(list(pdf["blocks"]))
+            offs, d_all, tf_all, dl_all = decode_many(list(pdf["blocks"]), codec)
             counts = np.diff(offs)
             yield pd.DataFrame(
                 {
@@ -100,7 +101,7 @@ def search_index_join(
     # term set while it's small; at millions of queries it degrades
     # gracefully to a shuffle semi-join bounded by |vocabulary|)
     cand = postings.join(qt.select("term").distinct(), "term", "left_semi")
-    flat = flatten_postings(cand)
+    flat = flatten_postings(cand, codec=meta.codec)
     if term_stats is not None:
         dfs = term_stats
     else:
@@ -278,6 +279,7 @@ def search_index(
     # dropping the (unique) self row cannot starve the global top-k
     k_eff = k + 1 if exclude_self else k
     k1, b, avgdl, kk = meta.k1, meta.b, meta.avgdl, k_eff
+    codec = meta.codec
 
     # inverted query map for the TAAT scatter: term -> (query rows, weights)
     qid_list = sorted(per_query)
@@ -298,7 +300,7 @@ def search_index(
         # decode every candidate term once — ONE batched varint pass per
         # column over all rows (compress.decode_many), then per-term
         # views; the tf-norm is one vector op over all postings
-        offs, d_all, tf_all, dl_all = decode_many(list(pdf["blocks"]))
+        offs, d_all, tf_all, dl_all = decode_many(list(pdf["blocks"]), codec)
         tfn_all = tf_all.astype(np.float64) / (
             tf_all + k1 * (1.0 - b + b * dl_all.astype(np.float64) / avgdl)
         )
@@ -371,7 +373,7 @@ def search_index(
             from sgpt_spark.operators.wand import TermPostings, maxscore_topk
 
             tps = {
-                term: TermPostings(blocks, k1, b, avgdl)
+                term: TermPostings(blocks, k1, b, avgdl, codec=codec)
                 for term, blocks in zip(pdf["term"], pdf["blocks"])
             }
             for qid, tws in b_queries.value.items():
@@ -387,7 +389,7 @@ def search_index(
                 out_doc.extend(uniq[order].tolist())
                 out_score.extend(scores[order].tolist())
         else:
-            offs, d_all, tf_all, dl_all = decode_many(list(pdf["blocks"]))
+            offs, d_all, tf_all, dl_all = decode_many(list(pdf["blocks"]), codec)
             tfn_all = tf_all.astype(np.float64) / (
                 tf_all + k1 * (1.0 - b + b * dl_all.astype(np.float64) / avgdl)
             )
@@ -456,7 +458,7 @@ def _load_multifield(
         if first_meta is None:
             first_meta = meta_f
         else:
-            for attr in ("analyzer", "k1", "b", "segment_size"):
+            for attr in ("analyzer", "k1", "b", "segment_size", "codec", "block_size"):
                 if getattr(meta_f, attr) != getattr(first_meta, attr):
                     raise ValueError(
                         f"field indexes disagree on {attr}: "
@@ -545,6 +547,7 @@ def search_multifield_index(
     b_queries = spark.sparkContext.broadcast(per_query)
     k1, b = idx[fields[0]][1].k1, idx[fields[0]][1].b
     b_avgdl = spark.sparkContext.broadcast(avgdls)
+    codec = idx[fields[0]][1].codec
     tie = float(tie_breaker)
     # same spare-candidate trick as search_index: a doc lives in exactly
     # one (co-segmented) segment, so one extra per-segment candidate
@@ -552,7 +555,7 @@ def search_multifield_index(
     kk = k + 1 if exclude_self else k
 
     def score_segment_mf(pdf: pd.DataFrame) -> pd.DataFrame:
-        offs, d_all, tf_all, dl_all = decode_many(list(pdf["blocks"]))
+        offs, d_all, tf_all, dl_all = decode_many(list(pdf["blocks"]), codec)
         av = b_avgdl.value
         decoded: dict = {}  # field -> {term: (docs, tfn)}
         for i, (fld, term) in enumerate(zip(pdf["field"], pdf["term"])):
@@ -664,7 +667,7 @@ def search_multifield_index_join(
     for f in fields:
         postings_f, meta_f, tstats_f = idx[f]
         cand = postings_f.join(qvocab, "term", "left_semi")
-        flat = flatten_postings(cand)
+        flat = flatten_postings(cand, codec=meta_f.codec)
         if tstats_f is not None:
             dfs = tstats_f
         else:

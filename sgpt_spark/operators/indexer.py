@@ -327,6 +327,10 @@ class IndexMeta:
     # first unassigned doc id (covers empty-text docs that never reach
     # the postings) — the append offset for incremental builds
     next_doc_id: int = 0
+    # per-column block byte coding: "varint" (default) | "pfor"
+    # (patched frame-of-reference bit packing, compress.pfor_encode) —
+    # recorded here so the query/merge sides decode with the right codec
+    codec: str = "varint"
 
 
 def _fused_term_freqs(docs: DataFrame, py_tokenizer, text_col: str) -> DataFrame:
@@ -382,6 +386,7 @@ def _encode_segment(
     py_tokenizer,
     text_col: str,
     emit_stats: bool,
+    codec: str = "varint",
 ) -> Iterator[pd.DataFrame]:
     """One partition = one index segment: tokenize, (term, doc) pair
     count, delta+varint block encode — entirely inside this Arrow pass,
@@ -442,7 +447,7 @@ def _encode_segment(
     bounds = np.flatnonzero(p_code[1:] != p_code[:-1]) + 1
     starts = np.concatenate(([0], bounds))
     ends = np.concatenate((bounds, [len(uk)]))
-    blocks = encode_blocks_batch(p_doc, p_tf, p_dl, starts, ends)
+    blocks = encode_blocks_batch(p_doc, p_tf, p_dl, starts, ends, codec=codec)
     out = pd.DataFrame(
         {
             "term": terms_arr[p_code[starts]],
@@ -567,6 +572,7 @@ def build_index(
     py_tokenizer=None,
     k1: float = K1,
     b: float = B,
+    codec: str = "varint",
 ) -> IndexMeta:
     """Single-pass build-and-write: the whole corpus is read ONCE.
 
@@ -603,9 +609,13 @@ def build_index(
     )
     from sgpt_spark.functions.analyzer import analyze_py as _std_tok
 
-    if py_tokenizer in (tokenize_py_ws, _std_tok):
+    if codec not in ("varint", "pfor"):
+        raise ValueError(f"unknown codec {codec!r}: varint|pfor")
+    if py_tokenizer in (tokenize_py_ws, _std_tok) and codec == "varint":
         # Arrow-native end to end: text stays Arrow, the posting relation
         # is emitted as RecordBatches with zero per-block Python objects
+        # (varint only: pfor's per-block widths have no whole-array
+        # shortcut, so that codec takes the pandas builder below)
         def build_segment_arrow(batches):
             yield from _encode_segment_arrow(
                 batches, py_tokenizer, text_col, emit_stats=True
@@ -615,7 +625,9 @@ def build_index(
     else:
 
         def build_segment(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            yield from _encode_segment(batches, py_tokenizer, text_col, emit_stats=True)
+            yield from _encode_segment(
+                batches, py_tokenizer, text_col, emit_stats=True, codec=codec
+            )
 
         encoded = src.mapInPandas(build_segment, schema=schema)
     encoded.write.mode("overwrite").parquet(f"{path}/postings")
@@ -642,6 +654,7 @@ def build_index(
         analyzer=getattr(py_tokenizer, "__name__", "custom"),
         total_len=total_len,
         next_doc_id=(int(row["max_id"]) + 1) if row["max_id"] is not None else 0,
+        codec=codec,
     )
     # global term stats (what ES keeps as index-level stats): one
     # column-pruned agg over the WRITTEN postings, term-sorted so query
@@ -669,6 +682,7 @@ def build_postings(
     text_col: str = "text",
     k1: float = K1,
     b: float = B,
+    codec: str = "varint",
 ) -> tuple[DataFrame, IndexMeta]:
     """docs(doc_id long, text) -> (POSTINGS DataFrame, IndexMeta).
 
@@ -720,6 +734,8 @@ def build_postings(
     if py_tokenizer is None:
         dt = doc_terms(docs, id_col="doc_id", text_col=text_col, tokenizer=tokenizer)
 
+    if codec not in ("varint", "pfor"):
+        raise ValueError(f"unknown codec {codec!r}: varint|pfor")
     max_id = docs.agg(F.max("doc_id")).collect()[0][0]
     meta = IndexMeta(
         n_docs=stats.n_docs,
@@ -731,6 +747,7 @@ def build_postings(
         analyzer=analyzer_name,
         total_len=total_len,
         next_doc_id=(int(max_id) + 1) if max_id is not None else 0,
+        codec=codec,
     )
     avgdl = stats.avgdl
 
@@ -751,7 +768,7 @@ def build_postings(
         )
         from sgpt_spark.functions.analyzer import analyze_py as _std_tok
 
-        if py_tokenizer in (tokenize_py_ws, _std_tok):
+        if py_tokenizer in (tokenize_py_ws, _std_tok) and codec == "varint":
 
             def build_segment_arrow(batches):
                 yield from _encode_segment_arrow(
@@ -762,7 +779,9 @@ def build_postings(
         else:
 
             def build_segment(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-                yield from _encode_segment(batches, py_tokenizer, text_col, emit_stats=False)
+                yield from _encode_segment(
+                    batches, py_tokenizer, text_col, emit_stats=False, codec=codec
+                )
 
             postings = src.mapInPandas(build_segment, schema=POSTINGS)
         return postings, meta
@@ -788,7 +807,7 @@ def build_postings(
         bounds = np.flatnonzero((terms[1:] != terms[:-1]) | (segs[1:] != segs[:-1])) + 1
         starts = np.concatenate(([0], bounds))
         ends = np.concatenate((bounds, [len(pdf)]))
-        blocks = encode_blocks_batch(docs_a, tfs_a, dls_a, starts, ends)
+        blocks = encode_blocks_batch(docs_a, tfs_a, dls_a, starts, ends, codec=codec)
         yield pd.DataFrame(
             {
                 "term": terms[starts],
@@ -859,6 +878,7 @@ def build_multifield_index(
     segment_size: int = DEFAULT_SEGMENT_SIZE,
     py_tokenizer=None,
     tokenizer: Tokenizer | None = None,
+    codec: str = "varint",
 ) -> dict:
     """docs(doc_id, <field columns>) -> one standard index per field
     under ``{path}/{field}_index`` — the index-backed substrate for ES
@@ -899,7 +919,8 @@ def build_multifield_index(
                 F.size(jvm_tok(F.col("text"))) > 0
             )
             metas[f] = build_index(
-                fd, f"{path}/{f}_index", segment_size=segment_size, py_tokenizer=py_tok
+                fd, f"{path}/{f}_index", segment_size=segment_size,
+                py_tokenizer=py_tok, codec=codec,
             )
     finally:
         src.unpersist()
@@ -958,10 +979,16 @@ def compact_index(
     path, which derives ONE bucket mapping from the union of all
     fields' segment ids (``_seg_map``) and applies it to every field.
     """
+    import json
     import os
     import shutil
 
     from sgpt_spark.functions.compress import merge_runs_streaming
+
+    codec = "varint"
+    if os.path.exists(f"{path}/meta.json"):
+        with open(f"{path}/meta.json") as fp:
+            codec = json.load(fp).get("codec", "varint")
 
     parent = os.path.dirname(path.rstrip("/"))
     if _seg_map is None and os.path.exists(os.path.join(parent, "fields.json")):
@@ -1001,7 +1028,7 @@ def compact_index(
                     "blocks": [[]],
                 }
             )
-        blocks = merge_runs_streaming(list(pdf["blocks"]))
+        blocks = merge_runs_streaming(list(pdf["blocks"]), codec=codec)
         return pd.DataFrame(
             {
                 "term": [term],

@@ -39,11 +39,14 @@ EPS = 1e-6
 class TermPostings:
     """Lazily-decoded posting list of one term within one segment."""
 
-    __slots__ = ("blocks", "k1", "b", "avgdl", "first", "last", "bmax", "_cache")
+    __slots__ = ("blocks", "k1", "b", "avgdl", "first", "last", "bmax", "_cache", "codec")
 
-    def __init__(self, blocks: list, k1: float, b: float, avgdl: float):
+    def __init__(
+        self, blocks: list, k1: float, b: float, avgdl: float, codec: str = "varint"
+    ):
         self.blocks = blocks
         self.k1, self.b, self.avgdl = k1, b, avgdl
+        self.codec = codec
         self.first = np.array([blk["first_doc"] for blk in blocks], dtype=np.int64)
         self.last = np.array([blk["last_doc"] for blk in blocks], dtype=np.int64)
         # Upper bound on the block's tf-norm from the stored
@@ -64,12 +67,14 @@ class TermPostings:
         hit = self._cache.get(i)
         if hit is not None:
             return hit
-        from sgpt_spark.functions.compress import delta_decode, varint_decode
+        from sgpt_spark.functions.compress import decode_column, delta_decode
 
         blk = self.blocks[i]
-        docs = delta_decode(blk["first_doc"], bytes(blk["doc_deltas"]), blk["count"])
-        tfs = varint_decode(bytes(blk["tfs"])).astype(np.float64)
-        dls = varint_decode(bytes(blk["dls"])).astype(np.float64)
+        docs = delta_decode(
+            blk["first_doc"], bytes(blk["doc_deltas"]), blk["count"], self.codec
+        )
+        tfs = decode_column(blk["tfs"], blk["count"], self.codec).astype(np.float64)
+        dls = decode_column(blk["dls"], blk["count"], self.codec).astype(np.float64)
         tfn = tfs / (tfs + self.k1 * (1.0 - self.b + self.b * dls / self.avgdl))
         self._cache[i] = (docs, tfn)
         return docs, tfn

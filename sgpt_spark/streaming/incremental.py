@@ -74,6 +74,7 @@ def append_to_index(
         docs,
         segment_size=meta_old.segment_size,
         py_tokenizer=py_tokenizer or resolve_py_analyzer(meta_old.analyzer),
+        codec=meta_old.codec,
     )
     if new_meta.n_docs == 0:
         release_doc_ids(assigned)
@@ -237,7 +238,8 @@ def append_to_multifield_index(
                 F.size(jvm_tok(F.col("text"))) > 0
             )
             new_postings, new_meta = build_postings(
-                fd, segment_size=seg_size, py_tokenizer=py_tok, tokenizer=jvm_tok
+                fd, segment_size=seg_size, py_tokenizer=py_tok, tokenizer=jvm_tok,
+                codec=metas_old[f].codec,
             )
             if new_meta.n_docs == 0:
                 merged[f] = metas_old[f]

@@ -137,6 +137,83 @@ def _index_docs(spark, base, batch, meta):
     return rows
 
 
+def test_compact_rows_exceeding_one_block(spark, tmp_path):
+    """Regression (round-4 bench find): posting rows with MORE than one
+    block (df > 128 within a segment) arrive in the compaction merge as
+    multi-element numpy arrays; the run filter must test len(), not
+    truthiness. Head term df = 300 per segment -> 3 blocks per row."""
+    from pyspark.sql import functions as F
+
+    from sgpt_spark.operators.indexer import build_index, compact_index, read_index
+    from sgpt_spark.operators.index_search import search_index
+
+    rows = [(i, f"the the alpha{i % 11} unique{i}") for i in range(600)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string").repartition(2)
+    path = str(tmp_path / "multiblock")
+    build_index(docs, path)
+    postings, meta = read_index(spark, path)
+    nblocks = (
+        postings.filter(F.col("term") == "the")
+        .select(F.size("blocks").alias("nb")).agg(F.max("nb")).collect()[0][0]
+    )
+    assert nblocks > 1  # the regression precondition is real
+    queries = spark.createDataFrame(
+        [(1, "the alpha3"), (2, "the unique77")], "qid long, query string"
+    )
+    before = sorted(
+        tuple(r) for r in search_index(spark, postings, meta, queries, k=10).collect()
+    )
+    assert compact_index(spark, path, 1) == 1
+    postings2, meta2 = read_index(spark, path)
+    after = sorted(
+        tuple(r) for r in search_index(spark, postings2, meta2, queries, k=10).collect()
+    )
+    assert after == before and before
+
+
+def test_merge_disjoint_runs_is_verbatim_append():
+    """Doc-disjoint runs (the segment-partitioned case) must take the
+    append fast path: full blocks are copied VERBATIM (same objects, no
+    re-encode), short tail blocks are coalesced, and the decoded result
+    is the exact concatenation."""
+    import numpy as np
+
+    from sgpt_spark.functions.compress import (
+        decode_blocks,
+        encode_blocks,
+        merge_runs_streaming,
+    )
+
+    rng = np.random.default_rng(11)
+    runs, parts = [], []
+    base = 0
+    for i in range(4):
+        n = int(rng.integers(150, 400))  # 1-3 full blocks + a short tail
+        ids = base + np.sort(rng.choice(10_000, n, replace=False)).astype(np.int64)
+        base = int(ids[-1]) + 1
+        tfs = (ids % 7 + 1).astype(np.uint64)
+        dls = (ids % 50 + 10).astype(np.uint64)
+        runs.append(encode_blocks(ids, tfs, dls, presorted=True))
+        parts.append((ids, tfs, dls))
+    merged = merge_runs_streaming(runs)
+    d, tf, dl = decode_blocks(merged)
+    assert np.array_equal(d, np.concatenate([p[0] for p in parts]))
+    assert np.array_equal(tf, np.concatenate([p[1] for p in parts]))
+    assert np.array_equal(dl, np.concatenate([p[2] for p in parts]))
+    # full input blocks are reused by identity (zero re-encode), except
+    # at most ONE per run boundary that coalesces with the previous
+    # run's short tail
+    merged_ids = {id(b) for b in merged}
+    full = [blk for r in runs for blk in r if blk["count"] >= 128]
+    reencoded = sum(1 for blk in full if id(blk) not in merged_ids)
+    assert reencoded <= len(runs)
+    # and docs stay globally ascending across the merged block list
+    assert all(
+        merged[j]["last_doc"] < merged[j + 1]["first_doc"]
+        for j in range(len(merged) - 1)
+    )
+
+
 def test_merge_runs_streaming_bounded_peak_and_identity():
     """Adversarial head term (appears in EVERY doc) merged from many
     runs into one target segment: the streaming merge must produce the

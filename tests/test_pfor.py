@@ -129,7 +129,9 @@ def test_compaction_preserves_pfor_results(spark, tmp_path):
     build_index(docs.repartition(6), path, codec="pfor")
     postings, meta = read_index(spark, path)
     queries = spark.createDataFrame(
-        [(1, "the of and"), (2, "data query engine")], "qid long, query string"
+        [(i, " ".join(r["text"].split(" ")[:4]))
+         for i, r in enumerate(docs.collect()) if i % 30 == 0],
+        "qid long, query string",
     )
     before = sorted(
         tuple(r) for r in search_index(spark, postings, meta, queries, k=10).collect()

@@ -254,6 +254,26 @@ def main() -> None:
             best = min(best, time.time() - t0)
         timings[f"wand_crossover_{strat}_1q_k10_1seg"] = round(best, 3)
 
+    # the UB-SKEW shape (one rare + two head terms) — the measured
+    # regime where block-max pruning actually wins (the rare term's idf
+    # dwarfs the head terms' upper bounds, so their posting lists are
+    # skipped after the threshold rises; BENCH/WAND_CROSSOVER.md)
+    ts_rows = tstats1.orderBy(F.col("df").desc()).limit(2).collect()
+    rare = (
+        tstats1.filter((F.col("df") > 100) & (F.col("df") < 600))
+        .orderBy("term").limit(1).collect()
+    )
+    if rare:
+        skew_q = [(0, f"{rare[0]['term']} {ts_rows[0]['term']} {ts_rows[1]['term']}")]
+        for strat in ("taat", "wand"):
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.time()
+                search_index(spark, postings1, meta1, skew_q, k=10,
+                             term_stats=tstats1, strategy=strat).count()
+                best = min(best, time.time() - t0)
+            timings[f"wand_ubskew_{strat}_1q_k10_1seg"] = round(best, 3)
+
     # also a mid-size compaction on the real Zipf corpus (head terms
     # merge across every segment — the term-keyed stage skew evidence;
     # see tests/test_skew.py for the bounded-peak adversarial check)

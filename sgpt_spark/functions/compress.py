@@ -522,16 +522,30 @@ def decode_many(
             tbytes.append(blk["tfs"])
             lbytes.append(blk["dls"])
         row_counts[ri] = tot
+    row_offsets = np.concatenate(([0], np.cumsum(row_counts)))
+    doc_ids, tfs, dls = decode_posting_columns(
+        firsts, counts, dbytes, tbytes, lbytes, codec
+    )
+    return row_offsets, doc_ids, tfs, dls
+
+
+def decode_posting_columns(
+    firsts, counts, dbufs, tbufs, lbufs, codec: str = "varint"
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Column-oriented batch decode: per-block (first_doc, count) arrays
+    plus the three per-block byte buffers -> flat (doc_ids, tfs, dls).
+    The decode core shared by ``decode_many`` (dict-shaped blocks) and
+    the Arrow-native compaction (struct-column blocks, no Python dicts).
+    """
     counts_a = np.asarray(counts, dtype=np.int64)
     firsts_a = np.asarray(firsts, dtype=np.int64)
     n = int(counts_a.sum()) if len(counts_a) else 0
-    row_offsets = np.concatenate(([0], np.cumsum(row_counts)))
     if n == 0:
         z = np.empty(0, dtype=np.int64)
-        return row_offsets, z, z.astype(np.uint64), z.astype(np.uint64)
-    tfs = decode_columns_many(tbytes, counts_a, codec)
-    dls = decode_columns_many(lbytes, counts_a, codec)
-    deltas_all = decode_columns_many(dbytes, np.maximum(counts_a - 1, 0), codec)
+        return z, z.astype(np.uint64), z.astype(np.uint64)
+    tfs = decode_columns_many(tbufs, counts_a, codec)
+    dls = decode_columns_many(lbufs, counts_a, codec)
+    deltas_all = decode_columns_many(dbufs, np.maximum(counts_a - 1, 0), codec)
     blk_starts = np.concatenate(([0], np.cumsum(counts_a)[:-1]))
     v = np.zeros(n, dtype=np.int64)
     mask = np.ones(n, dtype=bool)
@@ -539,7 +553,7 @@ def decode_many(
     v[mask] = deltas_all.astype(np.int64)
     c = np.cumsum(v)
     doc_ids = np.repeat(firsts_a, counts_a) + c - np.repeat(c[blk_starts], counts_a)
-    return row_offsets, doc_ids, tfs, dls
+    return doc_ids, tfs, dls
 
 
 def decode_blocks(

@@ -943,6 +943,204 @@ def read_index(spark, path: str) -> tuple[DataFrame, IndexMeta]:
     )
 
 
+_REENCODE_MAX = 1_000_000  # max decoded postings per re-blocked group
+
+
+def _merge_partition_arrow(batches, codec: str):
+    """Arrow-native compaction merge for one shuffle partition: rows are
+    sorted by (term, _new_seg), so merge groups are contiguous. Never
+    converts the nested blocks column to Python dicts on the main path
+    — that pandas conversion, not the merge itself, was 63s of the 72s
+    round-4 bench compaction (profiled; the merge added ~0).
+
+    Per group, three regimes:
+      verbatim  doc-disjoint runs (ALL groups produced by this engine's
+                doc-range-partitioned segments): the merged block list
+                is a pure gather of input block structs in doc order —
+                one vectorized ``take`` for the whole partition, zero
+                decode. A df==N head term merges in O(its block count)
+                index entries, still never decoding postings.
+      reencode  disjoint but fragmented (avg block fill < ~50%, the
+                Zipf tail: many 1-5-posting runs) and small enough
+                (<= _REENCODE_MAX postings): batch-decoded via
+                ``decode_posting_columns`` and re-blocked via
+                ``encode_blocks_batch`` — both whole-array passes over
+                ALL such groups at once.
+      stream    overlapping doc ranges (external ids / unusual appends):
+                per-group ``merge_runs_streaming`` fallback, peak
+                O(runs x block) regardless of df.
+
+    Sentinel rows (term NULL) merge additively: df/token totals sum,
+    max doc id maxes.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from sgpt_spark.functions.compress import (
+        decode_posting_columns,
+        encode_blocks_batch,
+        merge_runs_streaming,
+    )
+
+    chunks = [b for b in batches if b.num_rows]
+    if not chunks:
+        return
+    tbl = pa.Table.from_batches(chunks).combine_chunks()
+    nrows = tbl.num_rows
+    term = tbl.column("term").combine_chunks()
+    seg = tbl.column("_new_seg").combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+    dfv = tbl.column("df").combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+    row_mtf = tbl.column("max_tf").combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+    row_mdl = tbl.column("min_dl").combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+    blocks = tbl.column("blocks").combine_chunks()
+    blocks_type = blocks.type
+    offs = np.asarray(blocks.offsets).astype(np.int64)
+    blk = blocks.values
+    b_first = np.asarray(blk.field("first_doc")).astype(np.int64)
+    b_last = np.asarray(blk.field("last_doc")).astype(np.int64)
+    b_cnt = np.asarray(blk.field("count")).astype(np.int64)
+    row_nb = offs[1:] - offs[:-1]
+    cum_cnt = np.concatenate(([0], np.cumsum(b_cnt)))
+    row_cnt = cum_cnt[offs[1:]] - cum_cnt[offs[:-1]]
+
+    denc = term.dictionary_encode()
+    idx = pc.fill_null(denc.indices, -1).to_numpy(zero_copy_only=False).astype(np.int64)
+    change = np.flatnonzero((idx[1:] != idx[:-1]) | (seg[1:] != seg[:-1])) + 1
+    gs = np.concatenate(([0], change))
+    ge = np.concatenate((change, [nrows]))
+
+    # slow-path groups collect python-side rows (few by construction)
+    py_rows: list[tuple] = []  # (term, seg, df, max_tf, min_dl, blocks_list)
+    # verbatim groups accumulate a single global gather
+    v_groups: list[int] = []   # group indices taking the verbatim path
+    v_row_order: list[np.ndarray] = []  # ordered row indices per group
+    # reencode groups
+    r_groups: list[int] = []
+    r_row_order: list[np.ndarray] = []
+
+    block_size = 128
+    for g in range(len(gs)):
+        rows = np.arange(gs[g], ge[g])
+        if idx[gs[g]] == -1:  # sentinel group: stats merge, no postings
+            py_rows.append(
+                (None, int(seg[gs[g]]), int(dfv[rows].sum()),
+                 int(row_mtf[rows].sum()), int(row_mdl[rows].max()), [])
+            )
+            continue
+        order = rows[np.argsort(b_first[offs[rows]], kind="stable")]
+        disjoint = bool(
+            np.all(b_last[offs[order[:-1] + 1] - 1] < b_first[offs[order[1:]]])
+        ) if len(order) > 1 else True
+        g_cnt = int(row_cnt[rows].sum())
+        g_nb = int(row_nb[rows].sum())
+        ideal_nb = -(-g_cnt // block_size)
+        fragmented = g_nb * block_size > 2 * g_cnt + block_size
+        if not disjoint:
+            runs = [blocks[int(r)].as_py() for r in order]
+            merged = merge_runs_streaming(runs, codec=codec)
+            py_rows.append(
+                (term[int(rows[0])].as_py(), int(seg[rows[0]]),
+                 int(dfv[rows].sum()), int(row_mtf[rows].max()),
+                 int(row_mdl[rows].min()), merged)
+            )
+        elif fragmented and g_cnt <= _REENCODE_MAX:
+            r_groups.append(g)
+            r_row_order.append(order)
+        else:
+            v_groups.append(g)
+            v_row_order.append(order)
+
+    term_np = None  # lazy; only needed for python-side term values
+
+    def group_stats(g: int) -> tuple[int, int, int]:
+        rows = np.arange(gs[g], ge[g])
+        return (
+            int(dfv[rows].sum()),
+            int(row_mtf[rows].max()),
+            int(row_mdl[rows].min()),
+        )
+
+    # ---- batched re-encode of fragmented groups ----
+    if r_groups:
+        all_order = np.concatenate(r_row_order)
+        starts_r = offs[:-1][all_order]
+        lens_r = row_nb[all_order]
+        total_b = int(lens_r.sum())
+        within = np.arange(total_b) - np.repeat(
+            np.concatenate(([0], np.cumsum(lens_r)[:-1])), lens_r
+        )
+        bidx = np.repeat(starts_r, lens_r) + within
+        take = pa.array(bidx, type=pa.int64())
+        d_bufs = blk.field("doc_deltas").take(take).to_pylist()
+        t_bufs = blk.field("tfs").take(take).to_pylist()
+        l_bufs = blk.field("dls").take(take).to_pylist()
+        d_ids, d_tfs, d_dls = decode_posting_columns(
+            b_first[bidx], b_cnt[bidx], d_bufs, t_bufs, l_bufs, codec
+        )
+        g_sizes = np.array(
+            [int(row_cnt[np.arange(gs[g], ge[g])].sum()) for g in r_groups],
+            dtype=np.int64,
+        )
+        g_ends = np.cumsum(g_sizes)
+        g_starts = np.concatenate(([0], g_ends[:-1]))
+        enc = encode_blocks_batch(
+            d_ids, d_tfs.astype(np.uint64), d_dls.astype(np.uint64),
+            g_starts, g_ends, codec=codec,
+        )
+        for g, blocks_list in zip(r_groups, enc):
+            d, mt, md = group_stats(g)
+            py_rows.append(
+                (term[int(gs[g])].as_py(), int(seg[gs[g]]), d, mt, md, blocks_list)
+            )
+
+    # ---- python-side batch (sentinels + streamed + re-encoded) ----
+    names = ["term", "segment", "df", "max_tf", "min_dl", "blocks"]
+    if py_rows:
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array([r[0] for r in py_rows], type=pa.string()),
+                pa.array([r[1] for r in py_rows], type=pa.int32()),
+                pa.array([r[2] for r in py_rows], type=pa.int64()),
+                pa.array([r[3] for r in py_rows], type=pa.int64()),
+                pa.array([r[4] for r in py_rows], type=pa.int64()),
+                pa.array([r[5] for r in py_rows], type=blocks_type),
+            ],
+            names=names,
+        )
+
+    # ---- one vectorized gather for every verbatim group ----
+    if v_groups:
+        all_order = np.concatenate(v_row_order)
+        starts_v = offs[:-1][all_order]
+        lens_v = row_nb[all_order]
+        total_b = int(lens_v.sum())
+        within = np.arange(total_b) - np.repeat(
+            np.concatenate(([0], np.cumsum(lens_v)[:-1])), lens_v
+        )
+        gather = np.repeat(starts_v, lens_v) + within
+        new_struct = blk.take(pa.array(gather, type=pa.int64()))
+        g_nb_arr = np.array(
+            [int(row_nb[np.arange(gs[g], ge[g])].sum()) for g in v_groups],
+            dtype=np.int64,
+        )
+        out_offsets = np.concatenate(([0], np.cumsum(g_nb_arr))).astype(np.int32)
+        g_rows = np.array([gs[g] for g in v_groups], dtype=np.int64)
+        red = lambda op, arr: np.array(  # noqa: E731 — per-group reduce
+            [op(arr[np.arange(gs[g], ge[g])]) for g in v_groups], dtype=np.int64
+        )
+        yield pa.RecordBatch.from_arrays(
+            [
+                term.take(pa.array(g_rows, type=pa.int64())),
+                pa.array(seg[g_rows].astype(np.int32), type=pa.int32()),
+                pa.array(red(np.sum, dfv), type=pa.int64()),
+                pa.array(red(np.max, row_mtf), type=pa.int64()),
+                pa.array(red(np.min, row_mdl), type=pa.int64()),
+                pa.ListArray.from_arrays(pa.array(out_offsets, pa.int32()), new_struct),
+            ],
+            names=names,
+        )
+
+
 def compact_index(
     spark, path: str, target_segments: int, _seg_map: dict | None = None
 ) -> int:
@@ -953,17 +1151,19 @@ def compact_index(
     segment count).
 
     Plan: old segments map deterministically onto target buckets
-    (contiguous by sorted segment id); per (term, new_segment) group the
-    source rows' block lists — each already doc-sorted — are k-way
-    merged STREAMING (compress.merge_runs_streaming: one decoded block
-    per run at a time, re-encoded in block-size multiples), so peak
-    decoded memory per task is O(n_runs x block), independent of the
-    term's df — a head term over 10^12 docs no longer decodes its whole
-    merged posting list in one task. Per-segment sentinel stats rows
-    merge additively (doc count/token totals sum, max doc id maxes);
-    term-row stats (df/max_tf/min_dl) fold from the source rows' own
-    stats without any decode. The shuffle is keyed by (term, bucket);
-    the (term, df) side table is unchanged (global stats don't move).
+    (contiguous by sorted segment id); rows shuffle once keyed by
+    (term, bucket) and merge Arrow-native inside ``mapInArrow``
+    (``_merge_partition_arrow``): doc-disjoint runs — every group this
+    engine's doc-range-partitioned segments produce, head terms
+    included — merge as a vectorized VERBATIM gather of block structs
+    (zero posting decode); fragmented tail groups batch-re-block via
+    one whole-array decode+encode pass; only overlapping-range groups
+    (external ids) fall back to the per-group streaming k-way merge
+    with peak O(n_runs x block) memory, independent of the term's df.
+    Per-segment sentinel stats rows merge additively (doc count/token
+    totals sum, max doc id maxes); term-row stats (df/max_tf/min_dl)
+    fold from the source rows' own stats without any decode. The
+    (term, df) side table is unchanged (global stats don't move).
     Search results are identical before and after (tested). Returns the
     new segment count.
 
@@ -982,8 +1182,6 @@ def compact_index(
     import json
     import os
     import shutil
-
-    from sgpt_spark.functions.compress import merge_runs_streaming
 
     codec = "varint"
     if os.path.exists(f"{path}/meta.json"):
@@ -1013,35 +1211,20 @@ def compact_index(
     with_bucket = raw.join(F.broadcast(mapping_df), "segment")
 
     postings_schema = raw.schema
-
-    def merge_group(key, pdf: pd.DataFrame):
-        term, new_seg = key
-        if term is None:
-            # merged sentinel: df/token totals sum, max doc id maxes
-            return pd.DataFrame(
-                {
-                    "term": [None],
-                    "segment": [int(new_seg)],
-                    "df": [int(pdf["df"].sum())],
-                    "max_tf": [int(pdf["max_tf"].sum())],
-                    "min_dl": [int(pdf["min_dl"].max())],
-                    "blocks": [[]],
-                }
-            )
-        blocks = merge_runs_streaming(list(pdf["blocks"]), codec=codec)
-        return pd.DataFrame(
-            {
-                "term": [term],
-                "segment": [int(new_seg)],
-                "df": [int(pdf["df"].sum())],
-                "max_tf": [int(pdf["max_tf"].max())],
-                "min_dl": [int(pdf["min_dl"].min())],
-                "blocks": [blocks],
-            }
-        )
-
-    merged = with_bucket.groupBy("term", "_new_seg").applyInPandas(
-        lambda key, pdf: merge_group(key, pdf), schema=postings_schema
+    # hash-partition by the merge key so each group lands whole in one
+    # partition, sort so groups are contiguous, then merge Arrow-native:
+    # the earlier applyInPandas formulation spent ~90% of its wall in
+    # the pandas conversion of the nested blocks column (profiled —
+    # 63s of 72s was a NOOP applyInPandas), not in merging
+    n_part = max(int(spark.conf.get("spark.sql.shuffle.partitions", "32")), 1)
+    shuffled = (
+        with_bucket.select("term", "_new_seg", "df", "max_tf", "min_dl", "blocks")
+        .repartition(n_part, "term", "_new_seg")
+        .sortWithinPartitions("term", "_new_seg")
+    )
+    merged = shuffled.mapInArrow(
+        lambda batches: _merge_partition_arrow(batches, codec),
+        schema=postings_schema,
     )
     tmp = f"{path}/postings_compact"
     merged.write.mode("overwrite").parquet(tmp)

@@ -658,10 +658,11 @@ def _q_event_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order matters: the driver evaluates at most the FIRST
     50 entries (round-2 lesson — five value-gated queries fell off the
-    end). Every entry with an oracle_sql() value gate comes first; the
-    rows-only entries (hash-/stub-dependent by nature, each covered by
-    a value-gated twin or pytest equality) sit at the tail where
-    falling outside the window costs nothing."""
+    end). Every entry with an oracle_sql() value gate comes first (48
+    as of round 4); the rows-only entries (hash-/stub-dependent by
+    nature, each covered by a value-gated twin or pytest equality) sit
+    at the tail where falling outside the window costs nothing.
+    tests/test_registry.py asserts the gated-inside-window invariant."""
     return {
         # ---- value-gated (every key here has an oracle_sql twin) ----
         # retrieval core

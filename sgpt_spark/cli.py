@@ -51,7 +51,7 @@ def cmd_build_index(args) -> None:
     spark = _spark("sgpt-build-index")
     postings, meta = build_index_pipeline(
         spark, args.pages, args.out, segment_size=args.segment_size,
-        analyzer=args.analyzer,
+        analyzer=args.analyzer, codec=args.codec,
     )
     print(f"built index at {args.out}: n_docs={meta.n_docs} avgdl={meta.avgdl:.2f}")
 
@@ -227,6 +227,7 @@ def main(argv: list[str] | None = None) -> None:
     b.add_argument("--out", required=True)
     b.add_argument("--segment-size", type=int, default=100_000)
     b.add_argument("--analyzer", choices=["whitespace", "standard"], default="whitespace")
+    b.add_argument("--codec", choices=["varint", "pfor"], default="varint")
     b.set_defaults(fn=cmd_build_index)
 
     a = sub.add_parser("append")

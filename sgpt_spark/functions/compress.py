@@ -106,36 +106,117 @@ def _varint_sizes(v: np.ndarray) -> np.ndarray:
 
 
 def pfor_encode(values: np.ndarray) -> bytes:
-    """PForDelta-encode a uint64 array (format above). The empty array
-    still carries the 3-byte header so every buffer is self-describing."""
+    """PForDelta-encode one uint64 array (format above). Delegates to
+    the batch encoder so single-buffer and batched encodes are
+    byte-identical. The empty array still carries the 3-byte header so
+    every buffer is self-describing."""
     v = np.ascontiguousarray(values, dtype=np.uint64)
-    n = len(v)
-    if n == 0:
-        return b"\x00\x00\x00"
+    return pfor_encode_many(
+        v, np.array([0], dtype=np.int64), np.array([len(v)], dtype=np.int64)
+    )[0]
+
+
+# cost matrix for the width choice: _PFOR_EXC_COST[h, b] = bytes one
+# exception with bit length h costs under width b (2 position bytes +
+# varint high part of exactly h-b bits), 0 when h <= b (not an
+# exception). varint bytes of (v >> b) == ceil((bitlen(v) - b) / 7)
+# exactly, so the optimum is computable from bit-length HISTOGRAMS
+# without touching the values.
+_H = np.arange(65)[:, None]
+_B = np.arange(65)[None, :]
+_PFOR_EXC_COST = np.where(_H > _B, 2 + np.maximum(1, -(-(_H - _B) // 7)), 0).astype(
+    np.int64
+)
+_PFOR_EXC_COUNT = (_H > _B).astype(np.int64)
+del _H, _B
+
+
+def pfor_encode_many(
+    values: np.ndarray, starts: np.ndarray, ends: np.ndarray
+) -> list[bytes]:
+    """Encode MANY contiguous value ranges of one flat uint64 array ->
+    list of pfor buffers, in whole-array passes (the encode mirror of
+    ``pfor_decode_many``): one bit-length pass over all values, the
+    per-buffer optimal width via a (buffers x 65) histogram x cost
+    matrix product, and one scatter+packbits per distinct width. ~6x
+    faster than per-buffer encodes at posting-block sizes (per-block
+    numpy dispatch dominates there).
+    """
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    starts = np.asarray(starts, dtype=np.int64)
+    ends = np.asarray(ends, dtype=np.int64)
+    n_buf = len(starts)
+    counts = ends - starts
+    out: list = [None] * n_buf
+    if n_buf == 0:
+        return out
     bl = _bit_lengths(v)
-    best_b, best_cost = 64, None
-    for b in sorted(set(bl.tolist())):
-        exc = bl > b
-        n_exc = int(exc.sum())
-        high_bytes = int(_varint_sizes(v[exc] >> np.uint64(b)).sum()) if n_exc else 0
-        cost = PFOR_HEADER + (n * b + 7) // 8 + 2 * n_exc + high_bytes
-        if best_cost is None or cost < best_cost:
-            best_b, best_cost = b, cost
-    b = best_b
-    exc = bl > b
-    pos = np.flatnonzero(exc)
-    mask = np.uint64((1 << b) - 1)
-    parts = [bytes([b]), int(len(pos)).to_bytes(2, "little")]
-    if b:
-        low = v & mask
-        bits = ((low[:, None] >> np.arange(b, dtype=np.uint64)) & np.uint64(1)).astype(
-            np.uint8
-        )
-        parts.append(np.packbits(bits.ravel(), bitorder="little").tobytes())
-    if len(pos):
-        parts.append(pos.astype("<u2").tobytes())
-        parts.append(varint_encode(v[exc] >> np.uint64(b)))
-    return b"".join(parts)
+    buf_idx = np.repeat(np.arange(n_buf, dtype=np.int64), counts)
+    flat_sel = np.concatenate(
+        [np.arange(s, e, dtype=np.int64) for s, e in zip(starts, ends)]
+    ) if not (len(v) == int(counts.sum()) and np.all(starts == np.concatenate(([0], np.cumsum(counts)[:-1])))) else None
+    # fast case: ranges tile the array exactly in order -> no gather
+    bl_sel = bl if flat_sel is None else bl[flat_sel]
+    v_sel = v if flat_sel is None else v[flat_sel]
+
+    hist = np.zeros((n_buf, 65), dtype=np.int64)
+    np.add.at(hist, (buf_idx, bl_sel), 1)
+    exc_bytes = hist @ _PFOR_EXC_COST   # (n_buf, 65)
+    n_exc = hist @ _PFOR_EXC_COUNT
+    payload = (counts[:, None] * np.arange(65)[None, :] + 7) // 8
+    cost = PFOR_HEADER + payload + exc_bytes
+    cost[n_exc > 0xFFFF] = np.iinfo(np.int64).max  # u16 exception count
+    widths = np.argmin(cost, axis=1).astype(np.int64)
+
+    sel_off = np.concatenate(([0], np.cumsum(counts)))
+    within = np.arange(len(v_sel), dtype=np.int64) - np.repeat(sel_off[:-1], counts)
+    w_per_val = widths[buf_idx]
+    headers = [
+        bytes([int(widths[i])]) + int(n_exc[i, widths[i]]).to_bytes(2, "little")
+        for i in range(n_buf)
+    ]
+    payloads: list = [b""] * n_buf
+    for b in np.unique(widths):
+        b = int(b)
+        if b == 0:
+            continue
+        sel = np.flatnonzero(widths == b)
+        c = counts[sel]
+        pay_bytes = (c * b + 7) // 8
+        pad_off = np.concatenate(([0], np.cumsum(pay_bytes)))
+        vmask = w_per_val == b
+        vals = v_sel[vmask] & np.uint64((1 << b) - 1)
+        # bit position of value j of group-buffer i in the padded stream
+        base = np.repeat(pad_off[:-1] * 8, c) + within[vmask] * b
+        bits_flat = np.zeros(int(pad_off[-1]) * 8, dtype=np.uint8)
+        bits_flat[base[:, None] + np.arange(b)] = (
+            (vals[:, None] >> np.arange(b, dtype=np.uint64)) & np.uint64(1)
+        ).astype(np.uint8)
+        packed = np.packbits(bits_flat, bitorder="little").tobytes()
+        for j, i in enumerate(sel):
+            payloads[int(i)] = packed[int(pad_off[j]) : int(pad_off[j + 1])]
+
+    # exceptions: values whose bit length exceeds their buffer's width
+    exc_mask = bl_sel > w_per_val
+    tails: list = [b""] * n_buf
+    if exc_mask.any():
+        e_idx = np.flatnonzero(exc_mask)
+        e_buf = buf_idx[e_idx]
+        e_pos = within[e_idx]
+        highs = v_sel[e_idx] >> w_per_val[e_idx].astype(np.uint64)
+        h_bytes, h_off = varint_encode_with_offsets(highs)
+        h_mv = h_bytes.tobytes()
+        e_counts = np.bincount(e_buf, minlength=n_buf)
+        e_off = np.concatenate(([0], np.cumsum(e_counts)))
+        for i in np.flatnonzero(e_counts):
+            s, e = int(e_off[i]), int(e_off[i + 1])
+            tails[int(i)] = (
+                e_pos[s:e].astype("<u2").tobytes()
+                + h_mv[int(h_off[s]) : int(h_off[e])]
+            )
+    for i in range(n_buf):
+        out[i] = headers[i] + payloads[i] + tails[i]
+    return out
 
 
 def pfor_decode(data: bytes, count: int) -> np.ndarray:
@@ -315,19 +396,14 @@ def encode_blocks_batch(
     dispatch overhead dominates there. Requires doc_ids ascending within
     each group (the indexer sorts).
 
-    ``codec="pfor"`` takes the per-group path (each block's bit width is
-    intrinsic to the block, so there is no whole-array shortcut) —
-    measured slower to BUILD than varint; its payoff is bytes/posting
-    and block-local decode (see bench codec table).
+    ``codec="pfor"`` runs the same block-boundary machinery with the
+    batched bit-packing encoder (``pfor_encode_many``: histogram-based
+    width choice + one scatter/packbits per distinct width).
     """
-    if codec != "varint":
-        return [
-            encode_blocks(
-                doc_ids[s:e], tfs[s:e], dls[s:e], block_size,
-                presorted=True, codec=codec,
-            )
-            for s, e in zip(group_starts, group_ends)
-        ]
+    if codec == "pfor":
+        return _encode_blocks_batch_pfor(
+            doc_ids, tfs, dls, group_starts, group_ends, block_size
+        )
     n = len(doc_ids)
     if n == 0:
         return [[] for _ in range(len(group_starts))]
@@ -388,6 +464,72 @@ def encode_blocks_batch(
                     "doc_deltas": dd,
                     "tfs": t_mv[int(t_off[s]) : int(t_off[e])],
                     "dls": l_mv[int(l_off[s]) : int(l_off[e])],
+                }
+            )
+            bi += 1
+        out.append(blocks)
+    return out
+
+
+def _encode_blocks_batch_pfor(
+    doc_ids: np.ndarray,
+    tfs: np.ndarray,
+    dls: np.ndarray,
+    group_starts: np.ndarray,
+    group_ends: np.ndarray,
+    block_size: int = BLOCK_SIZE,
+) -> list[list[dict]]:
+    """pfor twin of the varint whole-array path in ``encode_blocks_batch``:
+    identical block boundaries and stats, byte coding via ONE
+    ``pfor_encode_many`` call per column."""
+    n = len(doc_ids)
+    if n == 0:
+        return [[] for _ in range(len(group_starts))]
+    blk_starts_list = [
+        np.arange(s, e, block_size, dtype=np.int64)
+        for s, e in zip(group_starts, group_ends)
+    ]
+    nblocks_per_group = np.fromiter(
+        (len(x) for x in blk_starts_list), dtype=np.int64, count=len(blk_starts_list)
+    )
+    blk_starts = (
+        np.concatenate(blk_starts_list) if blk_starts_list else np.empty(0, np.int64)
+    )
+    blk_ends = np.minimum(
+        blk_starts + block_size,
+        np.repeat(np.asarray(group_ends, dtype=np.int64), nblocks_per_group),
+    )
+    is_start = np.zeros(n, dtype=bool)
+    is_start[blk_starts] = True
+    deltas = np.empty(n, dtype=np.uint64)
+    deltas[0] = 0
+    deltas[1:] = (doc_ids[1:] - doc_ids[:-1]).astype(np.uint64)
+    kept = deltas[~is_start]  # block-start deltas dropped; contiguous per block
+    d_counts = blk_ends - blk_starts - 1
+    d_ends = np.cumsum(d_counts)
+    d_starts = np.concatenate(([0], d_ends[:-1]))
+    d_bufs = pfor_encode_many(kept, d_starts, d_ends)
+    t_bufs = pfor_encode_many(np.asarray(tfs, dtype=np.uint64), blk_starts, blk_ends)
+    l_bufs = pfor_encode_many(np.asarray(dls, dtype=np.uint64), blk_starts, blk_ends)
+    blk_max_tf = np.maximum.reduceat(np.asarray(tfs, dtype=np.int64), blk_starts)
+    blk_min_dl = np.minimum.reduceat(np.asarray(dls, dtype=np.int64), blk_starts)
+
+    out: list[list[dict]] = []
+    bi = 0
+    for g in range(len(group_starts)):
+        blocks = []
+        for _ in range(int(nblocks_per_group[g])):
+            s, e = int(blk_starts[bi]), int(blk_ends[bi])
+            blocks.append(
+                {
+                    "first_doc": int(doc_ids[s]),
+                    "last_doc": int(doc_ids[e - 1]),
+                    "count": int(e - s),
+                    "max_tf": int(blk_max_tf[bi]),
+                    "min_dl": int(blk_min_dl[bi]),
+                    "doc_deltas": d_bufs[bi],
+                    "tfs": t_bufs[bi],
+                    "dls": l_bufs[bi],
                 }
             )
             bi += 1

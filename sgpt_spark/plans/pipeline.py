@@ -78,6 +78,7 @@ def build_index_pipeline(
     segment_size: int = DEFAULT_SEGMENT_SIZE,
     num_partitions: int | None = None,
     analyzer: str = "whitespace",
+    codec: str = "varint",
 ) -> tuple[DataFrame, IndexMeta]:
     """pages (DataFrame or parquet path) -> persisted index at out_path.
 
@@ -115,7 +116,8 @@ def build_index_pipeline(
         raise ValueError(f"unknown analyzer {analyzer!r}: whitespace|standard")
     py_tok = tokenize_py_ws if analyzer == "whitespace" else analyze_py
     index_dir = f"{out_path}/index"
-    post_params = {"segment_size": segment_size, "analyzer": py_tok.__name__}
+    post_params = {"segment_size": segment_size, "analyzer": py_tok.__name__,
+                   "codec": codec}
     if not stage_done(index_dir, post_params):
         n_rows = json.loads(_manifest_path(docs_dir).read_text())["rows"]
         n_seg = max(1, -(-n_rows // segment_size))
@@ -125,7 +127,7 @@ def build_index_pipeline(
         # single-pass build: one scan of the checkpointed docs (stats come
         # from per-segment sentinel rows, not extra corpus scans)
         meta = build_index(seg_docs, index_dir, segment_size=segment_size,
-                           py_tokenizer=py_tok)
+                           py_tokenizer=py_tok, codec=codec)
         write_manifest(index_dir, "postings", post_params, {"meta": asdict(meta)})
     postings, meta = read_index(spark, index_dir)
 

@@ -140,6 +140,37 @@ def main() -> None:
         plan,
     ))
 
+    # --- 5. join-based multifield BM25 (no driver query collect) ----------
+    import tempfile
+
+    from sgpt_spark.operators.index_search import search_multifield_index_join
+    from sgpt_spark.operators.indexer import build_multifield_index
+
+    mf_docs = docs.withColumn(
+        "title", F.array_join(F.slice(F.split("text", " ", -1), 1, 3), " ")
+    )
+    mf_path = tempfile.mkdtemp(prefix="sgpt_plan_audit_mf_")
+    build_multifield_index(mf_docs, mf_path, fields=("title", "text"), segment_size=200)
+    queries_df = mf_docs.filter(F.col("doc_id") % 50 == 0).select(
+        F.col("doc_id").alias("qid"),
+        F.array_join(F.slice(F.split("text", " ", -1), 1, 4), " ").alias("query"),
+    )
+    plan = captured_plan(search_multifield_index_join(spark, mf_path, queries_df, k=10))
+    n_semi = plan.count("LeftSemi")
+    sections.append((
+        "Join-based multifield BM25 (`search_multifield_index_join`)",
+        "Queries tokenize INSIDE the plan (no driver collect). Each "
+        "field's postings are pruned by a left-semi join against the "
+        f"distinct query vocabulary ({n_semi} semi-join(s) in the plan"
+        + (" — verified" if n_semi >= 1 else " — MISSING (BUG)")
+        + "), decode to flat rows per Arrow batch, shuffle-join the "
+        "query terms, and the per-field score union dis-max-combines in "
+        "one groupBy(qid, doc_id). Shuffled volume is candidate rows "
+        "only; the query set scales horizontally.",
+        plan,
+    ))
+    assert n_semi >= 1, "semi-join term pruning missing from multifield join plan"
+
     out = ["# PLANS — physical-plan audit of the headline operators",
            "",
            f"Regenerated by `python tools/plan_audit.py` at sf0.01 "

@@ -1009,67 +1009,93 @@ def _merge_partition_arrow(batches, codec: str):
     gs = np.concatenate(([0], change))
     ge = np.concatenate((change, [nrows]))
 
-    # slow-path groups collect python-side rows (few by construction)
-    py_rows: list[tuple] = []  # (term, seg, df, max_tf, min_dl, blocks_list)
-    # verbatim groups accumulate a single global gather
-    v_groups: list[int] = []   # group indices taking the verbatim path
-    v_row_order: list[np.ndarray] = []  # ordered row indices per group
-    # reencode groups
-    r_groups: list[int] = []
-    r_row_order: list[np.ndarray] = []
+    n_groups = len(gs)
+    group_id = np.repeat(np.arange(n_groups, dtype=np.int64), ge - gs)
+    # row first/last doc fences, guarded for sentinel rows (0 blocks)
+    safe_lo = np.minimum(offs[:-1], max(len(b_first) - 1, 0))
+    row_first = np.where(row_nb > 0, b_first[safe_lo], -1)
+    row_last = np.where(row_nb > 0, b_last[np.maximum(offs[1:] - 1, 0)], -1)
+    # rows in (group, first_doc) order — the doc order of every merge;
+    # one lexsort for the whole partition instead of a per-group argsort
+    order_all = np.lexsort((row_first, group_id))
+    og = group_id[order_all]
+    # disjointness per group: every within-group transition must keep
+    # last_doc(prev) < first_doc(next)
+    trans_bad = (og[1:] == og[:-1]) & (
+        row_last[order_all][:-1] >= row_first[order_all][1:]
+    )
+    overlapping = np.zeros(n_groups, dtype=bool)
+    if trans_bad.any():
+        np.logical_or.at(overlapping, og[1:][trans_bad], True)
 
+    # per-group reductions — groups are contiguous in row space
+    g_cnt = np.add.reduceat(row_cnt, gs)
+    g_nb = np.add.reduceat(row_nb, gs)
+    g_df_sum = np.add.reduceat(dfv, gs)
+    g_mtf_max = np.maximum.reduceat(row_mtf, gs)
+    g_mtf_sum = np.add.reduceat(row_mtf, gs)
+    g_mdl_min = np.minimum.reduceat(row_mdl, gs)
+    g_mdl_max = np.maximum.reduceat(row_mdl, gs)
+
+    sentinel = idx[gs] == -1
     block_size = 128
-    for g in range(len(gs)):
-        rows = np.arange(gs[g], ge[g])
-        if idx[gs[g]] == -1:  # sentinel group: stats merge, no postings
-            py_rows.append(
-                (None, int(seg[gs[g]]), int(dfv[rows].sum()),
-                 int(row_mtf[rows].sum()), int(row_mdl[rows].max()), [])
-            )
-            continue
-        order = rows[np.argsort(b_first[offs[rows]], kind="stable")]
-        disjoint = bool(
-            np.all(b_last[offs[order[:-1] + 1] - 1] < b_first[offs[order[1:]]])
-        ) if len(order) > 1 else True
-        g_cnt = int(row_cnt[rows].sum())
-        g_nb = int(row_nb[rows].sum())
-        ideal_nb = -(-g_cnt // block_size)
-        fragmented = g_nb * block_size > 2 * g_cnt + block_size
-        if not disjoint:
-            runs = [blocks[int(r)].as_py() for r in order]
-            merged = merge_runs_streaming(runs, codec=codec)
-            py_rows.append(
-                (term[int(rows[0])].as_py(), int(seg[rows[0]]),
-                 int(dfv[rows].sum()), int(row_mtf[rows].max()),
-                 int(row_mdl[rows].min()), merged)
-            )
-        elif fragmented and g_cnt <= _REENCODE_MAX:
-            r_groups.append(g)
-            r_row_order.append(order)
-        else:
-            v_groups.append(g)
-            v_row_order.append(order)
+    small_frag = (g_nb * block_size > 2 * g_cnt + block_size) & (
+        g_cnt <= _REENCODE_MAX
+    )
+    stream_g = (~sentinel) & overlapping
+    reenc_g = (~sentinel) & ~overlapping & small_frag
+    verb_g = (~sentinel) & ~overlapping & ~small_frag
 
-    term_np = None  # lazy; only needed for python-side term values
+    names = ["term", "segment", "df", "max_tf", "min_dl", "blocks"]
 
-    def group_stats(g: int) -> tuple[int, int, int]:
-        rows = np.arange(gs[g], ge[g])
-        return (
-            int(dfv[rows].sum()),
-            int(row_mtf[rows].max()),
-            int(row_mdl[rows].min()),
+    def ordered_rows(mask: np.ndarray) -> np.ndarray:
+        """Rows of the masked groups, in (group, first_doc) order."""
+        return order_all[mask[og]]
+
+    def gather_index(rows_ordered: np.ndarray) -> np.ndarray:
+        starts = offs[:-1][rows_ordered]
+        lens = row_nb[rows_ordered]
+        total = int(lens.sum())
+        within = np.arange(total, dtype=np.int64) - np.repeat(
+            np.concatenate(([0], np.cumsum(lens)[:-1])), lens
+        )
+        return np.repeat(starts, lens) + within
+
+    # ---- sentinel groups: vectorized stats-only rows --------------------
+    if sentinel.any():
+        sg = np.flatnonzero(sentinel)
+        k = len(sg)
+        empty_child = blk.take(pa.array(np.empty(0, dtype=np.int64)))
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.nulls(k, pa.string()),
+                pa.array(seg[gs[sg]].astype(np.int32), type=pa.int32()),
+                pa.array(g_df_sum[sg], type=pa.int64()),
+                pa.array(g_mtf_sum[sg], type=pa.int64()),
+                pa.array(g_mdl_max[sg], type=pa.int64()),
+                pa.ListArray.from_arrays(
+                    pa.array(np.zeros(k + 1, dtype=np.int32)), empty_child
+                ),
+            ],
+            names=names,
         )
 
-    # ---- batched re-encode of fragmented groups ----
-    if r_groups:
-        all_order = np.concatenate(r_row_order)
-        starts_r = offs[:-1][all_order]
-        lens_r = row_nb[all_order]
-        total_b = int(lens_r.sum())
-        within = np.arange(total_b) - np.repeat(
-            np.concatenate(([0], np.cumsum(lens_r)[:-1])), lens_r
+    # ---- overlapping groups: per-group streaming merge (rare) -----------
+    py_rows: list[tuple] = []
+    for g in np.flatnonzero(stream_g):
+        lo = int(np.searchsorted(og, g, side="left"))
+        hi = int(np.searchsorted(og, g, side="right"))
+        runs = [blocks[int(r)].as_py() for r in order_all[lo:hi]]
+        merged = merge_runs_streaming(runs, codec=codec)
+        py_rows.append(
+            (term[int(gs[g])].as_py(), int(seg[gs[g]]), int(g_df_sum[g]),
+             int(g_mtf_max[g]), int(g_mdl_min[g]), merged)
         )
-        bidx = np.repeat(starts_r, lens_r) + within
+
+    # ---- batched re-encode of small fragmented groups -------------------
+    if reenc_g.any():
+        rows_r = ordered_rows(reenc_g)
+        bidx = gather_index(rows_r)
         take = pa.array(bidx, type=pa.int64())
         d_bufs = blk.field("doc_deltas").take(take).to_pylist()
         t_bufs = blk.field("tfs").take(take).to_pylist()
@@ -1077,24 +1103,19 @@ def _merge_partition_arrow(batches, codec: str):
         d_ids, d_tfs, d_dls = decode_posting_columns(
             b_first[bidx], b_cnt[bidx], d_bufs, t_bufs, l_bufs, codec
         )
-        g_sizes = np.array(
-            [int(row_cnt[np.arange(gs[g], ge[g])].sum()) for g in r_groups],
-            dtype=np.int64,
-        )
-        g_ends = np.cumsum(g_sizes)
-        g_starts = np.concatenate(([0], g_ends[:-1]))
+        r_list = np.flatnonzero(reenc_g)
+        g_ends2 = np.cumsum(g_cnt[r_list])
+        g_starts2 = np.concatenate(([0], g_ends2[:-1]))
         enc = encode_blocks_batch(
             d_ids, d_tfs.astype(np.uint64), d_dls.astype(np.uint64),
-            g_starts, g_ends, codec=codec,
+            g_starts2, g_ends2, codec=codec,
         )
-        for g, blocks_list in zip(r_groups, enc):
-            d, mt, md = group_stats(g)
+        for g, blocks_list in zip(r_list, enc):
             py_rows.append(
-                (term[int(gs[g])].as_py(), int(seg[gs[g]]), d, mt, md, blocks_list)
+                (term[int(gs[g])].as_py(), int(seg[gs[g]]), int(g_df_sum[g]),
+                 int(g_mtf_max[g]), int(g_mdl_min[g]), blocks_list)
             )
 
-    # ---- python-side batch (sentinels + streamed + re-encoded) ----
-    names = ["term", "segment", "df", "max_tf", "min_dl", "blocks"]
     if py_rows:
         yield pa.RecordBatch.from_arrays(
             [
@@ -1108,37 +1129,28 @@ def _merge_partition_arrow(batches, codec: str):
             names=names,
         )
 
-    # ---- one vectorized gather for every verbatim group ----
-    if v_groups:
-        all_order = np.concatenate(v_row_order)
-        starts_v = offs[:-1][all_order]
-        lens_v = row_nb[all_order]
-        total_b = int(lens_v.sum())
-        within = np.arange(total_b) - np.repeat(
-            np.concatenate(([0], np.cumsum(lens_v)[:-1])), lens_v
-        )
-        gather = np.repeat(starts_v, lens_v) + within
+    # ---- one vectorized gather for every verbatim group -----------------
+    if verb_g.any():
+        rows_v = ordered_rows(verb_g)
+        gather = gather_index(rows_v)
         new_struct = blk.take(pa.array(gather, type=pa.int64()))
-        g_nb_arr = np.array(
-            [int(row_nb[np.arange(gs[g], ge[g])].sum()) for g in v_groups],
-            dtype=np.int64,
-        )
-        out_offsets = np.concatenate(([0], np.cumsum(g_nb_arr))).astype(np.int32)
-        g_rows = np.array([gs[g] for g in v_groups], dtype=np.int64)
-        red = lambda op, arr: np.array(  # noqa: E731 — per-group reduce
-            [op(arr[np.arange(gs[g], ge[g])]) for g in v_groups], dtype=np.int64
-        )
+        v_list = np.flatnonzero(verb_g)
+        out_offsets = np.concatenate(
+            ([0], np.cumsum(g_nb[v_list]))
+        ).astype(np.int32)
+        g_rows = gs[v_list]
         yield pa.RecordBatch.from_arrays(
             [
                 term.take(pa.array(g_rows, type=pa.int64())),
                 pa.array(seg[g_rows].astype(np.int32), type=pa.int32()),
-                pa.array(red(np.sum, dfv), type=pa.int64()),
-                pa.array(red(np.max, row_mtf), type=pa.int64()),
-                pa.array(red(np.min, row_mdl), type=pa.int64()),
-                pa.ListArray.from_arrays(pa.array(out_offsets, pa.int32()), new_struct),
+                pa.array(g_df_sum[v_list], type=pa.int64()),
+                pa.array(g_mtf_max[v_list], type=pa.int64()),
+                pa.array(g_mdl_min[v_list], type=pa.int64()),
+                pa.ListArray.from_arrays(pa.array(out_offsets), new_struct),
             ],
             names=names,
         )
+
 
 
 def compact_index(

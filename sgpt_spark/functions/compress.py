@@ -78,15 +78,20 @@ def varint_decode(data: bytes) -> np.ndarray:
 # the whole block. This implementation picks, per buffer, the width b
 # that MINIMIZES total encoded bytes (NewPFD-style exception patching):
 #
-#   [b:u8][n_exc:u16le][packed low b bits, ceil(n*b/8) bytes, LSB-first]
+#   [b:u8][n_exc:u8][packed low b bits, ceil(n*b/8) bytes, LSB-first]
 #   [exception positions u16le x n_exc][exception high parts, varint]
+#
+# n_exc is a single byte: widths whose exception count would exceed 255
+# are excluded from the width search (the max-bit-length width always
+# has zero exceptions, so a valid width exists for every buffer);
+# positions stay u16 so custom block sizes above 256 still encode.
 #
 # Exceptions contribute their low b bits to the packed payload like
 # every other value; decode ORs the varint-coded high part back in at
 # the stored position. All encode/decode math is whole-array numpy; the
 # width search is over the (<=65) distinct bit lengths in the buffer.
 
-PFOR_HEADER = 3
+PFOR_HEADER = 2
 CODECS = ("varint", "pfor")
 
 
@@ -108,7 +113,7 @@ def _varint_sizes(v: np.ndarray) -> np.ndarray:
 def pfor_encode(values: np.ndarray) -> bytes:
     """PForDelta-encode one uint64 array (format above). Delegates to
     the batch encoder so single-buffer and batched encodes are
-    byte-identical. The empty array still carries the 3-byte header so
+    byte-identical. The empty array still carries the 2-byte header so
     every buffer is self-describing."""
     v = np.ascontiguousarray(values, dtype=np.uint64)
     return pfor_encode_many(
@@ -165,15 +170,14 @@ def pfor_encode_many(
     n_exc = hist @ _PFOR_EXC_COUNT
     payload = (counts[:, None] * np.arange(65)[None, :] + 7) // 8
     cost = PFOR_HEADER + payload + exc_bytes
-    cost[n_exc > 0xFFFF] = np.iinfo(np.int64).max  # u16 exception count
+    cost[n_exc > 0xFF] = np.iinfo(np.int64).max  # u8 exception count
     widths = np.argmin(cost, axis=1).astype(np.int64)
 
     sel_off = np.concatenate(([0], np.cumsum(counts)))
     within = np.arange(len(v_sel), dtype=np.int64) - np.repeat(sel_off[:-1], counts)
     w_per_val = widths[buf_idx]
     headers = [
-        bytes([int(widths[i])]) + int(n_exc[i, widths[i]]).to_bytes(2, "little")
-        for i in range(n_buf)
+        bytes([int(widths[i]), int(n_exc[i, widths[i]])]) for i in range(n_buf)
     ]
     payloads: list = [b""] * n_buf
     for b in np.unique(widths):
@@ -226,7 +230,7 @@ def pfor_decode(data: bytes, count: int) -> np.ndarray:
         return np.empty(0, dtype=np.uint64)
     buf = np.frombuffer(data, dtype=np.uint8)
     b = int(buf[0])
-    n_exc = int(buf[1]) | (int(buf[2]) << 8)
+    n_exc = int(buf[1])
     payload = (count * b + 7) // 8
     if b:
         bits = np.unpackbits(buf[PFOR_HEADER : PFOR_HEADER + payload], bitorder="little")
@@ -263,7 +267,7 @@ def pfor_decode_many(buffers: list, counts: np.ndarray) -> np.ndarray:
         if counts[i] == 0:
             continue
         widths[i] = d[0]
-        nexcs[i] = d[1] | (d[2] << 8)
+        nexcs[i] = d[1]
     for b in np.unique(widths):
         b = int(b)
         if b <= 0:  # -1: empty buffer; 0: zeros (exceptions patch below)

@@ -64,6 +64,30 @@ def test_pfor_skewed_values_beat_varint_when_mostly_small():
     assert len(pf) < len(vi)
 
 
+def test_batch_block_encode_matches_single_buffer_encode():
+    """encode_blocks_batch(codec=pfor) must emit byte-identical buffers
+    to independent pfor_encode calls on the same value slices — the
+    batched width choice may not drift from the single-buffer one."""
+    from sgpt_spark.functions.compress import decode_blocks, encode_blocks_batch
+
+    rng = np.random.default_rng(21)
+    n = 5000
+    ids = np.sort(rng.choice(200_000, n, replace=False)).astype(np.int64)
+    tfs = rng.integers(1, 30, n).astype(np.uint64)
+    dls = rng.integers(20, 400, n).astype(np.uint64)
+    tfs[rng.integers(0, n, 5)] = np.uint64(2**40)  # exception-forcing outliers
+    starts = np.arange(0, n, 997)
+    ends = np.minimum(starts + 997, n)
+    groups = encode_blocks_batch(ids, tfs, dls, starts, ends, codec="pfor")
+    for gi in (0, len(groups) - 1):
+        for blk in groups[gi]:
+            # re-derive the block's source slice from decode, then re-encode
+            d, t, l = decode_blocks([blk], "pfor")
+            assert blk["tfs"] == pfor_encode(t)
+            assert blk["dls"] == pfor_encode(l)
+            assert blk["doc_deltas"] == pfor_encode(np.diff(d).astype(np.uint64))
+
+
 def test_pfor_all_zero_and_all_huge():
     z = np.zeros(100, dtype=np.uint64)
     assert np.array_equal(pfor_decode(pfor_encode(z), 100), z)

@@ -336,3 +336,23 @@ def test_ivf_search_join_matches_collect_path(spark, emb, qvecs):
     a = as_runs(ivf_cosine_topk(emb, qvecs, k=10, n_centroids=8, n_probe=4).collect())
     b = as_runs(ivf_search_join(emb, qvecs, k=10, n_centroids=8, n_probe=4).collect())
     assert a == b and len(a) > 0
+
+
+def test_communities_lsh_default_warns_at_low_threshold(spark, emb):
+    """Round-3 ADVICE: the default LSH candidate generation is tuned for
+    threshold ~0.8; lower thresholds with default planes/tables must
+    warn (edge misses can split communities), and explicit tuning or
+    candidates='exact' must not."""
+    import warnings
+
+    import pytest as _pytest
+
+    from sgpt_spark.operators.similarity import embedding_communities
+
+    with _pytest.warns(UserWarning, match="LSH candidate"):
+        embedding_communities(emb, threshold=0.4).count()
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        embedding_communities(emb, threshold=0.4, n_planes=4, n_tables=24).count()
+        embedding_communities(emb, threshold=0.4, candidates="exact").count()
+        embedding_communities(emb, threshold=0.9).count()

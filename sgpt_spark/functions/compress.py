@@ -548,12 +548,15 @@ def encode_blocks_arrow(
     group_starts: np.ndarray,
     group_ends: np.ndarray,
     block_size: int = BLOCK_SIZE,
+    codec: str = "varint",
 ):
     """Arrow-native twin of ``encode_blocks_batch``: the per-group block
     lists come back as ONE ``pa.ListArray`` of block structs built from
     whole-array numpy offsets and three shared byte buffers — zero
-    per-block Python objects, zero byte copies (the binary children
-    reference the varint buffers directly via offset arrays).
+    per-block Python objects; for varint, zero byte copies too (the
+    binary children reference the varint buffers directly via offset
+    arrays), while pfor buffers come from ``pfor_encode_many`` and are
+    joined into one backing buffer per column.
 
     Requires the groups to be CONTIGUOUS ranges covering [0, n) with
     doc_ids ascending within each group (the fused segment builder's
@@ -597,10 +600,30 @@ def encode_blocks_arrow(
     deltas[0] = 0
     deltas[1:] = (doc_ids[1:] - doc_ids[:-1]).astype(np.uint64)
     keep = ~is_start
-    d_bytes, d_off = varint_encode_with_offsets(deltas[keep])
-    kept_pos = np.cumsum(keep) - 1
-    t_bytes, t_off = varint_encode_with_offsets(np.asarray(tfs, dtype=np.uint64))
-    l_bytes, l_off = varint_encode_with_offsets(np.asarray(dls, dtype=np.uint64))
+    if codec == "pfor":
+        d_counts = blk_ends - blk_starts - 1
+        d_ends_k = np.cumsum(d_counts)
+        d_starts_k = np.concatenate(([0], d_ends_k[:-1]))
+
+        def pfor_column(vals, starts_c, ends_c):
+            bufs = pfor_encode_many(vals, starts_c, ends_c)
+            lens = np.fromiter((len(b) for b in bufs), dtype=np.int64, count=len(bufs))
+            return np.frombuffer(b"".join(bufs), dtype=np.uint8), np.concatenate(
+                ([0], np.cumsum(lens))
+            )
+
+        d_bytes, deltas_offsets = pfor_column(deltas[keep], d_starts_k, d_ends_k)
+        t_bytes, tfs_offsets = pfor_column(
+            np.asarray(tfs, dtype=np.uint64), blk_starts, blk_ends
+        )
+        l_bytes, dls_offsets = pfor_column(
+            np.asarray(dls, dtype=np.uint64), blk_starts, blk_ends
+        )
+    else:
+        d_bytes, d_off = varint_encode_with_offsets(deltas[keep])
+        kept_pos = np.cumsum(keep) - 1
+        t_bytes, t_off = varint_encode_with_offsets(np.asarray(tfs, dtype=np.uint64))
+        l_bytes, l_off = varint_encode_with_offsets(np.asarray(dls, dtype=np.uint64))
 
     def bin_array(data: np.ndarray, offsets64: np.ndarray) -> "pa.Array":
         if offsets64[-1] > np.iinfo(np.int32).max:
@@ -618,13 +641,14 @@ def encode_blocks_arrow(
             [None, pa.py_buffer(offs32.tobytes()), pa.py_buffer(data.tobytes())],
         )
 
-    # blocks are contiguous over [0, n), so each byte column's offsets
-    # are just the per-value offset table sampled at block boundaries
-    tfs_offsets = t_off[np.append(blk_starts, n)]
-    dls_offsets = l_off[np.append(blk_starts, n)]
-    # block i's deltas = kept deltas of postings (start, end) — kept
-    # positions are contiguous across blocks (block-start deltas dropped)
-    deltas_offsets = np.append(d_off[kept_pos[blk_starts] + 1], d_off[-1])
+    if codec != "pfor":
+        # blocks are contiguous over [0, n), so each byte column's offsets
+        # are just the per-value offset table sampled at block boundaries
+        tfs_offsets = t_off[np.append(blk_starts, n)]
+        dls_offsets = l_off[np.append(blk_starts, n)]
+        # block i's deltas = kept deltas of postings (start, end) — kept
+        # positions are contiguous across blocks (block-start deltas dropped)
+        deltas_offsets = np.append(d_off[kept_pos[blk_starts] + 1], d_off[-1])
 
     children = [
         pa.array(doc_ids[blk_starts], type=pa.int64()),

@@ -466,6 +466,7 @@ def _encode_segment_arrow(
     py_tokenizer,
     text_col: str,
     emit_stats: bool,
+    codec: str = "varint",
 ):
     """Arrow-native twin of ``_encode_segment`` for ``mapInArrow``: text
     never round-trips through pandas, the posting relation is emitted as
@@ -548,7 +549,7 @@ def _encode_segment_arrow(
     bounds = np.flatnonzero(p_code[1:] != p_code[:-1]) + 1
     starts = np.concatenate(([0], bounds))
     ends = np.concatenate((bounds, [len(uk)]))
-    blocks = encode_blocks_arrow(p_doc, p_tf, p_dl, starts, ends)
+    blocks = encode_blocks_arrow(p_doc, p_tf, p_dl, starts, ends, codec=codec)
     batch = pa.RecordBatch.from_arrays(
         [
             pa.array(terms_arr[p_code[starts]], type=pa.string()),
@@ -611,14 +612,14 @@ def build_index(
 
     if codec not in ("varint", "pfor"):
         raise ValueError(f"unknown codec {codec!r}: varint|pfor")
-    if py_tokenizer in (tokenize_py_ws, _std_tok) and codec == "varint":
+    if py_tokenizer in (tokenize_py_ws, _std_tok):
         # Arrow-native end to end: text stays Arrow, the posting relation
         # is emitted as RecordBatches with zero per-block Python objects
-        # (varint only: pfor's per-block widths have no whole-array
-        # shortcut, so that codec takes the pandas builder below)
+        # (both codecs: varint slices shared buffers zero-copy, pfor
+        # buffers come from the batched bit-packing encoder)
         def build_segment_arrow(batches):
             yield from _encode_segment_arrow(
-                batches, py_tokenizer, text_col, emit_stats=True
+                batches, py_tokenizer, text_col, emit_stats=True, codec=codec
             )
 
         encoded = src.mapInArrow(build_segment_arrow, schema=schema)
@@ -768,11 +769,11 @@ def build_postings(
         )
         from sgpt_spark.functions.analyzer import analyze_py as _std_tok
 
-        if py_tokenizer in (tokenize_py_ws, _std_tok) and codec == "varint":
+        if py_tokenizer in (tokenize_py_ws, _std_tok):
 
             def build_segment_arrow(batches):
                 yield from _encode_segment_arrow(
-                    batches, py_tokenizer, text_col, emit_stats=False
+                    batches, py_tokenizer, text_col, emit_stats=False, codec=codec
                 )
 
             postings = src.mapInArrow(build_segment_arrow, schema=POSTINGS)

@@ -227,7 +227,9 @@ def main(argv: list[str] | None = None) -> None:
     b.add_argument("--out", required=True)
     b.add_argument("--segment-size", type=int, default=100_000)
     b.add_argument("--analyzer", choices=["whitespace", "standard"], default="whitespace")
-    b.add_argument("--codec", choices=["varint", "pfor"], default="varint")
+    from sgpt_spark.functions.compress import CODECS
+
+    b.add_argument("--codec", choices=list(CODECS), default="varint")
     b.set_defaults(fn=cmd_build_index)
 
     a = sub.add_parser("append")

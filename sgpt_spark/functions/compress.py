@@ -171,6 +171,13 @@ def pfor_encode_many(
     payload = (counts[:, None] * np.arange(65)[None, :] + 7) // 8
     cost = PFOR_HEADER + payload + exc_bytes
     cost[n_exc > 0xFF] = np.iinfo(np.int64).max  # u8 exception count
+    # u16 exception POSITIONS: buffers longer than 65536 values may only
+    # use exception-free widths (positions past 0xFFFF would wrap and
+    # silently corrupt — round-4 review find); the max-bit-length width
+    # always has zero exceptions, so a valid width always exists
+    big = counts > 0x10000
+    if big.any():
+        cost[big[:, None] & (n_exc > 0)] = np.iinfo(np.int64).max
     widths = np.argmin(cost, axis=1).astype(np.int64)
 
     sel_off = np.concatenate(([0], np.cumsum(counts)))

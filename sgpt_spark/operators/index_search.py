@@ -71,7 +71,7 @@ def search_index_join(
     spark: SparkSession,
     postings: DataFrame,
     meta: IndexMeta,
-    queries: DataFrame,
+    queries: DataFrame | Iterable[tuple],
     k: int = 10,
     term_stats: DataFrame | None = None,
     exclude_self: bool = False,
@@ -94,6 +94,9 @@ def search_index_join(
     from sgpt_spark.operators.search import query_terms, score_candidates
     from sgpt_spark.operators.stats import CorpusStats
 
+    queries, qid_type = normalize_queries(queries)
+    if not isinstance(queries, DataFrame):
+        queries = spark.createDataFrame(queries, f"qid {qid_type}, query string")
     tokenizer = tokenizer or resolve_jvm_analyzer(meta.analyzer)
     qt = query_terms(queries, tokenizer=tokenizer)
     # prune BEFORE decoding: a semi-join against the distinct query
@@ -612,7 +615,7 @@ def search_multifield_index(
 def search_multifield_index_join(
     spark: SparkSession,
     path: str,
-    queries: DataFrame,
+    queries: DataFrame | Iterable[tuple],
     k: int = 10,
     tie_breaker: float = 0.5,
     fields: tuple[str, ...] | None = None,
@@ -650,14 +653,15 @@ def search_multifield_index_join(
     from sgpt_spark.operators.stats import CorpusStats
 
     fields, idx, analyzer = _load_multifield(spark, path, fields)
-    if exclude_self:
-        qtype = queries.schema["qid"].dataType.simpleString()
-        if qtype not in ("bigint", "int", "long", "smallint", "tinyint"):
-            # string qids vs int64 index doc ids null out and silently
-            # drop every row — same contract as search_index
-            raise ValueError(
-                f"exclude_self needs integer qids matching index doc ids; got qid type {qtype}"
-            )
+    queries, qid_type = normalize_queries(queries)
+    if not isinstance(queries, DataFrame):
+        queries = spark.createDataFrame(queries, f"qid {qid_type}, query string")
+    if exclude_self and qid_type not in ("bigint", "int", "long", "smallint", "tinyint"):
+        # string qids vs int64 index doc ids null out and silently drop
+        # every row — same contract as search_index
+        raise ValueError(
+            f"exclude_self needs integer qids matching index doc ids; got qid type {qid_type}"
+        )
     tok = tokenizer or resolve_jvm_analyzer(analyzer)
     qt = query_terms(queries, tokenizer=tok)
     qvocab = qt.select("term").distinct()

@@ -610,8 +610,10 @@ def build_index(
     )
     from sgpt_spark.functions.analyzer import analyze_py as _std_tok
 
-    if codec not in ("varint", "pfor"):
-        raise ValueError(f"unknown codec {codec!r}: varint|pfor")
+    from sgpt_spark.functions.compress import CODECS
+
+    if codec not in CODECS:
+        raise ValueError(f"unknown codec {codec!r}: {'|'.join(CODECS)}")
     if py_tokenizer in (tokenize_py_ws, _std_tok):
         # Arrow-native end to end: text stays Arrow, the posting relation
         # is emitted as RecordBatches with zero per-block Python objects
@@ -735,8 +737,10 @@ def build_postings(
     if py_tokenizer is None:
         dt = doc_terms(docs, id_col="doc_id", text_col=text_col, tokenizer=tokenizer)
 
-    if codec not in ("varint", "pfor"):
-        raise ValueError(f"unknown codec {codec!r}: varint|pfor")
+    from sgpt_spark.functions.compress import CODECS
+
+    if codec not in CODECS:
+        raise ValueError(f"unknown codec {codec!r}: {'|'.join(CODECS)}")
     max_id = docs.agg(F.max("doc_id")).collect()[0][0]
     meta = IndexMeta(
         n_docs=stats.n_docs,
@@ -947,12 +951,25 @@ def read_index(spark, path: str) -> tuple[DataFrame, IndexMeta]:
 _REENCODE_MAX = 1_000_000  # max decoded postings per re-blocked group
 
 
+_MERGE_CHUNK_ROWS = 1 << 17  # flush complete groups past this many rows
+
+
 def _merge_partition_arrow(batches, codec: str):
     """Arrow-native compaction merge for one shuffle partition: rows are
     sorted by (term, _new_seg), so merge groups are contiguous. Never
     converts the nested blocks column to Python dicts on the main path
     — that pandas conversion, not the merge itself, was 63s of the 72s
     round-4 bench compaction (profiled; the merge added ~0).
+
+    Memory contract: incoming Arrow batches accumulate only until
+    ``_MERGE_CHUNK_ROWS``; then every COMPLETE group in the buffer is
+    merged and flushed and only the trailing (possibly continuing)
+    group carries over — peak per task is the accumulation chunk plus
+    one group's working set, NOT the whole shuffle partition (round-4
+    review). A single group's working set is itself bounded per regime
+    below (verbatim: its compressed block structs — unavoidable, that
+    IS the output row; reencode: capped at ``_REENCODE_MAX`` decoded
+    postings; stream: O(runs x block)).
 
     Per group, three regimes:
       verbatim  doc-disjoint runs (ALL groups produced by this engine's
@@ -975,7 +992,59 @@ def _merge_partition_arrow(batches, codec: str):
     max doc id maxes.
     """
     import pyarrow as pa
+
+    pend: list = []
+    pend_rows = 0
+    for b in batches:
+        if b.num_rows == 0:
+            continue
+        pend.append(b)
+        pend_rows += b.num_rows
+        if pend_rows < _MERGE_CHUNK_ROWS:
+            continue
+        tbl = pa.Table.from_batches(pend).combine_chunks()
+        cut = _last_group_start(tbl)
+        if cut == 0:
+            # the whole buffer is one giant group — keep accumulating
+            # (its merge is bounded by the per-regime contracts above)
+            pend = tbl.to_batches()
+            continue
+        yield from _merge_rows_arrow(tbl.slice(0, cut), codec)
+        pend = tbl.slice(cut).to_batches()
+        pend_rows = tbl.num_rows - cut
+    if pend:
+        tbl = pa.Table.from_batches(pend).combine_chunks()
+        if tbl.num_rows:
+            yield from _merge_rows_arrow(tbl, codec)
+
+
+def _group_keys(tbl) -> "tuple[np.ndarray, np.ndarray]":
+    """(term codes with -1 for NULL, bucket ids) of a sorted merge
+    table — the shared group-boundary derivation."""
     import pyarrow.compute as pc
+
+    term = tbl.column("term").combine_chunks()
+    denc = term.dictionary_encode()
+    idx = pc.fill_null(denc.indices, -1).to_numpy(zero_copy_only=False).astype(np.int64)
+    seg = (
+        tbl.column("_new_seg").combine_chunks()
+        .to_numpy(zero_copy_only=False).astype(np.int64)
+    )
+    return idx, seg
+
+
+def _last_group_start(tbl) -> int:
+    """Row index where the table's LAST (term, _new_seg) group begins."""
+    idx, seg = _group_keys(tbl)
+    change = np.flatnonzero((idx[1:] != idx[:-1]) | (seg[1:] != seg[:-1])) + 1
+    return int(change[-1]) if len(change) else 0
+
+
+def _merge_rows_arrow(tbl, codec: str):
+    """Merge one buffer of WHOLE groups (see ``_merge_partition_arrow``
+    for the regime docs and memory contract)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc  # noqa: F401 — via _group_keys
 
     from sgpt_spark.functions.compress import (
         decode_posting_columns,
@@ -983,13 +1052,9 @@ def _merge_partition_arrow(batches, codec: str):
         merge_runs_streaming,
     )
 
-    chunks = [b for b in batches if b.num_rows]
-    if not chunks:
-        return
-    tbl = pa.Table.from_batches(chunks).combine_chunks()
     nrows = tbl.num_rows
     term = tbl.column("term").combine_chunks()
-    seg = tbl.column("_new_seg").combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+    idx, seg = _group_keys(tbl)
     dfv = tbl.column("df").combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
     row_mtf = tbl.column("max_tf").combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
     row_mdl = tbl.column("min_dl").combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
@@ -1004,8 +1069,6 @@ def _merge_partition_arrow(batches, codec: str):
     cum_cnt = np.concatenate(([0], np.cumsum(b_cnt)))
     row_cnt = cum_cnt[offs[1:]] - cum_cnt[offs[:-1]]
 
-    denc = term.dictionary_encode()
-    idx = pc.fill_null(denc.indices, -1).to_numpy(zero_copy_only=False).astype(np.int64)
     change = np.flatnonzero((idx[1:] != idx[:-1]) | (seg[1:] != seg[:-1])) + 1
     gs = np.concatenate(([0], change))
     ge = np.concatenate((change, [nrows]))

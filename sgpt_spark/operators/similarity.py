@@ -720,22 +720,32 @@ def embedding_communities(
     """
     if candidates not in ("lsh", "exact"):
         raise ValueError(f"unknown candidates mode {candidates!r}: lsh|exact")
-    if candidates == "lsh" and threshold < 0.8 and (n_planes, n_tables) == (6, 12):
-        # the default table count is tuned for threshold ~0.8; at lower
-        # thresholds the per-pair miss rate grows and a missed edge can
-        # SPLIT a community — make the approximation opt-in-visible
-        # (round-3 ADVICE). More tables (or candidates="exact") restores
-        # recall: the gate query needs 4x24 at threshold 0.4.
+    if candidates == "lsh":
+        # Warn when THIS configuration is inadequate for THIS threshold,
+        # not merely when the caller typed the defaults (round-4 review):
+        # for random hyperplanes, a pair at exactly cosine=threshold
+        # collides in one table with p = (1 - theta/pi)^n_planes, so its
+        # cross-table miss probability is (1-p)^n_tables — and a missed
+        # edge can SPLIT a community. More tables / fewer planes (or
+        # candidates="exact") restores recall: the gate query needs 4x24
+        # at threshold 0.4. The 5% cutoff keeps the tuned-default regime
+        # (threshold ~0.8, miss ~3%) silent.
+        import math
         import warnings
 
-        warnings.warn(
-            f"embedding_communities: LSH candidate generation with default "
-            f"n_planes/n_tables at threshold={threshold} < 0.8 has "
-            f"non-trivial edge miss probability (missed edges can split "
-            f"communities). Raise n_tables / lower n_planes, or pass "
-            f"candidates='exact' for exact (quadratic) candidates.",
-            stacklevel=2,
-        )
+        theta = math.acos(max(min(threshold, 1.0), -1.0))
+        p_table = (1.0 - theta / math.pi) ** n_planes
+        miss = (1.0 - p_table) ** n_tables
+        if miss > 0.05:
+            warnings.warn(
+                f"embedding_communities: LSH candidates with n_planes="
+                f"{n_planes}, n_tables={n_tables} miss a boundary pair at "
+                f"cosine={threshold} with probability ~{miss:.0%} (missed "
+                f"edges can split communities). Raise n_tables / lower "
+                f"n_planes, or pass candidates='exact' for exact "
+                f"(quadratic) candidates.",
+                stacklevel=2,
+            )
     from sgpt_spark.operators.dedup import connected_components
 
     e1 = embeddings.select(

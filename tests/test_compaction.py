@@ -214,6 +214,62 @@ def test_merge_disjoint_runs_is_verbatim_append():
     )
 
 
+def test_merge_partition_arrow_incremental_flush(monkeypatch):
+    """The partition merger must NOT require the whole partition in
+    memory: with a tiny accumulation chunk it flushes complete groups
+    per batch and carries the trailing group — output must equal the
+    single-shot merge (groups split across batch boundaries included)."""
+    import numpy as np
+    import pyarrow as pa
+
+    import sgpt_spark.operators.indexer as ix
+    from sgpt_spark.functions.compress import decode_blocks, encode_blocks
+
+    rng = np.random.default_rng(13)
+    rows = []  # (term, seg, df, max_tf, min_dl, blocks) sorted by (term, seg)
+    base = 0
+    for t in range(12):
+        for run in range(4):  # 4 doc-disjoint source rows per merged group
+            n = int(rng.integers(3, 200))
+            ids = base + np.sort(rng.choice(5_000, n, replace=False)).astype(np.int64)
+            base = int(ids[-1]) + 1
+            tfs = (ids % 7 + 1).astype(np.uint64)
+            dls = (ids % 50 + 10).astype(np.uint64)
+            rows.append((f"t{t:03d}", 0, n, int(tfs.max()), int(dls.min()),
+                         encode_blocks(ids, tfs, dls, presorted=True)))
+
+    def batch(rs):
+        return pa.RecordBatch.from_arrays(
+            [
+                pa.array([r[0] for r in rs], pa.string()),
+                pa.array([r[1] for r in rs], pa.int32()),
+                pa.array([r[2] for r in rs], pa.int64()),
+                pa.array([r[3] for r in rs], pa.int64()),
+                pa.array([r[4] for r in rs], pa.int64()),
+                pa.array([r[5] for r in rs]),
+            ],
+            names=["term", "_new_seg", "df", "max_tf", "min_dl", "blocks"],
+        )
+
+    def run_merge(batches):
+        out = {}
+        for rb in ix._merge_partition_arrow(iter(batches), "varint"):
+            for row in rb.to_pylist():
+                d, tf, dl = decode_blocks(row["blocks"])
+                out[(row["term"], row["segment"])] = (
+                    row["df"], row["max_tf"], row["min_dl"],
+                    d.tolist(), tf.tolist(), dl.tolist(),
+                )
+        return out
+
+    single = run_merge([batch(rows)])
+    # tiny chunk: flush after every ~5 rows, groups straddle batches
+    monkeypatch.setattr(ix, "_MERGE_CHUNK_ROWS", 5)
+    split_batches = [batch(rows[i : i + 3]) for i in range(0, len(rows), 3)]
+    incremental = run_merge(split_batches)
+    assert incremental == single and len(single) == 12
+
+
 def test_merge_runs_streaming_bounded_peak_and_identity():
     """Adversarial head term (appears in EVERY doc) merged from many
     runs into one target segment: the streaming merge must produce the

@@ -88,6 +88,18 @@ def test_batch_block_encode_matches_single_buffer_encode():
             assert blk["doc_deltas"] == pfor_encode(np.diff(d).astype(np.uint64))
 
 
+def test_pfor_buffers_beyond_u16_positions():
+    """Buffers longer than 65536 values must still round-trip: u16
+    exception positions would wrap, so such buffers are forced onto
+    exception-free widths (round-4 review regression)."""
+    v = np.ones(70_001, dtype=np.uint64)
+    v[70_000] = np.uint64(2**50)  # outlier whose position exceeds 0xFFFF
+    assert np.array_equal(pfor_decode(pfor_encode(v), len(v)), v)
+    v2 = np.ones(65_536, dtype=np.uint64)
+    v2[65_535] = np.uint64(2**50)  # boundary: position 0xFFFF still fits
+    assert np.array_equal(pfor_decode(pfor_encode(v2), len(v2)), v2)
+
+
 def test_pfor_all_zero_and_all_huge():
     z = np.zeros(100, dtype=np.uint64)
     assert np.array_equal(pfor_decode(pfor_encode(z), 100), z)

@@ -1075,10 +1075,18 @@ def _merge_rows_arrow(tbl, codec: str):
 
     n_groups = len(gs)
     group_id = np.repeat(np.arange(n_groups, dtype=np.int64), ge - gs)
-    # row first/last doc fences, guarded for sentinel rows (0 blocks)
-    safe_lo = np.minimum(offs[:-1], max(len(b_first) - 1, 0))
-    row_first = np.where(row_nb > 0, b_first[safe_lo], -1)
-    row_last = np.where(row_nb > 0, b_last[np.maximum(offs[1:] - 1, 0)], -1)
+    # row first/last doc fences, guarded for sentinel rows (0 blocks) —
+    # including the ALL-sentinel partition, whose block child array is
+    # EMPTY and must not be indexed at all (latent crash whenever the
+    # (null-term, seg) keys hashed into a partition with no term keys;
+    # AQE partition coalescing made it appear run-dependent)
+    if len(b_first):
+        safe_lo = np.minimum(offs[:-1], len(b_first) - 1)
+        row_first = np.where(row_nb > 0, b_first[safe_lo], -1)
+        row_last = np.where(row_nb > 0, b_last[np.maximum(offs[1:] - 1, 0)], -1)
+    else:
+        row_first = np.full(nrows, -1, dtype=np.int64)
+        row_last = np.full(nrows, -1, dtype=np.int64)
     # rows in (group, first_doc) order — the doc order of every merge;
     # one lexsort for the whole partition instead of a per-group argsort
     order_all = np.lexsort((row_first, group_id))

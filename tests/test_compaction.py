@@ -270,6 +270,47 @@ def test_merge_partition_arrow_incremental_flush(monkeypatch):
     assert incremental == single and len(single) == 12
 
 
+def test_merge_partition_arrow_sentinel_only_partition():
+    """A shuffle partition holding ONLY sentinel stats rows (blocks all
+    empty -> EMPTY block child array) must merge without touching block
+    fences — the (null-term, seg) hash keys routinely land in a
+    partition with no term keys (round-4 flake root cause)."""
+    import pyarrow as pa
+
+    import sgpt_spark.operators.indexer as ix
+
+    rb = pa.RecordBatch.from_arrays(
+        [
+            pa.array([None, None, None], pa.string()),
+            pa.array([0, 0, 1], pa.int32()),
+            pa.array([10, 20, 5], pa.int64()),
+            pa.array([100, 200, 50], pa.int64()),
+            pa.array([99, 199, 49], pa.int64()),
+            pa.array(
+                [[], [], []],
+                pa.list_(pa.struct([
+                    pa.field("first_doc", pa.int64()),
+                    pa.field("last_doc", pa.int64()),
+                    pa.field("count", pa.int32()),
+                    pa.field("max_tf", pa.int64()),
+                    pa.field("min_dl", pa.int64()),
+                    pa.field("doc_deltas", pa.binary()),
+                    pa.field("tfs", pa.binary()),
+                    pa.field("dls", pa.binary()),
+                ])),
+            ),
+        ],
+        names=["term", "_new_seg", "df", "max_tf", "min_dl", "blocks"],
+    )
+    out = [row for b in ix._merge_partition_arrow(iter([rb]), "varint")
+           for row in b.to_pylist()]
+    got = {(r["term"], r["segment"]): (r["df"], r["max_tf"], r["min_dl"])
+           for r in out}
+    # sentinels merge additively: df/token totals sum, max doc id maxes
+    assert got == {(None, 0): (30, 300, 199), (None, 1): (5, 50, 49)}
+    assert all(r["blocks"] == [] for r in out)
+
+
 def test_merge_runs_streaming_bounded_peak_and_identity():
     """Adversarial head term (appears in EVERY doc) merged from many
     runs into one target segment: the streaming merge must produce the

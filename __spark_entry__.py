@@ -500,12 +500,17 @@ def _q_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_dense_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Dense path (reference entry point B): stub-encode corpus+queries,
-    exact cosine top-k (rows-only: the hash encoder isn't SQL)."""
+    """Dense path (reference entry point B), fully value-gated: the
+    md5-arithmetic stub encoder's pre-normalization embedding is exact
+    int64 num/den, so DuckDB reproduces it bit-for-bit (encode.py
+    md5_embedding_sql) and the whole encode -> cosine-top-k lifecycle
+    (custommodels/exact_search.py:34-134) is oracle-checked. Empty docs
+    are filtered (zero vectors have no cosine)."""
+    from sgpt_spark.operators.corpus import non_empty_text
     from sgpt_spark.operators.encode import encode_corpus, encode_queries
     from sgpt_spark.operators.similarity import cosine_topk
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = non_empty_text(load_table(spark, sf_dir, "documents"))
     emb = encode_corpus(docs)
     qemb = encode_queries(derived_queries(docs))
     return cosine_topk(emb, qemb, k=10)
@@ -716,6 +721,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customers_without_orders": _q_cust_no_orders,
         "user_running_value": _q_running_value,
         "event_type_counts": _q_event_type_counts,
+        # md5-arithmetic stub encoder -> cosine: fully value-gated as of
+        # round 5 (encode.py md5_embedding_sql — the pre-normalization
+        # embedding is exact int64 num/den in both engines)
+        "dense_cosine_topk": _q_dense_cosine,
         # ---- rows-only tail (no oracle_sql by nature: approximate /
         # stub-backed / hash-dependent). The driver checks the first 50
         # registry entries, so this tail is ranked by uniqueness of the
@@ -724,7 +733,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # pipelines (minhash_lsh_pairs, near_dup_pairs, simhash pairs,
         # rolling fingerprints) are exercised by pytest equality tests
         # and no longer take registry slots. ----
-        "dense_cosine_topk": _q_dense_cosine,       # hash encoder (stub, declared)
         "ivf_cosine_topk": _q_ivf_topk,             # approximate (gated twin: ivf_full_probe_topk)
         "lsh_cosine_topk": _q_lsh_cosine_topk,      # approximate (gated twin: cosine_topk)
         "media_image_features": _q_media_features,  # stub decoder
@@ -1146,6 +1154,36 @@ ranked AS (
 SELECT qid, vec_id, score, CAST(rnk AS INTEGER) AS rank FROM ranked WHERE rnk <= 10
 """
 
+# Full dense lifecycle oracle: md5-arithmetic stub embeddings (exact
+# int64 num/den — bit-identical to encode.embed_text_py before its L2
+# normalization, which cosine similarity is invariant to) for the
+# non-empty corpus and the derived query set, then cosine top-10 ranked
+# on the 6-dp-rounded score with id-asc ties (the engine-wide contract).
+def _dense_cosine_sql() -> str:
+    from sgpt_spark.operators.encode import md5_embedding_sql
+
+    return f"""
+WITH nd AS (
+  SELECT doc_id, text FROM documents
+  WHERE text IS NOT NULL AND length(trim(text)) > 0
+),
+qd AS ({QUERIES_SQL}),
+{md5_embedding_sql('de', 'nd', 'doc_id', 'text', out_id='vec_id')[1:]},
+{md5_embedding_sql('qe', 'qd', 'qid', 'query', out_id='qid')[1:]},
+scored AS (
+  SELECT q.qid, d.vec_id,
+         round(list_cosine_similarity(d.e, q.e), 6) AS score
+  FROM de_emb d CROSS JOIN qe_emb q
+),
+ranked AS (
+  SELECT qid, vec_id, score,
+         row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id ASC) AS rnk
+  FROM scored
+)
+SELECT qid, vec_id, score, CAST(rnk AS INTEGER) AS rank FROM ranked WHERE rnk <= 10
+"""
+
+
 _DOT_SQL = """
 WITH q AS (
   SELECT vec_id AS qid, embedding::DOUBLE[] AS qe
@@ -1477,6 +1515,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard_pairs": _NGRAM_SQL,
         "dot_topk": _DOT_SQL,
         "dense_join_topk": _COSINE_SQL,
+        "dense_cosine_topk": _dense_cosine_sql(),
         "paraphrase_mining_top": _PARAPHRASE_SQL,
         "dedup_clusters": _DEDUP_CLUSTERS_SQL,
         "average_precision_global": _AP_SQL,

@@ -97,7 +97,8 @@ def test_encode_deterministic_and_normalized(spark, corpus_queries):
     # UDF output == python twin
     one = docs.limit(1).collect()[0]
     got = [r for r in rows if r["vec_id"] == one["doc_id"]][0]
-    assert np.allclose(got["embedding"], embed_text_py(one["text"]).astype(np.float32), atol=1e-6)
+    # exact: the md5-arithmetic embedding is float64 end-to-end
+    assert np.asarray(got["embedding"]).tolist() == embed_text_py(one["text"]).tolist()
 
 
 def test_dense_pipeline_end_to_end(spark, corpus_queries):
@@ -124,3 +125,49 @@ def test_dense_pipeline_end_to_end(spark, corpus_queries):
         assert all(-1.0 - 1e-6 <= h[2] <= 1.0 + 1e-6 for h in hits)
     rows2 = sorted(map(tuple, run.collect()))
     assert rows2 == sorted(map(tuple, rows))  # deterministic re-run
+
+
+def test_md5_embedding_duckdb_twin_bit_exact():
+    """The SQL twin (encode.md5_embedding_sql) reproduces the Spark
+    stub's pre-normalization embedding BIT-FOR-BIT: both sides compute
+    exact int64 num/den and one IEEE division. Normalizing the DuckDB
+    vector then matches embed_text_py to fp-noise only."""
+    import duckdb
+
+    from sgpt_spark.operators.encode import DIM, md5_embedding_sql
+
+    texts = [
+        (1, "hello world foo bar"),
+        (2, "a  b   c"),
+        (3, "single"),
+        (4, "repeat repeat repeat xyz " * 40),
+    ]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", texts)
+    sql = (
+        "WITH "
+        + md5_embedding_sql("d", "t", "doc_id", "text")[1:]
+        + "\nSELECT vec_id, e FROM d_emb ORDER BY vec_id"
+    )
+    by_id = dict(texts)
+    rows = con.execute(sql).fetchall()
+    assert len(rows) == len(texts)
+    import hashlib
+
+    for vid, e in rows:
+        toks = [x for x in by_id[vid].split(" ") if x]
+        num = np.zeros(DIM, dtype=np.int64)
+        for i, tk in enumerate(toks, 1):
+            num += i * np.array(
+                [
+                    int(hashlib.md5(f"{tk}:{d}".encode()).hexdigest()[:8], 16) - 2**31
+                    for d in range(DIM)
+                ],
+                dtype=np.int64,
+            )
+        den = len(toks) * (len(toks) + 1) // 2
+        exact = (num.astype(np.float64) / float(den)).tolist()
+        assert list(e) == exact  # bit-for-bit
+        en = np.asarray(e) / np.linalg.norm(e)
+        assert np.allclose(en, embed_text_py(by_id[vid]), atol=1e-12)

@@ -801,6 +801,7 @@ def merge_runs_streaming(
         pend_t: list = []
         pend_l: list = []
         pend_n = 0
+        peak_fast = 0
 
         def flush_short() -> None:
             nonlocal pend_d, pend_t, pend_l, pend_n
@@ -828,11 +829,15 @@ def merge_runs_streaming(
                     pend_t.append(decode_column(blk["tfs"], blk["count"], codec))
                     pend_l.append(decode_column(blk["dls"], blk["count"], codec))
                     pend_n += blk["count"]
+                    peak_fast = max(peak_fast, pend_n)
                     if pend_n >= block_size:
                         flush_short()
         flush_short()
         if _peak_out is not None:
-            _peak_out.append(2 * block_size)  # pend never exceeds this
+            # measured, not asserted: for uniformly-encoded runs this is
+            # <= 2*block_size, but an input run encoded with a LARGER
+            # block size decodes whole oversized blocks into pend
+            _peak_out.append(max(peak_fast, 1))
         return out
     bi = [0] * k          # next block index to decode, per run
     pos = [0] * k         # consumed offset into the decoded buffer

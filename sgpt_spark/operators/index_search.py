@@ -649,7 +649,7 @@ def search_multifield_index_join(
     ``search_index_join``.
     """
     from sgpt_spark.functions.analyzer import resolve_jvm_analyzer
-    from sgpt_spark.operators.search import query_terms, score_candidates
+    from sgpt_spark.operators.search import dismax_combine, query_terms, score_candidates
     from sgpt_spark.operators.stats import CorpusStats
 
     fields, idx, analyzer = _load_multifield(spark, path, fields)
@@ -676,6 +676,10 @@ def search_multifield_index_join(
             dfs = tstats_f
         else:
             dfs = postings_f.groupBy("term").agg(F.sum("df").alias("df"))
+        # term-level partials, field-tagged: the per-field sum and the
+        # cross-field dis-max combine then share ONE groupBy shuffle
+        # (dismax_combine) instead of |fields| groupBys + a re-shuffle
+        # of the unioned per-field score relations.
         scored = score_candidates(
             flat,
             qt,
@@ -684,15 +688,11 @@ def search_multifield_index_join(
             k1=k1,
             b=b,
             broadcast_queries=False,
-        )
+            aggregate=False,
+        ).withColumn("field", F.lit(f))
         per_field = scored if per_field is None else per_field.unionByName(scored)
 
-    combined = per_field.groupBy("qid", "doc_id").agg(
-        (
-            F.max("score")
-            + F.lit(float(tie_breaker)) * (F.sum("score") - F.max("score"))
-        ).alias("score")
-    )
+    combined = dismax_combine(per_field, fields, tie_breaker)
     if exclude_self:
         combined = combined.filter(F.col("doc_id") != F.col("qid"))
     return topk_per_group(combined, k=k).select("qid", "doc_id", "score", "rank")

@@ -995,9 +995,31 @@ def _merge_partition_arrow(batches, codec: str):
 
     pend: list = []
     pend_rows = 0
+    # One group can span many accumulation chunks (a df~N head term).
+    # Once a full buffer turns out to be a single group, switch to
+    # constant-work-per-batch accumulation: remember the group key and
+    # only scan each NEW batch for the first key change, instead of
+    # re-combining and re-scanning the whole growing buffer (which was
+    # O(chunks^2) copying — round-4 advice).
+    giant: list = []
+    giant_key: tuple | None = None
     for b in batches:
         if b.num_rows == 0:
             continue
+        if giant_key is not None:
+            p = _first_key_change(b, giant_key)
+            if p is None:
+                giant.append(b)
+                continue
+            if p > 0:
+                giant.append(b.slice(0, p))
+            yield from _merge_rows_arrow(
+                pa.Table.from_batches(giant).combine_chunks(), codec
+            )
+            giant, giant_key = [], None
+            b = b.slice(p)
+            if b.num_rows == 0:
+                continue
         pend.append(b)
         pend_rows += b.num_rows
         if pend_rows < _MERGE_CHUNK_ROWS:
@@ -1005,17 +1027,42 @@ def _merge_partition_arrow(batches, codec: str):
         tbl = pa.Table.from_batches(pend).combine_chunks()
         cut = _last_group_start(tbl)
         if cut == 0:
-            # the whole buffer is one giant group — keep accumulating
-            # (its merge is bounded by the per-regime contracts above)
-            pend = tbl.to_batches()
+            # the whole buffer is one giant group — its merge stays
+            # bounded by the per-regime contracts above
+            giant = tbl.to_batches()
+            giant_key = _key_at(tbl, 0)
+            pend, pend_rows = [], 0
             continue
         yield from _merge_rows_arrow(tbl.slice(0, cut), codec)
         pend = tbl.slice(cut).to_batches()
         pend_rows = tbl.num_rows - cut
-    if pend:
-        tbl = pa.Table.from_batches(pend).combine_chunks()
+    tail = giant or pend  # mutually exclusive by construction
+    if tail:
+        tbl = pa.Table.from_batches(tail).combine_chunks()
         if tbl.num_rows:
             yield from _merge_rows_arrow(tbl, codec)
+
+
+def _key_at(tbl, i: int) -> tuple:
+    """(term-or-None, new segment) group key of row ``i``."""
+    return (tbl.column("term")[i].as_py(), tbl.column("_new_seg")[i].as_py())
+
+
+def _first_key_change(batch, key: tuple) -> "int | None":
+    """Index of the first row of ``batch`` whose (term, _new_seg) key
+    differs from ``key``, or None if every row matches."""
+    import pyarrow.compute as pc
+
+    term, seg = key
+    tcol = batch.column("term")
+    if term is None:
+        tmatch = pc.is_null(tcol)
+    else:
+        tmatch = pc.fill_null(pc.equal(tcol, term), False)
+    smatch = pc.fill_null(pc.equal(batch.column("_new_seg"), seg), False)
+    m = pc.and_(tmatch, smatch).to_numpy(zero_copy_only=False)
+    nz = np.flatnonzero(~m)
+    return int(nz[0]) if len(nz) else None
 
 
 def _group_keys(tbl) -> "tuple[np.ndarray, np.ndarray]":
@@ -1110,7 +1157,8 @@ def _merge_rows_arrow(tbl, codec: str):
     g_mdl_max = np.maximum.reduceat(row_mdl, gs)
 
     sentinel = idx[gs] == -1
-    block_size = 128
+    from sgpt_spark.functions.compress import BLOCK_SIZE as block_size
+
     small_frag = (g_nb * block_size > 2 * g_cnt + block_size) & (
         g_cnt <= _REENCODE_MAX
     )

@@ -60,8 +60,12 @@ def score_candidates(
     k1: float = K1,
     b: float = B,
     broadcast_queries: bool = True,
+    aggregate: bool = True,
 ) -> DataFrame:
     """-> (qid, doc_id, score): BM25 over every (query, matching doc).
+    With ``aggregate=False``, returns the term-level (qid, doc_id,
+    partial) rows un-summed so a caller can fold several relations into
+    one grouped aggregation (see ``dismax_combine``).
 
     ``qterms`` and ``dfs``-restricted-to-query-terms are both tiny ->
     broadcast; the big postings relation is filtered by the join without
@@ -83,7 +87,38 @@ def score_candidates(
             )
         ).alias("partial"),
     )
+    if not aggregate:
+        return partial
     return partial.groupBy("qid", "doc_id").agg(F.sum("partial").alias("score"))
+
+
+def dismax_combine(
+    partials: DataFrame, fields: tuple[str, ...], tie_breaker: float
+) -> DataFrame:
+    """(qid, doc_id, field, partial) term-level rows -> (qid, doc_id,
+    score) with the ES best_fields combine max + tie_breaker*(sum-max)
+    in ONE groupBy: per-field sums come from conditional aggregation
+    (sum(when(field=f))), so the per-field aggregate and the cross-field
+    combine share a single shuffle instead of one per field plus one.
+    BM25 partials are strictly positive (Lucene idf > 0), so a missing
+    field coalesces to 0 without changing max or sum."""
+    sums = [
+        F.coalesce(
+            F.sum(F.when(F.col("field") == f, F.col("partial"))), F.lit(0.0)
+        ).alias(f"_s{i}")
+        for i, f in enumerate(fields)
+    ]
+    g = partials.groupBy("qid", "doc_id").agg(*sums)
+    scols = [F.col(f"_s{i}") for i in range(len(fields))]
+    mx = F.greatest(*scols) if len(scols) > 1 else scols[0]
+    total = scols[0]
+    for c in scols[1:]:
+        total = total + c
+    return g.select(
+        "qid",
+        "doc_id",
+        (mx + F.lit(float(tie_breaker)) * (total - mx)).alias("score"),
+    )
 
 
 def bm25_search(
@@ -214,15 +249,7 @@ def bm25_multifield_search(
             )
         ).alias("partial"),
     )
-    fieldscore = partial.groupBy("qid", "doc_id", "field").agg(
-        F.sum("partial").alias("fscore")
-    )
-    combined = fieldscore.groupBy("qid", "doc_id").agg(
-        (
-            F.max("fscore")
-            + F.lit(float(tie_breaker)) * (F.sum("fscore") - F.max("fscore"))
-        ).alias("score")
-    )
+    combined = dismax_combine(partial, fields, tie_breaker)
     if exclude_self:
         combined = combined.filter(F.col("doc_id") != F.col("qid"))
     return topk_per_group(combined, k=k).select("qid", "doc_id", "score", "rank")

@@ -270,6 +270,84 @@ def test_merge_partition_arrow_incremental_flush(monkeypatch):
     assert incremental == single and len(single) == 12
 
 
+def test_merge_partition_arrow_giant_group_spanning_batches(monkeypatch):
+    """A single (term, seg) group spanning MANY accumulation chunks (a
+    df~N head term) takes the constant-work-per-batch giant-group path
+    (round-4 advice: no O(chunks^2) buffer re-scans) and must merge
+    identically — including when the group ends mid-batch, when the
+    giant is a NULL-term sentinel run, and when the partition ends
+    inside the giant."""
+    import numpy as np
+    import pyarrow as pa
+
+    import sgpt_spark.operators.indexer as ix
+    from sgpt_spark.functions.compress import decode_blocks, encode_blocks
+
+    rng = np.random.default_rng(7)
+
+    def term_row(term, seg, lo, n):
+        ids = lo + np.sort(rng.choice(10_000, n, replace=False)).astype(np.int64)
+        tfs = (ids % 5 + 1).astype(np.uint64)
+        dls = (ids % 30 + 8).astype(np.uint64)
+        return (term, seg, n, int(tfs.max()), int(dls.min()),
+                encode_blocks(ids, tfs, dls, presorted=True)), int(ids[-1]) + 1
+
+    rows = []
+    base = 0
+    for _ in range(40):  # head term: 40 doc-disjoint runs, ONE group
+        r, base = term_row("head", 0, base, int(rng.integers(5, 60)))
+        rows.append(r)
+    r, _ = term_row("tail", 0, 0, 20)  # group ends mid-batch before this
+    rows.append(r)
+    # trailing NULL-term sentinel giant (partition ends inside it)
+    rows += [(None, 1, 10 + i, 100 + i, 50 - i, []) for i in range(12)]
+
+    def batch(rs):
+        return pa.RecordBatch.from_arrays(
+            [
+                pa.array([r[0] for r in rs], pa.string()),
+                pa.array([r[1] for r in rs], pa.int32()),
+                pa.array([r[2] for r in rs], pa.int64()),
+                pa.array([r[3] for r in rs], pa.int64()),
+                pa.array([r[4] for r in rs], pa.int64()),
+                pa.array([r[5] for r in rs], batch_blocks_type()),
+            ],
+            names=["term", "_new_seg", "df", "max_tf", "min_dl", "blocks"],
+        )
+
+    def batch_blocks_type():
+        return pa.list_(pa.struct([
+            pa.field("first_doc", pa.int64()),
+            pa.field("last_doc", pa.int64()),
+            pa.field("count", pa.int32()),
+            pa.field("max_tf", pa.int64()),
+            pa.field("min_dl", pa.int64()),
+            pa.field("doc_deltas", pa.binary()),
+            pa.field("tfs", pa.binary()),
+            pa.field("dls", pa.binary()),
+        ]))
+
+    def run_merge(batches):
+        out = {}
+        for rb in ix._merge_partition_arrow(iter(batches), "varint"):
+            for row in rb.to_pylist():
+                d, tf, dl = decode_blocks(row["blocks"])
+                out[(row["term"], row["segment"])] = (
+                    row["df"], row["max_tf"], row["min_dl"],
+                    d.tolist(), tf.tolist(), dl.tolist(),
+                )
+        return out
+
+    single = run_merge([batch(rows)])
+    monkeypatch.setattr(ix, "_MERGE_CHUNK_ROWS", 4)
+    for bs in (2, 3, 7):  # group boundaries land at different offsets
+        split = [batch(rows[i : i + bs]) for i in range(0, len(rows), bs)]
+        assert run_merge(split) == single
+    assert set(single) == {("head", 0), ("tail", 0), (None, 1)}
+    # the head group really merged all 40 runs
+    assert single[("head", 0)][0] == sum(r[2] for r in rows if r[0] == "head")
+
+
 def test_merge_partition_arrow_sentinel_only_partition():
     """A shuffle partition holding ONLY sentinel stats rows (blocks all
     empty -> EMPTY block child array) must merge without touching block

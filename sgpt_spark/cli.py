@@ -9,7 +9,9 @@ Subcommands:
                --out <run_dir> [--k K] [--exclude-self]
   evaluate     --run <results parquet> --qrels <qrels.tsv|parquet> [--k K]
                [--k-values 1,3,5,10,100,1000]
-  compact      --index <index_dir> --target-segments N   (segment merge)
+  compact      --index <index_dir> (--target-segments N | --auto
+               [--max-segments M] [--min-postings P])   (segment merge;
+               --auto lets the tiered size policy pick, or decline)
   dedup        --docs <parquet> --out <dir> [--method exact|minhash|
                simhash|clusters] [--threshold J]
   profile      --docs <parquet> --out <dir>   (per-doc text profile)
@@ -116,8 +118,25 @@ def cmd_evaluate(args) -> None:
 def cmd_compact(args) -> None:
     import os
 
+    if (args.target_segments is None) == (not args.auto):
+        raise SystemExit("compact: pass exactly one of --target-segments or --auto")
     spark = _spark("sgpt-compact")
-    if os.path.exists(os.path.join(args.index, "fields.json")):
+    multifield = os.path.exists(os.path.join(args.index, "fields.json"))
+    if args.auto:
+        # policy-driven (Lucene TieredMergePolicy role): merge only when
+        # the index is oversharded or has underfull append segments
+        from sgpt_spark.operators.compaction_policy import (
+            auto_compact_index,
+            auto_compact_multifield_index,
+        )
+
+        fn = auto_compact_multifield_index if multifield else auto_compact_index
+        n = fn(spark, args.index, max_segments=args.max_segments,
+               min_postings=args.min_postings)
+        if n is None:
+            print(f"{args.index}: healthy (policy: no merge needed)")
+            return
+    elif multifield:
         # multifield layout: one shared bucket mapping across all field
         # indexes (independent per-field compaction would break the
         # co-segmentation invariant and is refused by compact_index)
@@ -254,7 +273,11 @@ def main(argv: list[str] | None = None) -> None:
 
     cp = sub.add_parser("compact")
     cp.add_argument("--index", required=True)
-    cp.add_argument("--target-segments", type=int, required=True)
+    cp.add_argument("--target-segments", type=int, default=None)
+    cp.add_argument("--auto", action="store_true",
+                    help="size-based policy picks the merge (or declines)")
+    cp.add_argument("--max-segments", type=int, default=32)
+    cp.add_argument("--min-postings", type=int, default=10_000)
     cp.set_defaults(fn=cmd_compact)
 
     br = sub.add_parser("beir")

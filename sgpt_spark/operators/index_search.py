@@ -188,6 +188,35 @@ def deterministic_topk(
     return order[:k]
 
 
+def _emit_topk_frame(parts: list) -> pd.DataFrame:
+    """[(qid, doc_ids int64[], scores float64[])] -> one (qid, doc_id,
+    score) frame assembled from numpy blocks. At k=1000 a segment emits
+    ~|queries| x k rows; building them via list.extend + .tolist()
+    boxes every cell into a Python object (measured ~half the deep-k
+    segment wall) — np.repeat/np.concatenate keeps the columns as two
+    primitive arrays plus one qid array."""
+    if not parts:
+        return pd.DataFrame(
+            {
+                "qid": pd.Series([], dtype=object),
+                "doc_id": pd.Series([], dtype="int64"),
+                "score": pd.Series([], dtype="float64"),
+            }
+        )
+    counts = np.fromiter((len(p[1]) for p in parts), dtype=np.int64, count=len(parts))
+    qvals = [p[0] for p in parts]
+    qkeys = np.asarray(qvals)
+    if qkeys.dtype.kind not in "iufUS":
+        qkeys = np.asarray(qvals, dtype=object)
+    return pd.DataFrame(
+        {
+            "qid": np.repeat(qkeys, counts),
+            "doc_id": np.concatenate([p[1] for p in parts]),
+            "score": np.concatenate([p[2] for p in parts]),
+        }
+    )
+
+
 def search_index(
     spark: SparkSession,
     postings: DataFrame,
@@ -327,7 +356,7 @@ def search_index(
             # builders, but possible with external ids): dense
             # accumulators would waste memory — fall back to per-query
             # concatenate+bincount for this segment.
-            out_qid, out_doc, out_score = [], [], []
+            parts = []
             for qid, tws in b_queries.value.items():
                 present = [(t, w) for t, w in tws if t in decoded]
                 if not present:
@@ -337,12 +366,10 @@ def search_index(
                 uniq, inv = np.unique(docs_cat, return_inverse=True)
                 scores = np.round(np.bincount(inv, weights=w_cat), SCORE_DECIMALS)
                 order = deterministic_topk(uniq, scores, kk)
-                out_qid.extend([qid] * len(order))
-                out_doc.extend(uniq[order].tolist())
-                out_score.extend(scores[order].tolist())
-            yield pd.DataFrame({"qid": out_qid, "doc_id": out_doc, "score": out_score})
+                parts.append((qid, uniq[order], scores[order]))
+            yield _emit_topk_frame(parts)
             return
-        out_qid, out_doc, out_score = [], [], []
+        parts = []
         nq = len(qids_b)
         for clo in range(0, nq, QUERY_CHUNK):
             chi = min(clo + QUERY_CHUNK, nq)
@@ -365,13 +392,11 @@ def search_index(
                 scores = np.round(row[nz], SCORE_DECIMALS)
                 ids = (nz + lo_doc).astype(np.int64)
                 order = deterministic_topk(ids, scores, kk)
-                out_qid.extend([qids_b[clo + r]] * len(order))
-                out_doc.extend(ids[order].tolist())
-                out_score.extend(scores[order].tolist())
-        yield pd.DataFrame({"qid": out_qid, "doc_id": out_doc, "score": out_score})
+                parts.append((qids_b[clo + r], ids[order], scores[order]))
+        yield _emit_topk_frame(parts)
 
     def score_segment(pdf: pd.DataFrame) -> pd.DataFrame:
-        out_qid, out_doc, out_score = [], [], []
+        parts = []
         if strategy == "wand":
             from sgpt_spark.operators.wand import TermPostings, maxscore_topk
 
@@ -388,9 +413,7 @@ def search_index(
                     continue
                 scores = np.round(scores_raw, SCORE_DECIMALS)
                 order = deterministic_topk(uniq, scores, kk)
-                out_qid.extend([qid] * len(order))
-                out_doc.extend(uniq[order].tolist())
-                out_score.extend(scores[order].tolist())
+                parts.append((qid, uniq[order], scores[order]))
         else:
             offs, d_all, tf_all, dl_all = decode_many(list(pdf["blocks"]), codec)
             tfn_all = tf_all.astype(np.float64) / (
@@ -410,10 +433,8 @@ def search_index(
                 uniq, inv = np.unique(docs_cat, return_inverse=True)
                 scores = np.round(np.bincount(inv, weights=w_cat), SCORE_DECIMALS)
                 order = deterministic_topk(uniq, scores, kk)
-                out_qid.extend([qid] * len(order))
-                out_doc.extend(uniq[order].tolist())
-                out_score.extend(scores[order].tolist())
-        return pd.DataFrame({"qid": out_qid, "doc_id": out_doc, "score": out_score})
+                parts.append((qid, uniq[order], scores[order]))
+        return _emit_topk_frame(parts)
 
     if strategy == "taat":
         # mapInPandas over segment-partitioned postings: build_postings
@@ -569,7 +590,7 @@ def search_multifield_index(
             dl = dl_all[s:e].astype(np.float64)
             tfn = tf / (tf + k1 * (1.0 - b + b * dl / av[fld]))
             decoded.setdefault(fld, {})[term] = (d_all[s:e], tfn)
-        out_qid, out_doc, out_score = [], [], []
+        parts = []
         for qid, by_field in b_queries.value.items():
             fscores = []  # [(ids, scores)] per field with any match
             for fld, tws in by_field.items():
@@ -599,10 +620,8 @@ def search_multifield_index(
                 combined = mx + tie * (mat.sum(axis=0) - mx)
             scores = np.round(combined, SCORE_DECIMALS)
             order = deterministic_topk(all_ids, scores, kk)
-            out_qid.extend([qid] * len(order))
-            out_doc.extend(all_ids[order].tolist())
-            out_score.extend(scores[order].tolist())
-        return pd.DataFrame({"qid": out_qid, "doc_id": out_doc, "score": out_score})
+            parts.append((qid, all_ids[order].astype(np.int64), scores[order]))
+        return _emit_topk_frame(parts)
 
     seg_topk = cand.groupBy("segment").applyInPandas(
         lambda _key, pdf: score_segment_mf(pdf), schema=seg_schema

@@ -39,7 +39,10 @@ EPS = 1e-6
 class TermPostings:
     """Lazily-decoded posting list of one term within one segment."""
 
-    __slots__ = ("blocks", "k1", "b", "avgdl", "first", "last", "bmax", "_cache", "codec")
+    __slots__ = (
+        "blocks", "k1", "b", "avgdl", "first", "last", "bmax", "_cache",
+        "codec", "_full",
+    )
 
     def __init__(
         self, blocks: list, k1: float, b: float, avgdl: float, codec: str = "varint"
@@ -57,6 +60,7 @@ class TermPostings:
         mdl = np.array([blk["min_dl"] for blk in blocks], dtype=np.float64)
         self.bmax = mtf / (mtf + k1 * (1.0 - b + b * mdl / avgdl))
         self._cache: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+        self._full: tuple[np.ndarray, np.ndarray] | None = None
 
     @property
     def max_tfn(self) -> float:
@@ -79,17 +83,55 @@ class TermPostings:
         self._cache[i] = (docs, tfn)
         return docs, tfn
 
+    def full_decode(self) -> tuple[np.ndarray, np.ndarray]:
+        """(docs, tfn) of the WHOLE posting list, memoized. Reuses any
+        per-block decodes already cached."""
+        if self._full is None:
+            # len(), not truthiness — blocks arrive as numpy object
+            # arrays under applyInPandas (same caveat as
+            # merge_runs_streaming)
+            if not len(self.blocks):
+                self._full = (
+                    np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
+                )
+            else:
+                # one batched decode across ALL blocks (compress.
+                # decode_many), not a per-block loop — the same whole-
+                # column pass the TAAT scorer uses
+                from sgpt_spark.functions.compress import decode_many
+
+                _, docs, tfs, dls = decode_many([list(self.blocks)], self.codec)
+                tfs = tfs.astype(np.float64)
+                dls = dls.astype(np.float64)
+                tfn = tfs / (
+                    tfs + self.k1 * (1.0 - self.b + self.b * dls / self.avgdl)
+                )
+                self._full = (docs, tfn)
+        return self._full
+
     def candidate_docs(self, min_block_bound: float, weight: float) -> np.ndarray:
         """Docs from blocks whose weighted block-max can still matter:
         decode only blocks with weight * block_max >= min_block_bound."""
         keep = np.flatnonzero(weight * self.bmax >= min_block_bound)
         if len(keep) == 0:
             return np.empty(0, dtype=np.int64)
+        if 2 * len(keep) >= len(self.blocks):
+            docs, _ = self.full_decode()
+            if len(keep) == len(self.blocks):
+                return docs
         return np.concatenate([self.decode_block(int(i))[0] for i in keep])
 
     def lookup(self, doc_ids: np.ndarray) -> np.ndarray:
-        """tfn for each doc id (0.0 where absent); decodes only the
-        blocks whose [first, last] fence covers a requested id."""
+        """tfn for each doc id (0.0 where absent).
+
+        Deep-k regime (the k=1000 reference depth): the top-k threshold
+        stays below most block maxima, so a candidate batch touches
+        nearly EVERY block and the per-touched-block Python loop is pure
+        overhead (profiled at ~85% of segment WAND wall). When a call
+        would touch at least half the blocks, decode the whole list once
+        (memoized across the segment's queries) and answer with a single
+        vectorized searchsorted; otherwise keep the targeted per-block
+        path that block-max pruning relies on at shallow k."""
         out = np.zeros(len(doc_ids), dtype=np.float64)
         if len(doc_ids) == 0 or len(self.blocks) == 0:
             return out
@@ -97,7 +139,17 @@ class TermPostings:
         in_range = (blk_idx < len(self.blocks)) & (
             doc_ids >= self.first[np.minimum(blk_idx, len(self.blocks) - 1)]
         )
-        for bi in np.unique(blk_idx[in_range]):
+        touched = np.unique(blk_idx[in_range])
+        if self._full is not None or 2 * len(touched) >= len(self.blocks):
+            docs, tfn = self.full_decode()
+            if len(docs):
+                pos = np.searchsorted(docs, doc_ids)
+                ok = (pos < len(docs)) & (
+                    docs[np.minimum(pos, len(docs) - 1)] == doc_ids
+                )
+                out[ok] = tfn[pos[ok]]
+            return out
+        for bi in touched:
             sel = np.flatnonzero(in_range & (blk_idx == bi))
             docs, tfn = self.decode_block(int(bi))
             pos = np.searchsorted(docs, doc_ids[sel])

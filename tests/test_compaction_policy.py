@@ -1,0 +1,165 @@
+"""Tiered size-based compaction policy (round-4 advice #6): pure-math
+unit tests + an incremental-append -> auto-compact -> search-identity
+lifecycle test."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from sgpt_spark.operators.compaction_policy import (
+    auto_compact_index,
+    plan_compaction,
+    segment_postings_stats,
+)
+
+
+def _bucket_sizes(plan, sizes):
+    out: dict[int, int] = {}
+    for s, b in plan.items():
+        out[b] = out.get(b, 0) + sizes[s]
+    return out
+
+
+def test_policy_noop_when_healthy():
+    sizes = {0: 50_000, 1: 60_000, 2: 55_000}
+    assert plan_compaction(sizes, max_segments=8, min_postings=10_000) is None
+
+
+def test_policy_single_segment_never_merges():
+    assert plan_compaction({0: 5}, max_segments=1, min_postings=10_000) is None
+    assert plan_compaction({}, max_segments=4) is None
+
+
+def test_policy_merges_many_small_appends():
+    """The append shape: many tiny segments -> packed into few buckets,
+    each reaching the floor, adjacency (segment-id order) preserved."""
+    sizes = {s: 1_000 for s in range(20)}
+    plan = plan_compaction(sizes, max_segments=8, min_postings=5_000)
+    assert plan is not None
+    bsz = _bucket_sizes(plan, sizes)
+    assert len(bsz) <= 8
+    assert all(v >= 5_000 for v in bsz.values())
+    # adjacency: bucket ids are non-decreasing in segment-id order
+    buckets_in_order = [plan[s] for s in sorted(plan)]
+    assert buckets_in_order == sorted(buckets_in_order)
+    assert sorted(set(buckets_in_order)) == list(range(len(bsz)))
+
+
+def test_policy_oversized_segment_stays_alone():
+    sizes = {0: 1_000_000, 1: 2_000, 2: 2_000, 3: 2_000}
+    plan = plan_compaction(sizes, max_segments=8, min_postings=5_000)
+    assert plan is not None
+    assert [s for s, b in plan.items() if b == plan[0]] == [0]
+    # the three tiny ones merge together
+    assert len({plan[1], plan[2], plan[3]}) == 1
+
+
+def test_policy_tiny_tail_folds_into_neighbor():
+    sizes = {0: 50_000, 1: 300}
+    plan = plan_compaction(sizes, max_segments=8, min_postings=5_000)
+    assert plan == {0: 0, 1: 0}
+
+
+def test_policy_respects_max_segments():
+    sizes = {s: 100_000 for s in range(64)}
+    plan = plan_compaction(sizes, max_segments=16, min_postings=1_000)
+    assert plan is not None
+    assert len(set(plan.values())) <= 16
+
+
+def test_policy_rejects_bad_max():
+    with pytest.raises(ValueError):
+        plan_compaction({0: 1, 1: 1}, max_segments=0)
+
+
+def test_auto_compact_lifecycle(spark, tmp_path):
+    """build -> two appends (many tiny segments) -> auto_compact merges
+    them; search results identical; a second auto_compact is a no-op."""
+    from sgpt_spark.operators.index_search import search_index
+    from sgpt_spark.operators.indexer import (
+        assign_doc_ids,
+        build_index,
+        read_index,
+        release_doc_ids,
+    )
+    from sgpt_spark.sources.pages import generate_pages, make_page
+    from sgpt_spark.streaming.incremental import append_to_index
+
+    idx = str(tmp_path / "auto")
+    base = generate_pages(spark, 240, partitions=4).persist()
+    assigned = assign_doc_ids(base.select("url", "text"))
+    build_index(assigned.select("doc_id", "text"), idx, segment_size=60)
+    release_doc_ids(assigned)
+
+    pool = generate_pages(spark, 400, partitions=4).persist()
+    seen = {r["url"] for r in base.select("url").collect()}
+    b1 = pool.filter(~F.col("url").isin(list(seen))).limit(80)
+    append_to_index(spark, b1, idx)
+    seen |= {r["url"] for r in b1.select("url").collect()}
+    b2 = pool.filter(~F.col("url").isin(list(seen)))
+    append_to_index(spark, b2, idx)
+
+    stats = segment_postings_stats(spark, idx)
+    assert len(stats) >= 6  # appends really made many segments
+
+    body = make_page(9)[3].split("\n")[1].split(" ")
+    queries = spark.createDataFrame(
+        [(1, " ".join(body[:4])), (2, " ".join(body[4:9]))], "qid long, query string"
+    )
+    postings, meta = read_index(spark, idx)
+    before = sorted(
+        tuple(r) for r in search_index(spark, postings, meta, queries, k=20).collect()
+    )
+
+    # floor chosen above every tiny segment: the policy must merge
+    floor = max(stats.values()) + 1
+    n_new = auto_compact_index(spark, idx, max_segments=3, min_postings=floor)
+    assert n_new is not None and n_new <= 3
+    assert len(segment_postings_stats(spark, idx)) == n_new
+
+    p2, m2 = read_index(spark, idx)
+    after = sorted(
+        tuple(r) for r in search_index(spark, p2, m2, queries, k=20).collect()
+    )
+    assert after == before and before
+
+    # healthy index now: policy declines to touch it again
+    assert auto_compact_index(spark, idx, max_segments=8, min_postings=1) is None
+
+
+def test_cli_compact_auto(spark, tmp_path):
+    """CLI surface: --auto merges an oversharded index, then declines
+    on the now-healthy one; --target-segments and --auto are mutually
+    exclusive."""
+    import pytest
+
+    from sgpt_spark.cli import main
+    from sgpt_spark.operators.indexer import (
+        assign_doc_ids,
+        build_index,
+        release_doc_ids,
+    )
+    from sgpt_spark.sources.pages import generate_pages
+
+    idx = str(tmp_path / "cli_auto")
+    pages = generate_pages(spark, 300, partitions=4)
+    assigned = assign_doc_ids(pages.select("url", "text"))
+    build_index(assigned.select("doc_id", "text"), idx, segment_size=40)
+    release_doc_ids(assigned)
+    n_before = len(segment_postings_stats(spark, idx))
+    assert n_before > 2
+
+    main(["compact", "--index", idx, "--auto", "--max-segments", "2",
+          "--min-postings", "1"])
+    assert len(segment_postings_stats(spark, idx)) <= 2
+
+    # healthy now: --auto declines (still exits 0, prints healthy)
+    main(["compact", "--index", idx, "--auto", "--max-segments", "8",
+          "--min-postings", "1"])
+    assert len(segment_postings_stats(spark, idx)) <= 2
+
+    with pytest.raises(SystemExit):
+        main(["compact", "--index", idx])
+    with pytest.raises(SystemExit):
+        main(["compact", "--index", idx, "--auto", "--target-segments", "2"])

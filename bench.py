@@ -156,6 +156,18 @@ def main() -> None:
         join_s = min(join_s, time.time() - t0)
     timings["bm25_index_queries_join_200q"] = round(join_s, 3)
 
+    # cogroup path: in-plan queries + collect-path numpy scoring — the
+    # preferred scale-out shape (round 5); measured at parity with the
+    # broadcast path and ~6x under the relational join
+    from sgpt_spark.operators.index_search import search_index_cogroup
+
+    cg_s = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        search_index_cogroup(spark, postings, meta, sub, k=10, term_stats=tstats).count()
+        cg_s = min(cg_s, time.time() - t0)
+    timings["bm25_index_queries_cogroup_200q"] = round(cg_s, 3)
+
     # --- retrieval-depth evidence: TAAT vs block-max WAND at k=1000 ------
     # The reference retrieves at depth 1000 (beir_dense_retriever.py:442
     # k_values up to 1000); pruning only pays when the heap threshold
@@ -219,6 +231,17 @@ def main() -> None:
         search_multifield_index_join(spark, "/dev/shm/sgpt_bench_mf", mf_q, k=10).count()
         mfj_s = min(mfj_s, time.time() - t0)
     timings["bm25_multifield_join_200q"] = round(mfj_s, 3)
+
+    from sgpt_spark.operators.index_search import search_multifield_index_cogroup
+
+    mfc_s = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        search_multifield_index_cogroup(
+            spark, "/dev/shm/sgpt_bench_mf", mf_q, k=10
+        ).count()
+        mfc_s = min(mfc_s, time.time() - t0)
+    timings["bm25_multifield_cogroup_200q"] = round(mfc_s, 3)
     mf_deep = qdf.limit(100)
     mfd_s = float("inf")
     for _ in range(2):

@@ -126,6 +126,97 @@ def search_index_join(
     return topk_per_group(scored, k=k).select("qid", "doc_id", "score", "rank")
 
 
+def search_index_cogroup(
+    spark: SparkSession,
+    postings: DataFrame,
+    meta: IndexMeta,
+    queries: DataFrame | Iterable[tuple],
+    k: int = 10,
+    term_stats: DataFrame | None = None,
+    exclude_self: bool = False,
+    tokenizer=None,
+) -> DataFrame:
+    """In-plan query path with COLLECT-PATH scoring: queries never touch
+    the driver (``search_index_join``'s contract), but each segment is
+    scored by the same vectorized dense-accumulator TAAT kernel the
+    broadcast path uses (``_taat_parts``) instead of the relational
+    join -> groupBy pipeline, which pays JVM row materialization per
+    (query, matching doc) — measured ~4x slower per query than the
+    numpy kernel on the bench corpus.
+
+    Plan: queries tokenize in-plan -> join the (term, df) side table ->
+    per-term BM25 weights (idf in whole-stage codegen) -> REPLICATE
+    across segment ids (one broadcast crossJoin; |qt| x n_segments tiny
+    rows). Candidate postings term-prune via left-semi against the query
+    vocabulary, then a COGROUP on segment hands each task (segment's
+    compressed blocks, segment's query slice) — decode once, score all
+    queries, emit top-k per (query, segment), global heap-merge.
+
+    Scale contract: per-task query data is |qt| rows — the same data the
+    broadcast path ships per executor, but WITHOUT a driver collect, so
+    query-set size is bounded by executor memory, not driver memory.
+    The replication row count is |qt| x n_segments: for query sets so
+    large that this outgrows the cluster (millions of queries over tens
+    of thousands of segments), fall back to ``search_index_join``, whose
+    shuffle volume is independent of segment count. The candidate
+    posting blocks DO shuffle here (compressed, term-pruned) — unlike
+    the broadcast path's in-place scan — which is the price of keeping
+    the query set in the plan.
+    """
+    from sgpt_spark.functions.analyzer import resolve_jvm_analyzer
+    from sgpt_spark.functions.bm25 import idf as idf_col
+    from sgpt_spark.operators.search import query_terms
+
+    queries, qid_type = normalize_queries(queries)
+    if not isinstance(queries, DataFrame):
+        queries = spark.createDataFrame(queries, f"qid {qid_type}, query string")
+    if exclude_self and qid_type not in ("bigint", "int", "long", "smallint", "tinyint"):
+        raise ValueError(
+            f"exclude_self needs integer qids matching index doc ids; got qid type {qid_type}"
+        )
+    tok = tokenizer or resolve_jvm_analyzer(meta.analyzer)
+    qt = query_terms(queries, tokenizer=tok)
+    if term_stats is not None:
+        dfs = term_stats
+    else:
+        dfs = postings.groupBy("term").agg(F.sum("df").alias("df"))
+    qtw = qt.join(dfs, "term").select(
+        "qid", "term", (F.col("qtf") * idf_col(F.col("df"), meta.n_docs)).alias("w")
+    )
+    # fresh attribute id (aliased cast): segs shares lineage with cand
+    # below, and cogroup's analyzer rejects the ambiguous self-join
+    segs = postings.select(
+        F.col("segment").cast("int").alias("segment")
+    ).distinct()
+    qseg = qtw.crossJoin(F.broadcast(segs))
+    cand = postings.join(qt.select("term").distinct(), "term", "left_semi").select(
+        "segment", "term", "blocks"
+    )
+    kk = k + 1 if exclude_self else k
+    k1, b, avgdl, codec = meta.k1, meta.b, meta.avgdl, meta.codec
+    seg_schema = f"qid {qid_type}, doc_id long, score double"
+
+    def score(pleft: pd.DataFrame, pright: pd.DataFrame) -> pd.DataFrame:
+        if len(pleft) == 0 or len(pright) == 0:
+            return _emit_topk_frame([])
+        decoded = _decode_terms(pleft["term"], pleft["blocks"], codec, k1, b, avgdl)
+        if not decoded:
+            return _emit_topk_frame([])
+        qid_list, tmap, per_query = _query_maps(
+            pright["qid"], pright["term"], pright["w"]
+        )
+        return _emit_topk_frame(_taat_parts(decoded, qid_list, tmap, per_query, kk))
+
+    seg_topk = (
+        cand.groupBy("segment")
+        .cogroup(qseg.groupBy("segment"))
+        .applyInPandas(score, schema=seg_schema)
+    )
+    if exclude_self:
+        seg_topk = seg_topk.filter(F.col("doc_id") != F.col("qid"))
+    return topk_per_group(seg_topk, k=k).select("qid", "doc_id", "score", "rank")
+
+
 def normalize_queries(
     queries: DataFrame | Iterable[tuple],
 ) -> tuple["DataFrame | list[tuple]", str]:
@@ -215,6 +306,162 @@ def _emit_topk_frame(parts: list) -> pd.DataFrame:
             "score": np.concatenate([p[2] for p in parts]),
         }
     )
+
+
+QUERY_CHUNK = 128  # bounds the dense TAAT accumulator at span x chunk
+
+
+def _decode_terms(terms, blocks, codec: str, k1: float, b: float, avgdl: float) -> dict:
+    """One batched decode of every candidate term's blocks (compress.
+    decode_many — a single varint/pfor pass per column over all rows),
+    tf-norm as one vector op -> {term: (docs int64[], tfn float64[])}."""
+    offs, d_all, tf_all, dl_all = decode_many(list(blocks), codec)
+    tfn_all = tf_all.astype(np.float64) / (
+        tf_all + k1 * (1.0 - b + b * dl_all.astype(np.float64) / avgdl)
+    )
+    decoded: dict = {}
+    for i, term in enumerate(terms):
+        s, e = int(offs[i]), int(offs[i + 1])
+        if e > s:
+            decoded[term] = (d_all[s:e], tfn_all[s:e])
+    return decoded
+
+
+def _taat_parts(
+    decoded: dict,
+    qid_list: list,
+    tmap: dict,
+    per_query: dict,
+    kk: int,
+    query_chunk: int = QUERY_CHUNK,
+) -> list:
+    """Dense-accumulator TAAT over ONE segment's decoded postings ->
+    [(qid, doc_ids, scores)] per-query top-kk. Shared by the broadcast
+    path (search_index strategy='taat') and the cogroup path
+    (search_index_cogroup). ``tmap``: term -> (query row indices into
+    qid_list, weights); ``per_query``: qid -> [(term, w)] — used only by
+    the sparse-span fallback."""
+    lo_doc = min(int(d[0]) for d, _ in decoded.values())
+    hi_doc = max(int(d[-1]) for d, _ in decoded.values())
+    span = hi_doc - lo_doc + 1
+    total_postings = sum(len(d) for d, _ in decoded.values())
+    parts: list = []
+    if span > max(5_000_000, 20 * total_postings):
+        # pathologically sparse doc-id space (not produced by our
+        # builders, but possible with external ids): dense accumulators
+        # would waste memory — per-query concatenate+bincount instead.
+        for qid, tws in per_query.items():
+            present = [(t, w) for t, w in tws if t in decoded]
+            if not present:
+                continue
+            docs_cat = np.concatenate([decoded[t][0] for t, _ in present])
+            w_cat = np.concatenate([decoded[t][1] * w for t, w in present])
+            uniq, inv = np.unique(docs_cat, return_inverse=True)
+            scores = np.round(np.bincount(inv, weights=w_cat), SCORE_DECIMALS)
+            order = deterministic_topk(uniq, scores, kk)
+            parts.append((qid, uniq[order], scores[order]))
+        return parts
+    nq = len(qid_list)
+    for clo in range(0, nq, query_chunk):
+        chi = min(clo + query_chunk, nq)
+        acc = np.zeros((chi - clo, span), dtype=np.float64)
+        touched = np.zeros(chi - clo, dtype=bool)
+        for term, (docs, tfn) in decoded.items():
+            rows_ws = tmap.get(term)
+            if rows_ws is None:
+                continue
+            rows, ws = rows_ws
+            sel = (rows >= clo) & (rows < chi)
+            if not sel.any():
+                continue
+            r_local = rows[sel] - clo
+            touched[r_local] = True
+            pos = docs - lo_doc
+            acc[np.ix_(r_local, pos)] += np.outer(ws[sel], tfn)
+        for r in np.flatnonzero(touched):
+            row = acc[r]
+            nz = np.flatnonzero(row)
+            if len(nz) == 0:
+                continue
+            scores = np.round(row[nz], SCORE_DECIMALS)
+            ids = (nz + lo_doc).astype(np.int64)
+            order = deterministic_topk(ids, scores, kk)
+            parts.append((qid_list[clo + r], ids[order], scores[order]))
+    return parts
+
+
+def _decode_terms_mf(
+    fields_col, terms_col, blocks_col, codec: str, k1: float, b: float,
+    avgdl_by_field: dict,
+) -> dict:
+    """Multifield twin of ``_decode_terms``: one batched decode, tf-norm
+    with each row's FIELD avgdl -> {field: {term: (docs, tfn)}}."""
+    offs, d_all, tf_all, dl_all = decode_many(list(blocks_col), codec)
+    decoded: dict = {}
+    for i, (fld, term) in enumerate(zip(fields_col, terms_col)):
+        s, e = int(offs[i]), int(offs[i + 1])
+        if e == s:
+            continue
+        tf = tf_all[s:e].astype(np.float64)
+        dl = dl_all[s:e].astype(np.float64)
+        tfn = tf / (tf + k1 * (1.0 - b + b * dl / avgdl_by_field[fld]))
+        decoded.setdefault(fld, {})[term] = (d_all[s:e], tfn)
+    return decoded
+
+
+def _mf_parts(decoded: dict, per_query_mf: dict, tie: float, kk: int) -> list:
+    """ES best_fields dis-max over ONE co-segmented segment's decoded
+    per-field postings -> [(qid, doc_ids, scores)]. ``per_query_mf``:
+    qid -> {field: [(term, w)]}. Shared by the collect path
+    (search_multifield_index) and the cogroup path."""
+    parts: list = []
+    for qid, by_field in per_query_mf.items():
+        fscores = []  # [(ids, scores)] per field with any match
+        for fld, tws in by_field.items():
+            dec = decoded.get(fld)
+            if not dec:
+                continue
+            present = [(t, w) for t, w in tws if t in dec]
+            if not present:
+                continue
+            docs_cat = np.concatenate([dec[t][0] for t, _ in present])
+            w_cat = np.concatenate([dec[t][1] * w for t, w in present])
+            ids_f, inv = np.unique(docs_cat, return_inverse=True)
+            fscores.append((ids_f, np.bincount(inv, weights=w_cat)))
+        if not fscores:
+            continue
+        if len(fscores) == 1:
+            all_ids, combined = fscores[0][0], fscores[0][1]
+        else:
+            all_ids = fscores[0][0]
+            for ids_f, _ in fscores[1:]:
+                all_ids = np.union1d(all_ids, ids_f)
+            mat = np.zeros((len(fscores), len(all_ids)))
+            for r, (ids_f, sc) in enumerate(fscores):
+                mat[r, np.searchsorted(all_ids, ids_f)] = sc
+            mx = mat.max(axis=0)
+            combined = mx + tie * (mat.sum(axis=0) - mx)
+        scores = np.round(combined, SCORE_DECIMALS)
+        order = deterministic_topk(all_ids, scores, kk)
+        parts.append((qid, all_ids[order].astype(np.int64), scores[order]))
+    return parts
+
+
+def _query_maps(qids, terms, ws) -> tuple[list, dict, dict]:
+    """Per-segment query structures from parallel columns (qid, term,
+    weight) -> (qid_list, tmap, per_query) as ``_taat_parts`` wants."""
+    per_query: dict = {}
+    for qid, t, w in zip(qids, terms, ws):
+        per_query.setdefault(qid, []).append((t, float(w)))
+    qid_list = sorted(per_query)
+    qrow = {q: i for i, q in enumerate(qid_list)}
+    tmap: dict = {}
+    for qid, t, w in zip(qids, terms, ws):
+        rows_ws = tmap.setdefault(t, ([], []))
+        rows_ws[0].append(qrow[qid])
+        rows_ws[1].append(float(w))
+    tmap = {t: (np.asarray(r), np.asarray(w)) for t, (r, w) in tmap.items()}
+    return qid_list, tmap, per_query
 
 
 def search_index(
@@ -325,75 +572,14 @@ def search_index(
     b_taat = spark.sparkContext.broadcast(
         (qid_list, {t: (np.asarray(r), np.asarray(w)) for t, (r, w) in term_to_q.items()})
     )
-    QUERY_CHUNK = 128  # bounds the dense accumulator at span x chunk
-
     def score_segment_taat(pdf: pd.DataFrame) -> pd.DataFrame:
         qids_b, tmap = b_taat.value
-        # decode every candidate term once — ONE batched varint pass per
-        # column over all rows (compress.decode_many), then per-term
-        # views; the tf-norm is one vector op over all postings
-        offs, d_all, tf_all, dl_all = decode_many(list(pdf["blocks"]), codec)
-        tfn_all = tf_all.astype(np.float64) / (
-            tf_all + k1 * (1.0 - b + b * dl_all.astype(np.float64) / avgdl)
-        )
-        decoded = {}
-        lo_doc, hi_doc = None, None
-        for i, term in enumerate(pdf["term"]):
-            s, e = int(offs[i]), int(offs[i + 1])
-            if e == s:
-                continue
-            docs = d_all[s:e]
-            decoded[term] = (docs, tfn_all[s:e])
-            lo = int(docs[0]); hi = int(docs[-1])
-            lo_doc = lo if lo_doc is None else min(lo_doc, lo)
-            hi_doc = hi if hi_doc is None else max(hi_doc, hi)
+        decoded = _decode_terms(pdf["term"], pdf["blocks"], codec, k1, b, avgdl)
         if not decoded:
             return
-        span = hi_doc - lo_doc + 1
-        total_postings = sum(len(d) for d, _ in decoded.values())
-        if span > max(5_000_000, 20 * total_postings):
-            # pathologically sparse doc-id space (not produced by our
-            # builders, but possible with external ids): dense
-            # accumulators would waste memory — fall back to per-query
-            # concatenate+bincount for this segment.
-            parts = []
-            for qid, tws in b_queries.value.items():
-                present = [(t, w) for t, w in tws if t in decoded]
-                if not present:
-                    continue
-                docs_cat = np.concatenate([decoded[t][0] for t, _ in present])
-                w_cat = np.concatenate([decoded[t][1] * w for t, w in present])
-                uniq, inv = np.unique(docs_cat, return_inverse=True)
-                scores = np.round(np.bincount(inv, weights=w_cat), SCORE_DECIMALS)
-                order = deterministic_topk(uniq, scores, kk)
-                parts.append((qid, uniq[order], scores[order]))
-            yield _emit_topk_frame(parts)
-            return
-        parts = []
-        nq = len(qids_b)
-        for clo in range(0, nq, QUERY_CHUNK):
-            chi = min(clo + QUERY_CHUNK, nq)
-            acc = np.zeros((chi - clo, span), dtype=np.float64)
-            touched = np.zeros(chi - clo, dtype=bool)
-            for term, (docs, tfn) in decoded.items():
-                rows, ws = tmap[term]
-                sel = (rows >= clo) & (rows < chi)
-                if not sel.any():
-                    continue
-                r_local = rows[sel] - clo
-                touched[r_local] = True
-                pos = docs - lo_doc
-                acc[np.ix_(r_local, pos)] += np.outer(ws[sel], tfn)
-            for r in np.flatnonzero(touched):
-                row = acc[r]
-                nz = np.flatnonzero(row)
-                if len(nz) == 0:
-                    continue
-                scores = np.round(row[nz], SCORE_DECIMALS)
-                ids = (nz + lo_doc).astype(np.int64)
-                order = deterministic_topk(ids, scores, kk)
-                parts.append((qids_b[clo + r], ids[order], scores[order]))
-        yield _emit_topk_frame(parts)
+        yield _emit_topk_frame(
+            _taat_parts(decoded, qids_b, tmap, b_queries.value, kk)
+        )
 
     def score_segment(pdf: pd.DataFrame) -> pd.DataFrame:
         parts = []
@@ -508,9 +694,11 @@ def search_multifield_index(
     of ``search.bm25_multifield_search`` (ES ``multi_match``
     best_fields + tie_breaker; value-identical, tested + oracle-gated).
     Query sets are collected to the driver (the ``search_index``
-    contract — query sets are small relative to the corpus); a
-    join-based twin a la ``search_index_join`` is the escape hatch to
-    build if a multifield workload ever carries millions of queries.
+    contract — query sets are small relative to the corpus); for query
+    sets that must stay in the plan use
+    ``search_multifield_index_cogroup`` (same kernel, no collect) or
+    ``search_multifield_index_join`` (no per-segment query replication
+    either — the extreme-scale fallback).
 
     Plan: each field's candidate postings (term-pruned parquet scan) are
     unioned with a field tag and grouped by segment — the builder's
@@ -579,49 +767,10 @@ def search_multifield_index(
     kk = k + 1 if exclude_self else k
 
     def score_segment_mf(pdf: pd.DataFrame) -> pd.DataFrame:
-        offs, d_all, tf_all, dl_all = decode_many(list(pdf["blocks"]), codec)
-        av = b_avgdl.value
-        decoded: dict = {}  # field -> {term: (docs, tfn)}
-        for i, (fld, term) in enumerate(zip(pdf["field"], pdf["term"])):
-            s, e = int(offs[i]), int(offs[i + 1])
-            if e == s:
-                continue
-            tf = tf_all[s:e].astype(np.float64)
-            dl = dl_all[s:e].astype(np.float64)
-            tfn = tf / (tf + k1 * (1.0 - b + b * dl / av[fld]))
-            decoded.setdefault(fld, {})[term] = (d_all[s:e], tfn)
-        parts = []
-        for qid, by_field in b_queries.value.items():
-            fscores = []  # [(ids, scores)] per field with any match
-            for fld, tws in by_field.items():
-                dec = decoded.get(fld)
-                if not dec:
-                    continue
-                present = [(t, w) for t, w in tws if t in dec]
-                if not present:
-                    continue
-                docs_cat = np.concatenate([dec[t][0] for t, _ in present])
-                w_cat = np.concatenate([dec[t][1] * w for t, w in present])
-                ids_f, inv = np.unique(docs_cat, return_inverse=True)
-                fscores.append((ids_f, np.bincount(inv, weights=w_cat)))
-            if not fscores:
-                continue
-            if len(fscores) == 1:
-                all_ids, best = fscores[0][0], fscores[0][1]
-                combined = best  # max == sum == the one field
-            else:
-                all_ids = fscores[0][0]
-                for ids_f, _ in fscores[1:]:
-                    all_ids = np.union1d(all_ids, ids_f)
-                mat = np.zeros((len(fscores), len(all_ids)))
-                for r, (ids_f, sc) in enumerate(fscores):
-                    mat[r, np.searchsorted(all_ids, ids_f)] = sc
-                mx = mat.max(axis=0)
-                combined = mx + tie * (mat.sum(axis=0) - mx)
-            scores = np.round(combined, SCORE_DECIMALS)
-            order = deterministic_topk(all_ids, scores, kk)
-            parts.append((qid, all_ids[order].astype(np.int64), scores[order]))
-        return _emit_topk_frame(parts)
+        decoded = _decode_terms_mf(
+            pdf["field"], pdf["term"], pdf["blocks"], codec, k1, b, b_avgdl.value
+        )
+        return _emit_topk_frame(_mf_parts(decoded, b_queries.value, tie, kk))
 
     seg_topk = cand.groupBy("segment").applyInPandas(
         lambda _key, pdf: score_segment_mf(pdf), schema=seg_schema
@@ -668,7 +817,7 @@ def search_multifield_index_join(
     ``search_index_join``.
     """
     from sgpt_spark.functions.analyzer import resolve_jvm_analyzer
-    from sgpt_spark.operators.search import dismax_combine, query_terms, score_candidates
+    from sgpt_spark.operators.search import query_terms, score_candidates
     from sgpt_spark.operators.stats import CorpusStats
 
     fields, idx, analyzer = _load_multifield(spark, path, fields)
@@ -686,6 +835,13 @@ def search_multifield_index_join(
     qvocab = qt.select("term").distinct()
     k1, b = idx[fields[0]][1].k1, idx[fields[0]][1].b
 
+    # Per-field aggregate FIRST, then combine the (much smaller)
+    # doc-level relations. The one-groupBy conditional-sum variant
+    # (dismax_combine) was tried in round 5 and measured ~20% SLOWER on
+    # the 200-query bench shape (interleaved pinned A/B, tools/
+    # ab_bench.py): the per-field aggregation collapses term-level rows
+    # while still colocated with the probe join's output, so the final
+    # combine shuffle carries only doc-level rows per field.
     per_field = None
     for f in fields:
         postings_f, meta_f, tstats_f = idx[f]
@@ -695,10 +851,6 @@ def search_multifield_index_join(
             dfs = tstats_f
         else:
             dfs = postings_f.groupBy("term").agg(F.sum("df").alias("df"))
-        # term-level partials, field-tagged: the per-field sum and the
-        # cross-field dis-max combine then share ONE groupBy shuffle
-        # (dismax_combine) instead of |fields| groupBys + a re-shuffle
-        # of the unioned per-field score relations.
         scored = score_candidates(
             flat,
             qt,
@@ -707,11 +859,113 @@ def search_multifield_index_join(
             k1=k1,
             b=b,
             broadcast_queries=False,
-            aggregate=False,
-        ).withColumn("field", F.lit(f))
+        )
         per_field = scored if per_field is None else per_field.unionByName(scored)
 
-    combined = dismax_combine(per_field, fields, tie_breaker)
+    combined = per_field.groupBy("qid", "doc_id").agg(
+        (
+            F.max("score")
+            + F.lit(float(tie_breaker)) * (F.sum("score") - F.max("score"))
+        ).alias("score")
+    )
     if exclude_self:
         combined = combined.filter(F.col("doc_id") != F.col("qid"))
     return topk_per_group(combined, k=k).select("qid", "doc_id", "score", "rank")
+
+
+def search_multifield_index_cogroup(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame | Iterable[tuple],
+    k: int = 10,
+    tie_breaker: float = 0.5,
+    fields: tuple[str, ...] | None = None,
+    tokenizer=None,
+    exclude_self: bool = False,
+) -> DataFrame:
+    """Multifield twin of ``search_index_cogroup``: queries stay in the
+    plan (no driver collect) but each co-segmented segment is scored by
+    the same numpy dis-max kernel the collect path uses (``_mf_parts``)
+    instead of the per-field relational join pipeline — measured ~6x
+    faster than ``search_multifield_index_join`` on the bench shape,
+    and at parity with the collect path.
+
+    Plan: query terms join each field's (term, df) side table -> field-
+    tagged per-term weights (idf_f in codegen) -> replicate across the
+    candidate segment ids (broadcast crossJoin). Candidate postings of
+    every field union with a field tag (term-pruned scans; the
+    builder's co-segmentation invariant means segment s covers the same
+    doc range in every field), cogroup on segment, decode once, dis-max
+    per query, top-k per (query, segment), global merge. Same scale
+    contract and fallback guidance as ``search_index_cogroup``.
+    """
+    from sgpt_spark.functions.analyzer import resolve_jvm_analyzer
+    from sgpt_spark.functions.bm25 import idf as idf_col
+    from sgpt_spark.operators.search import query_terms
+
+    fields, idx, analyzer = _load_multifield(spark, path, fields)
+    queries, qid_type = normalize_queries(queries)
+    if not isinstance(queries, DataFrame):
+        queries = spark.createDataFrame(queries, f"qid {qid_type}, query string")
+    if exclude_self and qid_type not in ("bigint", "int", "long", "smallint", "tinyint"):
+        raise ValueError(
+            f"exclude_self needs integer qids matching index doc ids; got qid type {qid_type}"
+        )
+    tok = tokenizer or resolve_jvm_analyzer(analyzer)
+    qt = query_terms(queries, tokenizer=tok)
+    qvocab = qt.select("term").distinct()
+    k1, b = idx[fields[0]][1].k1, idx[fields[0]][1].b
+    codec = idx[fields[0]][1].codec
+    avgdls = {f: idx[f][1].avgdl for f in fields}
+
+    qunion = None
+    cand = None
+    for f in fields:
+        postings_f, meta_f, tstats_f = idx[f]
+        if tstats_f is not None:
+            dfs = tstats_f
+        else:
+            dfs = postings_f.groupBy("term").agg(F.sum("df").alias("df"))
+        qtw_f = qt.join(dfs, "term").select(
+            "qid",
+            F.lit(f).alias("field"),
+            "term",
+            (F.col("qtf") * idf_col(F.col("df"), meta_f.n_docs)).alias("w"),
+        )
+        qunion = qtw_f if qunion is None else qunion.unionByName(qtw_f)
+        part = postings_f.join(qvocab, "term", "left_semi").select(
+            "segment", F.lit(f).alias("field"), "term", "blocks"
+        )
+        cand = part if cand is None else cand.unionByName(part)
+
+    # candidate segments only (term-pruned), fresh attribute id for the
+    # cogroup analyzer (see search_index_cogroup)
+    segs = cand.select(F.col("segment").cast("int").alias("segment")).distinct()
+    qseg = qunion.crossJoin(F.broadcast(segs))
+    kk = k + 1 if exclude_self else k
+    tie = float(tie_breaker)
+    seg_schema = f"qid {qid_type}, doc_id long, score double"
+
+    def score(pleft: pd.DataFrame, pright: pd.DataFrame) -> pd.DataFrame:
+        if len(pleft) == 0 or len(pright) == 0:
+            return _emit_topk_frame([])
+        decoded = _decode_terms_mf(
+            pleft["field"], pleft["term"], pleft["blocks"], codec, k1, b, avgdls
+        )
+        if not decoded:
+            return _emit_topk_frame([])
+        per_query: dict = {}
+        for qid, fld, t, w in zip(
+            pright["qid"], pright["field"], pright["term"], pright["w"]
+        ):
+            per_query.setdefault(qid, {}).setdefault(fld, []).append((t, float(w)))
+        return _emit_topk_frame(_mf_parts(decoded, per_query, tie, kk))
+
+    seg_topk = (
+        cand.groupBy("segment")
+        .cogroup(qseg.groupBy("segment"))
+        .applyInPandas(score, schema=seg_schema)
+    )
+    if exclude_self:
+        seg_topk = seg_topk.filter(F.col("doc_id") != F.col("qid"))
+    return topk_per_group(seg_topk, k=k).select("qid", "doc_id", "score", "rank")

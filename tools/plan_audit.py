@@ -171,6 +171,34 @@ def main() -> None:
     ))
     assert n_semi >= 1, "semi-join term pruning missing from multifield join plan"
 
+    # --- 6. cogroup query path (in-plan queries, numpy segment scoring) ---
+    from sgpt_spark.operators.index_search import search_index_cogroup
+
+    plan = captured_plan(
+        search_index_cogroup(spark, postings, meta, queries_df, k=10,
+                             term_stats=read_term_stats(spark, idx_path))
+    )
+    n_cogroup = plan.count("FlatMapCoGroupsInPandas (")
+    n_semi_cg = plan.count("LeftSemi")
+    n_bcast = plan.count("BroadcastExchange") + plan.count("BroadcastNestedLoop")
+    sections.append((
+        "Cogroup index query path (`search_index_cogroup`)",
+        "Queries tokenize INSIDE the plan, join the (term, df) side "
+        "table (idf in codegen), and replicate across candidate segment "
+        f"ids via a broadcast crossJoin ({n_bcast} broadcast exchange(s) "
+        "in the plan). Candidate postings are term-pruned by a left-semi "
+        f"join ({n_semi_cg} semi-join(s)"
+        + (" — verified" if n_semi_cg >= 1 else " — MISSING (BUG)")
+        + ") and COGROUPed with the query slice per segment "
+        "(FlatMapCoGroupsInPandas"
+        + (" — verified" if n_cogroup >= 1 else " — MISSING (BUG)")
+        + "): one Arrow-batched decode + numpy TAAT per segment, k rows "
+        "per (query, segment) out. No driver collect anywhere.",
+        plan,
+    ))
+    assert n_cogroup >= 1, "cogroup operator missing from plan"
+    assert n_semi_cg >= 1, "semi-join term pruning missing from cogroup plan"
+
     out = ["# PLANS — physical-plan audit of the headline operators",
            "",
            f"Regenerated by `python tools/plan_audit.py` at sf0.01 "

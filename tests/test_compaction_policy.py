@@ -163,3 +163,54 @@ def test_cli_compact_auto(spark, tmp_path):
         main(["compact", "--index", idx])
     with pytest.raises(SystemExit):
         main(["compact", "--index", idx, "--auto", "--target-segments", "2"])
+
+
+def test_auto_compact_multifield_shared_mapping(spark, tmp_path):
+    """Multifield auto-compact: ONE policy plan from the union of all
+    fields' per-segment sizes, applied to every field — co-segmentation
+    preserved (search identity), then declines when healthy."""
+    from sgpt_spark.operators.compaction_policy import (
+        auto_compact_multifield_index,
+    )
+    from sgpt_spark.operators.index_search import search_multifield_index
+    from sgpt_spark.operators.indexer import (
+        assign_doc_ids,
+        build_multifield_index,
+        release_doc_ids,
+    )
+    from sgpt_spark.sources.pages import generate_pages, make_page
+
+    mf = str(tmp_path / "mf_auto")
+    pages = generate_pages(spark, 300, partitions=4)
+    a = assign_doc_ids(pages.select("url", "text"))
+    docs = a.withColumn(
+        "title", F.array_join(F.slice(F.split("text", " ", -1), 1, 4), " ")
+    ).select("doc_id", "title", "text")
+    build_multifield_index(docs, mf, segment_size=40)
+    release_doc_ids(a)
+
+    n_before = len(segment_postings_stats(spark, f"{mf}/text_index"))
+    assert n_before > 3
+
+    body = make_page(11)[3].split("\n")[1].split(" ")
+    queries = spark.createDataFrame(
+        [(1, " ".join(body[:4])), (2, " ".join(body[4:8]))], "qid long, query string"
+    )
+    before = sorted(
+        tuple(r)
+        for r in search_multifield_index(spark, mf, queries, k=15).collect()
+    )
+
+    n_new = auto_compact_multifield_index(spark, mf, max_segments=3, min_postings=1)
+    assert n_new is not None and n_new <= 3
+    # every field compacted with the SAME segment count
+    for f in ("title", "text"):
+        assert len(segment_postings_stats(spark, f"{mf}/{f}_index")) <= n_new
+
+    after = sorted(
+        tuple(r)
+        for r in search_multifield_index(spark, mf, queries, k=15).collect()
+    )
+    assert after == before and before
+
+    assert auto_compact_multifield_index(spark, mf, max_segments=8, min_postings=1) is None

@@ -218,6 +218,23 @@ def test_merge_runs_streaming_property(run_ids, block_size, flush):
     assert np.array_equal(d, want)
     assert np.array_equal(tf, (d % 13 + 1).astype(np.uint64))
     assert np.array_equal(dl, (d % 31 + 2).astype(np.uint64))
-    assert all(b["count"] == block_size for b in merged[:-1])
+    # Block-fill invariant depends on the path taken: the k-way merge
+    # re-encodes everything, so every block but the last is full. The
+    # doc-disjoint fast path copies full blocks VERBATIM and only
+    # re-blocks short tails, so a misaligned remainder at a run
+    # boundary legitimately stays short MID-stream (re-cutting it would
+    # force re-encoding every later block — the fragment is the price
+    # of the zero-decode append, same as Lucene segment tails). Bound:
+    # at most one short block per run plus the final one.
+    order = sorted(range(len(runs)), key=lambda i: runs[i][0]["first_doc"])
+    disjoint = len(runs) > 1 and all(
+        runs[order[j]][-1]["last_doc"] < runs[order[j + 1]][0]["first_doc"]
+        for j in range(len(runs) - 1)
+    )
+    n_short = sum(1 for b in merged if b["count"] < block_size)
+    if disjoint:
+        assert n_short <= len(runs) + 1
+    else:
+        assert all(b["count"] == block_size for b in merged[:-1])
     if peak and len(runs) > 1:
         assert peak[0] <= len(runs) * block_size + flush + block_size

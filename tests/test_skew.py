@@ -17,6 +17,12 @@ where one term appears in EVERY document:
   results must stay identical; AQE's skew-join splitting is the
   runtime mitigation for the millions-of-queries regime (documented in
   SURVEY §7.4(3)).
+- cogroup path (round 5): its relational pre-stages (query-vocab
+  left-semi prune, (term, df) weight join) key by TERM, but the
+  cogroup itself keys by SEGMENT — the head term contributes one
+  candidate row per segment (the segment id is the salt, same bound as
+  the build), so term skew cannot concentrate a cogroup task. Forced
+  shuffle joins on the pre-stages must leave results identical.
 """
 
 from __future__ import annotations
@@ -106,3 +112,60 @@ def test_join_path_identical_under_total_skew_without_broadcast(spark, tmp_path)
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
     assert got == want and got
+
+
+def test_cogroup_path_identical_under_total_skew_without_broadcast(spark, tmp_path):
+    """Cogroup twin of the join-path skew test: with broadcast disabled
+    the (term, df) weight join and the query-vocab left-semi prune run
+    as real shuffle joins whose head-term partition is the skew case,
+    but the cogroup key is SEGMENT — the df==N term still hands each
+    task exactly one candidate row per segment. Results must be
+    identical to the broadcast TAAT path, single- and multifield."""
+    from sgpt_spark.operators.index_search import (
+        search_index_cogroup,
+        search_multifield_index,
+        search_multifield_index_cogroup,
+    )
+    from sgpt_spark.operators.indexer import build_multifield_index
+
+    path = str(tmp_path / "skew_cg_idx")
+    corpus = _head_term_corpus(spark)
+    build_index(corpus, path)
+    postings, meta = read_index(spark, path)
+    queries = spark.createDataFrame(
+        [(q, f"the beta{q % 5} alpha{q % 17}") for q in range(8)],
+        "qid long, query string",
+    )
+    want = sorted(
+        tuple(r) for r in search_index(spark, postings, meta, queries, k=10).collect()
+    )
+
+    mf = str(tmp_path / "skew_cg_mf")
+    docs = corpus.withColumn("title", F.concat(F.lit("the t"), F.col("doc_id") % 7))
+    build_multifield_index(
+        docs.select("doc_id", "title", "text"), mf, segment_size=60
+    )
+    mf_want = sorted(
+        tuple(r)
+        for r in search_multifield_index(spark, mf, queries, k=10).collect()
+    )
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        got = sorted(
+            tuple(r)
+            for r in search_index_cogroup(
+                spark, postings, meta, queries, k=10
+            ).collect()
+        )
+        mf_got = sorted(
+            tuple(r)
+            for r in search_multifield_index_cogroup(
+                spark, mf, queries, k=10
+            ).collect()
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert got == want and got
+    assert mf_got == mf_want and mf_got

@@ -548,14 +548,19 @@ def _q_dense_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     int64 num/den, so DuckDB reproduces it bit-for-bit (encode.py
     md5_embedding_sql) and the whole encode -> cosine-top-k lifecycle
     (custommodels/exact_search.py:34-134) is oracle-checked. Empty docs
-    are filtered (zero vectors have no cosine)."""
+    are filtered (zero vectors have no cosine), and so are zero-TOKEN
+    derived queries (a doc text starting with >= 5 spaces derives an
+    all-space query; its zero vector would score 0.0 against everything
+    on the Spark side while the oracle's embedding CTE emits no row —
+    `trim = ''` is exactly `split(' ') yields no token`, both engines)."""
     from sgpt_spark.operators.corpus import non_empty_text
     from sgpt_spark.operators.encode import encode_corpus, encode_queries
     from sgpt_spark.operators.similarity import cosine_topk
 
     docs = non_empty_text(load_table(spark, sf_dir, "documents"))
     emb = encode_corpus(docs)
-    qemb = encode_queries(derived_queries(docs))
+    qs = derived_queries(docs).filter(F.length(F.trim("query")) > 0)
+    qemb = encode_queries(qs)
     return cosine_topk(emb, qemb, k=10)
 
 
@@ -1212,7 +1217,7 @@ WITH nd AS (
   SELECT doc_id, text FROM documents
   WHERE text IS NOT NULL AND length(trim(text)) > 0
 ),
-qd AS ({QUERIES_SQL}),
+qd AS (SELECT * FROM ({QUERIES_SQL}) WHERE length(trim(query)) > 0),
 {md5_embedding_sql('de', 'nd', 'doc_id', 'text', out_id='vec_id')[1:]},
 {md5_embedding_sql('qe', 'qd', 'qid', 'query', out_id='qid')[1:]},
 scored AS (

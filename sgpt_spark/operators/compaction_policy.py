@@ -91,16 +91,22 @@ def plan_compaction(
 
 def segment_postings_stats(spark, path: str) -> dict[int, int]:
     """Per-segment posting-row sizes of an index at ``path`` — one
-    column-pruned agg over the postings parquet (term rows only;
-    sentinel stats rows are excluded so appended and built segments are
-    measured alike)."""
+    column-pruned agg over the postings parquet. Sentinel stats rows
+    (term NULL) don't count toward size — appended and built segments
+    are measured alike — but a sentinel-ONLY segment (all-empty-text
+    partition; streaming/incremental.py documents the shape) still
+    appears with size 0: every segment must be in the plan or
+    ``compact_index``'s mapping join would drop its sentinel rows."""
     from pyspark.sql import functions as F
 
     rows = (
         spark.read.parquet(f"{path}/postings")
-        .filter(F.col("term").isNotNull())
         .groupBy("segment")
-        .agg(F.sum("df").alias("n"))
+        .agg(
+            F.sum(
+                F.when(F.col("term").isNotNull(), F.col("df")).otherwise(F.lit(0))
+            ).alias("n")
+        )
         .collect()
     )
     return {int(r["segment"]): int(r["n"]) for r in rows}
@@ -113,9 +119,25 @@ def auto_compact_index(
     min_postings: int = 10_000,
 ) -> int | None:
     """Apply ``plan_compaction`` to a single-field index: returns the
-    new segment count, or None when the policy says leave it alone."""
+    new segment count, or None when the policy says leave it alone.
+
+    Refuses to run on one field of a multifield layout for the same
+    reason ``compact_index`` does: a per-field bucket renumbering
+    breaks the co-segmentation invariant its siblings rely on (the
+    explicit ``_seg_map`` handoff below would otherwise bypass that
+    mechanism-level guard). Use ``auto_compact_multifield_index`` on
+    the parent path."""
+    import os
+
     from sgpt_spark.operators.indexer import compact_index
 
+    parent = os.path.dirname(path.rstrip("/"))
+    if os.path.exists(os.path.join(parent, "fields.json")):
+        raise ValueError(
+            f"{path!r} is one field of a multifield index: auto-compacting "
+            "it alone breaks co-segmentation — call "
+            f"auto_compact_multifield_index on {parent!r} instead"
+        )
     plan = plan_compaction(
         segment_postings_stats(spark, path), max_segments, min_postings
     )

@@ -183,15 +183,17 @@ def search_index_cogroup(
     qtw = qt.join(dfs, "term").select(
         "qid", "term", (F.col("qtf") * idf_col(F.col("df"), meta.n_docs)).alias("w")
     )
-    # fresh attribute id (aliased cast): segs shares lineage with cand
-    # below, and cogroup's analyzer rejects the ambiguous self-join
-    segs = postings.select(
-        F.col("segment").cast("int").alias("segment")
-    ).distinct()
-    qseg = qtw.crossJoin(F.broadcast(segs))
     cand = postings.join(qt.select("term").distinct(), "term", "left_semi").select(
         "segment", "term", "blocks"
     )
+    # replicate query weights only across CANDIDATE segments (segments
+    # holding at least one query term) — a segment with no candidates
+    # would cogroup to an empty frame anyway, so pruning is free
+    # identity; the aliased cast mints a fresh attribute id (segs shares
+    # lineage with cand and cogroup's analyzer rejects the ambiguous
+    # self-join). Same form as the multifield twin below.
+    segs = cand.select(F.col("segment").cast("int").alias("segment")).distinct()
+    qseg = qtw.crossJoin(F.broadcast(segs))
     kk = k + 1 if exclude_self else k
     k1, b, avgdl, codec = meta.k1, meta.b, meta.avgdl, meta.codec
     seg_schema = f"qid {qid_type}, doc_id long, score double"

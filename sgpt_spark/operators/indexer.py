@@ -1332,6 +1332,19 @@ def compact_index(
     if _seg_map is not None:
         bucket = dict(_seg_map)
         target_segments = len(set(bucket.values()))
+        # the mapping join below is INNER: a segment absent from the
+        # map (e.g. a sentinel-only segment a size-based policy didn't
+        # see) would have its rows silently deleted from the rewrite —
+        # refuse instead
+        present = {
+            r["segment"] for r in raw.select("segment").distinct().collect()
+        }
+        missing = sorted(present - bucket.keys())
+        if missing:
+            raise ValueError(
+                f"_seg_map omits segments {missing} present in "
+                f"{path}/postings — compacting would drop their rows"
+            )
     else:
         segs = sorted(r["segment"] for r in raw.select("segment").distinct().collect())
         n_old = len(segs)

@@ -60,12 +60,8 @@ def score_candidates(
     k1: float = K1,
     b: float = B,
     broadcast_queries: bool = True,
-    aggregate: bool = True,
 ) -> DataFrame:
     """-> (qid, doc_id, score): BM25 over every (query, matching doc).
-    With ``aggregate=False``, returns the term-level (qid, doc_id,
-    partial) rows un-summed so a caller can fold several relations into
-    one grouped aggregation (see ``dismax_combine``).
 
     ``qterms`` and ``dfs``-restricted-to-query-terms are both tiny ->
     broadcast; the big postings relation is filtered by the join without
@@ -87,8 +83,6 @@ def score_candidates(
             )
         ).alias("partial"),
     )
-    if not aggregate:
-        return partial
     return partial.groupBy("qid", "doc_id").agg(F.sum("partial").alias("score"))
 
 

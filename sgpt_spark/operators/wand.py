@@ -84,8 +84,8 @@ class TermPostings:
         return docs, tfn
 
     def full_decode(self) -> tuple[np.ndarray, np.ndarray]:
-        """(docs, tfn) of the WHOLE posting list, memoized. Reuses any
-        per-block decodes already cached."""
+        """(docs, tfn) of the WHOLE posting list, memoized (independent
+        of the per-block cache: one batched pass beats stitching)."""
         if self._full is None:
             # len(), not truthiness — blocks arrive as numpy object
             # arrays under applyInPandas (same caveat as
@@ -119,6 +119,16 @@ class TermPostings:
             docs, _ = self.full_decode()
             if len(keep) == len(self.blocks):
                 return docs
+            # slice the kept blocks out of the memoized full decode via
+            # cumulative block counts — no second decode pass
+            counts = np.array(
+                [blk["count"] for blk in self.blocks], dtype=np.int64
+            )
+            ends = np.cumsum(counts)
+            starts = ends - counts
+            return np.concatenate(
+                [docs[starts[int(i)]:ends[int(i)]] for i in keep]
+            )
         return np.concatenate([self.decode_block(int(i))[0] for i in keep])
 
     def lookup(self, doc_ids: np.ndarray) -> np.ndarray:

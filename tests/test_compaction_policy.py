@@ -214,3 +214,127 @@ def test_auto_compact_multifield_shared_mapping(spark, tmp_path):
     assert after == before and before
 
     assert auto_compact_multifield_index(spark, mf, max_segments=8, min_postings=1) is None
+
+
+def test_auto_compact_preserves_sentinel_only_segment(spark, tmp_path):
+    """A build partition whose docs are ALL empty-text leaves a segment
+    that exists only as its sentinel stats row (term NULL;
+    streaming/incremental.py:_next_segment_id documents the shape).
+    The size-based policy must still see it (size 0) and the mapping
+    join must keep its sentinel rows — an earlier draft dropped them
+    (inner join on a plan built from term-row stats only), silently
+    erasing per-segment doc/token totals from disk."""
+    from sgpt_spark.operators.index_search import search_index
+    from sgpt_spark.operators.indexer import build_index, read_index
+
+    idx = str(tmp_path / "sent_auto")
+    # build_index segments BY INPUT PARTITION (spark_partition_id), so a
+    # sentinel-only segment = a partition whose docs are all empty-text;
+    # union preserves child partitioning, giving partition 0 = all-empty
+    empty = spark.createDataFrame(
+        [(i, "") for i in range(60)], "doc_id long, text string"
+    ).coalesce(1)
+    full = spark.createDataFrame(
+        [(i, f"alpha{i % 7} beta{i % 3} common w{i}") for i in range(60, 240)],
+        "doc_id long, text string",
+    ).repartition(3)
+    build_index(empty.union(full), idx, segment_size=60)
+
+    raw = spark.read.parquet(f"{idx}/postings")
+    sent_segs_before = {
+        r["segment"] for r in raw.filter(F.col("term").isNull()).collect()
+    }
+    stats = segment_postings_stats(spark, idx)
+    empty_segs = {s for s, n in stats.items() if n == 0}
+    assert empty_segs, "fixture must produce a sentinel-only segment"
+    assert empty_segs <= set(stats)  # visible to the policy at size 0
+
+    def sentinel_totals():
+        # sums/max only: compaction merges per-segment sentinels
+        # ADDITIVELY (one row per new segment), so row count changes but
+        # the totals they carry must not
+        return tuple(
+            spark.read.parquet(f"{idx}/postings")
+            .filter(F.col("term").isNull())
+            .agg(
+                F.sum("df"),
+                F.sum("max_tf"),
+                F.max("min_dl"),
+            )
+            .collect()[0]
+        )
+
+    totals_before = sentinel_totals()
+    queries = spark.createDataFrame(
+        [(1, "alpha1 common"), (2, "beta2 common")], "qid long, query string"
+    )
+    postings, meta = read_index(spark, idx)
+    before = sorted(
+        tuple(r) for r in search_index(spark, postings, meta, queries, k=20).collect()
+    )
+
+    n_new = auto_compact_index(
+        spark, idx, max_segments=2, min_postings=max(stats.values()) + 1
+    )
+    assert n_new is not None and n_new <= 2
+
+    # sentinel stats survived the rewrite (merged additively, not dropped)
+    assert sentinel_totals() == totals_before
+    # exactly one merged sentinel row per surviving segment
+    sent_after = (
+        spark.read.parquet(f"{idx}/postings")
+        .filter(F.col("term").isNull())
+        .select("segment")
+        .collect()
+    )
+    assert len(sent_after) == len({r["segment"] for r in sent_after}) == n_new
+    p2, m2 = read_index(spark, idx)
+    after = sorted(
+        tuple(r) for r in search_index(spark, p2, m2, queries, k=20).collect()
+    )
+    assert after == before and before
+    assert sent_segs_before  # the fixture really had sentinel rows
+
+
+def test_compact_index_refuses_incomplete_seg_map(spark, tmp_path):
+    """Defense in depth for any _seg_map caller: the mapping join is
+    inner, so a map omitting a present segment would silently delete
+    its rows — compact_index must refuse instead."""
+    import pytest as _pytest
+
+    from sgpt_spark.operators.indexer import build_index, compact_index
+
+    idx = str(tmp_path / "bad_map")
+    # segment == input partition in build_index, so 3 partitions -> 3 segments
+    docs = spark.createDataFrame(
+        [(i, f"alpha{i % 5} beta w{i}") for i in range(120)],
+        "doc_id long, text string",
+    ).repartition(3)
+    build_index(docs, idx, segment_size=40)
+    segs = sorted(
+        r["segment"]
+        for r in spark.read.parquet(f"{idx}/postings").select("segment").distinct().collect()
+    )
+    assert len(segs) >= 2
+    bad = {s: 0 for s in segs[:-1]}  # omits the last segment
+    with _pytest.raises(ValueError, match="omits segments"):
+        compact_index(spark, idx, 1, _seg_map=bad)
+
+
+def test_auto_compact_refuses_multifield_field_dir(spark, tmp_path):
+    """auto_compact_index hands compact_index an explicit _seg_map,
+    which bypasses the mechanism-level fields.json refusal — the policy
+    layer must refuse per-field auto-compaction itself or one field
+    gets renumbered away from its co-segmented siblings."""
+    import pytest as _pytest
+
+    from sgpt_spark.operators.indexer import build_multifield_index
+
+    mf = str(tmp_path / "mf_guard")
+    docs = spark.createDataFrame(
+        [(i, f"t{i % 3}", f"alpha{i % 5} beta w{i}") for i in range(120)],
+        "doc_id long, title string, text string",
+    )
+    build_multifield_index(docs, mf, segment_size=40)
+    with _pytest.raises(ValueError, match="auto_compact_multifield_index"):
+        auto_compact_index(spark, f"{mf}/text_index", max_segments=1, min_postings=10)

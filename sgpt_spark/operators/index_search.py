@@ -690,6 +690,7 @@ def search_multifield_index(
     fields: tuple[str, ...] | None = None,
     tokenize=None,
     exclude_self: bool = False,
+    boosts: dict[str, float] | None = None,
 ) -> DataFrame:
     """Multi-field BM25 top-k THROUGH the compressed per-field indexes
     built by ``indexer.build_multifield_index`` — the index-backed twin
@@ -712,8 +713,14 @@ def search_multifield_index(
     usual global merge. Shuffle volume: <= k rows per (query, segment)
     — identical to the single-field index path; nothing ever shuffles
     postings.
+
+    ``boosts``: optional per-field multipliers (ES ``"title^2"``), folded
+    into the per-term weights w_{f,t} so the kernel is untouched.
     """
+    from sgpt_spark.operators.search import normalize_boosts
+
     fields, idx, analyzer = _load_multifield(spark, path, fields)
+    boost = normalize_boosts(fields, boosts)
 
     queries, qid_type = normalize_queries(queries)
     if exclude_self and qid_type not in ("bigint", "int", "long", "smallint", "tinyint"):
@@ -751,7 +758,9 @@ def search_multifield_index(
         idf_f = {t: idf_py(d, meta_f.n_docs) for t, d in gdf.items()}
         for qid, t, qtf in qterms:
             if t in idf_f:
-                per_query.setdefault(qid, {}).setdefault(f, []).append((t, qtf * idf_f[t]))
+                per_query.setdefault(qid, {}).setdefault(f, []).append(
+                    (t, boost[f] * qtf * idf_f[t])
+                )
         part = postings_f.filter(F.col("term").isin(terms)).withColumn(
             "field", F.lit(f)
         )
@@ -791,6 +800,7 @@ def search_multifield_index_join(
     fields: tuple[str, ...] | None = None,
     tokenizer=None,
     exclude_self: bool = False,
+    boosts: dict[str, float] | None = None,
 ) -> DataFrame:
     """Fully join-based multifield BM25 top-k through the per-field
     compressed indexes — the scale-out twin of
@@ -819,10 +829,15 @@ def search_multifield_index_join(
     ``search_index_join``.
     """
     from sgpt_spark.functions.analyzer import resolve_jvm_analyzer
-    from sgpt_spark.operators.search import query_terms, score_candidates
+    from sgpt_spark.operators.search import (
+        normalize_boosts,
+        query_terms,
+        score_candidates,
+    )
     from sgpt_spark.operators.stats import CorpusStats
 
     fields, idx, analyzer = _load_multifield(spark, path, fields)
+    boost = normalize_boosts(fields, boosts)
     queries, qid_type = normalize_queries(queries)
     if not isinstance(queries, DataFrame):
         queries = spark.createDataFrame(queries, f"qid {qid_type}, query string")
@@ -862,6 +877,11 @@ def search_multifield_index_join(
             b=b,
             broadcast_queries=False,
         )
+        if boost[f] != 1.0:
+            # per-field score is a sum of per-term weights, so the boost
+            # distributes over the aggregate — one scalar multiply here
+            # equals multiplying every w_{f,t}
+            scored = scored.withColumn("score", F.col("score") * F.lit(boost[f]))
         per_field = scored if per_field is None else per_field.unionByName(scored)
 
     combined = per_field.groupBy("qid", "doc_id").agg(
@@ -884,6 +904,7 @@ def search_multifield_index_cogroup(
     fields: tuple[str, ...] | None = None,
     tokenizer=None,
     exclude_self: bool = False,
+    boosts: dict[str, float] | None = None,
 ) -> DataFrame:
     """Multifield twin of ``search_index_cogroup``: queries stay in the
     plan (no driver collect) but each co-segmented segment is scored by
@@ -903,9 +924,10 @@ def search_multifield_index_cogroup(
     """
     from sgpt_spark.functions.analyzer import resolve_jvm_analyzer
     from sgpt_spark.functions.bm25 import idf as idf_col
-    from sgpt_spark.operators.search import query_terms
+    from sgpt_spark.operators.search import normalize_boosts, query_terms
 
     fields, idx, analyzer = _load_multifield(spark, path, fields)
+    boost = normalize_boosts(fields, boosts)
     queries, qid_type = normalize_queries(queries)
     if not isinstance(queries, DataFrame):
         queries = spark.createDataFrame(queries, f"qid {qid_type}, query string")
@@ -932,7 +954,9 @@ def search_multifield_index_cogroup(
             "qid",
             F.lit(f).alias("field"),
             "term",
-            (F.col("qtf") * idf_col(F.col("df"), meta_f.n_docs)).alias("w"),
+            (
+                F.lit(boost[f]) * F.col("qtf") * idf_col(F.col("df"), meta_f.n_docs)
+            ).alias("w"),
         )
         qunion = qtw_f if qunion is None else qunion.unionByName(qtw_f)
         part = postings_f.join(qvocab, "term", "left_semi").select(

@@ -86,6 +86,48 @@ def score_candidates(
     return partial.groupBy("qid", "doc_id").agg(F.sum("partial").alias("score"))
 
 
+def parse_field_boosts(
+    specs,
+) -> tuple[tuple[str, ...], dict[str, float] | None]:
+    """ES ``multi_match`` field spellings -> (fields, boosts):
+    ``["title^2", "text"]`` -> ``(("title", "text"), {"title": 2.0})``
+    (Lucene query-syntax caret boost; boost-less fields default 1.0,
+    returned as None when no field carries a boost)."""
+    fields: list[str] = []
+    boosts: dict[str, float] = {}
+    for s in specs:
+        name, sep, bv = str(s).partition("^")
+        if not name:
+            raise ValueError(f"empty field name in spec {s!r}")
+        fields.append(name)
+        if sep:
+            boosts[name] = float(bv)
+    return tuple(fields), (boosts or None)
+
+
+def normalize_boosts(
+    fields: tuple[str, ...], boosts: dict[str, float] | None
+) -> dict[str, float]:
+    """-> {field: boost} covering every field (default 1.0). Boosts must
+    be positive and finite: the dis-max combine (and the per-segment
+    spare-candidate logic under exclude_self) relies on per-field BM25
+    scores staying strictly positive, which a zero/negative boost would
+    break."""
+    import math
+
+    out = {f: 1.0 for f in fields}
+    if boosts:
+        unknown = sorted(set(boosts) - set(fields))
+        if unknown:
+            raise ValueError(f"boosts name unknown fields {unknown}; fields={list(fields)}")
+        for f, v in boosts.items():
+            v = float(v)
+            if not math.isfinite(v) or v <= 0.0:
+                raise ValueError(f"boost for field {f!r} must be a positive finite number, got {v}")
+            out[f] = v
+    return out
+
+
 def dismax_combine(
     partials: DataFrame, fields: tuple[str, ...], tie_breaker: float
 ) -> DataFrame:
@@ -163,6 +205,7 @@ def bm25_multifield_search(
     k1: float = K1,
     b: float = B,
     exclude_self: bool = False,
+    boosts: dict[str, float] | None = None,
 ) -> DataFrame:
     """Multi-field BM25 top-k — the ES ``multi_match`` query the
     reference actually ran (crossencoder_beir_bm25.ipynb:298-310 cell
@@ -177,7 +220,10 @@ def bm25_multifield_search(
         no rows in the title index;
       - best_fields combine: score = max_f s_f + tie_breaker *
         (sum_f s_f - max_f s_f).  tie_breaker=0 is pure dis-max,
-        tie_breaker=1 is a plain per-field sum.
+        tie_breaker=1 is a plain per-field sum;
+      - per-field boosts (the ES ``"title^2"`` spelling — use
+        ``parse_field_boosts``): s_f is multiplied by boost_f BEFORE the
+        combine, exactly Lucene's per-clause query boost.
 
     Plan shape (scale notes as ``bm25_search``): the per-field posting
     relations are one UNION of narrow projections over a single corpus
@@ -187,6 +233,7 @@ def bm25_multifield_search(
     """
     if exclude_self:
         _check_self_comparable(corpus.schema[id_col], queries.schema["qid"])
+    boost = normalize_boosts(fields, boosts)
     base = corpus
     fdocs = None
     for f in fields:
@@ -226,12 +273,22 @@ def bm25_multifield_search(
     avgdl_map = F.create_map(
         *[x for f in fields for x in (F.lit(f), F.lit(stats.get(f, (0, 1.0))[1] or 1.0))]
     )
+    # fold boosts into the partial only when some field is actually
+    # boosted — the default plan stays free of the map lookup
+    boost_col = (
+        F.create_map(*[x for f in fields for x in (F.lit(f), F.lit(boost[f]))])[
+            F.col("field")
+        ]
+        if any(v != 1.0 for v in boost.values())
+        else F.lit(1.0)
+    )
     partial = tf.join(qterm_df, ["field", "term"], "inner").select(
         "qid",
         "doc_id",
         "field",
         (
-            F.col("qtf")
+            boost_col
+            * F.col("qtf")
             * F.log(
                 1.0
                 + (n_map[F.col("field")] - F.col("df") + 0.5) / (F.col("df") + 0.5)

@@ -338,3 +338,56 @@ def test_auto_compact_refuses_multifield_field_dir(spark, tmp_path):
     build_multifield_index(docs, mf, segment_size=40)
     with _pytest.raises(ValueError, match="auto_compact_multifield_index"):
         auto_compact_index(spark, f"{mf}/text_index", max_segments=1, min_postings=10)
+
+
+# ---- hypothesis: policy invariants over arbitrary size maps ------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    sizes=st.dictionaries(
+        st.integers(min_value=0, max_value=10_000),  # sparse segment ids
+        st.integers(min_value=0, max_value=2_000_000),
+        min_size=0,
+        max_size=80,
+    ),
+    max_segments=st.integers(min_value=1, max_value=64),
+    min_postings=st.integers(min_value=0, max_value=100_000),
+)
+def test_policy_invariants(sizes, max_segments, min_postings):
+    """plan_compaction feeds compact_index(_seg_map=...), whose mapping
+    join REWRITES the index — a hole here is silent data loss. Invariants
+    for every input:
+
+    1. coverage: mapping keys == input segments exactly (a dropped
+       segment would be erased from disk; an invented one breaks the
+       rewrite);
+    2. dense bucket ids 0..n-1;
+    3. adjacency: buckets are contiguous runs in segment-id order (the
+       doc-disjoint verbatim-gather fast path depends on it);
+    4. it merges something (n_buckets < n_segments) — None is the only
+       no-op spelling;
+    5. no-op exactly when healthy: within max_segments and nothing
+       underfull.
+    """
+    plan = plan_compaction(sizes, max_segments=max_segments, min_postings=min_postings)
+    n = len(sizes)
+    healthy = n <= max_segments and all(v >= min_postings for v in sizes.values())
+    if plan is None:
+        if n > 1 and not healthy:
+            # legitimate None on unhealthy input only when no merge can
+            # help: every segment kept its own bucket (e.g. every
+            # segment already >= the pack target)
+            assert n <= max_segments or n == 1
+        return
+    assert n > 1 and not healthy
+    assert set(plan.keys()) == set(sizes.keys())  # (1)
+    buckets = [plan[s] for s in sorted(plan)]
+    assert buckets == sorted(buckets)  # (3)
+    uniq = sorted(set(buckets))
+    assert uniq == list(range(len(uniq)))  # (2)
+    assert len(uniq) < n  # (4)
+    assert len(uniq) <= max_segments  # cap honored

@@ -319,8 +319,13 @@ def _q_bm25_multifield_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Join-based multifield query path (index_search.
     search_multifield_index_join): queries tokenize inside the plan —
     no driver-side query collect, the millions-of-queries scale-out
-    shape for the reference's ES multi_match workload — gated by the
-    same DuckDB multi_match oracle as the other two multifield paths."""
+    shape for the reference's ES multi_match workload. This gate also
+    carries the engine's per-field BOOST coverage (ES ``"title^2"``
+    spelling): title^2 / text^0.75, reproduced in the DuckDB oracle by
+    multiplying each field's BM25 score before the best_fields combine
+    (_mf_sql). The unboosted join path stays pytest-covered by the
+    ==collect-path equality tests; boosted equality across all four
+    multifield paths is tests/test_field_boosts.py."""
     import tempfile
 
     from sgpt_spark.operators.index_search import search_multifield_index_join
@@ -332,7 +337,8 @@ def _q_bm25_multifield_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = tempfile.mkdtemp(prefix="sgpt_gate_mfj_")
     build_multifield_index(docs, out, fields=("title", "text"), segment_size=200)
     return search_multifield_index_join(
-        spark, out, derived_queries(docs), k=10, tie_breaker=0.5
+        spark, out, derived_queries(docs), k=10, tie_breaker=0.5,
+        boosts={"title": 2.0, "text": 0.75},
     )
 
 
@@ -921,6 +927,18 @@ FROM sranked WHERE rnk <= 10
 # Title derived as the first 3 whitespace tokens of text, identically to
 # the Spark plan; each field is an independent BM25 index (per-field
 # N/avgdl/df, docs with an empty field absent from that field's index).
+def _mf_sql(title_boost: float = 1.0, text_boost: float = 1.0) -> str:
+    """Multifield multi_match oracle, parameterized by per-field boosts
+    (Lucene per-clause query boost: the field's BM25 score is multiplied
+    by its boost BEFORE the best_fields combine — mirrors
+    operators/search.py normalize_boosts semantics)."""
+    return _BM25_MULTIFIELD_SQL.replace(
+        "AS fscore",
+        f"* (CASE ftf.field WHEN 'title' THEN {title_boost!r} "
+        f"ELSE {text_boost!r} END) AS fscore",
+    )
+
+
 _BM25_MULTIFIELD_SQL = f"""
 WITH base AS (
     SELECT doc_id,
@@ -1554,7 +1572,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_standard_index_top10": _BM25_STANDARD_SQL,
         "bm25_multifield_top10": _BM25_MULTIFIELD_SQL,
         "bm25_multifield_index_top10": _BM25_MULTIFIELD_SQL,
-        "bm25_multifield_join_top10": _BM25_MULTIFIELD_SQL,
+        "bm25_multifield_join_top10": _mf_sql(title_boost=2.0, text_boost=0.75),
         "bm25_multifield_cogroup_top10": _BM25_MULTIFIELD_SQL,
         "bm25_rerank_top10": _RERANK_SQL,
         "dedup_exact": """

@@ -950,13 +950,16 @@ def search_multifield_index_cogroup(
             dfs = tstats_f
         else:
             dfs = postings_f.groupBy("term").agg(F.sum("df").alias("df"))
+        w_col = F.col("qtf") * idf_col(F.col("df"), meta_f.n_docs)
+        if boost[f] != 1.0:
+            # skip the no-op multiply so the default plan is unchanged
+            # (same guard as the join path / exhaustive boost_col)
+            w_col = F.lit(boost[f]) * w_col
         qtw_f = qt.join(dfs, "term").select(
             "qid",
             F.lit(f).alias("field"),
             "term",
-            (
-                F.lit(boost[f]) * F.col("qtf") * idf_col(F.col("df"), meta_f.n_docs)
-            ).alias("w"),
+            w_col.alias("w"),
         )
         qunion = qtw_f if qunion is None else qunion.unionByName(qtw_f)
         part = postings_f.join(qvocab, "term", "left_semi").select(

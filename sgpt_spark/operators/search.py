@@ -99,6 +99,10 @@ def parse_field_boosts(
         name, sep, bv = str(s).partition("^")
         if not name:
             raise ValueError(f"empty field name in spec {s!r}")
+        if name in fields:
+            # a duplicate field would union its projection twice
+            # downstream (double tf and docCount — silently wrong scores)
+            raise ValueError(f"duplicate field {name!r} in specs {list(specs)!r}")
         fields.append(name)
         if sep:
             boosts[name] = float(bv)

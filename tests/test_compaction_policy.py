@@ -377,11 +377,13 @@ def test_policy_invariants(sizes, max_segments, min_postings):
     n = len(sizes)
     healthy = n <= max_segments and all(v >= min_postings for v in sizes.values())
     if plan is None:
-        if n > 1 and not healthy:
-            # legitimate None on unhealthy input only when no merge can
-            # help: every segment kept its own bucket (e.g. every
-            # segment already >= the pack target)
-            assert n <= max_segments or n == 1
+        # bidirectional: None happens EXACTLY when n <= 1 or healthy.
+        # (Unhealthy n > 1 always merges: an underfull segment never
+        # closes its own bucket — target >= min_postings — and a
+        # trailing underfull bucket folds into its neighbor; oversharded
+        # inputs can't give every segment its own >= target bucket since
+        # n * ceil(total/max_segments) > total for n > max_segments.)
+        assert n <= 1 or healthy
         return
     assert n > 1 and not healthy
     assert set(plan.keys()) == set(sizes.keys())  # (1)

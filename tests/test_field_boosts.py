@@ -13,7 +13,6 @@ import math
 import tempfile
 
 import pytest
-from pyspark.sql import functions as F
 
 from sgpt_spark.operators.index_search import (
     search_multifield_index,
@@ -49,6 +48,8 @@ def test_parse_field_boosts():
         parse_field_boosts(["^2"])
     with pytest.raises(ValueError):
         parse_field_boosts(["title^two"])
+    with pytest.raises(ValueError, match="duplicate field"):
+        parse_field_boosts(["title^2", "title"])
 
 
 def test_normalize_boosts():
@@ -86,11 +87,13 @@ def test_boost_flips_ranking(spark):
     top_boost = [r["doc_id"] for r in sorted(boosted, key=lambda r: r["rank"])]
     assert top_plain[0] == 1  # body tf wins unboosted
     assert top_boost[0] == 0  # title^4 wins boosted
-    # and the boosted title score is exactly 4x its unboosted self
-    # (tie_breaker=0 keeps the winner's score = its best field's score)
+    # and the boosted title score is 4x its unboosted self to within the
+    # engine's 6-dp rounding (tie_breaker=0 keeps the winner's score =
+    # its best field's score; round6(4x) vs 4*round6(x) can differ by up
+    # to 2.5e-6)
     s_plain = {r["doc_id"]: r["score"] for r in plain}
     s_boost = {r["doc_id"]: r["score"] for r in boosted}
-    assert s_boost[0] == pytest.approx(4.0 * s_plain[0], rel=1e-9)
+    assert s_boost[0] == pytest.approx(4.0 * s_plain[0], abs=3e-6)
 
 
 def test_uniform_boost_is_a_pure_scale(spark):

@@ -135,6 +135,8 @@ def search_index_cogroup(
     term_stats: DataFrame | None = None,
     exclude_self: bool = False,
     tokenizer=None,
+    minimum_should_match: int = 0,
+    operator: str = "or",
 ) -> DataFrame:
     """In-plan query path with COLLECT-PATH scoring: queries never touch
     the driver (``search_index_join``'s contract), but each segment is
@@ -165,7 +167,7 @@ def search_index_cogroup(
     """
     from sgpt_spark.functions.analyzer import resolve_jvm_analyzer
     from sgpt_spark.functions.bm25 import idf as idf_col
-    from sgpt_spark.operators.search import query_terms
+    from sgpt_spark.operators.search import _validate_msm_args, query_terms
 
     queries, qid_type = normalize_queries(queries)
     if not isinstance(queries, DataFrame):
@@ -174,6 +176,7 @@ def search_index_cogroup(
         raise ValueError(
             f"exclude_self needs integer qids matching index doc ids; got qid type {qid_type}"
         )
+    _validate_msm_args(minimum_should_match, operator)
     tok = tokenizer or resolve_jvm_analyzer(meta.analyzer)
     qt = query_terms(queries, tokenizer=tok)
     if term_stats is not None:
@@ -183,6 +186,15 @@ def search_index_cogroup(
     qtw = qt.join(dfs, "term").select(
         "qid", "term", (F.col("qtf") * idf_col(F.col("df"), meta.n_docs)).alias("w")
     )
+    # minimum_should_match / operator='and' ride the weight rows as an
+    # in-plan per-qid requirement column (operator='and' counts the
+    # query's ANALYZED terms pre-df-join, so a corpus-absent term makes
+    # the query unmatchable — ES semantics)
+    if operator == "and":
+        qreq = qt.groupBy("qid").agg(F.count("*").cast("int").alias("req"))
+        qtw = qtw.join(qreq, "qid")
+    elif minimum_should_match > 1:
+        qtw = qtw.withColumn("req", F.lit(int(minimum_should_match)))
     cand = postings.join(qt.select("term").distinct(), "term", "left_semi").select(
         "segment", "term", "blocks"
     )
@@ -207,7 +219,14 @@ def search_index_cogroup(
         qid_list, tmap, per_query = _query_maps(
             pright["qid"], pright["term"], pright["w"]
         )
-        return _emit_topk_frame(_taat_parts(decoded, qid_list, tmap, per_query, kk))
+        msm_b = (
+            {q: int(r) for q, r in zip(pright["qid"], pright["req"])}
+            if "req" in pright.columns
+            else None
+        )
+        return _emit_topk_frame(
+            _taat_parts(decoded, qid_list, tmap, per_query, kk, msm=msm_b)
+        )
 
     seg_topk = (
         cand.groupBy("segment")
@@ -336,13 +355,23 @@ def _taat_parts(
     per_query: dict,
     kk: int,
     query_chunk: int = QUERY_CHUNK,
+    msm: dict | None = None,
 ) -> list:
     """Dense-accumulator TAAT over ONE segment's decoded postings ->
     [(qid, doc_ids, scores)] per-query top-kk. Shared by the broadcast
     path (search_index strategy='taat') and the cogroup path
     (search_index_cogroup). ``tmap``: term -> (query row indices into
     qid_list, weights); ``per_query``: qid -> [(term, w)] — used only by
-    the sparse-span fallback."""
+    the sparse-span fallback.
+
+    ``msm``: qid -> required matched-term count (ES minimum_should_match
+    / operator=and). A doc scores only if it matches >= that many of the
+    query's DISTINCT terms; req <= 1 is a no-op (every scored doc
+    matched at least one term). Per-segment counting is globally correct
+    because every doc lives in exactly one doc-partitioned segment."""
+    req_arr = None
+    if msm is not None and any(int(msm.get(q, 0)) > 1 for q in qid_list):
+        req_arr = np.array([int(msm.get(q, 0)) for q in qid_list], dtype=np.int32)
     lo_doc = min(int(d[0]) for d, _ in decoded.values())
     hi_doc = max(int(d[-1]) for d, _ in decoded.values())
     span = hi_doc - lo_doc + 1
@@ -352,6 +381,7 @@ def _taat_parts(
         # pathologically sparse doc-id space (not produced by our
         # builders, but possible with external ids): dense accumulators
         # would waste memory — per-query concatenate+bincount instead.
+        qrow = {q: i for i, q in enumerate(qid_list)} if req_arr is not None else None
         for qid, tws in per_query.items():
             present = [(t, w) for t, w in tws if t in decoded]
             if not present:
@@ -360,6 +390,12 @@ def _taat_parts(
             w_cat = np.concatenate([decoded[t][1] * w for t, w in present])
             uniq, inv = np.unique(docs_cat, return_inverse=True)
             scores = np.round(np.bincount(inv, weights=w_cat), SCORE_DECIMALS)
+            if req_arr is not None and req_arr[qrow[qid]] > 1:
+                # one (term, doc) posting row per matched term
+                keep = np.bincount(inv) >= req_arr[qrow[qid]]
+                uniq, scores = uniq[keep], scores[keep]
+                if len(uniq) == 0:
+                    continue
             order = deterministic_topk(uniq, scores, kk)
             parts.append((qid, uniq[order], scores[order]))
         return parts
@@ -367,6 +403,11 @@ def _taat_parts(
     for clo in range(0, nq, query_chunk):
         chi = min(clo + query_chunk, nq)
         acc = np.zeros((chi - clo, span), dtype=np.float64)
+        macc = (
+            np.zeros((chi - clo, span), dtype=np.int16)
+            if req_arr is not None and (req_arr[clo:chi] > 1).any()
+            else None
+        )
         touched = np.zeros(chi - clo, dtype=bool)
         for term, (docs, tfn) in decoded.items():
             rows_ws = tmap.get(term)
@@ -380,9 +421,13 @@ def _taat_parts(
             touched[r_local] = True
             pos = docs - lo_doc
             acc[np.ix_(r_local, pos)] += np.outer(ws[sel], tfn)
+            if macc is not None:
+                macc[np.ix_(r_local, pos)] += 1
         for r in np.flatnonzero(touched):
             row = acc[r]
             nz = np.flatnonzero(row)
+            if macc is not None and req_arr[clo + r] > 1:
+                nz = nz[macc[r, nz] >= req_arr[clo + r]]
             if len(nz) == 0:
                 continue
             scores = np.round(row[nz], SCORE_DECIMALS)
@@ -466,6 +511,28 @@ def _query_maps(qids, terms, ws) -> tuple[list, dict, dict]:
     return qid_list, tmap, per_query
 
 
+def _msm_map(
+    qterms: list[tuple], minimum_should_match: int, operator: str
+) -> dict | None:
+    """-> qid -> required matched-term count, or None when inactive.
+
+    ES semantics: ``operator='and'`` requires EVERY analyzed query term
+    to match (including terms absent from the corpus — such a query
+    matches nothing); ``minimum_should_match=N`` requires at least N.
+    The two are alternative spellings — combining them is refused."""
+    from sgpt_spark.operators.search import _validate_msm_args
+
+    _validate_msm_args(minimum_should_match, operator)
+    if operator == "and":
+        counts: dict = {}
+        for qid, _t, _qtf in qterms:  # qterms is distinct per (qid, term)
+            counts[qid] = counts.get(qid, 0) + 1
+        return counts
+    if minimum_should_match > 1:
+        return {qid: int(minimum_should_match) for qid in {q for q, _, _ in qterms}}
+    return None  # 0/1 never filters: every scored doc matched >= 1 term
+
+
 def search_index(
     spark: SparkSession,
     postings: DataFrame,
@@ -477,9 +544,17 @@ def search_index(
     exclude_self: bool = False,
     term_stats: DataFrame | None = None,
     tokenize=None,
+    minimum_should_match: int = 0,
+    operator: str = "or",
 ) -> DataFrame:
     """-> RESULTS (qid, doc_id, score, rank), rank-identical to the
     exhaustive path and the brute-force oracle under every strategy.
+
+    ``minimum_should_match`` / ``operator='and'`` (ES match-query knobs):
+    a doc enters the ranking only if it matches at least N / all of the
+    query's distinct analyzed terms. Supported on the 'taat' and
+    'exhaustive' strategies ('wand' refuses: its block-max pruning
+    bounds assume pure-OR scoring).
 
     ``exclude_self`` drops ``doc_id == qid`` hits (the reference's
     self-match filter, exact_search.py:117-119). Exactness is preserved
@@ -517,6 +592,12 @@ def search_index(
     qterms = collect_query_terms(
         queries, tokenize=tokenize or resolve_py_analyzer(meta.analyzer)
     )
+    msm = _msm_map(qterms, minimum_should_match, operator)
+    if msm is not None and strategy == "wand":
+        raise ValueError(
+            "minimum_should_match/operator='and' need strategy 'taat' or "
+            "'exhaustive' — WAND's block-max pruning bounds assume pure-OR scoring"
+        )
     seg_schema = f"qid {qid_type}, doc_id long, score double"
     empty = spark.createDataFrame([], seg_schema + ", rank int")
     if not qterms:
@@ -572,15 +653,19 @@ def search_index(
             term_to_q[t][0].append(qrow[qid])
             term_to_q[t][1].append(w)
     b_taat = spark.sparkContext.broadcast(
-        (qid_list, {t: (np.asarray(r), np.asarray(w)) for t, (r, w) in term_to_q.items()})
+        (
+            qid_list,
+            {t: (np.asarray(r), np.asarray(w)) for t, (r, w) in term_to_q.items()},
+            msm,
+        )
     )
     def score_segment_taat(pdf: pd.DataFrame) -> pd.DataFrame:
-        qids_b, tmap = b_taat.value
+        qids_b, tmap, msm_b = b_taat.value
         decoded = _decode_terms(pdf["term"], pdf["blocks"], codec, k1, b, avgdl)
         if not decoded:
             return
         yield _emit_topk_frame(
-            _taat_parts(decoded, qids_b, tmap, b_queries.value, kk)
+            _taat_parts(decoded, qids_b, tmap, b_queries.value, kk, msm=msm_b)
         )
 
     def score_segment(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -620,6 +705,13 @@ def search_index(
                 w_cat = np.concatenate([decoded[t][1] * w for t, w in present])
                 uniq, inv = np.unique(docs_cat, return_inverse=True)
                 scores = np.round(np.bincount(inv, weights=w_cat), SCORE_DECIMALS)
+                req = int(msm.get(qid, 0)) if msm is not None else 0
+                if req > 1:
+                    # one (term, doc) posting row per matched term
+                    keep = np.bincount(inv) >= req
+                    uniq, scores = uniq[keep], scores[keep]
+                    if len(uniq) == 0:
+                        continue
                 order = deterministic_topk(uniq, scores, kk)
                 parts.append((qid, uniq[order], scores[order]))
         return _emit_topk_frame(parts)

@@ -60,8 +60,15 @@ def score_candidates(
     k1: float = K1,
     b: float = B,
     broadcast_queries: bool = True,
+    required: DataFrame | None = None,
 ) -> DataFrame:
     """-> (qid, doc_id, score): BM25 over every (query, matching doc).
+
+    ``required``: optional (qid, req) relation — a doc is kept only when
+    it matched at least ``req`` of that query's distinct terms (ES
+    minimum_should_match / operator=and; one partial row per matched
+    (qid, doc, term), so count(*) IS the matched-term count). A qid
+    absent from ``required`` is unfiltered.
 
     ``qterms`` and ``dfs``-restricted-to-query-terms are both tiny ->
     broadcast; the big postings relation is filtered by the join without
@@ -83,6 +90,14 @@ def score_candidates(
             )
         ).alias("partial"),
     )
+    if required is not None:
+        return (
+            partial.groupBy("qid", "doc_id")
+            .agg(F.sum("partial").alias("score"), F.count("*").alias("_nm"))
+            .join(F.broadcast(required), "qid", "left")
+            .filter(F.col("_nm") >= F.coalesce(F.col("req"), F.lit(0)))
+            .select("qid", "doc_id", "score")
+        )
     return partial.groupBy("qid", "doc_id").agg(F.sum("partial").alias("score"))
 
 
@@ -107,6 +122,19 @@ def parse_field_boosts(
         if sep:
             boosts[name] = float(bv)
     return tuple(fields), (boosts or None)
+
+
+def _validate_msm_args(minimum_should_match: int, operator: str) -> None:
+    """Shared validation for the ES match-query knobs (used by the
+    exhaustive path here and the index paths in index_search)."""
+    if operator not in ("or", "and"):
+        raise ValueError(f"unknown operator {operator!r}: or|and")
+    if minimum_should_match < 0:
+        raise ValueError(
+            f"minimum_should_match must be >= 0, got {minimum_should_match}"
+        )
+    if operator == "and" and minimum_should_match:
+        raise ValueError("pass operator='and' OR minimum_should_match, not both")
 
 
 def normalize_boosts(
@@ -171,8 +199,17 @@ def bm25_search(
     k1: float = K1,
     b: float = B,
     exclude_self: bool = False,
+    minimum_should_match: int = 0,
+    operator: str = "or",
 ) -> DataFrame:
     """End-to-end exhaustive BM25 top-k: corpus x queries -> RESULTS.
+
+    ``minimum_should_match`` / ``operator='and'``: ES match-query knobs —
+    keep only docs matching at least N / all of the query's distinct
+    analyzed terms (operator='and' counts terms BEFORE the corpus join,
+    so a query containing a corpus-absent term matches nothing — ES
+    semantics). Single-field only; the multifield operator keeps ES
+    multi_match defaults.
 
     The "index" here is the flat (term, doc_id, tf, doc_len) relation
     built inline; the persisted compressed-index path lives in
@@ -187,12 +224,21 @@ def bm25_search(
     """
     if exclude_self:
         _check_self_comparable(corpus.schema[id_col], queries.schema["qid"])
+    _validate_msm_args(minimum_should_match, operator)
     dt = doc_terms(corpus, id_col=id_col, text_col=text_col, tokenizer=tokenizer)
     tf = term_freqs(dt)
     dfs = term_df(tf)
     stats = corpus_stats(dt)
     qt = query_terms(queries, tokenizer=tokenizer)
-    scored = score_candidates(tf, qt, dfs, stats, k1=k1, b=b)
+    required = None
+    if operator == "and":
+        # distinct ANALYZED terms per query, counted before the df join
+        required = qt.groupBy("qid").agg(F.count("*").cast("int").alias("req"))
+    elif minimum_should_match > 1:
+        required = qt.select("qid").distinct().withColumn(
+            "req", F.lit(int(minimum_should_match))
+        )
+    scored = score_candidates(tf, qt, dfs, stats, k1=k1, b=b, required=required)
     if exclude_self:
         scored = scored.filter(F.col("doc_id") != F.col("qid"))
     return topk_per_group(scored, k=k).select("qid", "doc_id", "score", "rank")

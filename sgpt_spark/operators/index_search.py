@@ -456,13 +456,21 @@ def _decode_terms_mf(
     return decoded
 
 
-def _mf_parts(decoded: dict, per_query_mf: dict, tie: float, kk: int) -> list:
+def _mf_parts(
+    decoded: dict, per_query_mf: dict, tie: float, kk: int, msm: dict | None = None
+) -> list:
     """ES best_fields dis-max over ONE co-segmented segment's decoded
     per-field postings -> [(qid, doc_ids, scores)]. ``per_query_mf``:
     qid -> {field: [(term, w)]}. Shared by the collect path
-    (search_multifield_index) and the cogroup path."""
+    (search_multifield_index) and the cogroup path.
+
+    ``msm``: qid -> required matched-term count, applied PER FIELD (ES
+    multi_match builds one match clause per field, each carrying the
+    operator/minimum_should_match — a doc whose matches are split across
+    fields, all below the bar, matches nothing)."""
     parts: list = []
     for qid, by_field in per_query_mf.items():
+        req = int(msm.get(qid, 0)) if msm is not None else 0
         fscores = []  # [(ids, scores)] per field with any match
         for fld, tws in by_field.items():
             dec = decoded.get(fld)
@@ -474,7 +482,13 @@ def _mf_parts(decoded: dict, per_query_mf: dict, tie: float, kk: int) -> list:
             docs_cat = np.concatenate([dec[t][0] for t, _ in present])
             w_cat = np.concatenate([dec[t][1] * w for t, w in present])
             ids_f, inv = np.unique(docs_cat, return_inverse=True)
-            fscores.append((ids_f, np.bincount(inv, weights=w_cat)))
+            sc_f = np.bincount(inv, weights=w_cat)
+            if req > 1:
+                keep = np.bincount(inv) >= req  # one posting row per matched term
+                ids_f, sc_f = ids_f[keep], sc_f[keep]
+                if len(ids_f) == 0:
+                    continue
+            fscores.append((ids_f, sc_f))
         if not fscores:
             continue
         if len(fscores) == 1:
@@ -783,6 +797,8 @@ def search_multifield_index(
     tokenize=None,
     exclude_self: bool = False,
     boosts: dict[str, float] | None = None,
+    minimum_should_match: int = 0,
+    operator: str = "or",
 ) -> DataFrame:
     """Multi-field BM25 top-k THROUGH the compressed per-field indexes
     built by ``indexer.build_multifield_index`` — the index-backed twin
@@ -822,6 +838,9 @@ def search_multifield_index(
     qterms = collect_query_terms(
         queries, tokenize=tokenize or resolve_py_analyzer(analyzer)
     )
+    # per-field match-clause bar (one shared analyzer -> one analyzed
+    # term count per query serves every field; see _mf_parts)
+    msm = _msm_map(qterms, minimum_should_match, operator)
     seg_schema = f"qid {qid_type}, doc_id long, score double"
     empty = spark.createDataFrame([], seg_schema + ", rank int")
     if not qterms:
@@ -873,7 +892,7 @@ def search_multifield_index(
         decoded = _decode_terms_mf(
             pdf["field"], pdf["term"], pdf["blocks"], codec, k1, b, b_avgdl.value
         )
-        return _emit_topk_frame(_mf_parts(decoded, b_queries.value, tie, kk))
+        return _emit_topk_frame(_mf_parts(decoded, b_queries.value, tie, kk, msm=msm))
 
     seg_topk = cand.groupBy("segment").applyInPandas(
         lambda _key, pdf: score_segment_mf(pdf), schema=seg_schema
@@ -893,6 +912,8 @@ def search_multifield_index_join(
     tokenizer=None,
     exclude_self: bool = False,
     boosts: dict[str, float] | None = None,
+    minimum_should_match: int = 0,
+    operator: str = "or",
 ) -> DataFrame:
     """Fully join-based multifield BM25 top-k through the per-field
     compressed indexes — the scale-out twin of
@@ -922,6 +943,7 @@ def search_multifield_index_join(
     """
     from sgpt_spark.functions.analyzer import resolve_jvm_analyzer
     from sgpt_spark.operators.search import (
+        _validate_msm_args,
         normalize_boosts,
         query_terms,
         score_candidates,
@@ -930,6 +952,7 @@ def search_multifield_index_join(
 
     fields, idx, analyzer = _load_multifield(spark, path, fields)
     boost = normalize_boosts(fields, boosts)
+    _validate_msm_args(minimum_should_match, operator)
     queries, qid_type = normalize_queries(queries)
     if not isinstance(queries, DataFrame):
         queries = spark.createDataFrame(queries, f"qid {qid_type}, query string")
@@ -943,6 +966,15 @@ def search_multifield_index_join(
     qt = query_terms(queries, tokenizer=tok)
     qvocab = qt.select("term").distinct()
     k1, b = idx[fields[0]][1].k1, idx[fields[0]][1].b
+    # per-field match-clause bar (ES multi_match operator/msm semantics):
+    # the same (qid, req) relation gates every field's score_candidates
+    required = None
+    if operator == "and":
+        required = qt.groupBy("qid").agg(F.count("*").cast("int").alias("req"))
+    elif minimum_should_match > 1:
+        required = qt.select("qid").distinct().withColumn(
+            "req", F.lit(int(minimum_should_match))
+        )
 
     # Per-field aggregate FIRST, then combine the (much smaller)
     # doc-level relations. The one-groupBy conditional-sum variant
@@ -968,6 +1000,7 @@ def search_multifield_index_join(
             k1=k1,
             b=b,
             broadcast_queries=False,
+            required=required,
         )
         if boost[f] != 1.0:
             # per-field score is a sum of per-term weights, so the boost
@@ -997,6 +1030,8 @@ def search_multifield_index_cogroup(
     tokenizer=None,
     exclude_self: bool = False,
     boosts: dict[str, float] | None = None,
+    minimum_should_match: int = 0,
+    operator: str = "or",
 ) -> DataFrame:
     """Multifield twin of ``search_index_cogroup``: queries stay in the
     plan (no driver collect) but each co-segmented segment is scored by
@@ -1016,10 +1051,15 @@ def search_multifield_index_cogroup(
     """
     from sgpt_spark.functions.analyzer import resolve_jvm_analyzer
     from sgpt_spark.functions.bm25 import idf as idf_col
-    from sgpt_spark.operators.search import normalize_boosts, query_terms
+    from sgpt_spark.operators.search import (
+        _validate_msm_args,
+        normalize_boosts,
+        query_terms,
+    )
 
     fields, idx, analyzer = _load_multifield(spark, path, fields)
     boost = normalize_boosts(fields, boosts)
+    _validate_msm_args(minimum_should_match, operator)
     queries, qid_type = normalize_queries(queries)
     if not isinstance(queries, DataFrame):
         queries = spark.createDataFrame(queries, f"qid {qid_type}, query string")
@@ -1059,6 +1099,14 @@ def search_multifield_index_cogroup(
         )
         cand = part if cand is None else cand.unionByName(part)
 
+    # per-field match-clause bar rides the weight rows in-plan (same
+    # mechanism as search_index_cogroup; analyzed-term counts pre-df-join)
+    if operator == "and":
+        qreq = qt.groupBy("qid").agg(F.count("*").cast("int").alias("req"))
+        qunion = qunion.join(qreq, "qid")
+    elif minimum_should_match > 1:
+        qunion = qunion.withColumn("req", F.lit(int(minimum_should_match)))
+
     # candidate segments only (term-pruned), fresh attribute id for the
     # cogroup analyzer (see search_index_cogroup)
     segs = cand.select(F.col("segment").cast("int").alias("segment")).distinct()
@@ -1080,7 +1128,12 @@ def search_multifield_index_cogroup(
             pright["qid"], pright["field"], pright["term"], pright["w"]
         ):
             per_query.setdefault(qid, {}).setdefault(fld, []).append((t, float(w)))
-        return _emit_topk_frame(_mf_parts(decoded, per_query, tie, kk))
+        msm_b = (
+            {q: int(r) for q, r in zip(pright["qid"], pright["req"])}
+            if "req" in pright.columns
+            else None
+        )
+        return _emit_topk_frame(_mf_parts(decoded, per_query, tie, kk, msm=msm_b))
 
     seg_topk = (
         cand.groupBy("segment")

@@ -161,7 +161,10 @@ def normalize_boosts(
 
 
 def dismax_combine(
-    partials: DataFrame, fields: tuple[str, ...], tie_breaker: float
+    partials: DataFrame,
+    fields: tuple[str, ...],
+    tie_breaker: float,
+    required: DataFrame | None = None,
 ) -> DataFrame:
     """(qid, doc_id, field, partial) term-level rows -> (qid, doc_id,
     score) with the ES best_fields combine max + tie_breaker*(sum-max)
@@ -169,24 +172,50 @@ def dismax_combine(
     (sum(when(field=f))), so the per-field aggregate and the cross-field
     combine share a single shuffle instead of one per field plus one.
     BM25 partials are strictly positive (Lucene idf > 0), so a missing
-    field coalesces to 0 without changing max or sum."""
+    field coalesces to 0 without changing max or sum.
+
+    ``required``: optional (qid, req) — ES multi_match with
+    minimum_should_match/operator=and puts the bar on EACH per-field
+    match clause: a field whose matched-term count (one partial row per
+    matched qid/doc/field/term) is below ``req`` contributes nothing,
+    and a doc where every field misses the bar is dropped (strictly
+    positive partials make max>0 the exact "some field matched" test)."""
     sums = [
         F.coalesce(
             F.sum(F.when(F.col("field") == f, F.col("partial"))), F.lit(0.0)
         ).alias(f"_s{i}")
         for i, f in enumerate(fields)
     ]
-    g = partials.groupBy("qid", "doc_id").agg(*sums)
-    scols = [F.col(f"_s{i}") for i in range(len(fields))]
+    if required is not None:
+        cnts = [
+            F.count(F.when(F.col("field") == f, F.lit(1))).alias(f"_c{i}")
+            for i, f in enumerate(fields)
+        ]
+        g = (
+            partials.groupBy("qid", "doc_id")
+            .agg(*sums, *cnts)
+            .join(F.broadcast(required), "qid", "left")
+        )
+        req = F.coalesce(F.col("req"), F.lit(0))
+        scols = [
+            F.when(F.col(f"_c{i}") >= req, F.col(f"_s{i}")).otherwise(F.lit(0.0))
+            for i in range(len(fields))
+        ]
+    else:
+        g = partials.groupBy("qid", "doc_id").agg(*sums)
+        scols = [F.col(f"_s{i}") for i in range(len(fields))]
     mx = F.greatest(*scols) if len(scols) > 1 else scols[0]
     total = scols[0]
     for c in scols[1:]:
         total = total + c
-    return g.select(
+    out = g.select(
         "qid",
         "doc_id",
         (mx + F.lit(float(tie_breaker)) * (total - mx)).alias("score"),
     )
+    if required is not None:
+        out = out.filter(F.col("score") > 0.0)
+    return out
 
 
 def bm25_search(
@@ -256,6 +285,8 @@ def bm25_multifield_search(
     b: float = B,
     exclude_self: bool = False,
     boosts: dict[str, float] | None = None,
+    minimum_should_match: int = 0,
+    operator: str = "or",
 ) -> DataFrame:
     """Multi-field BM25 top-k — the ES ``multi_match`` query the
     reference actually ran (crossencoder_beir_bm25.ipynb:298-310 cell
@@ -273,7 +304,12 @@ def bm25_multifield_search(
         tie_breaker=1 is a plain per-field sum;
       - per-field boosts (the ES ``"title^2"`` spelling — use
         ``parse_field_boosts``): s_f is multiplied by boost_f BEFORE the
-        combine, exactly Lucene's per-clause query boost.
+        combine, exactly Lucene's per-clause query boost;
+      - ``minimum_should_match`` / ``operator='and'`` apply to EACH
+        per-field match clause (ES multi_match semantics): a field
+        matching fewer than the required terms contributes nothing, and
+        a doc whose matches are split across fields — every field below
+        the bar — matches nothing at all.
 
     Plan shape (scale notes as ``bm25_search``): the per-field posting
     relations are one UNION of narrow projections over a single corpus
@@ -283,6 +319,7 @@ def bm25_multifield_search(
     """
     if exclude_self:
         _check_self_comparable(corpus.schema[id_col], queries.schema["qid"])
+    _validate_msm_args(minimum_should_match, operator)
     boost = normalize_boosts(fields, boosts)
     base = corpus
     fdocs = None
@@ -350,7 +387,16 @@ def bm25_multifield_search(
             )
         ).alias("partial"),
     )
-    combined = dismax_combine(partial, fields, tie_breaker)
+    required = None
+    if operator == "and":
+        # the shared analyzer means one per-query ANALYZED term count
+        # serves every field's clause
+        required = qt.groupBy("qid").agg(F.count("*").cast("int").alias("req"))
+    elif minimum_should_match > 1:
+        required = qt.select("qid").distinct().withColumn(
+            "req", F.lit(int(minimum_should_match))
+        )
+    combined = dismax_combine(partial, fields, tie_breaker, required=required)
     if exclude_self:
         combined = combined.filter(F.col("doc_id") != F.col("qid"))
     return topk_per_group(combined, k=k).select("qid", "doc_id", "score", "rank")

@@ -235,3 +235,145 @@ def test_wand_refuses_msm(spark, tmp_path):
             spark, postings, meta, _queries(spark), k=10,
             strategy="wand", minimum_should_match=2,
         )
+
+
+# ---- multifield: per-field match clauses (ES multi_match semantics) ------
+
+from sgpt_spark.operators.index_search import (
+    search_multifield_index,
+    search_multifield_index_cogroup,
+    search_multifield_index_join,
+)
+from sgpt_spark.operators.indexer import build_multifield_index
+from sgpt_spark.operators.search import bm25_multifield_search
+
+
+def _mf_docs(spark):
+    # query "alpha beta" under operator='and':
+    #   doc 0: title matches BOTH           -> matches (via title)
+    #   doc 1: alpha in title, beta in text -> NO match (the ES trap:
+    #          each per-field clause must clear the bar by itself)
+    #   doc 2: text matches both            -> matches (via text)
+    rows = [
+        (0, "alpha beta topic", "noise filler pad pad"),
+        (1, "alpha topic", "beta filler pad pad"),
+        (2, "alpha topic", "alpha beta filler pad"),
+    ] + [(i, f"t{i} topic", f"noise{i} filler pad pad") for i in range(3, 30)]
+    return spark.createDataFrame(rows, "doc_id long, title string, text string")
+
+
+def test_mf_operator_and_split_across_fields_is_no_match(spark):
+    docs = _mf_docs(spark)
+    queries = spark.createDataFrame([(1, "alpha beta")], "qid long, query string")
+    plain = bm25_multifield_search(docs, queries, k=10).collect()
+    anded = bm25_multifield_search(docs, queries, k=10, operator="and").collect()
+    assert {r["doc_id"] for r in plain} >= {0, 1, 2}
+    assert {r["doc_id"] for r in anded} == {0, 2}  # doc 1 excluded
+
+
+_MF_MSM_SQL = """
+WITH fraw AS (
+  SELECT doc_id, 'title' AS field,
+         list_filter(string_split(title, ' '), x -> x <> '') AS toks FROM docs
+  UNION ALL
+  SELECT doc_id, 'text' AS field,
+         list_filter(string_split(text, ' '), x -> x <> '') AS toks FROM docs
+),
+fdocs AS (SELECT * FROM fraw WHERE len(toks) > 0),
+fterms AS (SELECT doc_id, field, u.term AS term FROM fdocs, unnest(toks) AS u(term)),
+fdoclen AS (SELECT field, doc_id, len(toks) AS doc_len FROM fdocs),
+ftf AS (SELECT field, term, doc_id, count(*) AS tf FROM fterms GROUP BY field, term, doc_id),
+fdf AS (SELECT field, term, count(*) AS df FROM ftf GROUP BY field, term),
+fstats AS (SELECT field, count(*) AS n, avg(len(toks)) AS avgdl FROM fdocs GROUP BY field),
+qt AS (
+  SELECT qid, u.term AS term, count(*) AS qtf
+  FROM queries, unnest(string_split(query, ' ')) AS u(term)
+  WHERE u.term <> '' GROUP BY qid, u.term
+),
+req AS (SELECT qid, count(*) AS req FROM qt GROUP BY qid),
+fscored AS (
+  SELECT q.qid, ftf.doc_id, ftf.field,
+         sum(q.qtf * ln(1 + (s.n - fdf.df + 0.5) / (fdf.df + 0.5))
+             * ftf.tf / (ftf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.doc_len / s.avgdl))
+         ) AS fscore,
+         count(*) AS nm
+  FROM qt q
+  JOIN ftf ON q.term = ftf.term
+  JOIN fdf ON ftf.field = fdf.field AND ftf.term = fdf.term
+  JOIN fdoclen dl ON ftf.field = dl.field AND ftf.doc_id = dl.doc_id
+  JOIN fstats s ON ftf.field = s.field
+  GROUP BY q.qid, ftf.doc_id, ftf.field
+),
+fkept AS (
+  SELECT f.* FROM fscored f JOIN req r ON f.qid = r.qid WHERE f.nm >= {REQ}
+),
+combined AS (
+  SELECT qid, doc_id,
+         max(fscore) + 0.5 * (sum(fscore) - max(fscore)) AS raw
+  FROM fkept GROUP BY qid, doc_id
+),
+ranked AS (
+  SELECT qid, doc_id, round(raw, 6) AS score,
+         row_number() OVER (
+           PARTITION BY qid ORDER BY round(raw, 6) DESC, doc_id ASC
+         ) AS rnk
+  FROM combined
+)
+SELECT qid, doc_id, score, CAST(rnk AS INTEGER) AS rank
+FROM ranked WHERE rnk <= 10
+"""
+
+MF_QUERIES = [(1, "alpha beta"), (2, "alpha"), (3, "beta zzz_absent")]
+
+
+def _mf_duck(docs_pdf, req_expr: str):
+    import pandas as pd
+
+    con = duckdb.connect()
+    con.register("docs", docs_pdf)
+    con.register("queries", pd.DataFrame(MF_QUERIES, columns=["qid", "query"]))
+    rows = con.execute(_MF_MSM_SQL.replace("{REQ}", req_expr)).fetchall()
+    return sorted((q, rk, d, s) for q, d, s, rk in rows)
+
+
+def test_mf_msm_matches_duckdb_and_identical_across_paths(spark, tmp_path):
+    docs = _mf_docs(spark)
+    queries = spark.createDataFrame(MF_QUERIES, "qid long, query string")
+    idx = str(tmp_path / "mf_msm")
+    build_multifield_index(docs, idx, fields=("title", "text"), segment_size=10)
+    for kwargs, req_expr in (
+        ({"operator": "and"}, "r.req"),
+        ({"minimum_should_match": 2}, "2"),
+    ):
+        want = runs(bm25_multifield_search(docs, queries, k=10, **kwargs).collect())
+        assert want == _mf_duck(docs.toPandas(), req_expr), kwargs
+        assert want, kwargs
+        # qid 3 carries a corpus-absent term: under operator='and' it
+        # must match nothing; under msm=2 no single field has 2 matches
+        assert all(q != 3 for q, _, _, _ in want)
+        for fn in (
+            search_multifield_index,
+            search_multifield_index_join,
+            search_multifield_index_cogroup,
+        ):
+            got = runs(fn(spark, idx, queries, k=10, **kwargs).collect())
+            assert got == want, (fn.__name__, kwargs)
+
+
+def test_mf_msm_composes_with_boosts(spark, tmp_path):
+    """Boost scales a field's score; msm gates its match clause —
+    independent knobs, exercised together across all four paths."""
+    docs = _mf_docs(spark)
+    queries = spark.createDataFrame([(1, "alpha beta")], "qid long, query string")
+    idx = str(tmp_path / "mf_msm_boost")
+    build_multifield_index(docs, idx, fields=("title", "text"), segment_size=10)
+    kwargs = {"operator": "and", "boosts": {"title": 3.0}}
+    want = runs(bm25_multifield_search(docs, queries, k=10, **kwargs).collect())
+    assert {d for _, _, d, _ in want} == {0, 2}
+    for fn in (
+        search_multifield_index,
+        search_multifield_index_join,
+        search_multifield_index_cogroup,
+    ):
+        got = runs(fn(spark, idx, queries, k=10, **kwargs).collect())
+        assert got == want, fn.__name__

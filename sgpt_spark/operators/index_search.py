@@ -76,11 +76,18 @@ def search_index_join(
     term_stats: DataFrame | None = None,
     exclude_self: bool = False,
     tokenizer=None,
+    minimum_should_match: int = 0,
+    operator: str = "or",
 ) -> DataFrame:
     """Fully join-based query path over the compressed index — for query
     sets too large to collect/broadcast (the driver-side
     ``collect_query_terms`` contract caps at ~10^4 queries; this path
     has NO driver-side step and scales to millions of queries).
+
+    ``minimum_should_match`` / ``operator='and'`` ride the plan as a
+    (qid, req) relation gating ``score_candidates`` (clause units per
+    ``search.required_df``); at this path's scale the gate joins on
+    qid without broadcasting, like the query probe itself.
 
     Plan: queries tokenize inside the plan (analyzer resolved from
     IndexMeta; indexes built with a custom ``py_tokenizer`` must pass
@@ -91,7 +98,7 @@ def search_index_join(
     and tie-break as every other path (rank-identical, gated).
     """
     from sgpt_spark.functions.analyzer import resolve_jvm_analyzer
-    from sgpt_spark.operators.search import query_terms, score_candidates
+    from sgpt_spark.operators.search import query_terms, required_df, score_candidates
     from sgpt_spark.operators.stats import CorpusStats
 
     queries, qid_type = normalize_queries(queries)
@@ -99,6 +106,7 @@ def search_index_join(
         queries = spark.createDataFrame(queries, f"qid {qid_type}, query string")
     tokenizer = tokenizer or resolve_jvm_analyzer(meta.analyzer)
     qt = query_terms(queries, tokenizer=tokenizer)
+    required = required_df(qt, minimum_should_match, operator)
     # prune BEFORE decoding: a semi-join against the distinct query
     # vocabulary keeps only candidate posting rows (AQE broadcasts the
     # term set while it's small; at millions of queries it degrades
@@ -117,6 +125,7 @@ def search_index_join(
         k1=meta.k1,
         b=meta.b,
         broadcast_queries=False,
+        required=required,
     )
     if exclude_self:
         from sgpt_spark.operators.search import _check_self_comparable
@@ -167,7 +176,7 @@ def search_index_cogroup(
     """
     from sgpt_spark.functions.analyzer import resolve_jvm_analyzer
     from sgpt_spark.functions.bm25 import idf as idf_col
-    from sgpt_spark.operators.search import _validate_msm_args, query_terms
+    from sgpt_spark.operators.search import query_terms, required_df
 
     queries, qid_type = normalize_queries(queries)
     if not isinstance(queries, DataFrame):
@@ -176,7 +185,6 @@ def search_index_cogroup(
         raise ValueError(
             f"exclude_self needs integer qids matching index doc ids; got qid type {qid_type}"
         )
-    _validate_msm_args(minimum_should_match, operator)
     tok = tokenizer or resolve_jvm_analyzer(meta.analyzer)
     qt = query_terms(queries, tokenizer=tok)
     if term_stats is not None:
@@ -184,17 +192,18 @@ def search_index_cogroup(
     else:
         dfs = postings.groupBy("term").agg(F.sum("df").alias("df"))
     qtw = qt.join(dfs, "term").select(
-        "qid", "term", (F.col("qtf") * idf_col(F.col("df"), meta.n_docs)).alias("w")
+        "qid",
+        "term",
+        "qtf",
+        (F.col("qtf") * idf_col(F.col("df"), meta.n_docs)).alias("w"),
     )
     # minimum_should_match / operator='and' ride the weight rows as an
-    # in-plan per-qid requirement column (operator='and' counts the
-    # query's ANALYZED terms pre-df-join, so a corpus-absent term makes
-    # the query unmatchable — ES semantics)
-    if operator == "and":
-        qreq = qt.groupBy("qid").agg(F.count("*").cast("int").alias("req"))
+    # in-plan per-qid requirement column (clause units per required_df:
+    # operator='and' sums qtf over the ANALYZED terms pre-df-join, so a
+    # corpus-absent term makes the query unmatchable — ES semantics)
+    qreq = required_df(qt, minimum_should_match, operator)
+    if qreq is not None:
         qtw = qtw.join(qreq, "qid")
-    elif minimum_should_match > 1:
-        qtw = qtw.withColumn("req", F.lit(int(minimum_should_match)))
     cand = postings.join(qt.select("term").distinct(), "term", "left_semi").select(
         "segment", "term", "blocks"
     )
@@ -217,7 +226,7 @@ def search_index_cogroup(
         if not decoded:
             return _emit_topk_frame([])
         qid_list, tmap, per_query = _query_maps(
-            pright["qid"], pright["term"], pright["w"]
+            pright["qid"], pright["term"], pright["w"], pright["qtf"]
         )
         msm_b = (
             {q: int(r) for q, r in zip(pright["qid"], pright["req"])}
@@ -361,14 +370,15 @@ def _taat_parts(
     [(qid, doc_ids, scores)] per-query top-kk. Shared by the broadcast
     path (search_index strategy='taat') and the cogroup path
     (search_index_cogroup). ``tmap``: term -> (query row indices into
-    qid_list, weights); ``per_query``: qid -> [(term, w)] — used only by
-    the sparse-span fallback.
+    qid_list, weights, qtfs); ``per_query``: qid -> [(term, w, qtf)] —
+    used only by the sparse-span fallback.
 
-    ``msm``: qid -> required matched-term count (ES minimum_should_match
-    / operator=and). A doc scores only if it matches >= that many of the
-    query's DISTINCT terms; req <= 1 is a no-op (every scored doc
-    matched at least one term). Per-segment counting is globally correct
-    because every doc lives in exactly one doc-partitioned segment."""
+    ``msm``: qid -> required matched-CLAUSE count (ES
+    minimum_should_match / operator=and). Lucene builds one clause per
+    query-token occurrence, so a matched term contributes its qtf
+    toward the bar; req <= 1 is a no-op (every scored doc matched at
+    least one clause). Per-segment counting is globally correct because
+    every doc lives in exactly one doc-partitioned segment."""
     req_arr = None
     if msm is not None and any(int(msm.get(q, 0)) > 1 for q in qid_list):
         req_arr = np.array([int(msm.get(q, 0)) for q in qid_list], dtype=np.int32)
@@ -383,16 +393,20 @@ def _taat_parts(
         # would waste memory — per-query concatenate+bincount instead.
         qrow = {q: i for i, q in enumerate(qid_list)} if req_arr is not None else None
         for qid, tws in per_query.items():
-            present = [(t, w) for t, w in tws if t in decoded]
+            present = [(t, w, qtf) for t, w, qtf in tws if t in decoded]
             if not present:
                 continue
-            docs_cat = np.concatenate([decoded[t][0] for t, _ in present])
-            w_cat = np.concatenate([decoded[t][1] * w for t, w in present])
+            docs_cat = np.concatenate([decoded[t][0] for t, _, _ in present])
+            w_cat = np.concatenate([decoded[t][1] * w for t, w, _ in present])
             uniq, inv = np.unique(docs_cat, return_inverse=True)
             scores = np.round(np.bincount(inv, weights=w_cat), SCORE_DECIMALS)
             if req_arr is not None and req_arr[qrow[qid]] > 1:
-                # one (term, doc) posting row per matched term
-                keep = np.bincount(inv) >= req_arr[qrow[qid]]
+                # each matched term contributes its qtf clauses
+                m_cat = np.concatenate(
+                    [np.full(len(decoded[t][0]), q, dtype=np.float64)
+                     for t, _, q in present]
+                )
+                keep = np.bincount(inv, weights=m_cat) >= req_arr[qrow[qid]]
                 uniq, scores = uniq[keep], scores[keep]
                 if len(uniq) == 0:
                     continue
@@ -413,7 +427,7 @@ def _taat_parts(
             rows_ws = tmap.get(term)
             if rows_ws is None:
                 continue
-            rows, ws = rows_ws
+            rows, ws, qtfs = rows_ws
             sel = (rows >= clo) & (rows < chi)
             if not sel.any():
                 continue
@@ -422,7 +436,9 @@ def _taat_parts(
             pos = docs - lo_doc
             acc[np.ix_(r_local, pos)] += np.outer(ws[sel], tfn)
             if macc is not None:
-                macc[np.ix_(r_local, pos)] += 1
+                # a matched term satisfies all qtf of its duplicate
+                # clauses (Lucene one-clause-per-token-occurrence)
+                macc[np.ix_(r_local, pos)] += qtfs[sel][:, None]
         for r in np.flatnonzero(touched):
             row = acc[r]
             nz = np.flatnonzero(row)
@@ -461,13 +477,14 @@ def _mf_parts(
 ) -> list:
     """ES best_fields dis-max over ONE co-segmented segment's decoded
     per-field postings -> [(qid, doc_ids, scores)]. ``per_query_mf``:
-    qid -> {field: [(term, w)]}. Shared by the collect path
+    qid -> {field: [(term, w, qtf)]}. Shared by the collect path
     (search_multifield_index) and the cogroup path.
 
-    ``msm``: qid -> required matched-term count, applied PER FIELD (ES
+    ``msm``: qid -> required matched-CLAUSE count, applied PER FIELD (ES
     multi_match builds one match clause per field, each carrying the
     operator/minimum_should_match — a doc whose matches are split across
-    fields, all below the bar, matches nothing)."""
+    fields, all below the bar, matches nothing; a matched term counts
+    qtf clauses, Lucene one-clause-per-token-occurrence)."""
     parts: list = []
     for qid, by_field in per_query_mf.items():
         req = int(msm.get(qid, 0)) if msm is not None else 0
@@ -476,15 +493,19 @@ def _mf_parts(
             dec = decoded.get(fld)
             if not dec:
                 continue
-            present = [(t, w) for t, w in tws if t in dec]
+            present = [(t, w, qtf) for t, w, qtf in tws if t in dec]
             if not present:
                 continue
-            docs_cat = np.concatenate([dec[t][0] for t, _ in present])
-            w_cat = np.concatenate([dec[t][1] * w for t, w in present])
+            docs_cat = np.concatenate([dec[t][0] for t, _, _ in present])
+            w_cat = np.concatenate([dec[t][1] * w for t, w, _ in present])
             ids_f, inv = np.unique(docs_cat, return_inverse=True)
             sc_f = np.bincount(inv, weights=w_cat)
             if req > 1:
-                keep = np.bincount(inv) >= req  # one posting row per matched term
+                m_cat = np.concatenate(
+                    [np.full(len(dec[t][0]), q, dtype=np.float64)
+                     for t, _, q in present]
+                )
+                keep = np.bincount(inv, weights=m_cat) >= req
                 ids_f, sc_f = ids_f[keep], sc_f[keep]
                 if len(ids_f) == 0:
                     continue
@@ -508,43 +529,54 @@ def _mf_parts(
     return parts
 
 
-def _query_maps(qids, terms, ws) -> tuple[list, dict, dict]:
+def _query_maps(qids, terms, ws, qtfs) -> tuple[list, dict, dict]:
     """Per-segment query structures from parallel columns (qid, term,
-    weight) -> (qid_list, tmap, per_query) as ``_taat_parts`` wants."""
+    weight, qtf) -> (qid_list, tmap, per_query) as ``_taat_parts``
+    wants: tmap term -> (query rows, weights, qtfs); per_query qid ->
+    [(term, w, qtf)]. qtf rides along so msm can count matched CLAUSES
+    (a matched term satisfies qtf duplicate clauses)."""
     per_query: dict = {}
-    for qid, t, w in zip(qids, terms, ws):
-        per_query.setdefault(qid, []).append((t, float(w)))
+    for qid, t, w, qtf in zip(qids, terms, ws, qtfs):
+        per_query.setdefault(qid, []).append((t, float(w), int(qtf)))
     qid_list = sorted(per_query)
     qrow = {q: i for i, q in enumerate(qid_list)}
     tmap: dict = {}
-    for qid, t, w in zip(qids, terms, ws):
-        rows_ws = tmap.setdefault(t, ([], []))
+    for qid, t, w, qtf in zip(qids, terms, ws, qtfs):
+        rows_ws = tmap.setdefault(t, ([], [], []))
         rows_ws[0].append(qrow[qid])
         rows_ws[1].append(float(w))
-    tmap = {t: (np.asarray(r), np.asarray(w)) for t, (r, w) in tmap.items()}
+        rows_ws[2].append(int(qtf))
+    tmap = {
+        t: (np.asarray(r), np.asarray(w), np.asarray(q, dtype=np.int16))
+        for t, (r, w, q) in tmap.items()
+    }
     return qid_list, tmap, per_query
 
 
 def _msm_map(
     qterms: list[tuple], minimum_should_match: int, operator: str
 ) -> dict | None:
-    """-> qid -> required matched-term count, or None when inactive.
+    """-> qid -> required matched-CLAUSE count, or None when inactive —
+    the collect-path twin of ``search.required_df`` (keep their clause
+    units in agreement).
 
-    ES semantics: ``operator='and'`` requires EVERY analyzed query term
-    to match (including terms absent from the corpus — such a query
-    matches nothing); ``minimum_should_match=N`` requires at least N.
-    The two are alternative spellings — combining them is refused."""
+    ES semantics: Lucene's match query builds one clause per analyzed
+    query-token OCCURRENCE, and a matched term satisfies all qtf of its
+    duplicate clauses. ``operator='and'`` requires every clause —
+    sum(qtf) over the ANALYZED terms, so a corpus-absent term makes the
+    query unmatchable; ``minimum_should_match=N`` requires at least N
+    clauses. The two are alternative spellings — combining is refused."""
     from sgpt_spark.operators.search import _validate_msm_args
 
     _validate_msm_args(minimum_should_match, operator)
     if operator == "and":
         counts: dict = {}
-        for qid, _t, _qtf in qterms:  # qterms is distinct per (qid, term)
-            counts[qid] = counts.get(qid, 0) + 1
+        for qid, _t, qtf in qterms:  # qterms is distinct per (qid, term)
+            counts[qid] = counts.get(qid, 0) + int(qtf)
         return counts
     if minimum_should_match > 1:
         return {qid: int(minimum_should_match) for qid in {q for q, _, _ in qterms}}
-    return None  # 0/1 never filters: every scored doc matched >= 1 term
+    return None  # 0/1 never filters: every scored doc matched >= 1 clause
 
 
 def search_index(
@@ -566,9 +598,10 @@ def search_index(
 
     ``minimum_should_match`` / ``operator='and'`` (ES match-query knobs):
     a doc enters the ranking only if it matches at least N / all of the
-    query's distinct analyzed terms. Supported on the 'taat' and
-    'exhaustive' strategies ('wand' refuses: its block-max pruning
-    bounds assume pure-OR scoring).
+    query's match clauses (one clause per analyzed token occurrence —
+    a matched term counts qtf clauses, see ``search.required_df``).
+    Supported on the 'taat' and 'exhaustive' strategies ('wand'
+    refuses: its block-max pruning bounds assume pure-OR scoring).
 
     ``exclude_self`` drops ``doc_id == qid`` hits (the reference's
     self-match filter, exact_search.py:117-119). Exactness is preserved
@@ -643,14 +676,17 @@ def search_index(
         }
     idf = {t: idf_py(d, meta.n_docs) for t, d in global_df.items()}
 
-    # qid -> [(term, weight = qtf * idf)]
+    # qid -> [(term, weight = qtf * idf, qtf)]
     per_query: dict = {}
     for qid, t, qtf in qterms:
         if t in idf:  # query terms absent from the corpus contribute 0
-            per_query.setdefault(qid, []).append((t, qtf * idf[t]))
+            per_query.setdefault(qid, []).append((t, qtf * idf[t], int(qtf)))
     if not per_query:
         return empty
     b_queries = spark.sparkContext.broadcast(per_query)
+    # msm is query-sized like per_query — ship it once per executor,
+    # not serialized into every task closure
+    b_msm = spark.sparkContext.broadcast(msm)
     # with exclude_self each segment hands back one spare candidate so
     # dropping the (unique) self row cannot starve the global top-k
     k_eff = k + 1 if exclude_self else k
@@ -662,14 +698,18 @@ def search_index(
     qrow = {q: i for i, q in enumerate(qid_list)}
     term_to_q: dict = {}
     for qid, tws in per_query.items():
-        for t, w in tws:
-            term_to_q.setdefault(t, ([], []))
+        for t, w, qtf in tws:
+            term_to_q.setdefault(t, ([], [], []))
             term_to_q[t][0].append(qrow[qid])
             term_to_q[t][1].append(w)
+            term_to_q[t][2].append(qtf)
     b_taat = spark.sparkContext.broadcast(
         (
             qid_list,
-            {t: (np.asarray(r), np.asarray(w)) for t, (r, w) in term_to_q.items()},
+            {
+                t: (np.asarray(r), np.asarray(w), np.asarray(q, dtype=np.int16))
+                for t, (r, w, q) in term_to_q.items()
+            },
             msm,
         )
     )
@@ -692,7 +732,7 @@ def search_index(
                 for term, blocks in zip(pdf["term"], pdf["blocks"])
             }
             for qid, tws in b_queries.value.items():
-                wt = [(w, tps[t]) for t, w in tws if t in tps]
+                wt = [(w, tps[t]) for t, w, _ in tws if t in tps]
                 if not wt:
                     continue
                 uniq, scores_raw = maxscore_topk(wt, kk)
@@ -711,18 +751,23 @@ def search_index(
                 s, e = int(offs[i]), int(offs[i + 1])
                 if e > s:
                     decoded[term] = (d_all[s:e], tfn_all[s:e])
+            msm_b = b_msm.value
             for qid, tws in b_queries.value.items():
-                present = [(t, w) for t, w in tws if t in decoded]
+                present = [(t, w, qtf) for t, w, qtf in tws if t in decoded]
                 if not present:
                     continue
-                docs_cat = np.concatenate([decoded[t][0] for t, _ in present])
-                w_cat = np.concatenate([decoded[t][1] * w for t, w in present])
+                docs_cat = np.concatenate([decoded[t][0] for t, _, _ in present])
+                w_cat = np.concatenate([decoded[t][1] * w for t, w, _ in present])
                 uniq, inv = np.unique(docs_cat, return_inverse=True)
                 scores = np.round(np.bincount(inv, weights=w_cat), SCORE_DECIMALS)
-                req = int(msm.get(qid, 0)) if msm is not None else 0
+                req = int(msm_b.get(qid, 0)) if msm_b is not None else 0
                 if req > 1:
-                    # one (term, doc) posting row per matched term
-                    keep = np.bincount(inv) >= req
+                    # each matched term contributes its qtf clauses
+                    m_cat = np.concatenate(
+                        [np.full(len(decoded[t][0]), q, dtype=np.float64)
+                         for t, _, q in present]
+                    )
+                    keep = np.bincount(inv, weights=m_cat) >= req
                     uniq, scores = uniq[keep], scores[keep]
                     if len(uniq) == 0:
                         continue
@@ -870,7 +915,7 @@ def search_multifield_index(
         for qid, t, qtf in qterms:
             if t in idf_f:
                 per_query.setdefault(qid, {}).setdefault(f, []).append(
-                    (t, boost[f] * qtf * idf_f[t])
+                    (t, boost[f] * qtf * idf_f[t], int(qtf))
                 )
         part = postings_f.filter(F.col("term").isin(terms)).withColumn(
             "field", F.lit(f)
@@ -879,6 +924,8 @@ def search_multifield_index(
     if not per_query:
         return empty
     b_queries = spark.sparkContext.broadcast(per_query)
+    # query-sized like per_query: broadcast, don't pickle per task
+    b_msm = spark.sparkContext.broadcast(msm)
     k1, b = idx[fields[0]][1].k1, idx[fields[0]][1].b
     b_avgdl = spark.sparkContext.broadcast(avgdls)
     codec = idx[fields[0]][1].codec
@@ -892,7 +939,9 @@ def search_multifield_index(
         decoded = _decode_terms_mf(
             pdf["field"], pdf["term"], pdf["blocks"], codec, k1, b, b_avgdl.value
         )
-        return _emit_topk_frame(_mf_parts(decoded, b_queries.value, tie, kk, msm=msm))
+        return _emit_topk_frame(
+            _mf_parts(decoded, b_queries.value, tie, kk, msm=b_msm.value)
+        )
 
     seg_topk = cand.groupBy("segment").applyInPandas(
         lambda _key, pdf: score_segment_mf(pdf), schema=seg_schema
@@ -943,16 +992,15 @@ def search_multifield_index_join(
     """
     from sgpt_spark.functions.analyzer import resolve_jvm_analyzer
     from sgpt_spark.operators.search import (
-        _validate_msm_args,
         normalize_boosts,
         query_terms,
+        required_df,
         score_candidates,
     )
     from sgpt_spark.operators.stats import CorpusStats
 
     fields, idx, analyzer = _load_multifield(spark, path, fields)
     boost = normalize_boosts(fields, boosts)
-    _validate_msm_args(minimum_should_match, operator)
     queries, qid_type = normalize_queries(queries)
     if not isinstance(queries, DataFrame):
         queries = spark.createDataFrame(queries, f"qid {qid_type}, query string")
@@ -968,13 +1016,7 @@ def search_multifield_index_join(
     k1, b = idx[fields[0]][1].k1, idx[fields[0]][1].b
     # per-field match-clause bar (ES multi_match operator/msm semantics):
     # the same (qid, req) relation gates every field's score_candidates
-    required = None
-    if operator == "and":
-        required = qt.groupBy("qid").agg(F.count("*").cast("int").alias("req"))
-    elif minimum_should_match > 1:
-        required = qt.select("qid").distinct().withColumn(
-            "req", F.lit(int(minimum_should_match))
-        )
+    required = required_df(qt, minimum_should_match, operator)
 
     # Per-field aggregate FIRST, then combine the (much smaller)
     # doc-level relations. The one-groupBy conditional-sum variant
@@ -1052,14 +1094,13 @@ def search_multifield_index_cogroup(
     from sgpt_spark.functions.analyzer import resolve_jvm_analyzer
     from sgpt_spark.functions.bm25 import idf as idf_col
     from sgpt_spark.operators.search import (
-        _validate_msm_args,
         normalize_boosts,
         query_terms,
+        required_df,
     )
 
     fields, idx, analyzer = _load_multifield(spark, path, fields)
     boost = normalize_boosts(fields, boosts)
-    _validate_msm_args(minimum_should_match, operator)
     queries, qid_type = normalize_queries(queries)
     if not isinstance(queries, DataFrame):
         queries = spark.createDataFrame(queries, f"qid {qid_type}, query string")
@@ -1091,6 +1132,7 @@ def search_multifield_index_cogroup(
             "qid",
             F.lit(f).alias("field"),
             "term",
+            "qtf",
             w_col.alias("w"),
         )
         qunion = qtw_f if qunion is None else qunion.unionByName(qtw_f)
@@ -1100,12 +1142,11 @@ def search_multifield_index_cogroup(
         cand = part if cand is None else cand.unionByName(part)
 
     # per-field match-clause bar rides the weight rows in-plan (same
-    # mechanism as search_index_cogroup; analyzed-term counts pre-df-join)
-    if operator == "and":
-        qreq = qt.groupBy("qid").agg(F.count("*").cast("int").alias("req"))
+    # mechanism as search_index_cogroup; clause units per required_df,
+    # counted over the analyzed terms pre-df-join)
+    qreq = required_df(qt, minimum_should_match, operator)
+    if qreq is not None:
         qunion = qunion.join(qreq, "qid")
-    elif minimum_should_match > 1:
-        qunion = qunion.withColumn("req", F.lit(int(minimum_should_match)))
 
     # candidate segments only (term-pruned), fresh attribute id for the
     # cogroup analyzer (see search_index_cogroup)
@@ -1124,10 +1165,13 @@ def search_multifield_index_cogroup(
         if not decoded:
             return _emit_topk_frame([])
         per_query: dict = {}
-        for qid, fld, t, w in zip(
-            pright["qid"], pright["field"], pright["term"], pright["w"]
+        for qid, fld, t, w, qtf in zip(
+            pright["qid"], pright["field"], pright["term"], pright["w"],
+            pright["qtf"],
         ):
-            per_query.setdefault(qid, {}).setdefault(fld, []).append((t, float(w)))
+            per_query.setdefault(qid, {}).setdefault(fld, []).append(
+                (t, float(w), int(qtf))
+            )
         msm_b = (
             {q: int(r) for q, r in zip(pright["qid"], pright["req"])}
             if "req" in pright.columns

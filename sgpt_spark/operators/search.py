@@ -65,10 +65,14 @@ def score_candidates(
     """-> (qid, doc_id, score): BM25 over every (query, matching doc).
 
     ``required``: optional (qid, req) relation — a doc is kept only when
-    it matched at least ``req`` of that query's distinct terms (ES
-    minimum_should_match / operator=and; one partial row per matched
-    (qid, doc, term), so count(*) IS the matched-term count). A qid
-    absent from ``required`` is unfiltered.
+    it matched at least ``req`` of that query's match CLAUSES (ES
+    minimum_should_match / operator=and). Lucene's match query builds
+    one clause per analyzed query-token OCCURRENCE, so a matched term
+    contributes qtf clauses: a doc containing only 'alpha' matches 2 of
+    the 3 clauses of 'alpha alpha beta' (one partial row per matched
+    (qid, doc, term) carrying qtf, so sum(qtf) IS the matched-clause
+    count). A qid absent from ``required`` is unfiltered. Build the
+    relation with ``required_df`` so the clause units always agree.
 
     ``qterms`` and ``dfs``-restricted-to-query-terms are both tiny ->
     broadcast; the big postings relation is filtered by the join without
@@ -83,6 +87,7 @@ def score_candidates(
     partial = postings_flat.join(qterm_df, "term", "inner").select(
         "qid",
         "doc_id",
+        "qtf",
         (
             F.col("qtf")
             * bm25_term_score(
@@ -91,10 +96,15 @@ def score_candidates(
         ).alias("partial"),
     )
     if required is not None:
+        # required is query-sized: broadcast only under the same
+        # contract as the query probe itself — the no-broadcast scale
+        # path (millions of queries) must not force it through the
+        # driver/broadcast limit
+        req_rel = F.broadcast(required) if broadcast_queries else required
         return (
             partial.groupBy("qid", "doc_id")
-            .agg(F.sum("partial").alias("score"), F.count("*").alias("_nm"))
-            .join(F.broadcast(required), "qid", "left")
+            .agg(F.sum("partial").alias("score"), F.sum("qtf").alias("_nm"))
+            .join(req_rel, "qid", "left")
             .filter(F.col("_nm") >= F.coalesce(F.col("req"), F.lit(0)))
             .select("qid", "doc_id", "score")
         )
@@ -137,6 +147,36 @@ def _validate_msm_args(minimum_should_match: int, operator: str) -> None:
         raise ValueError("pass operator='and' OR minimum_should_match, not both")
 
 
+def required_df(
+    qt: DataFrame, minimum_should_match: int, operator: str
+) -> DataFrame | None:
+    """(qid, term, qtf) analyzed query terms -> the optional (qid, req)
+    match-clause bar every path's ``required=`` gate consumes, or None
+    when the knobs never filter (req <= 1: every scored doc matched at
+    least one clause).
+
+    The bar is counted in CLAUSES, not distinct terms: Lucene's match
+    query builds one SHOULD clause per analyzed query-token occurrence,
+    and a doc containing a term satisfies every duplicate clause of that
+    term at once. So ``operator='and'`` requires sum(qtf) matched
+    clauses (equivalent to matching every DISTINCT term — duplicates
+    come free), and the count a matched doc accumulates is qtf per
+    matched term. Counting distinct terms instead would filter
+    'alpha alpha beta' with minimum_should_match=2 more strictly than
+    ES (an alpha-only doc matches 2 of its 3 clauses)."""
+    _validate_msm_args(minimum_should_match, operator)
+    if operator == "and":
+        # counted over the ANALYZED terms BEFORE any df/corpus join, so
+        # a query containing a corpus-absent term can never reach the
+        # bar — ES operator=and semantics
+        return qt.groupBy("qid").agg(F.sum("qtf").cast("int").alias("req"))
+    if minimum_should_match > 1:
+        return qt.select("qid").distinct().withColumn(
+            "req", F.lit(int(minimum_should_match))
+        )
+    return None
+
+
 def normalize_boosts(
     fields: tuple[str, ...], boosts: dict[str, float] | None
 ) -> dict[str, float]:
@@ -176,10 +216,13 @@ def dismax_combine(
 
     ``required``: optional (qid, req) — ES multi_match with
     minimum_should_match/operator=and puts the bar on EACH per-field
-    match clause: a field whose matched-term count (one partial row per
-    matched qid/doc/field/term) is below ``req`` contributes nothing,
-    and a doc where every field misses the bar is dropped (strictly
-    positive partials make max>0 the exact "some field matched" test)."""
+    match clause: a field whose matched-CLAUSE count (one partial row
+    per matched qid/doc/field/term carrying qtf; a matched term
+    satisfies all qtf of its duplicate clauses, see ``required_df``) is
+    below ``req`` contributes nothing, and a doc where every field
+    misses the bar is dropped (strictly positive partials make max>0
+    the exact "some field matched" test). When set, ``partials`` must
+    carry the ``qtf`` column."""
     sums = [
         F.coalesce(
             F.sum(F.when(F.col("field") == f, F.col("partial"))), F.lit(0.0)
@@ -188,7 +231,9 @@ def dismax_combine(
     ]
     if required is not None:
         cnts = [
-            F.count(F.when(F.col("field") == f, F.lit(1))).alias(f"_c{i}")
+            F.coalesce(
+                F.sum(F.when(F.col("field") == f, F.col("qtf"))), F.lit(0)
+            ).alias(f"_c{i}")
             for i, f in enumerate(fields)
         ]
         g = (
@@ -234,10 +279,11 @@ def bm25_search(
     """End-to-end exhaustive BM25 top-k: corpus x queries -> RESULTS.
 
     ``minimum_should_match`` / ``operator='and'``: ES match-query knobs —
-    keep only docs matching at least N / all of the query's distinct
-    analyzed terms (operator='and' counts terms BEFORE the corpus join,
-    so a query containing a corpus-absent term matches nothing — ES
-    semantics). Single-field only; the multifield operator keeps ES
+    keep only docs matching at least N / all of the query's match
+    clauses, one clause per analyzed token occurrence (see
+    ``required_df``; operator='and' counts clauses BEFORE the corpus
+    join, so a query containing a corpus-absent term matches nothing —
+    ES semantics). Single-field only; the multifield operator keeps ES
     multi_match defaults.
 
     The "index" here is the flat (term, doc_id, tf, doc_len) relation
@@ -259,14 +305,7 @@ def bm25_search(
     dfs = term_df(tf)
     stats = corpus_stats(dt)
     qt = query_terms(queries, tokenizer=tokenizer)
-    required = None
-    if operator == "and":
-        # distinct ANALYZED terms per query, counted before the df join
-        required = qt.groupBy("qid").agg(F.count("*").cast("int").alias("req"))
-    elif minimum_should_match > 1:
-        required = qt.select("qid").distinct().withColumn(
-            "req", F.lit(int(minimum_should_match))
-        )
+    required = required_df(qt, minimum_should_match, operator)
     scored = score_candidates(tf, qt, dfs, stats, k1=k1, b=b, required=required)
     if exclude_self:
         scored = scored.filter(F.col("doc_id") != F.col("qid"))
@@ -306,8 +345,10 @@ def bm25_multifield_search(
         ``parse_field_boosts``): s_f is multiplied by boost_f BEFORE the
         combine, exactly Lucene's per-clause query boost;
       - ``minimum_should_match`` / ``operator='and'`` apply to EACH
-        per-field match clause (ES multi_match semantics): a field
-        matching fewer than the required terms contributes nothing, and
+        per-field match clause (ES multi_match semantics; clause units
+        per ``required_df`` — one per analyzed token occurrence): a
+        field matching fewer than the required clauses contributes
+        nothing, and
         a doc whose matches are split across fields — every field below
         the bar — matches nothing at all.
 
@@ -373,6 +414,7 @@ def bm25_multifield_search(
         "qid",
         "doc_id",
         "field",
+        "qtf",
         (
             boost_col
             * F.col("qtf")
@@ -387,15 +429,9 @@ def bm25_multifield_search(
             )
         ).alias("partial"),
     )
-    required = None
-    if operator == "and":
-        # the shared analyzer means one per-query ANALYZED term count
-        # serves every field's clause
-        required = qt.groupBy("qid").agg(F.count("*").cast("int").alias("req"))
-    elif minimum_should_match > 1:
-        required = qt.select("qid").distinct().withColumn(
-            "req", F.lit(int(minimum_should_match))
-        )
+    # the shared analyzer means one per-query clause bar serves every
+    # field's match clause
+    required = required_df(qt, minimum_should_match, operator)
     combined = dismax_combine(partial, fields, tie_breaker, required=required)
     if exclude_self:
         combined = combined.filter(F.col("doc_id") != F.col("qid"))

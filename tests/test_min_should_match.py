@@ -17,6 +17,7 @@ from sgpt_spark.operators.index_search import (
     _msm_map,
     search_index,
     search_index_cogroup,
+    search_index_join,
 )
 from sgpt_spark.operators.indexer import build_index, read_index
 from sgpt_spark.operators.search import _validate_msm_args, bm25_search
@@ -47,7 +48,9 @@ def test_msm_map():
     assert _msm_map(qterms, 0, "or") is None
     assert _msm_map(qterms, 1, "or") is None  # 0/1 never filters
     assert _msm_map(qterms, 2, "or") == {1: 2, 2: 2}
-    assert _msm_map(qterms, 0, "and") == {1: 2, 2: 1}
+    # operator='and' requires every CLAUSE — qid 1's 'b b' is two
+    # clauses (Lucene one-clause-per-token-occurrence)
+    assert _msm_map(qterms, 0, "and") == {1: 3, 2: 1}
 
 
 # ---- fixture -------------------------------------------------------------
@@ -71,7 +74,15 @@ def _docs(spark):
     return spark.createDataFrame(rows, "doc_id long, text string")
 
 
-QUERIES = [(1, "alpha beta gamma"), (2, "alpha beta"), (3, "alpha zzz_absent")]
+# qid 4 duplicates a token: its clauses are (alpha, alpha, beta), so an
+# alpha-only doc matches 2 of 3 clauses — ES keeps it under msm=2
+# (counting DISTINCT matched terms instead would wrongly drop it)
+QUERIES = [
+    (1, "alpha beta gamma"),
+    (2, "alpha beta"),
+    (3, "alpha zzz_absent"),
+    (4, "alpha alpha beta"),
+]
 
 
 def _queries(spark):
@@ -94,12 +105,12 @@ qt AS (
   FROM queries, unnest(string_split(query, ' ')) AS u(term)
   WHERE u.term <> '' GROUP BY qid, u.term
 ),
-req AS (SELECT qid, count(*) AS req FROM qt GROUP BY qid),
+req AS (SELECT qid, sum(qtf) AS req FROM qt GROUP BY qid),
 scored AS (
   SELECT q.qid, tf.doc_id,
          sum(q.qtf * ln(1 + (s.n - dfs.df + 0.5) / (dfs.df + 0.5))
              * tf.tf / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / s.avgdl))) AS raw,
-         count(*) AS nm
+         sum(q.qtf) AS nm
   FROM qt q
   JOIN tf ON q.term = tf.term
   JOIN dfs ON tf.term = dfs.term
@@ -140,19 +151,24 @@ def test_msm_matches_duckdb_oracle(spark):
     got = runs(bm25_search(docs, _queries(spark), k=10, minimum_should_match=2).collect())
     assert got == _duck_oracle(docs_pdf, "2") and got
     # only alpha+beta(+gamma) docs survive for qids 1/2; qid 3 needs 2
-    # matched terms but zzz_absent matches nothing -> qid 3 empty
-    assert {q for q, _, _, _ in got} == {1, 2}
+    # matched clauses but zzz_absent matches nothing -> qid 3 empty;
+    # qid 4's duplicated alpha means an alpha-only doc matches 2 clauses
+    assert {q for q, _, _, _ in got} == {1, 2, 4}
+    q4_docs = {d for q, _, d, _ in got if q == 4}
+    assert q4_docs & set(range(10))  # alpha-only docs kept for qid 4
 
 
 def test_operator_and_matches_duckdb_oracle(spark):
     docs = _docs(spark)
     got = runs(bm25_search(docs, _queries(spark), k=10, operator="and").collect())
-    # req = the query's FULL analyzed term count (req table in the SQL)
+    # req = the query's FULL analyzed clause count (req table in the SQL)
     assert got == _duck_oracle(docs.toPandas(), "req.req") and got
     # qid 1 needs all three -> docs 15-17 only; qid 3 has an absent term
-    # -> matches nothing (ES operator=and semantics)
+    # -> matches nothing (ES operator=and semantics); qid 4 needs its 3
+    # clauses (alpha x2 + beta) -> exactly the alpha+beta docs
     assert {d for q, _, d, _ in got if q == 1} == {15, 16, 17}
     assert all(q != 3 for q, _, _, _ in got)
+    assert {d for q, _, d, _ in got if q == 4} == set(range(10, 18))
 
 
 # ---- identity across index paths -----------------------------------------
@@ -181,9 +197,13 @@ def test_msm_identical_across_paths(spark, tmp_path):
         got_cg = runs(
             search_index_cogroup(spark, postings, meta, queries, k=10, **kwargs).collect()
         )
+        got_join = runs(
+            search_index_join(spark, postings, meta, queries, k=10, **kwargs).collect()
+        )
         assert got_taat == want, kwargs
         assert got_exh == want, kwargs
         assert got_cg == want, kwargs
+        assert got_join == want, kwargs
 
 
 def test_msm_zero_and_one_are_noops(spark, tmp_path):
@@ -223,6 +243,44 @@ def test_msm_with_exclude_self(spark, tmp_path):
     ids = {d for _, _, d, _ in got}
     assert 15 not in ids
     assert ids == {10, 11, 12, 13, 14, 16, 17}  # the other >=2-term docs
+
+
+def test_msm_sparse_span_fallback(spark, tmp_path):
+    """_taat_parts' sparse-span fallback (external doc ids so far apart
+    that dense accumulators would waste memory) must apply the same
+    clause-counting msm gate as the dense path — previously untested
+    because every fixture used contiguous ids."""
+    rows = [
+        (0, "alpha filler0 pad pad"),
+        (1, "alpha beta filler1 pad"),
+        (2, "noise2 pad pad pad"),
+        # far end of the id space: span >> 20 * total_postings
+        (10_000_000_000, "alpha beta gamma filler2"),
+        (10_000_000_001, "alpha filler3 pad pad"),
+        (10_000_000_002, "beta filler4 pad pad"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    queries = spark.createDataFrame(
+        [(1, "alpha beta"), (4, "alpha alpha beta")], "qid long, query string"
+    )
+    idx = str(tmp_path / "msm_sparse")
+    build_index(docs.coalesce(1), idx, segment_size=10)
+    postings, meta = read_index(spark, idx)
+    for kwargs in ({"minimum_should_match": 2}, {"operator": "and"}):
+        want = runs(bm25_search(docs, queries, k=10, **kwargs).collect())
+        got = runs(
+            search_index(spark, postings, meta, queries, k=10, **kwargs).collect()
+        )
+        assert got == want and got, kwargs
+    # the duplicated-alpha query keeps alpha-only docs under msm=2
+    got2 = {
+        (r["qid"], r["doc_id"])
+        for r in search_index(
+            spark, postings, meta, queries, k=10, minimum_should_match=2
+        ).collect()
+    }
+    assert (4, 0) in got2 and (4, 10_000_000_001) in got2
+    assert (1, 0) not in got2  # distinct-term query still needs both
 
 
 def test_wand_refuses_msm(spark, tmp_path):
@@ -290,13 +348,13 @@ qt AS (
   FROM queries, unnest(string_split(query, ' ')) AS u(term)
   WHERE u.term <> '' GROUP BY qid, u.term
 ),
-req AS (SELECT qid, count(*) AS req FROM qt GROUP BY qid),
+req AS (SELECT qid, sum(qtf) AS req FROM qt GROUP BY qid),
 fscored AS (
   SELECT q.qid, ftf.doc_id, ftf.field,
          sum(q.qtf * ln(1 + (s.n - fdf.df + 0.5) / (fdf.df + 0.5))
              * ftf.tf / (ftf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.doc_len / s.avgdl))
          ) AS fscore,
-         count(*) AS nm
+         sum(q.qtf) AS nm
   FROM qt q
   JOIN ftf ON q.term = ftf.term
   JOIN fdf ON ftf.field = fdf.field AND ftf.term = fdf.term
@@ -323,7 +381,14 @@ SELECT qid, doc_id, score, CAST(rnk AS INTEGER) AS rank
 FROM ranked WHERE rnk <= 10
 """
 
-MF_QUERIES = [(1, "alpha beta"), (2, "alpha"), (3, "beta zzz_absent")]
+# qid 4 duplicates alpha: under msm=2 a field matching alpha alone
+# clears the bar (2 of 3 clauses) — the per-occurrence clause semantics
+MF_QUERIES = [
+    (1, "alpha beta"),
+    (2, "alpha"),
+    (3, "beta zzz_absent"),
+    (4, "alpha alpha beta"),
+]
 
 
 def _mf_duck(docs_pdf, req_expr: str):

@@ -361,6 +361,19 @@ def _q_bm25_multifield_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_bm25_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phrase search (ES ``match_phrase``, slop=0) — Lucene PhraseQuery
+    BM25: pf = consecutive-occurrence count, idf summed over the
+    phrase's terms (operators/phrase.py). The derived query set is
+    phrase-shaped by construction: each query is the first 5 tokens of
+    its source doc, so every query has a guaranteed known-item phrase
+    hit and the top-k exercises real multi-hit ranking."""
+    from sgpt_spark.operators.phrase import phrase_search
+
+    docs = load_table(spark, sf_dir, "documents")
+    return phrase_search(docs, derived_queries(docs), k=10)
+
+
 # --- dedup / similarity / text analysis (training-data pipeline ops) -----
 
 def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -736,6 +749,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_multifield_index_top10": _q_bm25_multifield_index,
         "bm25_multifield_join_top10": _q_bm25_multifield_join,
         "bm25_multifield_cogroup_top10": _q_bm25_multifield_cogroup,
+        "bm25_phrase_top10": _q_bm25_phrase,
         "queryset_derive": _q_queryset,
         "corpus_stats": _q_corpus_stats,
         "doc_stats": _q_doc_stats,
@@ -775,7 +789,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_orders_per_customer": _q_topk_orders,
         "customers_without_orders": _q_cust_no_orders,
         "user_running_value": _q_running_value,
-        "event_type_counts": _q_event_type_counts,
         # md5-arithmetic stub encoder -> cosine: fully value-gated as of
         # round 5 (encode.py md5_embedding_sql — the pre-normalization
         # embedding is exact int64 num/den in both engines)
@@ -789,6 +802,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rolling fingerprints) are exercised by pytest equality tests
         # and no longer take registry slots. ----
         "bm25_index_fast_top10": _q_bm25_index_fast_top10,  # lifecycle folded into bm25_index_cogroup_top10; identity pytest-covered
+        "event_type_counts": _q_event_type_counts,  # trivial groupBy-count; ceded its window slot to bm25_phrase_top10 (round 5) — DuckDB equality now pytest-covered (test_phrase.py)
         "ivf_cosine_topk": _q_ivf_topk,             # approximate (gated twin: ivf_full_probe_topk)
         "lsh_cosine_topk": _q_lsh_cosine_topk,      # approximate (gated twin: cosine_topk)
         "media_image_features": _q_media_features,  # stub decoder
@@ -865,6 +879,74 @@ FROM ranked WHERE rnk <= {k}
 
 
 _BM25_SQL = _bm25_sql(10)
+
+
+def _phrase_sql(k: int = 10) -> str:
+    """Phrase-search (ES match_phrase, slop=0) oracle — mirrors
+    operators/phrase.py relation-for-relation: positional postings,
+    start = pos - offset alignment votes, full-coverage starts are
+    phrase hits, BM25 with summed member-term idf over pf."""
+    return f"""
+WITH dtoks AS (
+    SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+    FROM documents
+    WHERE text IS NOT NULL AND length(trim(text)) > 0
+  ),
+  d2 AS (SELECT doc_id, toks, len(toks) AS dl FROM dtoks WHERE len(toks) > 0),
+  stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM d2),
+  dpos AS (
+    SELECT doc_id, dl, CAST(g.i AS BIGINT) AS pos, toks[g.i] AS term
+    FROM d2, unnest(generate_series(1, dl)) AS g(i)
+  ),
+  tdf AS (SELECT term, count(DISTINCT doc_id) AS df FROM dpos GROUP BY term),
+  queryset AS ({QUERIES_SQL}),
+  q2 AS (
+    SELECT qid, qarr, len(qarr) AS m
+    FROM (
+      SELECT qid, list_filter(string_split(query, ' '), x -> x <> '') AS qarr
+      FROM queryset
+    ) WHERE len(qarr) > 0
+  ),
+  qpos AS (
+    SELECT qid, m, CAST(g.i AS BIGINT) AS j, qarr[g.i] AS term
+    FROM q2, unnest(generate_series(1, m)) AS g(i)
+  ),
+  sidf AS (
+    SELECT qpos.qid,
+           sum(ln(1 + (s.n - tdf.df + 0.5) / (tdf.df + 0.5))) AS sum_idf
+    FROM qpos JOIN tdf USING (term) CROSS JOIN stats s
+    GROUP BY qpos.qid
+  ),
+  starts AS (
+    SELECT q.qid, d.doc_id, d.dl, q.m, d.pos - q.j AS start, count(*) AS nm
+    FROM dpos d JOIN qpos q USING (term)
+    GROUP BY q.qid, d.doc_id, d.dl, q.m, d.pos - q.j
+  ),
+  pf AS (
+    SELECT qid, doc_id, dl, count(*) AS pf
+    FROM starts WHERE nm = m
+    GROUP BY qid, doc_id, dl
+  ),
+  scored AS (
+    SELECT p.qid, p.doc_id,
+           si.sum_idf * p.pf
+           / (p.pf + {K1} * (1 - {B} + {B} * p.dl / st.avgdl)) AS raw_score
+    FROM pf p JOIN sidf si ON p.qid = si.qid CROSS JOIN stats st
+  ),
+  ranked AS (
+    SELECT qid, doc_id, round(raw_score, {SCORE_DECIMALS}) AS score,
+           row_number() OVER (
+             PARTITION BY qid
+             ORDER BY round(raw_score, {SCORE_DECIMALS}) DESC, doc_id ASC
+           ) AS rnk
+    FROM scored
+  )
+SELECT qid, doc_id, score, CAST(rnk AS INTEGER) AS rank
+FROM ranked WHERE rnk <= {k}
+"""
+
+
+_PHRASE_SQL = _phrase_sql(10)
 
 
 # Standard-analyzer BM25 twin. One word pattern, three spellings (see
@@ -1574,6 +1656,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_multifield_index_top10": _BM25_MULTIFIELD_SQL,
         "bm25_multifield_join_top10": _mf_sql(title_boost=2.0, text_boost=0.75),
         "bm25_multifield_cogroup_top10": _BM25_MULTIFIELD_SQL,
+        "bm25_phrase_top10": _PHRASE_SQL,
         "bm25_rerank_top10": _RERANK_SQL,
         "dedup_exact": """
             SELECT d.doc_id, m.canonical_id
@@ -1640,10 +1723,6 @@ def oracle_sql() -> dict[str, str]:
                    ), 6) AS running_value
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
-        """,
-        "event_type_counts": """
-            SELECT event_type, count(*) AS n FROM events
-            GROUP BY event_type ORDER BY n DESC, event_type ASC LIMIT 10
         """,
         "sessionize": """
             WITH e AS (

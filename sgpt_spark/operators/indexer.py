@@ -331,6 +331,12 @@ class IndexMeta:
     # (patched frame-of-reference bit packing, compress.pfor_encode) —
     # recorded here so the query/merge sides decode with the right codec
     codec: str = "varint"
+    # True when the index carries the positional sidecar
+    # ({path}/positions, operators/positions.py) — the postings were
+    # DERIVED from it and phrase_search_index can run; compaction and
+    # appends must keep both relations in step (compact_index /
+    # append_to_positional_index do)
+    positions: bool = False
 
 
 def _fused_term_freqs(docs: DataFrame, py_tokenizer, text_col: str) -> DataFrame:
@@ -1315,10 +1321,12 @@ def compact_index(
     import os
     import shutil
 
-    codec = "varint"
+    codec, has_positions = "varint", False
     if os.path.exists(f"{path}/meta.json"):
         with open(f"{path}/meta.json") as fp:
-            codec = json.load(fp).get("codec", "varint")
+            meta_dict = json.load(fp)
+        codec = meta_dict.get("codec", "varint")
+        has_positions = bool(meta_dict.get("positions", False))
 
     parent = os.path.dirname(path.rstrip("/"))
     if _seg_map is None and os.path.exists(os.path.join(parent, "fields.json")):
@@ -1350,6 +1358,15 @@ def compact_index(
         n_old = len(segs)
         target_segments = max(1, min(target_segments, n_old))
         bucket = {s: (i * target_segments) // n_old for i, s in enumerate(segs)}
+    if has_positions:
+        # the positional sidecar re-segments under the SAME mapping,
+        # FIRST (its doc-disjointness assert is the likely failure; a
+        # crash between the two renames leaves two individually-valid
+        # relations that merely disagree on segment grouping — every
+        # query on either stays correct)
+        from sgpt_spark.operators.positions import compact_positions
+
+        compact_positions(spark, path, bucket)
     mapping_df = spark.createDataFrame(
         [(s, b) for s, b in bucket.items()], "segment int, _new_seg int"
     )

@@ -60,6 +60,16 @@ def append_to_index(
     resolver raises rather than silently whitespace-analyzing them).
     """
     postings_old, meta_old = read_index(spark, index_path)
+    if getattr(meta_old, "positions", False):
+        # a plain append would silently leave the positional sidecar
+        # behind the postings (phrase results missing the new docs with
+        # no error anywhere) — delegate to the positional append, which
+        # writes positions first and DERIVES the postings from them
+        from sgpt_spark.operators.positions import append_to_positional_index
+
+        return append_to_positional_index(
+            spark, new_pages, index_path, py_tokenizer=py_tokenizer
+        )
     id_offset = meta_old.next_doc_id or (_max_doc_id(postings_old) + 1)
     seg_offset = _next_segment_id(spark, index_path)
 

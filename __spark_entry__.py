@@ -374,6 +374,30 @@ def _q_bm25_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return phrase_search(docs, derived_queries(docs), k=10)
 
 
+def _q_bm25_phrase_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phrase search through the PERSISTED positional index (the Lucene
+    .pos role, operators/positions.py): one tokenize pass writes the
+    positional relation, the block-coded postings DERIVE from it, and
+    match_phrase answers off the index with a term-pruned positions
+    scan — must be value-identical to the exhaustive phrase path, so it
+    shares the phrase oracle."""
+    import tempfile
+
+    from sgpt_spark.operators.indexer import read_term_stats
+    from sgpt_spark.operators.positions import (
+        build_positional_index,
+        phrase_search_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    path = tempfile.mkdtemp(prefix="sgpt_idx_pos_")
+    build_positional_index(docs.repartition(8, "doc_id"), path, segment_size=200)
+    return phrase_search_index(
+        spark, path, derived_queries(docs), k=10,
+        term_stats=read_term_stats(spark, path),
+    )
+
+
 # --- dedup / similarity / text analysis (training-data pipeline ops) -----
 
 def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -750,6 +774,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_multifield_join_top10": _q_bm25_multifield_join,
         "bm25_multifield_cogroup_top10": _q_bm25_multifield_cogroup,
         "bm25_phrase_top10": _q_bm25_phrase,
+        "bm25_phrase_index_top10": _q_bm25_phrase_index,
         "queryset_derive": _q_queryset,
         "corpus_stats": _q_corpus_stats,
         "doc_stats": _q_doc_stats,
@@ -776,7 +801,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_pairs_md5": _q_near_dup_md5,
         "simhash_near_pairs_md5": _q_simhash_md5,
         "cosine_topk": _q_cosine_topk,
-        "dot_topk": _q_dot_topk,
         "dense_join_topk": _q_dense_join_topk,
         "paraphrase_mining_top": _q_paraphrase_mining,
         "dedup_clusters": _q_dedup_clusters,
@@ -803,6 +827,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # and no longer take registry slots. ----
         "bm25_index_fast_top10": _q_bm25_index_fast_top10,  # lifecycle folded into bm25_index_cogroup_top10; identity pytest-covered
         "event_type_counts": _q_event_type_counts,  # trivial groupBy-count; ceded its window slot to bm25_phrase_top10 (round 5) — DuckDB equality now pytest-covered (test_phrase.py)
+        "dot_topk": _q_dot_topk,                    # one-parameter variant of the gated cosine_topk; ceded its slot to bm25_phrase_index_top10 (round 5) — DuckDB equality now pytest-covered (test_similarity.py)
         "ivf_cosine_topk": _q_ivf_topk,             # approximate (gated twin: ivf_full_probe_topk)
         "lsh_cosine_topk": _q_lsh_cosine_topk,      # approximate (gated twin: cosine_topk)
         "media_image_features": _q_media_features,  # stub decoder
@@ -1657,6 +1682,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_multifield_join_top10": _mf_sql(title_boost=2.0, text_boost=0.75),
         "bm25_multifield_cogroup_top10": _BM25_MULTIFIELD_SQL,
         "bm25_phrase_top10": _PHRASE_SQL,
+        "bm25_phrase_index_top10": _PHRASE_SQL,
         "bm25_rerank_top10": _RERANK_SQL,
         "dedup_exact": """
             SELECT d.doc_id, m.canonical_id
@@ -1665,7 +1691,6 @@ def oracle_sql() -> dict[str, str]:
               ON d.text = m.text
         """,
         "ngram_jaccard_pairs": _NGRAM_SQL,
-        "dot_topk": _DOT_SQL,
         "dense_join_topk": _COSINE_SQL,
         "dense_cosine_topk": _dense_cosine_sql(),
         "paraphrase_mining_top": _PARAPHRASE_SQL,

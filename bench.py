@@ -342,6 +342,71 @@ def main() -> None:
             best = min(best, time.time() - t0)
         timings[f"codec_{codec}_200q"] = round(best, 3)
 
+    # --- positional index + phrase search (ES match_phrase; Lucene .pos) --
+    # Build = ONE corpus tokenize (positions written, postings DERIVED
+    # from the compressed positional relation); query = term-pruned
+    # positions scan + per-segment numpy start-alignment. The exhaustive
+    # phrase twin re-tokenizes the corpus per batch — the gap is what
+    # the persisted .pos structure buys.
+    from sgpt_spark.operators.phrase import phrase_search
+    from sgpt_spark.operators.positions import (
+        build_positional_index,
+        phrase_search_index,
+        spark_read_positions,
+    )
+
+    pos_build = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        build_positional_index(docs, "/dev/shm/sgpt_bench_pos",
+                               segment_size=max(N_DOCS // CPUS, 10_000))
+        pos_build = min(pos_build, time.time() - t0)
+    timings["positional_index_build"] = round(pos_build, 3)
+    prow = (
+        spark_read_positions(spark, "/dev/shm/sgpt_bench_pos")
+        .filter(F.col("term").isNotNull())
+        .select(F.explode("runs").alias("r"))
+        .agg(
+            F.sum(
+                F.octet_length("r.docs") + F.octet_length("r.tfs")
+                + F.octet_length("r.dls") + F.octet_length("r.pos")
+            ).alias("bytes"),
+            F.sum("r.count").alias("n"),
+        )
+        .collect()[0]
+    )
+    pos_bytes_per_posting = round(int(prow["bytes"]) / max(int(prow["n"]), 1), 3)
+    # phrase-shaped queries with a GUARANTEED known-item hit: interior
+    # tokens 2..5 of the source doc's second line (the ws analyzer glues
+    # line-boundary tokens to their neighbors, so tokens at a line edge
+    # can never phrase-match)
+    ph_q = (
+        qdf.join(docs.select(F.col("doc_id").cast("string").alias("qid"), "text"), "qid")
+        .select(
+            "qid",
+            F.array_join(
+                F.slice(F.split(F.element_at(F.split("text", "\n"), 2), " ", -1), 2, 4),
+                " ",
+            ).alias("query"),
+        )
+        .limit(200)
+    )
+    ph_q.persist().count()
+    pts = read_term_stats(spark, "/dev/shm/sgpt_bench_pos")
+    ph_s = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        phrase_search_index(spark, "/dev/shm/sgpt_bench_pos", ph_q, k=10,
+                            term_stats=pts).count()
+        ph_s = min(ph_s, time.time() - t0)
+    timings["bm25_phrase_index_200q"] = round(ph_s, 3)
+    phe_s = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        phrase_search(docs, ph_q, k=10).count()
+        phe_s = min(phe_s, time.time() - t0)
+    timings["bm25_phrase_exhaustive_200q"] = round(phe_s, 3)
+
     # --- rank-identity: index path vs independent exhaustive path -------
     sample = qdf.limit(100)
     got = {}
@@ -377,6 +442,7 @@ def main() -> None:
         "query_qps": round(qps, 1),
         "std_index_docs_per_sec": round(std_docs_per_sec, 1),
         "codec_bytes_per_posting": codec_bytes,
+        "positional_bytes_per_posting": pos_bytes_per_posting,
         "rank_identity_rate": identity_rate,
         "result_rows": n_hits,
         "cpus": CPUS,

@@ -53,9 +53,10 @@ def cmd_build_index(args) -> None:
     spark = _spark("sgpt-build-index")
     postings, meta = build_index_pipeline(
         spark, args.pages, args.out, segment_size=args.segment_size,
-        analyzer=args.analyzer, codec=args.codec,
+        analyzer=args.analyzer, codec=args.codec, positions=args.positions,
     )
-    print(f"built index at {args.out}: n_docs={meta.n_docs} avgdl={meta.avgdl:.2f}")
+    kind = "positional index" if args.positions else "index"
+    print(f"built {kind} at {args.out}: n_docs={meta.n_docs} avgdl={meta.avgdl:.2f}")
 
 
 def cmd_append(args) -> None:
@@ -73,17 +74,28 @@ def cmd_query(args) -> None:
     from sgpt_spark.sources.readers import read_beir_queries
 
     spark = _spark("sgpt-query")
-    postings, meta = read_index(spark, args.index)
     if args.queries.endswith(".jsonl") or args.queries.endswith(".json"):
         queries = read_beir_queries(spark, args.queries)
     else:
         queries = spark.read.parquet(args.queries)
     from sgpt_spark.operators.indexer import read_term_stats
 
-    run = search_index(
-        spark, postings, meta, queries, k=args.k, exclude_self=args.exclude_self,
-        term_stats=read_term_stats(spark, args.index),
-    )
+    if args.phrase:
+        if args.exclude_self:
+            raise SystemExit("--phrase does not support --exclude-self")
+        from sgpt_spark.operators.positions import phrase_search_index
+
+        run = phrase_search_index(
+            spark, f"{args.index}", queries, k=args.k,
+            term_stats=read_term_stats(spark, args.index),
+        )
+    else:
+        postings, meta = read_index(spark, args.index)
+        run = search_index(
+            spark, postings, meta, queries, k=args.k,
+            exclude_self=args.exclude_self,
+            term_stats=read_term_stats(spark, args.index),
+        )
     run.write.mode("overwrite").parquet(args.out)
     print(f"wrote run to {args.out}")
 
@@ -249,6 +261,10 @@ def main(argv: list[str] | None = None) -> None:
     from sgpt_spark.functions.compress import CODECS
 
     b.add_argument("--codec", choices=list(CODECS), default="varint")
+    b.add_argument("--positions", action="store_true",
+                   help="write the positional sidecar (Lucene .pos role): "
+                        "one tokenize pass, postings derived from it; "
+                        "enables `query --phrase` (ES match_phrase)")
     b.set_defaults(fn=cmd_build_index)
 
     a = sub.add_parser("append")
@@ -262,6 +278,9 @@ def main(argv: list[str] | None = None) -> None:
     q.add_argument("--out", required=True)
     q.add_argument("--k", type=int, default=1000)
     q.add_argument("--exclude-self", action="store_true")
+    q.add_argument("--phrase", action="store_true",
+                   help="ES match_phrase (slop=0) through the positional "
+                        "sidecar — needs an index built with --positions")
     q.set_defaults(fn=cmd_query)
 
     e = sub.add_parser("evaluate")

@@ -79,12 +79,15 @@ def build_index_pipeline(
     num_partitions: int | None = None,
     analyzer: str = "whitespace",
     codec: str = "varint",
+    positions: bool = False,
 ) -> tuple[DataFrame, IndexMeta]:
     """pages (DataFrame or parquet path) -> persisted index at out_path.
 
     Stages (each independently resumable):
       1. docs/      — doc_id assignment (url-ordered, deterministic)
       2. postings/  — compressed posting segments + meta.json
+                      (``positions=True``: positional sidecar written
+                      first, postings DERIVED from it — phrase-capable)
       3. metrics/   — per-segment lineage + posting-count/bytes metrics
 
     Returns (postings DataFrame read back from disk, IndexMeta).
@@ -117,17 +120,26 @@ def build_index_pipeline(
     py_tok = tokenize_py_ws if analyzer == "whitespace" else analyze_py
     index_dir = f"{out_path}/index"
     post_params = {"segment_size": segment_size, "analyzer": py_tok.__name__,
-                   "codec": codec}
+                   "codec": codec, "positions": positions}
     if not stage_done(index_dir, post_params):
         n_rows = json.loads(_manifest_path(docs_dir).read_text())["rows"]
         n_seg = max(1, -(-n_rows // segment_size))
         # one segment per partition: range-partition by doc_id so each
-        # segment holds a contiguous doc range (dense deltas compress well)
+        # segment holds a contiguous doc range (dense deltas compress
+        # well, and positional compaction merges verbatim)
         seg_docs = docs.repartitionByRange(n_seg, "doc_id")
         # single-pass build: one scan of the checkpointed docs (stats come
         # from per-segment sentinel rows, not extra corpus scans)
-        meta = build_index(seg_docs, index_dir, segment_size=segment_size,
-                           py_tokenizer=py_tok, codec=codec)
+        if positions:
+            from sgpt_spark.operators.positions import build_positional_index
+
+            meta = build_positional_index(
+                seg_docs, index_dir, segment_size=segment_size,
+                py_tokenizer=py_tok, codec=codec,
+            )
+        else:
+            meta = build_index(seg_docs, index_dir, segment_size=segment_size,
+                               py_tokenizer=py_tok, codec=codec)
         write_manifest(index_dir, "postings", post_params, {"meta": asdict(meta)})
     postings, meta = read_index(spark, index_dir)
 

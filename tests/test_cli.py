@@ -119,3 +119,54 @@ def test_cli_ann(spark, tmp_path):
         if method == "brute":
             top1 = run.filter(F.col("rank") == 1)
             assert top1.filter(F.col("qid") != F.col("vec_id")).count() == 0
+
+
+def test_cli_positional_build_phrase_query(spark, tmp_path):
+    """build-index --positions -> query --phrase lifecycle: the phrase
+    run must equal the exhaustive phrase path over the same pages, and
+    --phrase against a match-only index must fail loudly."""
+    import json
+
+    import pytest
+
+    from sgpt_spark.cli import main
+    from sgpt_spark.operators.phrase import phrase_search
+    from sgpt_spark.sources.pages import generate_pages, make_page
+
+    pages = tmp_path / "pages.parquet"
+    generate_pages(spark, 300, partitions=2).write.parquet(str(pages))
+    idx = tmp_path / "pidx"
+    main(["build-index", "--pages", str(pages), "--out", str(idx),
+          "--segment-size", "100", "--positions"])
+    meta = json.loads((idx / "index" / "meta.json").read_text())
+    assert meta["positions"] is True
+    assert (idx / "index" / "positions").exists()
+
+    # interior tokens of line 2: the ws analyzer splits on ' ' only, so
+    # the line-boundary tokens are glued to their neighbors ('a\nb') and
+    # can never match a phrase — tokens 2..5 are contiguous in-stream
+    body = make_page(7)[3].split("\n")[1]
+    phrase = " ".join(body.split(" ")[1:5])
+    queries = tmp_path / "queries.jsonl"
+    queries.write_text(json.dumps({"_id": "q7", "text": phrase}) + "\n")
+    run_dir = tmp_path / "prun"
+    main(["query", "--index", str(idx / "index"), "--queries", str(queries),
+          "--out", str(run_dir), "--k", "10", "--phrase"])
+    got = sorted(
+        (r["qid"], r["doc_id"], round(r["score"], 6), r["rank"])
+        for r in spark.read.parquet(str(run_dir)).collect()
+    )
+    docs = spark.read.parquet(str(idx / "docs" / "data")).select("doc_id", "text")
+    qdf = spark.createDataFrame([("q7", phrase)], "qid string, query string")
+    want = sorted(
+        (r["qid"], r["doc_id"], round(r["score"], 6), r["rank"])
+        for r in phrase_search(docs, qdf, k=10).collect()
+    )
+    assert got == want and len(got) > 0
+
+    plain = tmp_path / "plainidx"
+    main(["build-index", "--pages", str(pages), "--out", str(plain),
+          "--segment-size", "100"])
+    with pytest.raises(ValueError, match="no positional sidecar"):
+        main(["query", "--index", str(plain / "index"), "--queries", str(queries),
+              "--out", str(tmp_path / "x"), "--k", "10", "--phrase"])

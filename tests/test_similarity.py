@@ -356,3 +356,30 @@ def test_communities_lsh_default_warns_at_low_threshold(spark, emb):
         embedding_communities(emb, threshold=0.4, n_planes=4, n_tables=24).count()
         embedding_communities(emb, threshold=0.4, candidates="exact").count()
         embedding_communities(emb, threshold=0.9).count()
+
+
+# ---- migrated gate evidence -------------------------------------------------
+
+
+def test_dot_topk_duckdb_equality(spark, emb, qvecs):
+    """dot_topk left the driver's 50-entry window for the
+    bm25_phrase_index gate (round 5); its DuckDB value equality lives
+    here instead, running the exact registry query against the exact
+    registry oracle SQL at sf0.001."""
+    import duckdb
+
+    import __spark_entry__ as entry
+
+    got = sorted(
+        (r["qid"], r["vec_id"], round(r["score"], 6), r["rank"])
+        for r in entry._q_dot_topk(spark, SF).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{SF}/embeddings.parquet')"
+    )
+    want = sorted(
+        (q, v, round(s, 6), int(r))
+        for q, v, s, r in con.execute(entry._DOT_SQL).fetchall()
+    )
+    assert got == want and len(got) > 0

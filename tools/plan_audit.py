@@ -199,6 +199,36 @@ def main() -> None:
     assert n_cogroup >= 1, "cogroup operator missing from plan"
     assert n_semi_cg >= 1, "semi-join term pruning missing from cogroup plan"
 
+    # --- 7. index-backed phrase search (positional sidecar scan) ----------
+    from sgpt_spark.operators.positions import (
+        build_positional_index,
+        phrase_search_index,
+    )
+
+    pos_path = tempfile.mkdtemp(prefix="sgpt_plan_audit_pos_")
+    build_positional_index(docs.repartition(4, "doc_id"), pos_path, segment_size=200)
+    plan = captured_plan(
+        phrase_search_index(spark, pos_path, [("0", qtext)], k=10,
+                            term_stats=read_term_stats(spark, pos_path))
+    )
+    pushed_pos = re.search(r"PushedFilters: \[[^\]]*term[^\]]*\]", plan)
+    sections.append((
+        "Index-backed phrase search (`phrase_search_index`)",
+        "match_phrase runs off the persisted positional relation (the "
+        "Lucene .pos role): the ONLY scan is {index}/positions, pruned "
+        "to the phrase's terms at the parquet reader — "
+        + (f"`{pushed_pos.group(0)[:120]}...`" if pushed_pos
+           else "PUSHDOWN MISSING (BUG)")
+        + " (rows are term-sorted at build, so row groups skip on "
+        "min/max). Per segment one Arrow-batched numpy pass decodes the "
+        "candidate terms and intersects (doc, pos - offset) start keys; "
+        "the shuffle after per-segment top-k carries <= k rows per "
+        "(query, segment) into the JVM window merge. The corpus text is "
+        "never re-read.",
+        plan,
+    ))
+    assert pushed_pos, "term pushdown missing from the positions scan!"
+
     out = ["# PLANS — physical-plan audit of the headline operators",
            "",
            f"Regenerated by `python tools/plan_audit.py` at sf0.01 "

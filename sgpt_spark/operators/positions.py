@@ -709,6 +709,104 @@ def phrase_search_index(
     return topk_per_group(seg_topk, k=k).select("qid", "doc_id", "score", "rank")
 
 
+def phrase_search_index_cogroup(
+    spark: SparkSession,
+    path: str,
+    queries,
+    k: int = 10,
+    tokenizer=None,
+    term_stats: DataFrame | None = None,
+) -> DataFrame:
+    """In-plan phrase query path (no driver collect — the
+    millions-of-phrases scale contract, mirroring
+    ``search_index_cogroup``): queries tokenize INSIDE the plan into
+    ordered (qid, offset, m, term) rows, per-query summed idf comes from
+    an in-plan join against the (term, df) side table (a query whose
+    joined row count < m contains a corpus-absent term and is dropped —
+    it could match nothing), the rows replicate across CANDIDATE
+    segments via one broadcast crossJoin, and a segment COGROUP hands
+    each task (segment's positional runs, segment's phrase slice) —
+    decoded and aligned by the same ``_phrase_parts`` numpy kernel the
+    collect path uses. Value-identical to ``phrase_search_index``
+    (tested). Shuffled volume: term-pruned positional runs + |phrase
+    rows| x candidate segments; <= k result rows per (query, segment)."""
+    from sgpt_spark.functions.analyzer import resolve_jvm_analyzer
+    from sgpt_spark.functions.bm25 import idf as idf_col
+    from sgpt_spark.operators.corpus import non_empty_text
+
+    positions, meta = read_positional_index(spark, path)
+    queries, qid_type = normalize_queries(queries)
+    if not isinstance(queries, DataFrame):
+        queries = spark.createDataFrame(queries, f"qid {qid_type}, query string")
+    tok = tokenizer or resolve_jvm_analyzer(meta.analyzer)
+    qp = (
+        non_empty_text(queries, "query")
+        .select(F.col("qid"), tok(F.col("query")).alias("qarr"))
+        .filter(F.size("qarr") > 0)
+        .select(
+            "qid",
+            F.size("qarr").alias("m"),
+            F.posexplode("qarr").alias("j0", "term"),
+        )
+        .select("qid", (F.col("j0") + 1).alias("j"), "m", "term")
+    )
+    dfs = term_stats if term_stats is not None else positions.groupBy("term").agg(
+        F.sum("df").alias("df")
+    )
+    # inner join: joined row count == m iff every phrase offset found its
+    # term in the corpus (duplicate terms join once per OFFSET row)
+    qidf = (
+        qp.join(dfs, "term")
+        .groupBy("qid")
+        .agg(
+            F.sum(idf_col(F.col("df"), meta.n_docs)).alias("sum_idf"),
+            F.count("*").alias("_nm"),
+            F.first("m").alias("_m"),
+        )
+        .filter(F.col("_nm") == F.col("_m"))
+        .select("qid", "sum_idf")
+    )
+    qrows = qp.join(qidf, "qid")
+    cand = positions.join(qp.select("term").distinct(), "term", "left_semi").select(
+        "segment", "term", "runs"
+    )
+    segs = cand.select(F.col("segment").cast("int").alias("segment")).distinct()
+    qseg = qrows.crossJoin(F.broadcast(segs))
+    k1, b, avgdl, codec, kk = meta.k1, meta.b, meta.avgdl, meta.codec, k
+    seg_schema = f"qid {qid_type}, doc_id long, score double"
+
+    def score(pleft: pd.DataFrame, pright: pd.DataFrame) -> pd.DataFrame:
+        if len(pleft) == 0 or len(pright) == 0:
+            return _emit_topk_frame([])
+        row_off, docs, tfs, dls, pos_off, pos = _decode_rows(pleft["runs"], codec)
+        decoded = {}
+        for i, term in enumerate(pleft["term"]):
+            ps, pe = int(row_off[i]), int(row_off[i + 1])
+            if pe == ps:
+                continue
+            d_i, tf_i, dl_i = docs[ps:pe], tfs[ps:pe], dls[ps:pe]
+            decoded[term] = (
+                d_i, dl_i, np.repeat(d_i, tf_i),
+                pos[int(pos_off[i]): int(pos_off[i + 1])],
+            )
+        if not decoded:
+            return _emit_topk_frame([])
+        phrases = []
+        for qid, grp in pright.groupby("qid", sort=False):
+            g = grp.sort_values("j")
+            phrases.append((qid, tuple(g["term"]), float(g["sum_idf"].iloc[0])))
+        return _emit_topk_frame(
+            _phrase_parts(decoded, phrases, kk, k1, b, avgdl)
+        )
+
+    seg_topk = (
+        cand.groupBy("segment")
+        .cogroup(qseg.groupBy("segment"))
+        .applyInPandas(score, schema=seg_schema)
+    )
+    return topk_per_group(seg_topk, k=k).select("qid", "doc_id", "score", "rank")
+
+
 # --- compaction (verbatim run-list concatenation, pure JVM) ----------------
 
 

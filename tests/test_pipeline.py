@@ -60,4 +60,4 @@ def test_partial_failure_resume(spark, tmp_path):
     postings, meta = build_index_pipeline(spark, pages_pq, out, segment_size=100)
     assert postings.count() > 0
     assert (Path(out) / "docs" / "_MANIFEST.json").stat().st_mtime == docs_mtime
-    assert stage_done(str(Path(out) / "index"), {"segment_size": 100, "analyzer": "tokenize_py_ws", "codec": "varint"})
+    assert stage_done(str(Path(out) / "index"), {"segment_size": 100, "analyzer": "tokenize_py_ws", "codec": "varint", "positions": False})

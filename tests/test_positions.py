@@ -281,3 +281,48 @@ def test_sf0001_documents_identity(spark):
                                    term_stats=read_term_stats(spark, path)))
     want = rows(phrase_search(docs, queries, k=10))
     assert got == want and len(got) > 0
+
+
+# ---- in-plan cogroup phrase path ---------------------------------------------
+
+
+@pytest.mark.parametrize("codec", ["varint", "pfor"])
+def test_phrase_cogroup_matches_collect_path(spark, codec):
+    """phrase_search_index_cogroup (queries never touch the driver) must
+    be value-identical to the collect path — and therefore to the
+    exhaustive path — incl. absent-term queries (dropped in-plan by the
+    joined-row-count == m gate) and duplicate phrase terms."""
+    from sgpt_spark.operators.positions import phrase_search_index_cogroup
+
+    path = _build(spark, codec=codec, n_parts=4, by="hash")
+    qs = _queries(spark)
+    got = rows(phrase_search_index_cogroup(spark, path, qs, k=10))
+    want = rows(phrase_search_index(spark, path, qs, k=10))
+    assert got == want and len(got) > 0
+
+
+def test_phrase_cogroup_iterables_and_term_stats(spark):
+    from sgpt_spark.operators.positions import phrase_search_index_cogroup
+
+    path = _build(spark)
+    ts = read_term_stats(spark, path)
+    got = rows(
+        phrase_search_index_cogroup(
+            spark, path, [(100, "quick brown fox"), (101, "a a")], k=10,
+            term_stats=ts,
+        )
+    )
+    want = rows(
+        phrase_search_index(spark, path, [(100, "quick brown fox"), (101, "a a")], k=10)
+    )
+    assert got == want and len(got) > 0
+
+
+def test_phrase_cogroup_after_compaction(spark):
+    from sgpt_spark.operators.positions import phrase_search_index_cogroup
+
+    path = _build(spark, n_parts=4, by="hash")
+    qs = _queries(spark)
+    before = rows(phrase_search_index_cogroup(spark, path, qs, k=10))
+    compact_index(spark, path, 2)
+    assert rows(phrase_search_index_cogroup(spark, path, qs, k=10)) == before

@@ -400,12 +400,22 @@ def main() -> None:
                             term_stats=pts).count()
         ph_s = min(ph_s, time.time() - t0)
     timings["bm25_phrase_index_200q"] = round(ph_s, 3)
-    phe_s = float("inf")
+    from sgpt_spark.operators.positions import phrase_search_index_cogroup
+
+    phc_s = float("inf")
     for _ in range(2):
         t0 = time.time()
-        phrase_search(docs, ph_q, k=10).count()
-        phe_s = min(phe_s, time.time() - t0)
-    timings["bm25_phrase_exhaustive_200q"] = round(phe_s, 3)
+        phrase_search_index_cogroup(spark, "/dev/shm/sgpt_bench_pos", ph_q, k=10,
+                                    term_stats=pts).count()
+        phc_s = min(phc_s, time.time() - t0)
+    timings["bm25_phrase_cogroup_200q"] = round(phc_s, 3)
+    # exhaustive twin: ONE timed run — it re-tokenizes the corpus per
+    # batch and lands ~100x above the index path (218.6s vs 2.2s at
+    # r5), far outside the host noise band; best-of-2 would buy nothing
+    # at ~4 minutes of bench wall
+    t0 = time.time()
+    phrase_search(docs, ph_q, k=10).count()
+    timings["bm25_phrase_exhaustive_200q"] = round(time.time() - t0, 3)
 
     # --- rank-identity: index path vs independent exhaustive path -------
     sample = qdf.limit(100)

@@ -398,6 +398,52 @@ def _q_bm25_phrase_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _mf_phrase_docs_queries(spark: SparkSession, sf_dir: str):
+    """documents + derived 3-token title AND 3-token phrase queries: the
+    query equals each source doc's title exactly, so BOTH fields produce
+    real phrase hits and the dis-max genuinely combines (a 5-token
+    phrase could never fit the 3-token title — the title partial would
+    be identically zero and the gate would degenerate to single-field)."""
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "title", F.array_join(F.slice(F.split(F.col("text"), " ", -1), 1, 3), " ")
+    )
+    return docs, derived_queries(docs, n_terms=3)
+
+
+def _q_bm25_multifield_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES multi_match type=phrase (best_fields, tie_breaker=0.5) —
+    match_phrase per field with the field's OWN stats, combined
+    max + 0.5*(sum-max), mirroring the engine's multifield match
+    semantics (crossencoder_beir_bm25.ipynb cell 10 runs multi_match
+    over {title, txt}; the same DSL accepts type=phrase)."""
+    from sgpt_spark.operators.phrase_multifield import multifield_phrase_search
+
+    docs, queries = _mf_phrase_docs_queries(spark, sf_dir)
+    return multifield_phrase_search(
+        docs, queries, fields=("title", "text"), k=10, tie_breaker=0.5
+    )
+
+
+def _q_bm25_multifield_phrase_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same multi_match type=phrase values THROUGH the per-field
+    positional indexes (co-segmented build_multifield_positional_index;
+    per-field phrase hits off the positions relations, one dis-max
+    groupBy) — shares the exhaustive oracle."""
+    import tempfile
+
+    from sgpt_spark.operators.phrase_multifield import (
+        build_multifield_positional_index,
+        phrase_search_multifield_index,
+    )
+
+    docs, queries = _mf_phrase_docs_queries(spark, sf_dir)
+    out = tempfile.mkdtemp(prefix="sgpt_gate_mfp_")
+    build_multifield_positional_index(
+        docs.select("doc_id", "title", "text"), out, segment_size=200
+    )
+    return phrase_search_multifield_index(spark, out, queries, k=10, tie_breaker=0.5)
+
+
 # --- dedup / similarity / text analysis (training-data pipeline ops) -----
 
 def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -775,6 +821,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_multifield_cogroup_top10": _q_bm25_multifield_cogroup,
         "bm25_phrase_top10": _q_bm25_phrase,
         "bm25_phrase_index_top10": _q_bm25_phrase_index,
+        "bm25_multifield_phrase_top10": _q_bm25_multifield_phrase,
+        "bm25_multifield_phrase_index_top10": _q_bm25_multifield_phrase_index,
         "queryset_derive": _q_queryset,
         "corpus_stats": _q_corpus_stats,
         "doc_stats": _q_doc_stats,
@@ -783,7 +831,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ir_metrics_multi_k": _q_ir_metrics_multi_k,
         "metrics_by_dataset": _q_metrics_by_dataset,
         "best_checkpoint_argmax": _q_best_checkpoint,
-        "bm25_top100": _q_bm25_top100,
         "bm25_rerank_tail": _q_rerank_tail,
         "bm25_noself_top10": _q_bm25_noself,
         "bm25_index_noself_top10": _q_bm25_index_noself,
@@ -812,7 +859,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pricing_summary": _q_pricing_summary,
         "topk_orders_per_customer": _q_topk_orders,
         "customers_without_orders": _q_cust_no_orders,
-        "user_running_value": _q_running_value,
         # md5-arithmetic stub encoder -> cosine: fully value-gated as of
         # round 5 (encode.py md5_embedding_sql — the pre-normalization
         # embedding is exact int64 num/den in both engines)
@@ -828,6 +874,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_index_fast_top10": _q_bm25_index_fast_top10,  # lifecycle folded into bm25_index_cogroup_top10; identity pytest-covered
         "event_type_counts": _q_event_type_counts,  # trivial groupBy-count; ceded its window slot to bm25_phrase_top10 (round 5) — DuckDB equality now pytest-covered (test_phrase.py)
         "dot_topk": _q_dot_topk,                    # one-parameter variant of the gated cosine_topk; ceded its slot to bm25_phrase_index_top10 (round 5) — DuckDB equality now pytest-covered (test_similarity.py)
+        "bm25_top100": _q_bm25_top100,              # depth evidence carried by the gated bm25_rerank_tail (k=100 + untouched tail); ceded its slot to bm25_multifield_phrase_top10 (round 5) — DuckDB equality now pytest-covered (test_phrase_multifield.py)
+        "user_running_value": _q_running_value,     # generic running-window agg (rank window stays gated via topk_orders_per_customer); ceded its slot to bm25_multifield_phrase_index_top10 (round 5) — DuckDB equality now pytest-covered (test_phrase_multifield.py)
         "ivf_cosine_topk": _q_ivf_topk,             # approximate (gated twin: ivf_full_probe_topk)
         "lsh_cosine_topk": _q_lsh_cosine_topk,      # approximate (gated twin: cosine_topk)
         "media_image_features": _q_media_features,  # stub decoder
@@ -972,6 +1020,108 @@ FROM ranked WHERE rnk <= {k}
 
 
 _PHRASE_SQL = _phrase_sql(10)
+
+# Displaced-row pytest twins (round 5: these two left the driver window
+# for the multifield phrase gates; test_phrase_multifield.py runs the
+# exact registry query against each)
+_BM25_TOP100_SQL = _bm25_sql(100)
+_RUNNING_VALUE_SQL = """
+    SELECT user_id, event_id,
+           CAST(row_number() OVER w AS INTEGER) AS event_rank,
+           round(sum(value) OVER (
+             PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ), 6) AS running_value
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+"""
+
+# multi_match type=phrase oracle: the single-field phrase pipeline per
+# field (title derived as the first 3 text tokens; 3-token queries so
+# both fields can hit), per-FIELD stats/df/idf exactly like the
+# multifield match oracle, best_fields combine max + 0.5*(sum - max).
+_MF_PHRASE_SQL = f"""
+WITH base AS (
+    SELECT doc_id,
+           array_to_string(list_slice(string_split(text, ' '), 1, 3), ' ') AS title,
+           text
+    FROM documents
+  ),
+  fraw AS (
+    SELECT doc_id, 'title' AS field,
+           list_filter(string_split(title, ' '), x -> x <> '') AS toks FROM base
+    UNION ALL
+    SELECT doc_id, 'text' AS field,
+           list_filter(string_split(text, ' '), x -> x <> '') AS toks FROM base
+  ),
+  fdocs AS (SELECT doc_id, field, toks, len(toks) AS dl FROM fraw WHERE len(toks) > 0),
+  fstats AS (SELECT field, count(*) AS n, avg(dl) AS avgdl FROM fdocs GROUP BY field),
+  fpos AS (
+    SELECT field, doc_id, dl, CAST(g.i AS BIGINT) AS pos, toks[g.i] AS term
+    FROM fdocs, unnest(generate_series(1, dl)) AS g(i)
+  ),
+  fdf AS (
+    SELECT field, term, count(DISTINCT doc_id) AS df FROM fpos GROUP BY field, term
+  ),
+  queryset AS (
+    SELECT doc_id AS qid,
+           array_to_string(list_slice(string_split(text, ' '), 1, 3), ' ') AS query
+    FROM documents
+    WHERE doc_id % 10 = 0 AND text IS NOT NULL AND length(trim(text)) > 0
+  ),
+  q2 AS (
+    SELECT qid, qarr, len(qarr) AS m
+    FROM (
+      SELECT qid, list_filter(string_split(query, ' '), x -> x <> '') AS qarr
+      FROM queryset
+    ) WHERE len(qarr) > 0
+  ),
+  qpos AS (
+    SELECT qid, m, CAST(g.i AS BIGINT) AS j, qarr[g.i] AS term
+    FROM q2, unnest(generate_series(1, m)) AS g(i)
+  ),
+  fsidf AS (
+    SELECT fdf.field, qpos.qid,
+           sum(ln(1 + (s.n - fdf.df + 0.5) / (fdf.df + 0.5))) AS sum_idf
+    FROM qpos
+    JOIN fdf USING (term)
+    JOIN fstats s ON s.field = fdf.field
+    GROUP BY fdf.field, qpos.qid
+  ),
+  fstarts AS (
+    SELECT d.field, q.qid, d.doc_id, d.dl, q.m, d.pos - q.j AS start, count(*) AS nm
+    FROM fpos d JOIN qpos q USING (term)
+    GROUP BY d.field, q.qid, d.doc_id, d.dl, q.m, d.pos - q.j
+  ),
+  fpf AS (
+    SELECT field, qid, doc_id, dl, count(*) AS pf
+    FROM fstarts WHERE nm = m
+    GROUP BY field, qid, doc_id, dl
+  ),
+  fscored AS (
+    SELECT p.field, p.qid, p.doc_id,
+           si.sum_idf * p.pf
+           / (p.pf + {K1} * (1 - {B} + {B} * p.dl / st.avgdl)) AS fscore
+    FROM fpf p
+    JOIN fsidf si ON p.field = si.field AND p.qid = si.qid
+    JOIN fstats st ON st.field = p.field
+  ),
+  mcombined AS (
+    SELECT qid, doc_id,
+           max(fscore) + 0.5 * (sum(fscore) - max(fscore)) AS raw_score
+    FROM fscored GROUP BY qid, doc_id
+  ),
+  mranked AS (
+    SELECT qid, doc_id, round(raw_score, {SCORE_DECIMALS}) AS score,
+           row_number() OVER (
+             PARTITION BY qid
+             ORDER BY round(raw_score, {SCORE_DECIMALS}) DESC, doc_id ASC
+           ) AS rnk
+    FROM mcombined
+  )
+SELECT qid, doc_id, score, CAST(rnk AS INTEGER) AS rank
+FROM mranked WHERE rnk <= 10
+"""
 
 
 # Standard-analyzer BM25 twin. One word pattern, three spellings (see
@@ -1669,7 +1819,6 @@ def oracle_sql() -> dict[str, str]:
         "ir_metrics_multi_k": _metrics_multi_sql(100, [1, 3, 5, 10, 100]),
         "metrics_by_dataset": _METRICS_BY_DATASET_SQL,
         "best_checkpoint_argmax": _BEST_CHECKPOINT_SQL,
-        "bm25_top100": _bm25_sql(100),
         "bm25_rerank_tail": _rerank_sql(100, 10),
         "bm25_index_top10": _BM25_SQL,
         "bm25_index_wand_top10": _BM25_SQL,
@@ -1683,6 +1832,8 @@ def oracle_sql() -> dict[str, str]:
         "bm25_multifield_cogroup_top10": _BM25_MULTIFIELD_SQL,
         "bm25_phrase_top10": _PHRASE_SQL,
         "bm25_phrase_index_top10": _PHRASE_SQL,
+        "bm25_multifield_phrase_top10": _MF_PHRASE_SQL,
+        "bm25_multifield_phrase_index_top10": _MF_PHRASE_SQL,
         "bm25_rerank_top10": _RERANK_SQL,
         "dedup_exact": """
             SELECT d.doc_id, m.canonical_id
@@ -1738,16 +1889,6 @@ def oracle_sql() -> dict[str, str]:
               SELECT o_custkey FROM orders
               WHERE o_orderdate >= TIMESTAMP '1998-01-01'
             )
-        """,
-        "user_running_value": """
-            SELECT user_id, event_id,
-                   CAST(row_number() OVER w AS INTEGER) AS event_rank,
-                   round(sum(value) OVER (
-                     PARTITION BY user_id ORDER BY ts ASC, event_id ASC
-                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-                   ), 6) AS running_value
-            FROM events
-            WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
         """,
         "sessionize": """
             WITH e AS (

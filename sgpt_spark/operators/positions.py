@@ -566,7 +566,9 @@ def read_positional_index(spark: SparkSession, path: str):
 _LOCAL_DOC_BITS = 32  # per-segment doc span and positions must fit 31 bits
 
 
-def _phrase_parts(decoded: dict, phrases: list, kk: int, k1: float, b: float, avgdl: float):
+def _phrase_parts(
+    decoded: dict, phrases: list, kk, k1: float, b: float, avgdl: float
+):
     """Score one segment's decoded positional postings against every
     phrase -> [(qid, doc_ids, scores)].
 
@@ -609,11 +611,17 @@ def _phrase_parts(decoded: dict, phrases: list, kk: int, k1: float, b: float, av
         t0 = terms[order[0]]
         tdocs, tdls = decoded[t0][0], decoded[t0][1]
         dl = tdls[np.searchsorted(tdocs, doc_ids)].astype(np.float64)
-        scores = np.round(
-            sum_idf * pf / (pf + k1 * (1.0 - b + b * dl / avgdl)), SCORE_DECIMALS
-        )
-        sel = deterministic_topk(doc_ids, scores, kk)
-        parts.append((qid, doc_ids[sel], scores[sel]))
+        raw = sum_idf * pf / (pf + k1 * (1.0 - b + b * dl / avgdl))
+        if kk is None:
+            # ALL hits, UNROUNDED: the multifield dis-max combines raw
+            # per-field scores and rounds only the combined value (the
+            # exhaustive path's order — rounding partials first could
+            # flip the 6-dp final at .0000005 boundaries)
+            parts.append((qid, doc_ids, raw))
+        else:
+            scores = np.round(raw, SCORE_DECIMALS)
+            sel = deterministic_topk(doc_ids, scores, kk)
+            parts.append((qid, doc_ids[sel], scores[sel]))
     return parts
 
 
@@ -635,6 +643,41 @@ def phrase_search_index(
     the global deterministic top-k. Queries follow ``search_index``'s
     collect contract (query sets are contractually small; the phrase
     term lists broadcast)."""
+    seg_topk, qid_type = _phrase_seg_hits(
+        spark, path, queries, kk=k, tokenize=tokenize, term_stats=term_stats
+    )
+    return topk_per_group(seg_topk, k=k).select("qid", "doc_id", "score", "rank")
+
+
+def phrase_hits_index(
+    spark: SparkSession,
+    path: str,
+    queries,
+    tokenize=None,
+    term_stats: DataFrame | dict | None = None,
+):
+    """ALL phrase hits (qid, doc_id, score) off the positional index —
+    no per-segment or global top-k cut. Consumed by the multifield
+    dis-max (``phrase_multifield.phrase_search_multifield_index``),
+    which needs every candidate's per-field score; phrase hits are
+    naturally bounded by the rarest phrase term's df. Returns
+    (hits DataFrame, qid schema type)."""
+    return _phrase_seg_hits(
+        spark, path, queries, kk=None, tokenize=tokenize, term_stats=term_stats
+    )
+
+
+def _phrase_seg_hits(
+    spark: SparkSession,
+    path: str,
+    queries,
+    kk,
+    tokenize=None,
+    term_stats: DataFrame | dict | None = None,
+):
+    """Shared body of the collect-contract phrase paths: -> (per-segment
+    hit rows (qid, doc_id, score) — top-kk per (query, segment), or ALL
+    hits when kk is None — and the qid schema type)."""
     from sgpt_spark.functions.analyzer import resolve_py_analyzer
 
     positions, meta = read_positional_index(spark, path)
@@ -650,9 +693,9 @@ def phrase_search_index(
         if terms:
             qphrases.append((qid, terms))
     seg_schema = f"qid {qid_type}, doc_id long, score double"
-    empty = spark.createDataFrame([], seg_schema + ", rank int")
+    empty = spark.createDataFrame([], seg_schema)
     if not qphrases:
-        return empty
+        return empty, qid_type
 
     terms = sorted({t for _, ts in qphrases for t in ts})
     cand = positions.filter(F.col("term").isin(terms))
@@ -680,9 +723,9 @@ def phrase_search_index(
         if all(t in idf for t in ts)
     ]
     if not phrases:
-        return empty
+        return empty, qid_type
     b_phrases = spark.sparkContext.broadcast(phrases)
-    k1, b, avgdl, codec, kk = meta.k1, meta.b, meta.avgdl, meta.codec, k
+    k1, b, avgdl, codec = meta.k1, meta.b, meta.avgdl, meta.codec
 
     def score_wrapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         chunks = list(batches)
@@ -705,8 +748,8 @@ def phrase_search_index(
             if parts:
                 yield _emit_topk_frame(parts)
 
-    seg_topk = cand.repartition("segment").mapInPandas(score_wrapper, schema=seg_schema)
-    return topk_per_group(seg_topk, k=k).select("qid", "doc_id", "score", "rank")
+    seg_hits = cand.repartition("segment").mapInPandas(score_wrapper, schema=seg_schema)
+    return seg_hits, qid_type
 
 
 def phrase_search_index_cogroup(

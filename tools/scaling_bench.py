@@ -116,12 +116,59 @@ for _ in range(2):
                          term_stats=tstats).count()
     cqs = min(cqs, time.time() - t0)
 shutil.rmtree(idx, ignore_errors=True)
+
+# phrase axis (round 5): positional build (ONE timed run — same
+# partition-parallel map as the headline build plus the derive pass;
+# the headline already carries best-of-2), then a 500-phrase
+# match_phrase batch through phrase_search_index. Phrase queries use
+# INTERIOR tokens 2..5 of the source doc's second line (the ws
+# analyzer glues line-boundary tokens, interior tokens guarantee a
+# known-item phrase hit).
+from sgpt_spark.operators.indexer import read_term_stats as _rts
+from sgpt_spark.operators.positions import (
+    build_positional_index, phrase_search_index,
+)
+pidx = f"/dev/shm/sgpt_scaling_pos_{{cpus}}"
+shutil.rmtree(pidx, ignore_errors=True)
+t0 = time.time()
+pmeta = build_positional_index(docs, pidx, segment_size=max(n_docs // 64, 10000))
+pbt = time.time() - t0
+ph_q = (docs.filter((F.col("doc_id") % max(n_docs // 500, 1) == 0)
+                    & (F.length("text") > 0))
+        .select(F.col("doc_id").cast("string").alias("qid"),
+                F.array_join(F.slice(F.split(F.element_at(
+                    F.split("text", chr(10)), 2), " ", -1), 2, 4), " ").alias("query"))
+        .limit(500))
+ph_q.persist(); n_ph = ph_q.count()
+pts = _rts(spark, pidx)
+phrase_search_index(spark, pidx, ph_q.limit(10), k=10, term_stats=pts).count()
+pqs = float("inf")
+for _ in range(2):
+    t0 = time.time()
+    phrase_search_index(spark, pidx, ph_q, k=10, term_stats=pts).count()
+    pqs = min(pqs, time.time() - t0)
+# cogroup phrase twin — the in-plan shape recommended for huge phrase
+# batches (same rationale as the match-query cogroup axis)
+from sgpt_spark.operators.positions import phrase_search_index_cogroup
+phrase_search_index_cogroup(spark, pidx, ph_q.limit(10), k=10, term_stats=pts).count()
+pcqs = float("inf")
+for _ in range(2):
+    t0 = time.time()
+    phrase_search_index_cogroup(spark, pidx, ph_q, k=10, term_stats=pts).count()
+    pcqs = min(pcqs, time.time() - t0)
+shutil.rmtree(pidx, ignore_errors=True)
 print(json.dumps({{"cpus": cpus, "n_docs": meta.n_docs, "seconds": round(dt, 2),
                    "docs_per_sec": round(meta.n_docs / dt, 1),
                    "n_queries": n_q, "query_seconds": round(qs, 2),
                    "qps": round(n_q / qs, 1),
                    "cg_query_seconds": round(cqs, 2),
-                   "cg_qps": round(n_q / cqs, 1)}}))
+                   "cg_qps": round(n_q / cqs, 1),
+                   "pos_seconds": round(pbt, 2),
+                   "pos_docs_per_sec": round(pmeta.n_docs / pbt, 1),
+                   "ph_query_seconds": round(pqs, 2),
+                   "ph_qps": round(n_ph / pqs, 1),
+                   "ph_cg_query_seconds": round(pcqs, 2),
+                   "ph_cg_qps": round(n_ph / pcqs, 1)}}))
 spark.stop()
 """
 
@@ -137,7 +184,7 @@ def run_level(cpus: int, n_docs: int) -> dict:
          str(cpus), str(n_docs)],
         capture_output=True,
         text=True,
-        timeout=1800,
+        timeout=2700,  # the phrase axis adds a positional build per level
     )
     last = [l for l in out.stdout.strip().splitlines() if l.startswith("{")]
     if not last:
@@ -194,6 +241,15 @@ def main() -> None:
             if p.get("cg_qps", 0) > results[cpus].get("cg_qps", 0):
                 results[cpus]["cg_qps"] = p["cg_qps"]
                 results[cpus]["cg_query_seconds"] = p.get("cg_query_seconds")
+            if p.get("pos_docs_per_sec", 0) > results[cpus].get("pos_docs_per_sec", 0):
+                results[cpus]["pos_docs_per_sec"] = p["pos_docs_per_sec"]
+                results[cpus]["pos_seconds"] = p.get("pos_seconds")
+            if p.get("ph_qps", 0) > results[cpus].get("ph_qps", 0):
+                results[cpus]["ph_qps"] = p["ph_qps"]
+                results[cpus]["ph_query_seconds"] = p.get("ph_query_seconds")
+            if p.get("ph_cg_qps", 0) > results[cpus].get("ph_cg_qps", 0):
+                results[cpus]["ph_cg_qps"] = p["ph_cg_qps"]
+                results[cpus]["ph_cg_query_seconds"] = p.get("ph_cg_query_seconds")
     pairs = [
         (n, 4 * n)
         for n in levels
@@ -213,6 +269,23 @@ def main() -> None:
         for n, m in pairs
         if results[m].get("cg_qps") and results[n].get("cg_qps")
     }
+    poseffs = {
+        f"{n}->{m}": round(
+            results[m]["pos_docs_per_sec"] / (4.0 * results[n]["pos_docs_per_sec"]), 3
+        )
+        for n, m in pairs
+        if results[m].get("pos_docs_per_sec") and results[n].get("pos_docs_per_sec")
+    }
+    pheffs = {
+        f"{n}->{m}": round(results[m]["ph_qps"] / (4.0 * results[n]["ph_qps"]), 3)
+        for n, m in pairs
+        if results[m].get("ph_qps") and results[n].get("ph_qps")
+    }
+    phcgeffs = {
+        f"{n}->{m}": round(results[m]["ph_cg_qps"] / (4.0 * results[n]["ph_cg_qps"]), 3)
+        for n, m in pairs
+        if results[m].get("ph_cg_qps") and results[n].get("ph_cg_qps")
+    }
     headline = effs.get("2->8", next(iter(effs.values()), 0.0))
 
     rows = "\n".join(
@@ -225,6 +298,21 @@ def main() -> None:
         f"| {n} -> {m} cores | **{effs[f'{n}->{m}']}** "
         f"| {qeffs.get(f'{n}->{m}', '-')} "
         f"| {cgeffs.get(f'{n}->{m}', '-')} |"
+        for n, m in pairs
+    )
+    ph_rows = "\n".join(
+        f"| local[{c}] | {results[c].get('pos_seconds', '-')} "
+        f"| {results[c].get('pos_docs_per_sec', '-')} "
+        f"| {results[c].get('ph_query_seconds', '-')} "
+        f"| {results[c].get('ph_qps', '-')} "
+        f"| {results[c].get('ph_cg_query_seconds', '-')} "
+        f"| {results[c].get('ph_cg_qps', '-')} |"
+        for c in levels
+    )
+    ph_eff_rows = "\n".join(
+        f"| {n} -> {m} cores | {poseffs.get(f'{n}->{m}', '-')} "
+        f"| {pheffs.get(f'{n}->{m}', '-')} "
+        f"| {phcgeffs.get(f'{n}->{m}', '-')} |"
         for n, m in pairs
     )
     md = f"""# BENCH/BASELINE — scaling efficiency evidence (north rule)
@@ -246,6 +334,18 @@ Generated {datetime.now(timezone.utc).isoformat(timespec="seconds")} by tools/sc
 | N -> 4N | build efficiency | query efficiency | cogroup query efficiency |
 |---|---|---|---|
 {eff_rows}
+
+Phrase axis (round 5 — positional build + 500-phrase match_phrase batch
+through `phrase_search_index`; the positional build is one timed run per
+level, queries best-of-2):
+
+| level | positional build wall (s) | pos docs/sec | phrase query wall (s) | phrase q/s | phrase cogroup wall (s) | phrase cogroup q/s |
+|---|---|---|---|---|---|---|
+{ph_rows}
+
+| N -> 4N | positional build efficiency | phrase query efficiency | phrase cogroup efficiency |
+|---|---|---|---|
+{ph_eff_rows}
 
 North-rule target: >= 0.8 between N and 4N executors (the build metric
 is the north-rule one; query throughput is reported as the second

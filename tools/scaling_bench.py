@@ -364,6 +364,21 @@ S stays fixed, so the ratio approaches 1 as the corpus grows; the
 same per-query serial cost is also why the engine ships the in-plan
 cogroup/join query paths for huge query sets).
 
+Phrase-axis reading (round 5): the positional build is the SAME
+partition-parallel map as the headline build plus the derive pass over
+the written (compressed) positions relation — a 64-balanced-segment
+phase profile measured pass-1 emit at 0.93 and pass-2 derive at ~1.0
+between pinned 2 and 8 cores, and the merged floors read 2->8 >= 0.8
+on all three phrase columns (a reading above 1.0 is the same
+fixed-overhead amortization as the build column: the pos axis is ONE
+timed run per level, so its floor converges over invocations).
+match_phrase through the index is structurally the TAAT shape — a
+term-pruned scan plus per-segment numpy — and its collect/cogroup
+split mirrors the match query's: the cogroup twin pays fixed in-plan
+cost at 2 cores and overtakes by 32 (20.3 s vs 35.0 s at this host's
+grant), which is why it is the recommended shape for huge phrase
+batches.
+
 The cogroup columns measure the SAME 500-query batch through
 `search_index_cogroup` — queries never touch the driver (tokenize,
 df-join, per-term weight computation and segment replication all stay

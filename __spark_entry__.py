@@ -398,6 +398,26 @@ def _q_bm25_phrase_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_bm25_highlight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES search-with-highlight response shape: BM25 top-3 per query
+    plus one row per occurrence of each analyzed query term in each hit
+    (token-position units off the positional sidecar — Lucene's unified
+    highlighter re-derives positions from the index the same way)."""
+    import tempfile
+
+    from sgpt_spark.operators.highlight import highlight_search
+    from sgpt_spark.operators.indexer import read_term_stats
+    from sgpt_spark.operators.positions import build_positional_index
+
+    docs = load_table(spark, sf_dir, "documents")
+    path = tempfile.mkdtemp(prefix="sgpt_idx_hl_")
+    build_positional_index(docs.repartition(8, "doc_id"), path, segment_size=200)
+    return highlight_search(
+        spark, path, derived_queries(docs), k=3,
+        term_stats=read_term_stats(spark, path),
+    )
+
+
 def _mf_phrase_docs_queries(spark: SparkSession, sf_dir: str):
     """documents + derived 3-token title AND 3-token phrase queries: the
     query equals each source doc's title exactly, so BOTH fields produce
@@ -823,6 +843,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_phrase_index_top10": _q_bm25_phrase_index,
         "bm25_multifield_phrase_top10": _q_bm25_multifield_phrase,
         "bm25_multifield_phrase_index_top10": _q_bm25_multifield_phrase_index,
+        "bm25_highlight_top3": _q_bm25_highlight,
         "queryset_derive": _q_queryset,
         "corpus_stats": _q_corpus_stats,
         "doc_stats": _q_doc_stats,
@@ -832,7 +853,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "metrics_by_dataset": _q_metrics_by_dataset,
         "best_checkpoint_argmax": _q_best_checkpoint,
         "bm25_rerank_tail": _q_rerank_tail,
-        "bm25_noself_top10": _q_bm25_noself,
         "bm25_index_noself_top10": _q_bm25_index_noself,
         "bm25_rerank_top10": _q_rerank,
         "doc_truncation": _q_doc_truncation,
@@ -876,6 +896,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dot_topk": _q_dot_topk,                    # one-parameter variant of the gated cosine_topk; ceded its slot to bm25_phrase_index_top10 (round 5) — DuckDB equality now pytest-covered (test_similarity.py)
         "bm25_top100": _q_bm25_top100,              # depth evidence carried by the gated bm25_rerank_tail (k=100 + untouched tail); ceded its slot to bm25_multifield_phrase_top10 (round 5) — DuckDB equality now pytest-covered (test_phrase_multifield.py)
         "user_running_value": _q_running_value,     # generic running-window agg (rank window stays gated via topk_orders_per_customer); ceded its slot to bm25_multifield_phrase_index_top10 (round 5) — DuckDB equality now pytest-covered (test_phrase_multifield.py)
+        "bm25_noself_top10": _q_bm25_noself,        # exhaustive self-match-filter twin (the index-backed bm25_index_noself_top10 stays gated); ceded its slot to bm25_highlight_top3 (round 5) — DuckDB equality now pytest-covered (test_highlight.py)
         "ivf_cosine_topk": _q_ivf_topk,             # approximate (gated twin: ivf_full_probe_topk)
         "lsh_cosine_topk": _q_lsh_cosine_topk,      # approximate (gated twin: cosine_topk)
         "media_image_features": _q_media_features,  # stub decoder
@@ -1025,6 +1046,61 @@ _PHRASE_SQL = _phrase_sql(10)
 # for the multifield phrase gates; test_phrase_multifield.py runs the
 # exact registry query against each)
 _BM25_TOP100_SQL = _bm25_sql(100)
+_BM25_NOSELF_SQL = _bm25_sql(10, exclude_self=True)
+
+# Highlight oracle: the ws-BM25 top-3 pipeline, then one row per
+# occurrence of each query term in each hit (token positions over the
+# FILTERED token list — list_filter mirrors the analyzer's empty-token
+# drop, exactly like the phrase oracle's dtoks).
+_HIGHLIGHT_SQL = f"""
+WITH {_TOKENS_CTE},
+  stats AS (SELECT count(*) AS n, avg(doc_len) AS avgdl FROM doclen),
+  queryset AS ({QUERIES_SQL}),
+  qterms AS (
+    SELECT qid, u.term AS term, count(*) AS qtf
+    FROM queryset, unnest(string_split(query, ' ')) AS u(term)
+    WHERE u.term <> ''
+    GROUP BY qid, u.term
+  ),
+  scored AS (
+    SELECT q.qid, tf.doc_id,
+           sum(
+             q.qtf
+             * ln(1 + (s.n - tdf.df + 0.5) / (tdf.df + 0.5))
+             * tf.tf / (tf.tf + {K1} * (1 - {B} + {B} * dl.doc_len / s.avgdl))
+           ) AS raw_score
+    FROM qterms q
+    JOIN tf  ON q.term = tf.term
+    JOIN tdf ON tf.term = tdf.term
+    JOIN doclen dl ON tf.doc_id = dl.doc_id
+    CROSS JOIN stats s
+    GROUP BY q.qid, tf.doc_id
+  ),
+  hits AS (
+    SELECT qid, doc_id, rnk FROM (
+      SELECT qid, doc_id,
+             row_number() OVER (
+               PARTITION BY qid
+               ORDER BY round(raw_score, {SCORE_DECIMALS}) DESC, doc_id ASC
+             ) AS rnk
+      FROM scored
+    ) WHERE rnk <= 3
+  ),
+  dpos AS (
+    SELECT d.doc_id, CAST(g.i AS BIGINT) AS pos, d.toks[g.i] AS term
+    FROM (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks,
+             len(list_filter(string_split(text, ' '), x -> x <> '')) AS dl
+      FROM documents
+      WHERE text IS NOT NULL AND length(trim(text)) > 0
+    ) d, unnest(generate_series(1, d.dl)) AS g(i)
+  )
+SELECT h.qid, h.doc_id, CAST(h.rnk AS INTEGER) AS rank, p.term, p.pos
+FROM hits h
+JOIN dpos p ON p.doc_id = h.doc_id
+JOIN (SELECT DISTINCT qid, term FROM qterms) qt
+  ON qt.qid = h.qid AND qt.term = p.term
+"""
 _RUNNING_VALUE_SQL = """
     SELECT user_id, event_id,
            CAST(row_number() OVER w AS INTEGER) AS event_rank,
@@ -1834,6 +1910,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_phrase_index_top10": _PHRASE_SQL,
         "bm25_multifield_phrase_top10": _MF_PHRASE_SQL,
         "bm25_multifield_phrase_index_top10": _MF_PHRASE_SQL,
+        "bm25_highlight_top3": _HIGHLIGHT_SQL,
         "bm25_rerank_top10": _RERANK_SQL,
         "dedup_exact": """
             SELECT d.doc_id, m.canonical_id
@@ -1853,7 +1930,6 @@ def oracle_sql() -> dict[str, str]:
         "simhash_near_pairs_md5": _SIMHASH_MD5_SQL,
         "near_dup_pairs_md5": _NEAR_DUP_MD5_SQL,
         "window_fingerprints": _WINDOW_FPS_SQL,
-        "bm25_noself_top10": _bm25_sql(10, exclude_self=True),
         "bm25_index_noself_top10": _bm25_sql(10, exclude_self=True),
         "cosine_topk": _COSINE_SQL,
         "text_profile": _TEXT_PROFILE_SQL,

@@ -417,6 +417,40 @@ def main() -> None:
     phrase_search(docs, ph_q, k=10).count()
     timings["bm25_phrase_exhaustive_200q"] = round(time.time() - t0, 3)
 
+    # highlight: top-10 match run + per-occurrence positions for every
+    # hit, off the same positional index (the ES response shape)
+    from sgpt_spark.operators.highlight import highlight_search
+
+    hl_s = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        highlight_search(spark, "/dev/shm/sgpt_bench_pos", ph_q, k=10,
+                         term_stats=pts).count()
+        hl_s = min(hl_s, time.time() - t0)
+    timings["bm25_highlight_200q"] = round(hl_s, 3)
+
+    # multifield phrase through co-segmented per-field positional
+    # indexes (multi_match type=phrase)
+    from sgpt_spark.operators.phrase_multifield import (
+        build_multifield_positional_index,
+        phrase_search_multifield_index,
+    )
+
+    t0 = time.time()
+    build_multifield_positional_index(
+        mf_docs, "/dev/shm/sgpt_bench_mfpos",
+        segment_size=max(N_DOCS // CPUS, 10_000),
+    )
+    timings["multifield_positional_build"] = round(time.time() - t0, 3)
+    mfp_s = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        phrase_search_multifield_index(
+            spark, "/dev/shm/sgpt_bench_mfpos", ph_q, k=10, tie_breaker=0.5
+        ).count()
+        mfp_s = min(mfp_s, time.time() - t0)
+    timings["bm25_multifield_phrase_200q"] = round(mfp_s, 3)
+
     # --- rank-identity: index path vs independent exhaustive path -------
     sample = qdf.limit(100)
     got = {}

@@ -174,6 +174,7 @@ def phrase_search_multifield_index(
     tie_breaker: float = 0.0,
     fields=None,
     tokenize=None,
+    strategy: str = "collect",
 ) -> DataFrame:
     """``multi_match type=phrase`` off the persisted per-field
     positional indexes -> (qid, doc_id, score, rank), value-identical to
@@ -183,11 +184,23 @@ def phrase_search_multifield_index(
     Per field the segments emit ALL phrase hits (not a top-k: dis-max
     needs every candidate's per-field score, and phrase hits are
     naturally rare — bounded by the rarest phrase term's df); the union
-    combines in ONE groupBy(qid, doc_id), then the global top-k."""
+    combines in ONE groupBy(qid, doc_id), then the global top-k.
+
+    ``strategy``: 'collect' broadcasts the analyzed phrases (the
+    interactive default); 'cogroup' keeps the query set in the plan
+    (``positions.phrase_hits_index_cogroup`` per field — the
+    millions-of-phrases scale contract; value-identical, tested). The
+    'cogroup' strategy takes a JVM column ``tokenize``; 'collect' takes
+    a Python one (the ``search_multifield_index`` convention)."""
     import json as _json
 
-    from sgpt_spark.operators.positions import phrase_hits_index
+    from sgpt_spark.operators.positions import (
+        phrase_hits_index,
+        phrase_hits_index_cogroup,
+    )
 
+    if strategy not in ("collect", "cogroup"):
+        raise ValueError(f"unknown strategy {strategy!r}: collect|cogroup")
     with open(f"{path}/fields.json") as fp:
         layout_fields = tuple(_json.load(fp)["fields"])
     if fields is None:
@@ -203,9 +216,14 @@ def phrase_search_multifield_index(
     partials = None
     qid_type = None
     for f in fields:
-        hits, qt = phrase_hits_index(
-            spark, f"{path}/{f}_index", queries, tokenize=tokenize
-        )
+        if strategy == "cogroup":
+            hits, qt = phrase_hits_index_cogroup(
+                spark, f"{path}/{f}_index", queries, tokenizer=tokenize
+            )
+        else:
+            hits, qt = phrase_hits_index(
+                spark, f"{path}/{f}_index", queries, tokenize=tokenize
+            )
         qid_type = qid_type or qt
         scored = hits.select(
             "qid",

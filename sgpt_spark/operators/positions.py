@@ -773,6 +773,39 @@ def phrase_search_index_cogroup(
     collect path uses. Value-identical to ``phrase_search_index``
     (tested). Shuffled volume: term-pruned positional runs + |phrase
     rows| x candidate segments; <= k result rows per (query, segment)."""
+    seg_topk, _ = _phrase_cogroup_hits(
+        spark, path, queries, kk=k, tokenizer=tokenizer, term_stats=term_stats
+    )
+    return topk_per_group(seg_topk, k=k).select("qid", "doc_id", "score", "rank")
+
+
+def phrase_hits_index_cogroup(
+    spark: SparkSession,
+    path: str,
+    queries,
+    tokenizer=None,
+    term_stats: DataFrame | None = None,
+):
+    """In-plan twin of ``phrase_hits_index``: ALL phrase hits with
+    UNROUNDED scores, queries never touching the driver — the per-field
+    building block for the multifield dis-max at huge phrase-batch
+    scale. Returns (hits DataFrame, qid schema type)."""
+    return _phrase_cogroup_hits(
+        spark, path, queries, kk=None, tokenizer=tokenizer, term_stats=term_stats
+    )
+
+
+def _phrase_cogroup_hits(
+    spark: SparkSession,
+    path: str,
+    queries,
+    kk,
+    tokenizer=None,
+    term_stats: DataFrame | None = None,
+):
+    """Shared body of the in-plan phrase paths -> (per-segment hit rows
+    (qid, doc_id, score) — top-kk per (query, segment), or ALL hits
+    unrounded when kk is None — and the qid schema type)."""
     from sgpt_spark.functions.analyzer import resolve_jvm_analyzer
     from sgpt_spark.functions.bm25 import idf as idf_col
     from sgpt_spark.operators.corpus import non_empty_text
@@ -815,7 +848,7 @@ def phrase_search_index_cogroup(
     )
     segs = cand.select(F.col("segment").cast("int").alias("segment")).distinct()
     qseg = qrows.crossJoin(F.broadcast(segs))
-    k1, b, avgdl, codec, kk = meta.k1, meta.b, meta.avgdl, meta.codec, k
+    k1, b, avgdl, codec = meta.k1, meta.b, meta.avgdl, meta.codec
     seg_schema = f"qid {qid_type}, doc_id long, score double"
 
     def score(pleft: pd.DataFrame, pright: pd.DataFrame) -> pd.DataFrame:
@@ -842,12 +875,12 @@ def phrase_search_index_cogroup(
             _phrase_parts(decoded, phrases, kk, k1, b, avgdl)
         )
 
-    seg_topk = (
+    seg_hits = (
         cand.groupBy("segment")
         .cogroup(qseg.groupBy("segment"))
         .applyInPandas(score, schema=seg_schema)
     )
-    return topk_per_group(seg_topk, k=k).select("qid", "doc_id", "score", "rank")
+    return seg_hits, qid_type
 
 
 # --- compaction (verbatim run-list concatenation, pure JVM) ----------------

@@ -240,3 +240,25 @@ def test_user_running_value_duckdb_equality(spark):
         for u, e, rk, rv in _duck(sf).execute(entry._RUNNING_VALUE_SQL).fetchall()
     )
     assert got == want and len(got) > 0
+
+
+def test_multifield_phrase_cogroup_strategy_identity(spark):
+    """strategy='cogroup' (queries never touch the driver, per-field
+    in-plan phrase hits) must equal strategy='collect' and therefore the
+    exhaustive path — incl. boosts and tie_breaker."""
+    docs = _mf_docs(spark).repartition(3, "doc_id")
+    path = tempfile.mkdtemp(prefix="mfposcg_")
+    build_multifield_positional_index(docs, path, segment_size=2)
+    for tb, fields in [(0.5, None), (0.3, ("title^5", "text"))]:
+        got = rows(phrase_search_multifield_index(
+            spark, path, _mf_queries(spark), k=10, tie_breaker=tb,
+            fields=fields, strategy="cogroup",
+        ))
+        want = rows(phrase_search_multifield_index(
+            spark, path, _mf_queries(spark), k=10, tie_breaker=tb, fields=fields,
+        ))
+        assert got == want and len(got) > 0
+    with pytest.raises(ValueError, match="unknown strategy"):
+        phrase_search_multifield_index(
+            spark, path, _mf_queries(spark), strategy="taat"
+        )

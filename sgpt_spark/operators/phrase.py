@@ -35,10 +35,12 @@ a start covered by all m offsets is one phrase hit:
       -> BM25 -> per-qid top-k window               [one narrow shuffle]
 
 Every expression is a JVM column op (whole-stage codegen); there is no
-UDF and no token-array shuffle.  The index-backed path (positional
-sidecar in the persisted index) lives in ``index_search``; this module
-is its exhaustive ground-truth twin, mirrored 1:1 by the DuckDB oracle
-in ``__spark_entry__``.
+UDF and no token-array shuffle.  The index-backed paths (positional
+sidecar in the persisted index) live in ``operators/positions.py``
+(collect + cogroup), the multifield composition in
+``operators/phrase_multifield.py``; this module is their exhaustive
+ground-truth twin, mirrored 1:1 by the DuckDB oracle in
+``__spark_entry__``.
 """
 
 from __future__ import annotations

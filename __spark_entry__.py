@@ -464,6 +464,49 @@ def _q_bm25_multifield_phrase_index(spark: SparkSession, sf_dir: str) -> DataFra
     return phrase_search_multifield_index(spark, out, queries, k=10, tie_breaker=0.5)
 
 
+def _q_bm25_prefix_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``prefix`` query through the index with the ``scoring_boolean``
+    rewrite (operators/multiterm.py — Lucene MultiTermQuery): the
+    one-char prefix of each derived query's first token expands against
+    the termstats dictionary (per-length equi-join, no driver collect)
+    and each expanded term scores with its OWN idf."""
+    from sgpt_spark.operators.indexer import build_postings
+    from sgpt_spark.operators.multiterm import prefix_search_index
+
+    docs = load_table(spark, sf_dir, "documents")
+    postings, meta = build_postings(docs, segment_size=200)
+    prefixes = derived_queries(docs).select(
+        "qid",
+        F.substring(
+            F.element_at(F.split(F.col("query"), " ", -1), 1), 1, 1
+        ).alias("prefix"),
+    ).filter(F.length("prefix") > 0)
+    return prefix_search_index(
+        spark, postings, meta, prefixes, k=10, rewrite="scoring_boolean"
+    )
+
+
+def _q_bm25_fuzzy_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``fuzzy`` query through the index (Lucene FuzzyQuery,
+    top_terms_blended_freqs rewrite): each derived query's first token
+    expands to dictionary terms within Levenshtein 2 (length-band
+    equi-join + levenshtein filter, boost = 1 - edits/min-len, top 50
+    by boost), df blended as the set max, summed BM25."""
+    from sgpt_spark.operators.indexer import build_postings
+    from sgpt_spark.operators.multiterm import fuzzy_search_index
+
+    docs = load_table(spark, sf_dir, "documents")
+    postings, meta = build_postings(docs, segment_size=200)
+    qterms = derived_queries(docs).select(
+        "qid",
+        F.element_at(F.split(F.col("query"), " ", -1), 1).alias("qterm"),
+    ).filter(F.length("qterm") > 0)
+    return fuzzy_search_index(
+        spark, postings, meta, qterms, k=10,
+        max_edits=2, prefix_length=0, max_expansions=50,
+    )
+
+
 # --- dedup / similarity / text analysis (training-data pipeline ops) -----
 
 def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -844,11 +887,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_multifield_phrase_top10": _q_bm25_multifield_phrase,
         "bm25_multifield_phrase_index_top10": _q_bm25_multifield_phrase_index,
         "bm25_highlight_top3": _q_bm25_highlight,
+        "bm25_prefix_index_top10": _q_bm25_prefix_index,
+        "bm25_fuzzy_index_top10": _q_bm25_fuzzy_index,
         "queryset_derive": _q_queryset,
         "corpus_stats": _q_corpus_stats,
         "doc_stats": _q_doc_stats,
         "term_df_top100": _q_term_df_top100,
-        "ir_metrics_mean": _q_ir_metrics,
         "ir_metrics_multi_k": _q_ir_metrics_multi_k,
         "metrics_by_dataset": _q_metrics_by_dataset,
         "best_checkpoint_argmax": _q_best_checkpoint,
@@ -876,7 +920,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_profile": _q_text_profile,
         "window_fingerprints": _q_window_fps,
         # general relational (TPC-H tables)
-        "pricing_summary": _q_pricing_summary,
         "topk_orders_per_customer": _q_topk_orders,
         "customers_without_orders": _q_cust_no_orders,
         # md5-arithmetic stub encoder -> cosine: fully value-gated as of
@@ -892,6 +935,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rolling fingerprints) are exercised by pytest equality tests
         # and no longer take registry slots. ----
         "bm25_index_fast_top10": _q_bm25_index_fast_top10,  # lifecycle folded into bm25_index_cogroup_top10; identity pytest-covered
+        "ir_metrics_mean": _q_ir_metrics,           # single-cutoff variant of the gated ir_metrics_multi_k; ceded its slot to bm25_prefix_index_top10 (round 5) — DuckDB equality now pytest-covered (test_multiterm.py)
+        "pricing_summary": _q_pricing_summary,      # generic groupBy-agg (agg evidence stays gated via corpus_stats/truncation_stats); ceded its slot to bm25_fuzzy_index_top10 (round 5) — DuckDB equality now pytest-covered (test_multiterm.py)
         "event_type_counts": _q_event_type_counts,  # trivial groupBy-count; ceded its window slot to bm25_phrase_top10 (round 5) — DuckDB equality now pytest-covered (test_phrase.py)
         "dot_topk": _q_dot_topk,                    # one-parameter variant of the gated cosine_topk; ceded its slot to bm25_phrase_index_top10 (round 5) — DuckDB equality now pytest-covered (test_similarity.py)
         "bm25_top100": _q_bm25_top100,              # depth evidence carried by the gated bm25_rerank_tail (k=100 + untouched tail); ceded its slot to bm25_multifield_phrase_top10 (round 5) — DuckDB equality now pytest-covered (test_phrase_multifield.py)
@@ -973,6 +1018,113 @@ FROM ranked WHERE rnk <= {k}
 
 
 _BM25_SQL = _bm25_sql(10)
+
+
+def _prefix_sql(k: int = 10) -> str:
+    """ES ``prefix`` query oracle (scoring_boolean rewrite) — mirrors
+    operators/multiterm.py: one-char prefix of the query's first token
+    expands against the term dictionary, each expanded term scored with
+    its OWN idf, summed per doc."""
+    return f"""
+WITH {_TOKENS_CTE},
+  stats AS (SELECT count(*) AS n, avg(doc_len) AS avgdl FROM doclen),
+  queryset AS ({QUERIES_SQL}),
+  prefixes AS (
+    SELECT qid, substr(string_split(query, ' ')[1], 1, 1) AS prefix
+    FROM queryset
+    WHERE length(substr(string_split(query, ' ')[1], 1, 1)) > 0
+  ),
+  expanded AS (
+    SELECT p.qid, t.term, t.df
+    FROM prefixes p
+    JOIN tdf t ON substr(t.term, 1, length(p.prefix)) = p.prefix
+  ),
+  scored AS (
+    SELECT e.qid, tf.doc_id,
+           sum(
+             ln(1 + (s.n - e.df + 0.5) / (e.df + 0.5))
+             * tf.tf / (tf.tf + {K1} * (1 - {B} + {B} * dl.doc_len / s.avgdl))
+           ) AS raw_score
+    FROM expanded e
+    JOIN tf ON e.term = tf.term
+    JOIN doclen dl ON tf.doc_id = dl.doc_id
+    CROSS JOIN stats s
+    GROUP BY e.qid, tf.doc_id
+  ),
+  ranked AS (
+    SELECT qid, doc_id, round(raw_score, {SCORE_DECIMALS}) AS score,
+           row_number() OVER (
+             PARTITION BY qid
+             ORDER BY round(raw_score, {SCORE_DECIMALS}) DESC, doc_id ASC
+           ) AS rnk
+    FROM scored
+  )
+SELECT qid, doc_id, score, CAST(rnk AS INTEGER) AS rank
+FROM ranked WHERE rnk <= {k}
+"""
+
+
+_PREFIX_SQL = _prefix_sql(10)
+
+
+def _fuzzy_sql(k: int = 10, max_edits: int = 2, max_expansions: int = 50) -> str:
+    """ES ``fuzzy`` query oracle (Lucene top_terms_blended_freqs) —
+    mirrors operators/multiterm.py: dictionary terms within
+    ``max_edits`` classical Levenshtein of the query's first token,
+    boost = 1 - edits/min(len), top ``max_expansions`` by (boost desc,
+    term asc), df blended as the kept set's max, summed weighted BM25."""
+    return f"""
+WITH {_TOKENS_CTE},
+  stats AS (SELECT count(*) AS n, avg(doc_len) AS avgdl FROM doclen),
+  queryset AS ({QUERIES_SQL}),
+  qterm AS (
+    SELECT qid, string_split(query, ' ')[1] AS qterm
+    FROM queryset
+    WHERE length(string_split(query, ' ')[1]) > 0
+  ),
+  exp0 AS (
+    SELECT q.qid, t.term, t.df,
+           1.0 - levenshtein(t.term, q.qterm)::DOUBLE
+                 / least(length(q.qterm), length(t.term)) AS boost,
+           row_number() OVER (
+             PARTITION BY q.qid
+             ORDER BY (1.0 - levenshtein(t.term, q.qterm)::DOUBLE
+                       / least(length(q.qterm), length(t.term))) DESC,
+                      t.term ASC
+           ) AS r
+    FROM qterm q
+    JOIN tdf t ON levenshtein(t.term, q.qterm) <= {max_edits}
+  ),
+  expanded AS (SELECT * FROM exp0 WHERE r <= {max_expansions}),
+  blend AS (SELECT qid, max(df) AS df_blend FROM expanded GROUP BY qid),
+  scored AS (
+    SELECT e.qid, tf.doc_id,
+           sum(
+             e.boost
+             * ln(1 + (s.n - bl.df_blend + 0.5) / (bl.df_blend + 0.5))
+             * tf.tf / (tf.tf + {K1} * (1 - {B} + {B} * dl.doc_len / s.avgdl))
+           ) AS raw_score
+    FROM expanded e
+    JOIN blend bl ON e.qid = bl.qid
+    JOIN tf ON e.term = tf.term
+    JOIN doclen dl ON tf.doc_id = dl.doc_id
+    CROSS JOIN stats s
+    GROUP BY e.qid, tf.doc_id
+  ),
+  ranked AS (
+    SELECT qid, doc_id, round(raw_score, {SCORE_DECIMALS}) AS score,
+           row_number() OVER (
+             PARTITION BY qid
+             ORDER BY round(raw_score, {SCORE_DECIMALS}) DESC, doc_id ASC
+           ) AS rnk
+    FROM scored
+  )
+SELECT qid, doc_id, score, CAST(rnk AS INTEGER) AS rank
+FROM ranked WHERE rnk <= {k}
+"""
+
+
+_FUZZY_SQL = _fuzzy_sql(10)
 
 
 def _phrase_sql(k: int = 10) -> str:
@@ -1889,9 +2041,26 @@ SELECT model, checkpoint, score FROM ranked WHERE rn = 1
 """
 
 
+# pricing_summary / ir_metrics_mean left the driver window for the
+# multiterm gates (round 5); their SQL stays as constants for the
+# pytest DuckDB-equality twins (test_multiterm.py).
+_PRICING_SQL = """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 6) AS sum_qty,
+           round(sum(l_extendedprice), 6) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 6) AS sum_disc_price,
+           round(avg(l_quantity), 6) AS avg_qty,
+           round(avg(l_discount), 6) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
-        "ir_metrics_mean": _METRICS_SQL,
         "ir_metrics_multi_k": _metrics_multi_sql(100, [1, 3, 5, 10, 100]),
         "metrics_by_dataset": _METRICS_BY_DATASET_SQL,
         "best_checkpoint_argmax": _BEST_CHECKPOINT_SQL,
@@ -1911,6 +2080,8 @@ def oracle_sql() -> dict[str, str]:
         "bm25_multifield_phrase_top10": _MF_PHRASE_SQL,
         "bm25_multifield_phrase_index_top10": _MF_PHRASE_SQL,
         "bm25_highlight_top3": _HIGHLIGHT_SQL,
+        "bm25_prefix_index_top10": _PREFIX_SQL,
+        "bm25_fuzzy_index_top10": _FUZZY_SQL,
         "bm25_rerank_top10": _RERANK_SQL,
         "dedup_exact": """
             SELECT d.doc_id, m.canonical_id
@@ -1933,19 +2104,6 @@ def oracle_sql() -> dict[str, str]:
         "bm25_index_noself_top10": _bm25_sql(10, exclude_self=True),
         "cosine_topk": _COSINE_SQL,
         "text_profile": _TEXT_PROFILE_SQL,
-        "pricing_summary": """
-            SELECT l_returnflag, l_linestatus,
-                   round(sum(l_quantity), 6) AS sum_qty,
-                   round(sum(l_extendedprice), 6) AS sum_base_price,
-                   round(sum(l_extendedprice * (1 - l_discount)), 6) AS sum_disc_price,
-                   round(avg(l_quantity), 6) AS avg_qty,
-                   round(avg(l_discount), 6) AS avg_disc,
-                   count(*) AS count_order
-            FROM lineitem
-            WHERE l_shipdate <= TIMESTAMP '1998-09-02'
-            GROUP BY l_returnflag, l_linestatus
-            ORDER BY l_returnflag, l_linestatus
-        """,
         "topk_orders_per_customer": """
             WITH ranked AS (
               SELECT o_custkey, o_orderkey, o_totalprice,

@@ -342,6 +342,51 @@ def main() -> None:
             best = min(best, time.time() - t0)
         timings[f"codec_{codec}_200q"] = round(best, 3)
 
+    # --- multi-term queries (Lucene MultiTermQuery family) ---------------
+    # prefix: 8-char prefixes of the query's first token expand to ~100
+    # dictionary terms each (scoring_boolean rewrite — every expanded
+    # term scored with its own idf). fuzzy: Levenshtein<=1 with
+    # prefix_length=4 (the ES-recommended prune at scale — candidates
+    # are the shared-prefix + length-band dictionary slice, so the
+    # distance filter runs over ~10k vocab terms, not the 200k
+    # doc-token tail).
+    from sgpt_spark.operators.multiterm import (
+        fuzzy_search_index,
+        prefix_search_index,
+    )
+
+    mt_q = qdf.limit(200)
+    mt_prefixes = mt_q.select(
+        "qid",
+        F.substring(F.element_at(F.split("query", " ", -1), 1), 1, 8).alias("prefix"),
+    ).filter(F.length("prefix") > 0)
+    mt_prefixes.persist().count()
+    # taat = collected bounded expansion + the search_index TAAT kernels
+    # (interactive path); join = fully in-plan relational scoring (the
+    # unbounded-query-set contract). Same max_expansions both rows.
+    for strat in ("taat", "join"):
+        pfx_s = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            prefix_search_index(spark, postings, meta, mt_prefixes, k=10,
+                                rewrite="scoring_boolean", term_stats=tstats,
+                                max_expansions=1024, strategy=strat).count()
+            pfx_s = min(pfx_s, time.time() - t0)
+        timings[f"bm25_prefix_{strat}_200q"] = round(pfx_s, 3)
+    mt_terms = mt_q.select(
+        "qid", F.element_at(F.split("query", " ", -1), 1).alias("qterm")
+    ).filter(F.length("qterm") > 0)
+    mt_terms.persist().count()
+    for strat in ("taat", "join"):
+        fz_s = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            fuzzy_search_index(spark, postings, meta, mt_terms, k=10,
+                               max_edits=1, prefix_length=4,
+                               term_stats=tstats, strategy=strat).count()
+            fz_s = min(fz_s, time.time() - t0)
+        timings[f"bm25_fuzzy_{strat}_200q"] = round(fz_s, 3)
+
     # --- positional index + phrase search (ES match_phrase; Lucene .pos) --
     # Build = ONE corpus tokenize (positions written, postings DERIVED
     # from the compressed positional relation); query = term-pruned

@@ -30,6 +30,7 @@ from sgpt_spark.operators.stats import doc_stats, doc_terms, term_df, term_freqs
 from sgpt_spark.operators.search import bm25_search  # noqa: E402
 from sgpt_spark.operators.topk import SCORE_DECIMALS  # noqa: E402
 from sgpt_spark.sources.queryset import (  # noqa: E402
+    PHRASE_PREFIX_QUERIES_SQL,
     QRELS_SQL,
     QUERIES_SQL,
     derived_qrels,
@@ -507,6 +508,28 @@ def _q_bm25_fuzzy_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_bm25_phrase_prefix_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``match_phrase_prefix`` (search-as-you-type; Lucene
+    MultiPhraseQuery) through the persisted positional index
+    (operators/phrase_prefix.py): the derived known-item queries with
+    the LAST token truncated to a 3-char prefix, expanded against the
+    termstats dictionary in term order (max_expansions=50, the ES
+    default), aligned positionally with the expanded set at the final
+    slot, BM25 with idf summed over fixed + every expanded term."""
+    import tempfile
+
+    from sgpt_spark.operators.phrase_prefix import phrase_prefix_search_index
+    from sgpt_spark.operators.positions import build_positional_index
+    from sgpt_spark.sources.queryset import derived_phrase_prefix_queries
+
+    docs = load_table(spark, sf_dir, "documents")
+    path = tempfile.mkdtemp(prefix="sgpt_idx_ppfx_")
+    build_positional_index(docs.repartition(8, "doc_id"), path, segment_size=200)
+    return phrase_prefix_search_index(
+        spark, path, derived_phrase_prefix_queries(docs), k=10,
+    )
+
+
 # --- dedup / similarity / text analysis (training-data pipeline ops) -----
 
 def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -876,7 +899,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_index_wand_top10": _q_bm25_index_wand_top10,
         "bm25_index_join_top10": _q_bm25_index_join_top10,
         "bm25_index_cogroup_top10": _q_bm25_index_cogroup_top10,
-        "bm25_standard_top10": _q_bm25_standard_top10,
         "bm25_standard_index_top10": _q_bm25_standard_index_top10,
         "bm25_multifield_top10": _q_bm25_multifield,
         "bm25_multifield_index_top10": _q_bm25_multifield_index,
@@ -889,6 +911,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_highlight_top3": _q_bm25_highlight,
         "bm25_prefix_index_top10": _q_bm25_prefix_index,
         "bm25_fuzzy_index_top10": _q_bm25_fuzzy_index,
+        "bm25_phrase_prefix_index_top10": _q_bm25_phrase_prefix_index,
         "queryset_derive": _q_queryset,
         "corpus_stats": _q_corpus_stats,
         "doc_stats": _q_doc_stats,
@@ -942,6 +965,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_top100": _q_bm25_top100,              # depth evidence carried by the gated bm25_rerank_tail (k=100 + untouched tail); ceded its slot to bm25_multifield_phrase_top10 (round 5) — DuckDB equality now pytest-covered (test_phrase_multifield.py)
         "user_running_value": _q_running_value,     # generic running-window agg (rank window stays gated via topk_orders_per_customer); ceded its slot to bm25_multifield_phrase_index_top10 (round 5) — DuckDB equality now pytest-covered (test_phrase_multifield.py)
         "bm25_noself_top10": _q_bm25_noself,        # exhaustive self-match-filter twin (the index-backed bm25_index_noself_top10 stays gated); ceded its slot to bm25_highlight_top3 (round 5) — DuckDB equality now pytest-covered (test_highlight.py)
+        "bm25_standard_top10": _q_bm25_standard_top10,  # exhaustive standard-analyzer twin (the index-backed bm25_standard_index_top10 keeps the analyzer evidence gated); ceded its slot to bm25_phrase_prefix_index_top10 (round 5) — DuckDB equality now pytest-covered (test_phrase_prefix.py)
         "ivf_cosine_topk": _q_ivf_topk,             # approximate (gated twin: ivf_full_probe_topk)
         "lsh_cosine_topk": _q_lsh_cosine_topk,      # approximate (gated twin: cosine_topk)
         "media_image_features": _q_media_features,  # stub decoder
@@ -1193,6 +1217,91 @@ FROM ranked WHERE rnk <= {k}
 
 
 _PHRASE_SQL = _phrase_sql(10)
+
+
+def _phrase_prefix_sql(k: int = 10, max_expansions: int = 50) -> str:
+    """``match_phrase_prefix`` oracle — the phrase oracle with Lucene's
+    MultiPhraseQuery last slot (operators/phrase_prefix.py, relation for
+    relation): fixed offsets 1..m-1 carry the query terms verbatim, the
+    last token is a PREFIX expanded against the term dictionary to the
+    first ``max_expansions`` terms in term order (the documented ES
+    cap), idf summed over fixed + every expanded term, pf = start votes
+    with full coverage (one token per position keeps starts unique
+    through the fan-out)."""
+    return f"""
+WITH dtoks AS (
+    SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+    FROM documents
+    WHERE text IS NOT NULL AND length(trim(text)) > 0
+  ),
+  d2 AS (SELECT doc_id, toks, len(toks) AS dl FROM dtoks WHERE len(toks) > 0),
+  stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM d2),
+  dpos AS (
+    SELECT doc_id, dl, CAST(g.i AS BIGINT) AS pos, toks[g.i] AS term
+    FROM d2, unnest(generate_series(1, dl)) AS g(i)
+  ),
+  tdf AS (SELECT term, count(DISTINCT doc_id) AS df FROM dpos GROUP BY term),
+  queryset AS ({PHRASE_PREFIX_QUERIES_SQL}),
+  q2 AS (
+    SELECT qid, qarr, len(qarr) AS m
+    FROM (
+      SELECT qid, list_filter(string_split(query, ' '), x -> x <> '') AS qarr
+      FROM queryset
+    ) WHERE len(qarr) > 0
+  ),
+  fixedpos AS (
+    SELECT qid, m, CAST(g.i AS BIGINT) AS j, qarr[g.i] AS term
+    FROM q2, unnest(generate_series(1, m - 1)) AS g(i)
+  ),
+  expanded AS (
+    SELECT qid, m, term, df FROM (
+      SELECT p.qid, p.m, t.term, t.df,
+             row_number() OVER (PARTITION BY p.qid ORDER BY t.term ASC) AS rn
+      FROM (SELECT qid, m, qarr[m] AS prefix FROM q2) p
+      JOIN tdf t ON substr(t.term, 1, length(p.prefix)) = p.prefix
+    ) WHERE rn <= {max_expansions}
+  ),
+  qpos AS (
+    SELECT qid, m, j, term FROM fixedpos
+    UNION ALL
+    SELECT qid, m, CAST(m AS BIGINT) AS j, term FROM expanded
+  ),
+  sidf AS (
+    SELECT qpos.qid,
+           sum(ln(1 + (s.n - tdf.df + 0.5) / (tdf.df + 0.5))) AS sum_idf
+    FROM qpos JOIN tdf USING (term) CROSS JOIN stats s
+    GROUP BY qpos.qid
+  ),
+  starts AS (
+    SELECT q.qid, d.doc_id, d.dl, q.m, d.pos - q.j AS start, count(*) AS nm
+    FROM dpos d JOIN qpos q USING (term)
+    GROUP BY q.qid, d.doc_id, d.dl, q.m, d.pos - q.j
+  ),
+  pf AS (
+    SELECT qid, doc_id, dl, count(*) AS pf
+    FROM starts WHERE nm = m
+    GROUP BY qid, doc_id, dl
+  ),
+  scored AS (
+    SELECT p.qid, p.doc_id,
+           si.sum_idf * p.pf
+           / (p.pf + {K1} * (1 - {B} + {B} * p.dl / st.avgdl)) AS raw_score
+    FROM pf p JOIN sidf si ON p.qid = si.qid CROSS JOIN stats st
+  ),
+  ranked AS (
+    SELECT qid, doc_id, round(raw_score, {SCORE_DECIMALS}) AS score,
+           row_number() OVER (
+             PARTITION BY qid
+             ORDER BY round(raw_score, {SCORE_DECIMALS}) DESC, doc_id ASC
+           ) AS rnk
+    FROM scored
+  )
+SELECT qid, doc_id, score, CAST(rnk AS INTEGER) AS rank
+FROM ranked WHERE rnk <= {k}
+"""
+
+
+_PHRASE_PREFIX_SQL = _phrase_prefix_sql(10)
 
 # Displaced-row pytest twins (round 5: these two left the driver window
 # for the multifield phrase gates; test_phrase_multifield.py runs the
@@ -2069,7 +2178,6 @@ def oracle_sql() -> dict[str, str]:
         "bm25_index_wand_top10": _BM25_SQL,
         "bm25_index_join_top10": _BM25_SQL,
         "bm25_index_cogroup_top10": _BM25_SQL,
-        "bm25_standard_top10": _BM25_STANDARD_SQL,
         "bm25_standard_index_top10": _BM25_STANDARD_SQL,
         "bm25_multifield_top10": _BM25_MULTIFIELD_SQL,
         "bm25_multifield_index_top10": _BM25_MULTIFIELD_SQL,
@@ -2082,6 +2190,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_highlight_top3": _HIGHLIGHT_SQL,
         "bm25_prefix_index_top10": _PREFIX_SQL,
         "bm25_fuzzy_index_top10": _FUZZY_SQL,
+        "bm25_phrase_prefix_index_top10": _PHRASE_PREFIX_SQL,
         "bm25_rerank_top10": _RERANK_SQL,
         "dedup_exact": """
             SELECT d.doc_id, m.canonical_id

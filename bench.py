@@ -474,6 +474,32 @@ def main() -> None:
         hl_s = min(hl_s, time.time() - t0)
     timings["bm25_highlight_200q"] = round(hl_s, 3)
 
+    # match_phrase_prefix (search-as-you-type): the same phrase queries
+    # with the last token truncated to a 3-char prefix, expanded against
+    # the termstats dictionary (max_expansions=50), off the same
+    # positional index
+    from sgpt_spark.operators.phrase_prefix import phrase_prefix_search_index
+
+    pparr = F.split(F.col("query"), " ", -1)
+    pp_q = ph_q.select(
+        "qid",
+        F.array_join(
+            F.concat(
+                F.slice(pparr, F.lit(1), F.size(pparr) - F.lit(1)),
+                F.array(F.substring(F.element_at(pparr, -1), 1, 3)),
+            ),
+            " ",
+        ).alias("query"),
+    )
+    pp_q.persist().count()
+    pp_s = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        phrase_prefix_search_index(spark, "/dev/shm/sgpt_bench_pos", pp_q, k=10,
+                                   term_stats=pts).count()
+        pp_s = min(pp_s, time.time() - t0)
+    timings["bm25_phrase_prefix_200q"] = round(pp_s, 3)
+
     # multifield phrase through co-segmented per-field positional
     # indexes (multi_match type=phrase)
     from sgpt_spark.operators.phrase_multifield import (

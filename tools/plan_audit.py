@@ -258,6 +258,35 @@ def main() -> None:
     assert n_bnl == 0, "prefix expansion degraded to a nested-loop join!"
     assert n_semi_mt >= 1, "semi-join term pruning missing from multiterm plan"
 
+    # --- 9. match_phrase_prefix (phrase aligner + dictionary expansion) ---
+    from sgpt_spark.operators.phrase_prefix import phrase_prefix_search_index
+
+    plan = captured_plan(
+        phrase_prefix_search_index(
+            spark, pos_path, [("0", qtext[: len(qtext) // 2])], k=10,
+        )
+    )
+    pushed_pp = re.search(r"PushedFilters: \[[^\]]*term[^\]]*\]", plan)
+    n_bnl_pp = plan.count("BroadcastNestedLoopJoin")
+    sections.append((
+        "match_phrase_prefix (`phrase_prefix_search_index`)",
+        "The MultiPhraseQuery composition: the last term's prefix "
+        "expands via the SAME hash equi-join as the multiterm family — "
+        + ("zero BroadcastNestedLoopJoin (verified)" if n_bnl_pp == 0
+           else f"{n_bnl_pp} BroadcastNestedLoopJoin (BUG)")
+        + " — and the positions scan is pruned to fixed + expanded "
+        "terms at the parquet reader: "
+        + (f"`{pushed_pp.group(0)[:120]}...`" if pushed_pp
+           else "PUSHDOWN MISSING (BUG)")
+        + ". Per segment the phrase kernel intersects per-offset "
+        "(doc, start) key sets, the last offset being the union over "
+        "its expanded alternatives; <= k rows per (query, segment) "
+        "reach the JVM window merge.",
+        plan,
+    ))
+    assert pushed_pp, "term pushdown missing from the phrase-prefix positions scan!"
+    assert n_bnl_pp == 0, "phrase-prefix expansion degraded to a nested-loop join!"
+
     out = ["# PLANS — physical-plan audit of the headline operators",
            "",
            f"Regenerated by `python tools/plan_audit.py` at sf0.01 "

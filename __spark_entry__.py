@@ -30,6 +30,7 @@ from sgpt_spark.operators.stats import doc_stats, doc_terms, term_df, term_freqs
 from sgpt_spark.operators.search import bm25_search  # noqa: E402
 from sgpt_spark.operators.topk import SCORE_DECIMALS  # noqa: E402
 from sgpt_spark.sources.queryset import (  # noqa: E402
+    BOOL_CLAUSES_SQL,
     PHRASE_PREFIX_QUERIES_SQL,
     QRELS_SQL,
     QUERIES_SQL,
@@ -530,6 +531,22 @@ def _q_bm25_phrase_prefix_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_bm25_bool_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``bool`` compound query (must / should / must_not / filter;
+    Lucene BooleanQuery) through the compressed inverted index in ONE
+    bitmap-TAAT pass (operators/boolquery.py): per derived base doc,
+    must = first two tokens, should = token 3, filter = token 4,
+    must_not = token 6; score = BM25 sum over the matching scoring
+    clauses, filter non-scoring, must_not excluding."""
+    from sgpt_spark.operators.boolquery import bool_search_index
+    from sgpt_spark.operators.indexer import build_postings
+    from sgpt_spark.sources.queryset import derived_bool_clauses
+
+    docs = load_table(spark, sf_dir, "documents")
+    postings, meta = build_postings(docs, segment_size=200)
+    return bool_search_index(spark, postings, meta, derived_bool_clauses(docs), k=10)
+
+
 # --- dedup / similarity / text analysis (training-data pipeline ops) -----
 
 def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -904,7 +921,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_multifield_index_top10": _q_bm25_multifield_index,
         "bm25_multifield_join_top10": _q_bm25_multifield_join,
         "bm25_multifield_cogroup_top10": _q_bm25_multifield_cogroup,
-        "bm25_phrase_top10": _q_bm25_phrase,
         "bm25_phrase_index_top10": _q_bm25_phrase_index,
         "bm25_multifield_phrase_top10": _q_bm25_multifield_phrase,
         "bm25_multifield_phrase_index_top10": _q_bm25_multifield_phrase_index,
@@ -912,6 +928,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_prefix_index_top10": _q_bm25_prefix_index,
         "bm25_fuzzy_index_top10": _q_bm25_fuzzy_index,
         "bm25_phrase_prefix_index_top10": _q_bm25_phrase_prefix_index,
+        "bm25_bool_index_top10": _q_bm25_bool_index,
         "queryset_derive": _q_queryset,
         "corpus_stats": _q_corpus_stats,
         "doc_stats": _q_doc_stats,
@@ -966,6 +983,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_running_value": _q_running_value,     # generic running-window agg (rank window stays gated via topk_orders_per_customer); ceded its slot to bm25_multifield_phrase_index_top10 (round 5) — DuckDB equality now pytest-covered (test_phrase_multifield.py)
         "bm25_noself_top10": _q_bm25_noself,        # exhaustive self-match-filter twin (the index-backed bm25_index_noself_top10 stays gated); ceded its slot to bm25_highlight_top3 (round 5) — DuckDB equality now pytest-covered (test_highlight.py)
         "bm25_standard_top10": _q_bm25_standard_top10,  # exhaustive standard-analyzer twin (the index-backed bm25_standard_index_top10 keeps the analyzer evidence gated); ceded its slot to bm25_phrase_prefix_index_top10 (round 5) — DuckDB equality now pytest-covered (test_phrase_prefix.py)
+        "bm25_phrase_top10": _q_bm25_phrase,        # exhaustive phrase twin (the index-backed bm25_phrase_index_top10 keeps the phrase evidence gated); ceded its slot to bm25_bool_index_top10 (round 5) — DuckDB equality now pytest-covered (test_boolquery.py)
         "ivf_cosine_topk": _q_ivf_topk,             # approximate (gated twin: ivf_full_probe_topk)
         "lsh_cosine_topk": _q_lsh_cosine_topk,      # approximate (gated twin: cosine_topk)
         "media_image_features": _q_media_features,  # stub decoder
@@ -1302,6 +1320,89 @@ FROM ranked WHERE rnk <= {k}
 
 
 _PHRASE_PREFIX_SQL = _phrase_prefix_sql(10)
+
+
+def _bool_sql(k: int = 10) -> str:
+    """ES ``bool`` compound-query oracle — mirrors
+    operators/boolquery.bool_search relation for relation: per-clause
+    analyzed terms, BM25 sum over the scoring (must/should) clause
+    matches, distinct matched-clause counting per (query, doc), and the
+    must-all / filter-all / must_not-none / should-minimum constraints
+    (ES default minimum_should_match: 1 without must/filter, else 0)."""
+    return f"""
+WITH {_TOKENS_CTE},
+  stats AS (SELECT count(*) AS n, avg(doc_len) AS avgdl FROM doclen),
+  clauses AS ({BOOL_CLAUSES_SQL}),
+  cl AS (
+    SELECT qid, occur, query,
+           row_number() OVER (PARTITION BY qid ORDER BY occur, query) AS cid
+    FROM clauses
+  ),
+  totals AS (
+    SELECT qid,
+           sum(CASE WHEN occur = 'must' THEN 1 ELSE 0 END) AS n_must,
+           sum(CASE WHEN occur = 'filter' THEN 1 ELSE 0 END) AS n_filter,
+           sum(CASE WHEN occur = 'should' THEN 1 ELSE 0 END) AS n_should
+    FROM cl GROUP BY qid
+  ),
+  qct AS (
+    SELECT qid, cid, occur, u.term AS term, count(*) AS qtf
+    FROM cl, unnest(string_split(query, ' ')) AS u(term)
+    WHERE u.term <> ''
+    GROUP BY qid, cid, occur, u.term
+  ),
+  hits AS (
+    SELECT q.qid, q.cid, q.occur, q.qtf, tf.doc_id, tf.tf,
+           dl.doc_len, tdf.df
+    FROM qct q
+    JOIN tf  ON q.term = tf.term
+    JOIN tdf ON tf.term = tdf.term
+    JOIN doclen dl ON tf.doc_id = dl.doc_id
+  ),
+  scores AS (
+    SELECT qid, doc_id,
+           sum(
+             qtf * ln(1 + (s.n - df + 0.5) / (df + 0.5))
+             * tf / (tf + {K1} * (1 - {B} + {B} * doc_len / s.avgdl))
+           ) AS raw
+    FROM hits CROSS JOIN stats s
+    WHERE occur IN ('must', 'should')
+    GROUP BY qid, doc_id
+  ),
+  matched AS (SELECT DISTINCT qid, cid, occur, doc_id FROM hits),
+  agg AS (
+    SELECT qid, doc_id,
+           sum(CASE WHEN occur = 'must' THEN 1 ELSE 0 END) AS m_must,
+           sum(CASE WHEN occur = 'filter' THEN 1 ELSE 0 END) AS m_filter,
+           sum(CASE WHEN occur = 'should' THEN 1 ELSE 0 END) AS m_should,
+           sum(CASE WHEN occur = 'must_not' THEN 1 ELSE 0 END) AS m_not
+    FROM matched GROUP BY qid, doc_id
+  ),
+  cand AS (
+    SELECT a.qid, a.doc_id
+    FROM agg a JOIN totals t ON a.qid = t.qid
+    WHERE a.m_must = t.n_must AND a.m_filter = t.n_filter AND a.m_not = 0
+      AND (t.n_should = 0 OR a.m_should >=
+           CASE WHEN t.n_must + t.n_filter > 0 THEN 0 ELSE 1 END)
+  ),
+  scored AS (
+    SELECT c.qid, c.doc_id, coalesce(s.raw, 0.0) AS raw_score
+    FROM cand c LEFT JOIN scores s ON c.qid = s.qid AND c.doc_id = s.doc_id
+  ),
+  ranked AS (
+    SELECT qid, doc_id, round(raw_score, {SCORE_DECIMALS}) AS score,
+           row_number() OVER (
+             PARTITION BY qid
+             ORDER BY round(raw_score, {SCORE_DECIMALS}) DESC, doc_id ASC
+           ) AS rnk
+    FROM scored
+  )
+SELECT qid, doc_id, score, CAST(rnk AS INTEGER) AS rank
+FROM ranked WHERE rnk <= {k}
+"""
+
+
+_BOOL_SQL = _bool_sql(10)
 
 # Displaced-row pytest twins (round 5: these two left the driver window
 # for the multifield phrase gates; test_phrase_multifield.py runs the
@@ -2183,8 +2284,8 @@ def oracle_sql() -> dict[str, str]:
         "bm25_multifield_index_top10": _BM25_MULTIFIELD_SQL,
         "bm25_multifield_join_top10": _mf_sql(title_boost=2.0, text_boost=0.75),
         "bm25_multifield_cogroup_top10": _BM25_MULTIFIELD_SQL,
-        "bm25_phrase_top10": _PHRASE_SQL,
         "bm25_phrase_index_top10": _PHRASE_SQL,
+        "bm25_bool_index_top10": _BOOL_SQL,
         "bm25_multifield_phrase_top10": _MF_PHRASE_SQL,
         "bm25_multifield_phrase_index_top10": _MF_PHRASE_SQL,
         "bm25_highlight_top3": _HIGHLIGHT_SQL,

@@ -387,6 +387,40 @@ def main() -> None:
             fz_s = min(fz_s, time.time() - t0)
         timings[f"bm25_fuzzy_{strat}_200q"] = round(fz_s, 3)
 
+    # ES bool compound query (must/should/must_not/filter) in ONE
+    # bitmap-TAAT pass over the same match index: per base query, must =
+    # tokens 1-2, should = token 3, filter = token 4, must_not = token 5
+    from sgpt_spark.operators.boolquery import bool_search_index
+
+    bq_arr = F.split(F.col("query"), " ", -1)
+    bool_cl = (
+        mt_q.select("qid", F.lit("must").alias("occur"),
+                   F.array_join(F.slice(bq_arr, 1, 2), " ").alias("query"))
+        .unionByName(
+            mt_q.filter(F.size(bq_arr) >= 3).select(
+                "qid", F.lit("should").alias("occur"),
+                F.element_at(bq_arr, 3).alias("query"))
+        )
+        .unionByName(
+            mt_q.filter(F.size(bq_arr) >= 4).select(
+                "qid", F.lit("filter").alias("occur"),
+                F.element_at(bq_arr, 4).alias("query"))
+        )
+        .unionByName(
+            mt_q.filter(F.size(bq_arr) >= 5).select(
+                "qid", F.lit("must_not").alias("occur"),
+                F.element_at(bq_arr, 5).alias("query"))
+        )
+    )
+    bool_cl.persist().count()
+    bool_s = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        bool_search_index(spark, postings, meta, bool_cl, k=10,
+                          term_stats=tstats).count()
+        bool_s = min(bool_s, time.time() - t0)
+    timings["bm25_bool_200q"] = round(bool_s, 3)
+
     # --- positional index + phrase search (ES match_phrase; Lucene .pos) --
     # Build = ONE corpus tokenize (positions written, postings DERIVED
     # from the compressed positional relation); query = term-pruned

@@ -59,6 +59,45 @@ def derived_phrase_prefix_queries(
     return q.select("qid", F.array_join(trunc, " ").alias("query"))
 
 
+def derived_bool_clauses(documents: DataFrame, every: int = EVERY) -> DataFrame:
+    """Deterministic ES ``bool``-query clause set -> long-form
+    (qid, occur, query), one row per clause, derived from the same
+    known-item base docs as ``derived_queries``:
+
+      must      the doc's first two tokens (always present)
+      should    token 3   (docs with >= 3 tokens)
+      filter    token 4   (docs with >= 4 tokens)
+      must_not  token 6   (docs with >= 6 tokens — note this excludes
+                the source doc itself, which contains that token:
+                deliberate, it exercises exclusion on every long doc)
+
+    The SQL twin below applies identical list arithmetic, so the DuckDB
+    oracle derives the same clause rows character-for-character."""
+    base = (
+        non_empty_text(documents)
+        .filter(F.col("doc_id") % every == 0)
+        .select(
+            F.col("doc_id").alias("qid"),
+            F.split(F.col("text"), " ", -1).alias("toks"),
+        )
+        .withColumn("nt", F.size("toks"))
+    )
+    must = base.select(
+        "qid", F.lit("must").alias("occur"),
+        F.array_join(F.slice("toks", 1, 2), " ").alias("query"),
+    )
+    should = base.filter(F.col("nt") >= 3).select(
+        "qid", F.lit("should").alias("occur"), F.element_at("toks", 3).alias("query")
+    )
+    filt = base.filter(F.col("nt") >= 4).select(
+        "qid", F.lit("filter").alias("occur"), F.element_at("toks", 4).alias("query")
+    )
+    mnot = base.filter(F.col("nt") >= 6).select(
+        "qid", F.lit("must_not").alias("occur"), F.element_at("toks", 6).alias("query")
+    )
+    return must.unionByName(should).unionByName(filt).unionByName(mnot)
+
+
 def derived_qrels(documents: DataFrame, every: int = EVERY) -> DataFrame:
     """Known-item qrels: the source doc is relevant (relevance=1)."""
     return (
@@ -99,4 +138,24 @@ PHRASE_PREFIX_QUERIES_SQL = f"""
              substr(qarr[len(qarr)], 1, {PREFIX_LEN})
            ), ' ') AS query
   FROM (SELECT qid, string_split(query, ' ') AS qarr FROM ({QUERIES_SQL}))
+"""
+
+# bool-query clause set: derived_bool_clauses' twin — same base docs,
+# same 1-based list arithmetic (string_split keeps empty tokens like
+# Spark's split; toks[i] and element_at are both 1-based).
+BOOL_CLAUSES_SQL = f"""
+  WITH bool_base AS (
+    SELECT doc_id AS qid, string_split(text, ' ') AS toks,
+           len(string_split(text, ' ')) AS nt
+    FROM documents
+    WHERE doc_id % {EVERY} = 0 AND text IS NOT NULL AND length(trim(text)) > 0
+  )
+  SELECT qid, 'must' AS occur,
+         array_to_string(list_slice(toks, 1, 2), ' ') AS query FROM bool_base
+  UNION ALL
+  SELECT qid, 'should', toks[3] FROM bool_base WHERE nt >= 3
+  UNION ALL
+  SELECT qid, 'filter', toks[4] FROM bool_base WHERE nt >= 4
+  UNION ALL
+  SELECT qid, 'must_not', toks[6] FROM bool_base WHERE nt >= 6
 """

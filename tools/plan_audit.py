@@ -287,6 +287,43 @@ def main() -> None:
     assert pushed_pp, "term pushdown missing from the phrase-prefix positions scan!"
     assert n_bnl_pp == 0, "phrase-prefix expansion degraded to a nested-loop join!"
 
+    # --- 10. bool compound query (one bitmap-TAAT pass) -------------------
+    from sgpt_spark.operators.boolquery import bool_search_index
+
+    qtoks = qtext.split(" ")
+    bool_clauses = [
+        ("0", "must", " ".join(qtoks[:2])),
+        ("0", "should", qtoks[2] if len(qtoks) > 2 else qtoks[0]),
+        ("0", "filter", qtoks[-1]),
+        ("0", "must_not", "zzz_absent_term"),
+    ]
+    plan = captured_plan(
+        bool_search_index(spark, postings, meta, bool_clauses, k=10,
+                          term_stats=tstats)
+    )
+    pushed_bq = re.search(r"PushedFilters: \[[^\]]*term[^\]]*\]", plan)
+    n_scans_bq = len(re.findall(r"\(\d+\) Scan parquet", plan))
+    sections.append((
+        "bool compound query (`bool_search_index`)",
+        "ES bool (must/should/must_not/filter) answered in ONE postings "
+        "pass — the scan is pruned to the union of ALL clause terms at "
+        "the parquet reader ("
+        + (f"`{pushed_bq.group(0)[:120]}...`" if pushed_bq
+           else "PUSHDOWN MISSING (BUG)")
+        + f"), {n_scans_bq} parquet scan(s) total"
+        + (" — verified single-scan" if n_scans_bq == 1 else " (BUG: "
+           "clause composition must not rescan per clause)")
+        + ". Per segment the bitmap-TAAT kernel accumulates the BM25 "
+        "sum and per-clause match bits together, so the "
+        "must-all/filter-all/must_not-none/should-minimum constraints "
+        "are three bitmask tests + one popcount per candidate — no "
+        "per-clause join, <= k rows per (query, segment) shuffled to "
+        "the window merge.",
+        plan,
+    ))
+    assert pushed_bq, "term pushdown missing from the bool postings scan!"
+    assert n_scans_bq == 1, "bool query must scan the postings exactly once!"
+
     out = ["# PLANS — physical-plan audit of the headline operators",
            "",
            f"Regenerated by `python tools/plan_audit.py` at sf0.01 "

@@ -547,6 +547,23 @@ def _q_bm25_bool_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bool_search_index(spark, postings, meta, derived_bool_clauses(docs), k=10)
 
 
+def _q_bm25_bool_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-plan twin of ``bm25_bool_index_top10``: the clause relation
+    never touches the driver — clause ids / occur masks / weight-bit
+    rows compile in whole-stage codegen, then the SAME bitmap-TAAT
+    kernel scores each cogrouped (segment postings, query slice) pair
+    (operators/boolquery.bool_search_index_cogroup)."""
+    from sgpt_spark.operators.boolquery import bool_search_index_cogroup
+    from sgpt_spark.operators.indexer import build_postings
+    from sgpt_spark.sources.queryset import derived_bool_clauses
+
+    docs = load_table(spark, sf_dir, "documents")
+    postings, meta = build_postings(docs, segment_size=200)
+    return bool_search_index_cogroup(
+        spark, postings, meta, derived_bool_clauses(docs), k=10
+    )
+
+
 # --- dedup / similarity / text analysis (training-data pipeline ops) -----
 
 def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -922,13 +939,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_multifield_join_top10": _q_bm25_multifield_join,
         "bm25_multifield_cogroup_top10": _q_bm25_multifield_cogroup,
         "bm25_phrase_index_top10": _q_bm25_phrase_index,
-        "bm25_multifield_phrase_top10": _q_bm25_multifield_phrase,
         "bm25_multifield_phrase_index_top10": _q_bm25_multifield_phrase_index,
         "bm25_highlight_top3": _q_bm25_highlight,
         "bm25_prefix_index_top10": _q_bm25_prefix_index,
         "bm25_fuzzy_index_top10": _q_bm25_fuzzy_index,
         "bm25_phrase_prefix_index_top10": _q_bm25_phrase_prefix_index,
         "bm25_bool_index_top10": _q_bm25_bool_index,
+        "bm25_bool_cogroup_top10": _q_bm25_bool_cogroup,
         "queryset_derive": _q_queryset,
         "corpus_stats": _q_corpus_stats,
         "doc_stats": _q_doc_stats,
@@ -984,6 +1001,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_noself_top10": _q_bm25_noself,        # exhaustive self-match-filter twin (the index-backed bm25_index_noself_top10 stays gated); ceded its slot to bm25_highlight_top3 (round 5) — DuckDB equality now pytest-covered (test_highlight.py)
         "bm25_standard_top10": _q_bm25_standard_top10,  # exhaustive standard-analyzer twin (the index-backed bm25_standard_index_top10 keeps the analyzer evidence gated); ceded its slot to bm25_phrase_prefix_index_top10 (round 5) — DuckDB equality now pytest-covered (test_phrase_prefix.py)
         "bm25_phrase_top10": _q_bm25_phrase,        # exhaustive phrase twin (the index-backed bm25_phrase_index_top10 keeps the phrase evidence gated); ceded its slot to bm25_bool_index_top10 (round 5) — DuckDB equality now pytest-covered (test_boolquery.py)
+        "bm25_multifield_phrase_top10": _q_bm25_multifield_phrase,  # exhaustive multifield-phrase twin (the index-backed bm25_multifield_phrase_index_top10 keeps the evidence gated); ceded its slot to bm25_bool_cogroup_top10 (round 5) — DuckDB equality now pytest-covered (test_phrase_multifield.py)
         "ivf_cosine_topk": _q_ivf_topk,             # approximate (gated twin: ivf_full_probe_topk)
         "lsh_cosine_topk": _q_lsh_cosine_topk,      # approximate (gated twin: cosine_topk)
         "media_image_features": _q_media_features,  # stub decoder
@@ -2286,7 +2304,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_multifield_cogroup_top10": _BM25_MULTIFIELD_SQL,
         "bm25_phrase_index_top10": _PHRASE_SQL,
         "bm25_bool_index_top10": _BOOL_SQL,
-        "bm25_multifield_phrase_top10": _MF_PHRASE_SQL,
+        "bm25_bool_cogroup_top10": _BOOL_SQL,
         "bm25_multifield_phrase_index_top10": _MF_PHRASE_SQL,
         "bm25_highlight_top3": _HIGHLIGHT_SQL,
         "bm25_prefix_index_top10": _PREFIX_SQL,

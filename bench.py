@@ -421,6 +421,17 @@ def main() -> None:
         bool_s = min(bool_s, time.time() - t0)
     timings["bm25_bool_200q"] = round(bool_s, 3)
 
+    # in-plan twin: clause compilation in whole-stage codegen + cogroup
+    from sgpt_spark.operators.boolquery import bool_search_index_cogroup
+
+    boolc_s = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        bool_search_index_cogroup(spark, postings, meta, bool_cl, k=10,
+                                  term_stats=tstats).count()
+        boolc_s = min(boolc_s, time.time() - t0)
+    timings["bm25_bool_cogroup_200q"] = round(boolc_s, 3)
+
     # --- positional index + phrase search (ES match_phrase; Lucene .pos) --
     # Build = ONE corpus tokenize (positions written, postings DERIVED
     # from the compressed positional relation); query = term-pruned

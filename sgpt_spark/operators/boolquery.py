@@ -32,7 +32,7 @@ matching >= 1 should term rather than ES's degenerate match-all (the
 two paths and the SQL oracle agree with each other; the match-all tail
 is score-0 docs below every match anyway).
 
-Two value-identical paths:
+Three value-identical paths:
 
 ``bool_search``        exhaustive/declarative — pure DataFrame ops over
                        the corpus (the DuckDB-oracle-parallel plan).
@@ -49,6 +49,15 @@ Two value-identical paths:
                        every doc lives in exactly one doc-partitioned
                        segment, so its full clause bitmap materializes
                        in that segment.
+``bool_search_index_cogroup``
+                       the same bitmap-TAAT kernel with the clause set
+                       kept IN-PLAN (no driver collect): clause ids,
+                       occur masks, and per-term weight/bit rows are
+                       compiled by whole-stage-codegen bit arithmetic,
+                       replicated across candidate segments, and
+                       cogrouped with the term-pruned postings — the
+                       bool twin of ``search_index_cogroup`` and the
+                       path for query sets too large for the driver.
 
 Scale notes (10^12 docs): the index path scans the postings relation
 ONCE, pruned to the union of all clause terms at the parquet reader
@@ -496,4 +505,176 @@ def bool_search_index(
             )
 
     seg_topk = cand.repartition("segment").mapInPandas(bool_wrapper, schema=seg_schema)
+    return topk_per_group(seg_topk, k=k).select("qid", "doc_id", "score", "rank")
+
+
+def bool_search_index_cogroup(
+    spark: SparkSession,
+    postings: DataFrame,
+    meta: IndexMeta,
+    clauses: DataFrame | Iterable[tuple],
+    k: int = 10,
+    term_stats: DataFrame | dict | None = None,
+    tokenizer=None,
+    minimum_should_match: int | None = None,
+) -> DataFrame:
+    """In-plan bool query: value-identical to ``bool_search_index`` with
+    the clause relation never touching the driver (the contract of
+    ``search_index_cogroup``, which this mirrors clause-for-clause).
+
+    Clause compilation happens IN the plan with JVM bit arithmetic:
+    a per-qid ``row_number`` mints clause ids, ``shiftleft`` mints the
+    clause bit, and the per-qid occur masks (req/not/should) are plain
+    ``sum`` aggregates (each clause bit is distinct, so sum == bitwise
+    or). Masks are computed BEFORE the (term, df) join so a must/filter
+    clause whose terms are corpus-absent or empty still holds its bit in
+    ``req_mask`` — unreachable, hence MatchNoDocsQuery semantics, same
+    as the driver-side compiler. Per-(qid, term) weight rows fold
+    duplicate clauses with ``sum(w)`` + ``bit_or(bit)``; the guards
+    (unknown occur, > MAX_CLAUSES, pure negation) raise in-plan via
+    ``raise_error``.
+
+    Scale contract = ``search_index_cogroup``'s: per-task clause data is
+    the query slice, replication is |terms| x candidate segments, and
+    the candidate posting blocks shuffle once (compressed, term-pruned);
+    query-set size is bounded by executor memory, not driver memory.
+    """
+    from sgpt_spark.functions.analyzer import resolve_jvm_analyzer
+    from sgpt_spark.functions.bm25 import idf as idf_col
+
+    cl, qid_type = normalize_clauses(clauses)
+    if not isinstance(cl, DataFrame):
+        cl = spark.createDataFrame(cl, f"qid {qid_type}, occur string, query string")
+    cl = _validate_occurs_col(cl)
+    cid_w = Window.partitionBy("qid").orderBy("occur", "query")
+    cl = cl.withColumn("cid", F.row_number().over(cid_w))
+    cl = cl.withColumn(
+        "cid",
+        F.when(F.col("cid") <= MAX_CLAUSES, F.col("cid")).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("bool query has > "),
+                    F.lit(str(MAX_CLAUSES)),
+                    F.lit(" clauses (qid "),
+                    F.col("qid").cast("string"),
+                    F.lit("): the bitmap kernel caps at MAX_CLAUSES — split the query"),
+                )
+            )
+        ),
+    )
+    # SQL-expr shiftleft: the python wrapper only takes a literal shift
+    cl = cl.withColumn("bit", F.expr("shiftleft(CAST(1 AS BIGINT), cid - 1)"))
+
+    msm_req = (
+        F.when(F.col("req_mask") != 0, F.lit(0)).otherwise(F.lit(1))
+        if minimum_should_match is None
+        else F.lit(int(minimum_should_match))
+    )
+    qmeta = cl.groupBy("qid").agg(
+        F.sum(
+            F.when(F.col("occur").isin("must", "filter"), F.col("bit")).otherwise(F.lit(0))
+        ).alias("req_mask"),
+        F.sum(F.when(F.col("occur") == "must_not", F.col("bit")).otherwise(F.lit(0))).alias(
+            "not_mask"
+        ),
+        F.sum(F.when(F.col("occur") == "should", F.col("bit")).otherwise(F.lit(0))).alias(
+            "should_mask"
+        ),
+        F.sum(F.when(F.col("occur") == "should", 1).otherwise(0)).alias("n_should"),
+    )
+    qmeta = qmeta.withColumn(
+        "req_mask",
+        F.when(
+            (F.col("req_mask") != 0) | (F.col("should_mask") != 0), F.col("req_mask")
+        ).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("bool query has only must_not clauses (qid "),
+                    F.col("qid").cast("string"),
+                    F.lit("): pure negation needs a positive clause"),
+                )
+            )
+        ),
+    ).withColumn(
+        "req_should",
+        F.when(F.col("n_should") == 0, F.lit(0)).otherwise(msm_req),
+    ).select("qid", "req_mask", "not_mask", "should_mask", "req_should")
+
+    tok = tokenizer or resolve_jvm_analyzer(meta.analyzer)
+    qct = (
+        cl.filter(F.col("query").isNotNull() & (F.length(F.trim(F.col("query"))) > 0))
+        .select("qid", "occur", "bit", tok(F.col("query")).alias("qterms"))
+        .select("qid", "occur", "bit", F.explode("qterms").alias("term"))
+        .groupBy("qid", "occur", "bit", "term")
+        .agg(F.count("*").alias("qtf"))
+    )
+    if isinstance(term_stats, dict):
+        dfs = spark.createDataFrame(
+            [(t, int(d)) for t, d in term_stats.items()], "term string, df long"
+        )
+    elif term_stats is not None:
+        dfs = term_stats
+    else:
+        dfs = postings.groupBy("term").agg(F.sum("df").alias("df"))
+    qtw = (
+        qct.join(dfs, "term")
+        .select(
+            "qid",
+            "term",
+            "bit",
+            F.when(
+                F.col("occur").isin(*_SCORING),
+                F.col("qtf") * idf_col(F.col("df"), meta.n_docs),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("w"),
+        )
+        .groupBy("qid", "term")
+        .agg(F.sum("w").alias("w"), F.bit_or("bit").alias("bits"))
+        .join(qmeta, "qid")
+    )
+
+    cand = postings.join(qtw.select("term").distinct(), "term", "left_semi").select(
+        "segment", "term", "blocks"
+    )
+    # fresh attribute id for the replication crossJoin (segs shares
+    # lineage with cand; see search_index_cogroup)
+    segs = cand.select(F.col("segment").cast("int").alias("segment")).distinct()
+    qseg = qtw.crossJoin(F.broadcast(segs))
+    k1, b, avgdl, codec, kk = meta.k1, meta.b, meta.avgdl, meta.codec, k
+    seg_schema = f"qid {qid_type}, doc_id long, score double"
+
+    def score(pleft: pd.DataFrame, pright: pd.DataFrame) -> pd.DataFrame:
+        if len(pleft) == 0 or len(pright) == 0:
+            return _emit_topk_frame([])
+        decoded = _decode_terms(pleft["term"], pleft["blocks"], codec, k1, b, avgdl)
+        if not decoded:
+            return _emit_topk_frame([])
+        qvals = pright["qid"]
+        qid_list = list(pd.unique(qvals))
+        qrow = {q: i for i, q in enumerate(qid_list)}
+        rows_idx = qvals.map(qrow).to_numpy(np.int64)
+        w_arr = pright["w"].to_numpy(np.float64)
+        bits_arr = pright["bits"].to_numpy(np.int64).astype(np.uint64)
+        tmap_b = {
+            t: (rows_idx[ix], w_arr[ix], bits_arr[ix])
+            for t, ix in pright.groupby("term", sort=False).indices.items()
+        }
+        qmeta_b = {
+            q: (int(rm), int(nm), int(sm), int(rs))
+            for q, rm, nm, sm, rs in zip(
+                qvals,
+                pright["req_mask"],
+                pright["not_mask"],
+                pright["should_mask"],
+                pright["req_should"],
+            )
+        }
+        return _emit_topk_frame(_bool_parts(decoded, qid_list, tmap_b, qmeta_b, kk))
+
+    seg_topk = (
+        cand.groupBy("segment")
+        .cogroup(qseg.groupBy("segment"))
+        .applyInPandas(score, schema=seg_schema)
+    )
     return topk_per_group(seg_topk, k=k).select("qid", "doc_id", "score", "rank")

@@ -10,11 +10,13 @@ from __future__ import annotations
 import math
 
 import pytest
+from pyspark.sql import functions as F
 
 from sgpt_spark.operators.boolquery import (
     MAX_CLAUSES,
     bool_search,
     bool_search_index,
+    bool_search_index_cogroup,
 )
 from sgpt_spark.operators.indexer import build_postings
 
@@ -162,6 +164,59 @@ def test_index_matches_exhaustive(spark, codec):
     assert _rows(bool_search_index(spark, postings, meta, cl, k=10)) == _rows(
         bool_search(docs, cl, k=10)
     )
+
+
+@pytest.mark.parametrize("codec", ["varint", "pfor"])
+def test_cogroup_matches_exhaustive(spark, codec):
+    """The in-plan twin (no driver collect) over the full adversarial
+    clause fixture — MatchNoDocs musts, corpus-absent terms, duplicate
+    clauses, filter-only scoring all included — both codecs,
+    multi-segment."""
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    postings, meta = build_postings(docs, segment_size=3, codec=codec)
+    cl = _cl_df(spark, CLAUSES)
+    assert _rows(bool_search_index_cogroup(spark, postings, meta, cl, k=10)) == _rows(
+        bool_search(docs, cl, k=10)
+    )
+
+
+def test_cogroup_iterable_and_term_stats_contracts(spark):
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    postings, meta = build_postings(docs, segment_size=4)
+    cl_rows = [(100, "must", "quick brown"), (100, "should", "fox")]
+    exp = _rows(bool_search(docs, _cl_df(spark, cl_rows), k=10))
+    # iterable clause input
+    got = _rows(bool_search_index_cogroup(spark, postings, meta, iter(cl_rows), k=10))
+    assert got == exp and got
+    # pre-collected dict term stats (the collect path's contract)
+    tstats = {
+        r["term"]: int(r["df"])
+        for r in postings.groupBy("term").agg(F.sum("df").alias("df")).collect()
+    }
+    assert (
+        _rows(
+            bool_search_index_cogroup(
+                spark, postings, meta, cl_rows, k=10, term_stats=tstats
+            )
+        )
+        == exp
+    )
+
+
+def test_cogroup_guards_raise_in_plan(spark):
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    postings, meta = build_postings(docs, segment_size=4)
+    with pytest.raises(Exception, match="pure negation"):
+        bool_search_index_cogroup(
+            spark, postings, meta, [(1, "must_not", "quick")], k=10
+        ).collect()
+    with pytest.raises(Exception, match="unknown bool occur"):
+        bool_search_index_cogroup(
+            spark, postings, meta, [(1, "mustnot", "quick")], k=10
+        ).collect()
+    many = [(1, "should", "quick")] * (MAX_CLAUSES + 1)
+    with pytest.raises(Exception, match="MAX_CLAUSES"):
+        bool_search_index_cogroup(spark, postings, meta, many, k=10).collect()
 
 
 def test_explicit_minimum_should_match(spark):

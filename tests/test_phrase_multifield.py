@@ -242,6 +242,25 @@ def test_user_running_value_duckdb_equality(spark):
     assert got == want and len(got) > 0
 
 
+def test_multifield_phrase_exhaustive_duckdb_equality(spark):
+    """bm25_multifield_phrase_top10 (exhaustive) left the driver window
+    for bm25_bool_cogroup_top10 (round 5); its index-backed sibling
+    bm25_multifield_phrase_index_top10 keeps the evidence gated, and the
+    exact registry query vs exact registry SQL equality lives here."""
+    import __spark_entry__ as entry
+
+    sf = "/root/testdata/sf0.001"
+    got = sorted(
+        (r["qid"], r["doc_id"], round(r["score"], 6), r["rank"])
+        for r in entry._q_bm25_multifield_phrase(spark, sf).collect()
+    )
+    want = sorted(
+        (q, d, round(s, 6), int(r))
+        for q, d, s, r in _duck(sf).execute(entry._MF_PHRASE_SQL).fetchall()
+    )
+    assert got == want and len(got) > 0
+
+
 def test_multifield_phrase_cogroup_strategy_identity(spark):
     """strategy='cogroup' (queries never touch the driver, per-field
     in-plan phrase hits) must equal strategy='collect' and therefore the

@@ -324,6 +324,38 @@ def main() -> None:
     assert pushed_bq, "term pushdown missing from the bool postings scan!"
     assert n_scans_bq == 1, "bool query must scan the postings exactly once!"
 
+    # --- 11. bool cogroup twin (in-plan clause compilation) ---------------
+    from sgpt_spark.operators.boolquery import bool_search_index_cogroup
+
+    bool_cl_df = spark.createDataFrame(
+        bool_clauses, "qid string, occur string, query string"
+    )
+    plan = captured_plan(
+        bool_search_index_cogroup(spark, postings, meta, bool_cl_df, k=10,
+                                  term_stats=tstats)
+    )
+    n_cogroup_bq = plan.count("FlatMapCoGroupsInPandas (")
+    n_semi_bq = plan.count("LeftSemi")
+    sections.append((
+        "bool compound query, in-plan twin (`bool_search_index_cogroup`)",
+        "The clause relation never touches the driver: clause ids "
+        "(row_number), clause bits (shiftleft), and the per-query occur "
+        "masks (sum aggregates == bitwise-or over distinct bits) all "
+        "compile in whole-stage codegen; the guards (unknown occur, "
+        "clause cap, pure negation) are in-plan raise_error branches. "
+        f"Candidate postings term-prune via left-semi ({n_semi_bq} "
+        "semi-join(s)"
+        + (" — verified" if n_semi_bq >= 1 else " — MISSING (BUG)")
+        + ") and COGROUP with the weight/bit/mask rows per segment "
+        "(FlatMapCoGroupsInPandas"
+        + (" — verified" if n_cogroup_bq >= 1 else " — MISSING (BUG)")
+        + ") into the SAME bitmap-TAAT kernel as the collect path — "
+        "query-set size bounded by executor memory, not driver memory.",
+        plan,
+    ))
+    assert n_cogroup_bq >= 1, "cogroup operator missing from bool twin plan"
+    assert n_semi_bq >= 1, "semi-join term pruning missing from bool twin plan"
+
     out = ["# PLANS — physical-plan audit of the headline operators",
            "",
            f"Regenerated by `python tools/plan_audit.py` at sf0.01 "

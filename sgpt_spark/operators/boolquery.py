@@ -59,11 +59,34 @@ Three value-identical paths:
                        bool twin of ``search_index_cogroup`` and the
                        path for query sets too large for the driver.
 
+STRUCTURED filter-context clauses (``filters=``): ES ``term`` /
+``range`` / ``exists`` queries over keyword/numeric doc values — the
+other half of the real-world bool query ("match text AND lang = en AND
+n_chars >= 100"). Lucene answers these from doc values; this engine's
+equivalent is the doc-values sidecar
+(``indexer.build_postings_with_docvalues``: one (segment, doc_id,
+*fields) row per indexed doc, segment-aligned with the postings by a
+checkpoint-staged build). A structured clause takes a bit in the SAME
+per-query bitmap as the text clauses; ONE docvalues scan evaluates the
+distinct predicates (whole-stage codegen, pushable to the parquet
+reader), a broadcast (pid -> qid, bit) join + sum(bit) mints per-doc
+clause bits, and the kernel ORs them in per segment. Structured-clause
+docs are full candidates — a filter-only query returns its filter set
+at score 0, and adding a filter flips a should-only query's default
+minimum_should_match from 1 to 0, both exactly ES. Structured clauses
+are filter-context only (occur in {filter, must_not}; ES's
+constant-scoring term-in-must is a documented boundary) and never
+score. The exhaustive twin evaluates the same predicates directly
+against the corpus columns, no sidecar needed.
+
 Scale notes (10^12 docs): the index path scans the postings relation
 ONCE, pruned to the union of all clause terms at the parquet reader
 (pushed In(term, ...)); <= k rows per (query, segment) reach the global
 window merge. The non-scoring (filter/must_not) terms ride the same
 decode with weight 0 — no second scan, no join against a doc relation.
+Structured filters add one docvalues scan; the rows shuffled to the
+kernel are bounded by the predicates' match counts (the Lucene
+filter-bitset size), never |docs| x |clauses|.
 """
 
 from __future__ import annotations
@@ -92,6 +115,16 @@ OCCURS = ("must", "should", "must_not", "filter")
 _SCORING = ("must", "should")
 MAX_CLAUSES = 63  # uint64 bitmap, bit 63 reserved against sign confusion
 
+# Structured (non-analyzed) clauses — the ES filter-context surface over
+# keyword/numeric doc values. term = exact string-representation match
+# (use range ops for floating-point fields: their string forms differ
+# across engines); gte/gt/lte/lt = numeric range; exists = NOT NULL.
+FILTER_OPS = ("term", "gte", "gt", "lte", "lt", "exists")
+# ES allows term/range in must/should (constant-scoring); this engine
+# keeps structured clauses in filter context only — they gate, never
+# score — and refuses scoring occurs loudly (documented boundary).
+FILTER_OCCURS = ("filter", "must_not")
+
 
 def normalize_clauses(
     clauses: DataFrame | Iterable[tuple],
@@ -106,6 +139,43 @@ def normalize_clauses(
     if rows and isinstance(rows[0][0], (int, np.integer)):
         return rows, "bigint"
     return rows, "string"
+
+
+def normalize_filters(
+    filters: DataFrame | Iterable[tuple],
+) -> tuple["DataFrame | list[tuple]", str]:
+    """Structured-clause input contract: long-form relation
+    (qid, occur, field, op, value) — occur in FILTER_OCCURS, op in
+    FILTER_OPS, value a string (numeric ops cast it). Same dual
+    DataFrame/iterable contract as ``normalize_clauses``."""
+    if isinstance(filters, DataFrame):
+        return filters, filters.schema["qid"].dataType.simpleString()
+    rows = list(filters)
+    if rows and isinstance(rows[0][0], (int, np.integer)):
+        return rows, "bigint"
+    return rows, "string"
+
+
+def _pred_col(field: str, op: str, value) -> "F.Column":
+    """Structured-clause predicate as a JVM column over a doc-values
+    relation. NULL field values never match (ES: a missing field fails
+    term/range and exists)."""
+    c = F.col(field)
+    if op == "term":
+        return c.cast("string") == F.lit(value)
+    if op == "exists":
+        return c.isNotNull()
+    num = c.try_cast("double")
+    v = F.lit(value).try_cast("double")
+    if op == "gte":
+        return num >= v
+    if op == "gt":
+        return num > v
+    if op == "lte":
+        return num <= v
+    if op == "lt":
+        return num < v
+    raise ValueError(f"unknown structured-filter op {op!r}: use {FILTER_OPS}")
 
 
 def _validate_occurs_col(cl: DataFrame) -> DataFrame:
@@ -131,6 +201,7 @@ def bool_search(
     b: float = B,
     minimum_should_match: int | None = None,
     broadcast_queries: bool = True,
+    filters: DataFrame | None = None,
 ) -> DataFrame:
     """Exhaustive declarative bool query -> RESULTS (qid, doc_id, score,
     rank).
@@ -141,11 +212,22 @@ def bool_search(
     no must/filter clause, else 0); an explicit value applies to every
     query that has >= 1 should clause (ES ignores the knob otherwise).
 
+    ``filters``: structured filter-context clauses — a long-form
+    (qid, occur, field, op, value) relation (occur in FILTER_OCCURS, op
+    in FILTER_OPS) evaluated directly against the corpus's own columns
+    (no sidecar needed on the exhaustive path). Structured matches gate
+    candidates exactly like text clauses but never score; docs matching
+    only structured clauses are candidates at score 0 (ES filter-only
+    semantics). Unknown fields and ops raise in-plan.
+
     Plan shape: clause set is query-sized -> broadcast against the one
     big (term, doc_id, tf, doc_len) scan; matched-clause counting and
     constraint filtering are candidate-bounded groupBys; one narrow
-    window shuffle for the final top-k.
+    window shuffle for the final top-k. Structured clauses broadcast
+    against one corpus projection (predicate evaluated in codegen).
     """
+    from sgpt_spark.operators.corpus import non_empty_text
+
     cl = _validate_occurs_col(clauses)
     # stable per-query clause ids (count-distinct per occur below needs
     # clause identity, not clause text — duplicate clauses count twice,
@@ -153,7 +235,24 @@ def bool_search(
     cid_w = Window.partitionBy("qid").orderBy("occur", "query")
     cl = cl.withColumn("cid", F.row_number().over(cid_w))
 
-    totals = cl.groupBy("qid").agg(
+    kinds = cl.select("qid", "occur")
+    if filters is not None:
+        fcl = filters.withColumn(
+            "occur",
+            F.when(F.col("occur").isin(*FILTER_OCCURS), F.col("occur")).otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit("structured clause occur must be filter|must_not, got: "),
+                        F.col("occur"),
+                    )
+                )
+            ),
+        )
+        fcid_w = Window.partitionBy("qid").orderBy("occur", "field", "op", "value")
+        fcl = fcl.withColumn("fcid", F.row_number().over(fcid_w))
+        kinds = kinds.unionByName(fcl.select("qid", "occur"))
+
+    totals = kinds.groupBy("qid").agg(
         F.sum(F.when(F.col("occur") == "must", 1).otherwise(0)).alias("n_must"),
         F.sum(F.when(F.col("occur") == "filter", 1).otherwise(0)).alias("n_filter"),
         F.sum(F.when(F.col("occur") == "should", 1).otherwise(0)).alias("n_should"),
@@ -210,8 +309,68 @@ def bool_search(
     )
     scores = partial.groupBy("qid", "doc_id").agg(F.sum("partial").alias("score"))
 
-    # matched clauses: distinct (qid, cid, doc) -> per-occur counts
-    matched = hits.select("qid", "cid", "occur", "doc_id").distinct()
+    # matched clauses: distinct (qid, cid, doc) -> per-occur counts.
+    # Text and structured clause ids live in disjoint 't'/'f' namespaces
+    # so the distinct can't conflate them.
+    matched = hits.select(
+        "qid",
+        F.concat(F.lit("t"), F.col("cid").cast("string")).alias("cid"),
+        "occur",
+        "doc_id",
+    )
+    if filters is not None:
+        atomic = [
+            fld.name
+            for fld in corpus.schema.fields
+            if fld.name != text_col
+            and (
+                fld.dataType.simpleString()
+                in (
+                    "string", "int", "bigint", "smallint", "tinyint",
+                    "double", "float", "boolean", "date", "timestamp",
+                )
+                or fld.dataType.simpleString().startswith("decimal")
+            )
+        ]
+        smap = F.create_map(
+            *[x for c in atomic for x in (F.lit(c), F.col(c).cast("string"))]
+        )
+        fval = F.when(
+            F.col("field").isin(*atomic), F.element_at(F.col("_vals"), F.col("field"))
+        ).otherwise(
+            F.raise_error(
+                F.concat(F.lit("unknown structured-filter field: "), F.col("field"))
+            )
+        )
+        fnum = fval.try_cast("double")
+        vnum = F.col("value").try_cast("double")
+        pred = (
+            F.when(F.col("op") == "term", fval == F.col("value"))
+            .when(F.col("op") == "exists", fval.isNotNull())
+            .when(F.col("op") == "gte", fnum >= vnum)
+            .when(F.col("op") == "gt", fnum > vnum)
+            .when(F.col("op") == "lte", fnum <= vnum)
+            .when(F.col("op") == "lt", fnum < vnum)
+            .otherwise(
+                F.raise_error(
+                    F.concat(F.lit("unknown structured-filter op: "), F.col("op"))
+                )
+            )
+        )
+        base = non_empty_text(corpus, text_col).select(
+            F.col(id_col).alias("doc_id"), smap.alias("_vals")
+        )
+        fprobe = fcl.select("qid", "fcid", "occur", "field", "op", "value")
+        if broadcast_queries:
+            fprobe = F.broadcast(fprobe)
+        fmatched = base.crossJoin(fprobe).filter(pred).select(
+            "qid",
+            F.concat(F.lit("f"), F.col("fcid").cast("string")).alias("cid"),
+            "occur",
+            "doc_id",
+        )
+        matched = matched.unionByName(fmatched)
+    matched = matched.distinct()
     agg = matched.groupBy("qid", "doc_id").agg(
         F.sum(F.when(F.col("occur") == "must", 1).otherwise(0)).alias("m_must"),
         F.sum(F.when(F.col("occur") == "filter", 1).otherwise(0)).alias("m_filter"),
@@ -252,18 +411,27 @@ def _popcount_u64(x: np.ndarray) -> np.ndarray:
 
 
 def _prepare_bool_queries(
-    rows: list[tuple], tokenize, idf: dict, msm: int | None
-) -> tuple[list, dict, dict]:
-    """Driver-side clause compilation -> (qid_list, tmap, qmeta).
+    rows: list[tuple],
+    tokenize,
+    idf: dict,
+    msm: int | None,
+    struct_rows: list[tuple] | None = None,
+) -> tuple[list, dict, dict, dict]:
+    """Driver-side clause compilation -> (qid_list, tmap, qmeta, fmap).
 
     ``rows``: [(qid, occur, text)]. ``idf``: global idf per term (for
     the scoring weights; non-scoring terms get weight 0 but still carry
-    their clause bit). Returns
-      qid_list  sorted qids with >= 1 corpus-present term,
+    their clause bit). ``struct_rows``: [(qid, occur, field, op, value)]
+    structured filter-context clauses — each gets a clause bit AFTER the
+    query's text clauses (shared MAX_CLAUSES budget). Returns
+      qid_list  sorted qids with >= 1 corpus-present term or >= 1
+                structured clause,
       tmap      term -> (row indices int64[], weights float64[],
                 bits uint64[]) — the TAAT scatter map,
       qmeta     qid -> (req_mask, not_mask, should_mask, req_should)
-                as Python ints.
+                as Python ints,
+      fmap      (field, op, value) -> [(qid, bit)] — the distinct
+                structured predicates and the clause bits they set.
     """
     by_qid: dict = {}
     for qid, occur, text in rows:
@@ -275,14 +443,30 @@ def _prepare_bool_queries(
             counts[t] = counts.get(t, 0) + 1
         by_qid.setdefault(qid, []).append((occur, text, counts))
 
+    struct_by_qid: dict = {}
+    for qid, occur, field, op, value in struct_rows or []:
+        if occur not in FILTER_OCCURS:
+            raise ValueError(
+                f"structured clause occur {occur!r} (qid {qid!r}): structured "
+                f"clauses are filter-context only — use {FILTER_OCCURS}"
+            )
+        if op not in FILTER_OPS:
+            raise ValueError(
+                f"unknown structured-filter op {op!r} (qid {qid!r}): use {FILTER_OPS}"
+            )
+        struct_by_qid.setdefault(qid, []).append((occur, field, op, value))
+        by_qid.setdefault(qid, [])  # filter-only queries are still queries
+
     qmeta: dict = {}
     per_query_terms: dict = {}
+    per_query_struct: dict = {}
     for qid, cls in by_qid.items():
-        if len(cls) > MAX_CLAUSES:
+        scl = sorted(struct_by_qid.get(qid, ()))
+        if len(cls) + len(scl) > MAX_CLAUSES:
             raise ValueError(
-                f"query {qid!r} has {len(cls)} clauses; the bitmap kernel "
-                f"supports at most {MAX_CLAUSES} (Lucene's maxClauseCount "
-                "rationale: split the query)"
+                f"query {qid!r} has {len(cls) + len(scl)} clauses; the bitmap "
+                f"kernel supports at most {MAX_CLAUSES} (Lucene's "
+                "maxClauseCount rationale: split the query)"
             )
         # deterministic clause order (mirrors the exhaustive path's
         # row_number(occur, query) — only the COUNTS must agree, but a
@@ -307,6 +491,14 @@ def _prepare_bool_queries(
                 if occur in _SCORING:
                     ent[0] += qtf * idf[t]
                 ent[1] |= bit
+        struct_bits = []
+        for si, (occur, field, op, value) in enumerate(scl):
+            bit = 1 << (len(cls) + si)
+            if occur == "filter":
+                req_mask |= bit
+            else:
+                not_mask |= bit
+            struct_bits.append(((field, op, value), bit))
         if req_mask == 0 and should_mask == 0:
             raise ValueError(
                 f"bool query has only must_not clauses (qid {qid!r}): "
@@ -320,16 +512,24 @@ def _prepare_bool_queries(
             req_should = int(msm)
         qmeta[qid] = (req_mask, not_mask, should_mask, req_should)
         per_query_terms[qid] = term_acc
+        per_query_struct[qid] = struct_bits
 
-    qid_list = sorted(q for q, ta in per_query_terms.items() if ta)
+    qid_list = sorted(
+        q
+        for q, ta in per_query_terms.items()
+        if ta or per_query_struct.get(q)
+    )
     qrow = {q: i for i, q in enumerate(qid_list)}
     tmap_acc: dict = {}
+    fmap: dict = {}
     for qid in qid_list:
         for t, (w, bits) in per_query_terms[qid].items():
             ent = tmap_acc.setdefault(t, ([], [], []))
             ent[0].append(qrow[qid])
             ent[1].append(w)
             ent[2].append(bits)
+        for key, bit in per_query_struct.get(qid, ()):
+            fmap.setdefault(key, []).append((qid, bit))
     tmap = {
         t: (
             np.asarray(r, dtype=np.int64),
@@ -338,7 +538,7 @@ def _prepare_bool_queries(
         )
         for t, (r, w, bb) in tmap_acc.items()
     }
-    return qid_list, tmap, qmeta
+    return qid_list, tmap, qmeta, fmap
 
 
 def _bool_parts(
@@ -348,12 +548,20 @@ def _bool_parts(
     qmeta: dict,
     kk: int,
     query_chunk: int = QUERY_CHUNK,
+    fb: dict | None = None,
 ) -> list:
     """Bitmap TAAT over ONE segment's decoded postings ->
     [(qid, doc_ids, scores)]. Dense accumulators (score float64 + clause
     bits uint64) per query chunk; per-query sparse fallback for
-    pathologically sparse doc-id spaces, mirroring ``_taat_parts``."""
-    if not decoded:
+    pathologically sparse doc-id spaces, mirroring ``_taat_parts``.
+
+    ``fb``: structured-clause doc bits for this segment — query row
+    index -> (doc_ids int64[], clause-bit ORs uint64[]), from the
+    doc-values relation. The docs are full candidates (a filter-only
+    query matches its filter set at score 0, like ES), so they extend
+    the doc-id span and ride the same constraint tests with weight 0.
+    """
+    if not decoded and not fb:
         return []
     req_arr = np.array(
         [qmeta[q][0] for q in qid_list], dtype=np.uint64
@@ -361,10 +569,21 @@ def _bool_parts(
     not_arr = np.array([qmeta[q][1] for q in qid_list], dtype=np.uint64)
     sh_arr = np.array([qmeta[q][2] for q in qid_list], dtype=np.uint64)
     rs_arr = np.array([qmeta[q][3] for q in qid_list], dtype=np.int64)
-    lo_doc = min(int(d[0]) for d, _ in decoded.values())
-    hi_doc = max(int(d[-1]) for d, _ in decoded.values())
+    fb = fb or {}
+    doc_los = [int(d[0]) for d, _ in decoded.values()] + [
+        int(d.min()) for d, _ in fb.values() if len(d)
+    ]
+    doc_his = [int(d[-1]) for d, _ in decoded.values()] + [
+        int(d.max()) for d, _ in fb.values() if len(d)
+    ]
+    if not doc_los:
+        return []
+    lo_doc = min(doc_los)
+    hi_doc = max(doc_his)
     span = hi_doc - lo_doc + 1
-    total_postings = sum(len(d) for d, _ in decoded.values())
+    total_postings = sum(len(d) for d, _ in decoded.values()) + sum(
+        len(d) for d, _ in fb.values()
+    )
     parts: list = []
 
     def _finish(qi: int, ids: np.ndarray, scores: np.ndarray, bits: np.ndarray):
@@ -386,12 +605,25 @@ def _bool_parts(
                 continue
             for r, w, bits in zip(rows, ws, bb):
                 per_q.setdefault(int(r), []).append((t, float(w), np.uint64(bits)))
+        for qi in fb:
+            per_q.setdefault(int(qi), [])
         for qi, tws in per_q.items():
-            docs_cat = np.concatenate([decoded[t][0] for t, _, _ in tws])
-            w_cat = np.concatenate([decoded[t][1] * w for t, w, _ in tws])
-            bits_cat = np.concatenate(
-                [np.full(len(decoded[t][0]), bits, dtype=np.uint64) for t, _, bits in tws]
-            )
+            d_parts = [decoded[t][0] for t, _, _ in tws]
+            w_parts = [decoded[t][1] * w for t, w, _ in tws]
+            b_parts = [
+                np.full(len(decoded[t][0]), bits, dtype=np.uint64)
+                for t, _, bits in tws
+            ]
+            fent = fb.get(qi)
+            if fent is not None and len(fent[0]):
+                d_parts.append(fent[0])
+                w_parts.append(np.zeros(len(fent[0]), dtype=np.float64))
+                b_parts.append(fent[1])
+            if not d_parts:
+                continue
+            docs_cat = np.concatenate(d_parts)
+            w_cat = np.concatenate(w_parts)
+            bits_cat = np.concatenate(b_parts)
             uniq, inv = np.unique(docs_cat, return_inverse=True)
             scores = np.bincount(inv, weights=w_cat)
             bacc = np.zeros(len(uniq), dtype=np.uint64)
@@ -420,6 +652,10 @@ def _bool_parts(
             # are unique, so fancy-indexed += / |= are race-free
             acc[np.ix_(r_local, pos)] += np.outer(ws[sel], tfn)
             bits[np.ix_(r_local, pos)] |= bb[sel][:, None]
+        for qi, (fdocs, fbits) in fb.items():
+            if clo <= qi < chi and len(fdocs):
+                bits[qi - clo, fdocs - lo_doc] |= fbits
+                touched[qi - clo] = True
         for r in np.flatnonzero(touched):
             brow = bits[r]
             nz = np.flatnonzero(brow)
@@ -440,6 +676,8 @@ def bool_search_index(
     term_stats: DataFrame | dict | None = None,
     tokenize=None,
     minimum_should_match: int | None = None,
+    filters: DataFrame | Iterable[tuple] | None = None,
+    docvalues: DataFrame | None = None,
 ) -> DataFrame:
     """Bool query through the compressed inverted index -> RESULTS
     (qid, doc_id, score, rank), value-identical to ``bool_search``.
@@ -449,23 +687,61 @@ def bool_search_index(
     query; a global window merge finishes. ``term_stats``: the build's
     (term, df) side table (DataFrame or pre-collected dict) — avoids an
     extra aggregation, same contract as ``search_index``.
+
+    ``filters``: structured filter-context clauses — long-form
+    (qid, occur, field, op, value) rows, occur in FILTER_OCCURS, op in
+    FILTER_OPS — evaluated against ``docvalues`` (the build's doc-values
+    sidecar, ``build_postings_with_docvalues``). Each structured clause
+    takes a bit in the SAME per-query bitmap as the text clauses: one
+    doc-values scan evaluates the distinct predicates (pushed to the
+    parquet reader), a small broadcast join mints (segment, doc_id, qid,
+    bits) rows, and the kernel ORs them in per segment — structured-
+    clause docs are full candidates, so a filter-only query returns its
+    filter set at score 0 (ES semantics). Rows shuffled are bounded by
+    the predicates' match counts (the Lucene filter-bitset size), never
+    |docs| x |clauses|.
     """
     cl, qid_type = normalize_clauses(clauses)
     if isinstance(cl, DataFrame):
         rows = [(r["qid"], r["occur"], r["query"]) for r in cl.collect()]
     else:
         rows = cl
+    frows: list[tuple] = []
+    if filters is not None:
+        if docvalues is None:
+            raise ValueError(
+                "bool_search_index: structured filters need the doc-values "
+                "sidecar (docvalues=) — build_postings_with_docvalues"
+            )
+        fl, f_qid_type = normalize_filters(filters)
+        if isinstance(fl, DataFrame):
+            frows = [
+                (r["qid"], r["occur"], r["field"], r["op"], r["value"])
+                for r in fl.collect()
+            ]
+        else:
+            frows = fl
+        if frows and not rows:
+            qid_type = f_qid_type
+        bad = sorted(
+            {f for _, _, f, _, _ in frows} - set(docvalues.columns)
+        )
+        if bad:
+            raise ValueError(
+                f"structured-filter fields {bad} not in docvalues columns "
+                f"{docvalues.columns}"
+            )
     tok = tokenize or resolve_py_analyzer(meta.analyzer)
 
     seg_schema = f"qid {qid_type}, doc_id long, score double"
     empty = spark.createDataFrame([], seg_schema + ", rank int")
-    if not rows:
+    if not rows and not frows:
         return empty
 
     all_terms = sorted(
         {t for _, _, text in rows if text is not None for t in tok(text)}
     )
-    if not all_terms:
+    if not all_terms and not frows:
         return empty
     cand = postings.filter(F.col("term").isin(all_terms))
 
@@ -476,35 +752,106 @@ def bool_search_index(
             r["term"]: int(r["df"])
             for r in term_stats.filter(F.col("term").isin(all_terms)).collect()
         }
-    else:
+    elif all_terms:
         global_df = {
             r["term"]: int(r["df"])
             for r in cand.groupBy("term").agg(F.sum("df").alias("df")).collect()
         }
+    else:
+        global_df = {}
     idf = {t: idf_py(d, meta.n_docs) for t, d in global_df.items()}
 
-    qid_list, tmap, qmeta = _prepare_bool_queries(rows, tok, idf, minimum_should_match)
+    qid_list, tmap, qmeta, fmap = _prepare_bool_queries(
+        rows, tok, idf, minimum_should_match, struct_rows=frows
+    )
     if not qid_list:
         return empty
-    b_state = spark.sparkContext.broadcast((qid_list, tmap, qmeta))
     k1, b, avgdl, codec, kk = meta.k1, meta.b, meta.avgdl, meta.codec, k
 
-    def bool_wrapper(batches):
-        chunks = list(batches)
-        if not chunks:
-            return
-        pdf = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
-        qids_b, tmap_b, qmeta_b = b_state.value
-        for seg in pdf["segment"].unique():
-            sdf = pdf[pdf["segment"] == seg]
-            decoded = _decode_terms(sdf["term"], sdf["blocks"], codec, k1, b, avgdl)
-            if not decoded:
-                continue
-            yield _emit_topk_frame(
-                _bool_parts(decoded, qids_b, tmap_b, qmeta_b, kk)
-            )
+    if not fmap:
+        b_state = spark.sparkContext.broadcast((qid_list, tmap, qmeta))
 
-    seg_topk = cand.repartition("segment").mapInPandas(bool_wrapper, schema=seg_schema)
+        def bool_wrapper(batches):
+            chunks = list(batches)
+            if not chunks:
+                return
+            pdf = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
+            qids_b, tmap_b, qmeta_b = b_state.value
+            for seg in pdf["segment"].unique():
+                sdf = pdf[pdf["segment"] == seg]
+                decoded = _decode_terms(sdf["term"], sdf["blocks"], codec, k1, b, avgdl)
+                if not decoded:
+                    continue
+                yield _emit_topk_frame(
+                    _bool_parts(decoded, qids_b, tmap_b, qmeta_b, kk)
+                )
+
+        seg_topk = cand.repartition("segment").mapInPandas(
+            bool_wrapper, schema=seg_schema
+        )
+        return topk_per_group(seg_topk, k=k).select("qid", "doc_id", "score", "rank")
+
+    # structured clauses: ONE doc-values scan evaluates the distinct
+    # predicates; a (pid -> qid, bit) broadcast join + sum(bit) (distinct
+    # bits, so sum == or) yields the per-doc clause bits, cogrouped with
+    # the term-pruned postings by segment
+    pred_keys = list(fmap.keys())
+    match_arr = F.array(
+        *[
+            F.when(_pred_col(f, op, v), F.lit(pid))
+            for pid, (f, op, v) in enumerate(pred_keys)
+        ]
+    )
+    matched = docvalues.select(
+        F.col("segment").cast("int").alias("segment"),
+        "doc_id",
+        F.explode(F.array_compact(match_arr)).alias("pid"),
+    )
+    pb_rows = [
+        (pid, qid, int(bit))
+        for pid, key in enumerate(pred_keys)
+        for qid, bit in fmap[key]
+    ]
+    pb = spark.createDataFrame(pb_rows, f"pid int, qid {qid_type}, bit long")
+    docbits = (
+        matched.join(F.broadcast(pb), "pid")
+        .groupBy("segment", "doc_id", "qid")
+        .agg(F.sum("bit").alias("fbits"))
+    )
+
+    qrow = {q: i for i, q in enumerate(qid_list)}
+    b_state = spark.sparkContext.broadcast((qid_list, tmap, qmeta, qrow))
+
+    def bool_filtered(pleft: pd.DataFrame, pright: pd.DataFrame) -> pd.DataFrame:
+        qids_b, tmap_b, qmeta_b, qrow_b = b_state.value
+        decoded = (
+            _decode_terms(pleft["term"], pleft["blocks"], codec, k1, b, avgdl)
+            if len(pleft)
+            else {}
+        )
+        fb: dict = {}
+        if len(pright):
+            ridx = pright["qid"].map(qrow_b).to_numpy(np.int64)
+            docs_a = pright["doc_id"].to_numpy(np.int64)
+            bits_a = pright["fbits"].to_numpy(np.int64).astype(np.uint64)
+            order = np.argsort(ridx, kind="stable")
+            ridx, docs_a, bits_a = ridx[order], docs_a[order], bits_a[order]
+            bounds = np.flatnonzero(ridx[1:] != ridx[:-1]) + 1
+            for s, e in zip(
+                np.concatenate(([0], bounds)),
+                np.concatenate((bounds, [len(ridx)])),
+            ):
+                fb[int(ridx[s])] = (docs_a[s:e], bits_a[s:e])
+        return _emit_topk_frame(
+            _bool_parts(decoded, qids_b, tmap_b, qmeta_b, kk, fb=fb)
+        )
+
+    seg_topk = (
+        cand.select("segment", "term", "blocks")
+        .groupBy("segment")
+        .cogroup(docbits.groupBy("segment"))
+        .applyInPandas(bool_filtered, schema=seg_schema)
+    )
     return topk_per_group(seg_topk, k=k).select("qid", "doc_id", "score", "rank")
 
 

@@ -838,6 +838,88 @@ def build_postings(
     return postings, meta
 
 
+def build_postings_with_docvalues(
+    docs: DataFrame,
+    fields: list[str],
+    segment_size: int = DEFAULT_SEGMENT_SIZE,
+    tokenizer: Tokenizer = tokenize_ws,
+    py_tokenizer=None,
+    text_col: str = "text",
+    k1: float = K1,
+    b: float = B,
+    codec: str = "varint",
+) -> tuple[DataFrame, DataFrame, IndexMeta]:
+    """``build_postings`` plus a DOC-VALUES sidecar (the Lucene doc
+    values / ES ``keyword``+numeric field role): one row per indexed doc
+    carrying the requested structured columns, keyed by the SAME
+    (segment, doc_id) the doc's postings landed in — what structured
+    ``term``/``range``/``exists`` filter clauses evaluate against
+    (operators/boolquery filters=).
+
+    Segment agreement is guaranteed, not assumed: the filtered corpus is
+    staged ONCE with its partition id pinned as a column and
+    ``localCheckpoint(eager=True)``-materialized, then BOTH the postings
+    build and the docvalues projection consume those checkpointed
+    partitions — ``spark_partition_id()`` re-evaluated downstream of a
+    checkpoint without any shuffle is the partition index of the pinned
+    data, so the two relations cannot disagree (the same
+    derive-don't-recompute argument as the positional builder's derived
+    postings). Cost: the staged corpus is materialized once
+    (MEMORY_AND_DISK); at cluster scale, write the staging relation to a
+    table instead and build both relations from that snapshot.
+
+    Returns (postings, docvalues(segment int, doc_id long, *fields),
+    meta). Custom JVM tokenizers without a Python twin fall back to
+    ``build_postings``'s doc_id-range segments, and the docvalues
+    segment is derived arithmetically to match.
+    """
+    from sgpt_spark.operators.corpus import non_empty_text
+
+    missing = [f for f in fields if f not in docs.columns]
+    if missing:
+        raise ValueError(
+            f"docvalue fields {missing} not in corpus columns {docs.columns}"
+        )
+    if not fields:
+        raise ValueError("build_postings_with_docvalues: pass >= 1 field")
+
+    partition_local = py_tokenizer is not None or tokenizer is tokenize_ws
+    staged = non_empty_text(docs, text_col).select("doc_id", text_col, *fields)
+    if partition_local:
+        staged = staged.withColumn(
+            "_dv_seg", F.spark_partition_id()
+        ).localCheckpoint(eager=True)
+        dv_seg = F.col("_dv_seg")
+    else:
+        # fallback build uses doc_id-range segments; mirror arithmetically
+        dv_seg = (F.col("doc_id") / segment_size).cast("int")
+    postings, meta = build_postings(
+        staged.select("doc_id", text_col),
+        segment_size=segment_size,
+        tokenizer=tokenizer,
+        py_tokenizer=py_tokenizer,
+        text_col=text_col,
+        k1=k1,
+        b=b,
+        codec=codec,
+    )
+    docvalues = staged.select(
+        dv_seg.cast("int").alias("segment"), "doc_id", *fields
+    )
+    return postings, docvalues, meta
+
+
+def write_docvalues(docvalues: DataFrame, path: str) -> None:
+    """Persist the doc-values sidecar next to the postings
+    (``{path}/docvalues``)."""
+    docvalues.write.mode("overwrite").parquet(f"{path}/docvalues")
+
+
+def read_docvalues(spark, path: str) -> DataFrame:
+    """Read the doc-values sidecar written by ``write_docvalues``."""
+    return spark.read.parquet(f"{path}/docvalues")
+
+
 def write_index(postings: DataFrame, meta: IndexMeta, path: str) -> None:
     """Persist the index: postings parquet + meta JSON.
 

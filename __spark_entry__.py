@@ -564,6 +564,36 @@ def _q_bm25_bool_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_bm25_bool_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bool query with STRUCTURED filter-context clauses (ES term/range/
+    exists over doc values): text clauses from derived_bool_clauses plus
+    lang-term / n_chars-range / source-must_not / lang-exists filters
+    from derived_bool_filters, answered through the index + the
+    segment-aligned doc-values sidecar
+    (operators/boolquery.bool_search_index filters=,
+    operators/indexer.build_postings_with_docvalues)."""
+    from sgpt_spark.operators.boolquery import bool_search_index
+    from sgpt_spark.operators.indexer import build_postings_with_docvalues
+    from sgpt_spark.sources.queryset import (
+        derived_bool_clauses,
+        derived_bool_filters,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    postings, dv, meta = build_postings_with_docvalues(
+        docs, ["lang", "source", "n_chars"], segment_size=200
+    )
+    return bool_search_index(
+        spark,
+        postings,
+        meta,
+        derived_bool_clauses(docs),
+        k=10,
+        filters=derived_bool_filters(docs),
+        docvalues=dv,
+    )
+
+
 # --- dedup / similarity / text analysis (training-data pipeline ops) -----
 
 def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -946,6 +976,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_phrase_prefix_index_top10": _q_bm25_phrase_prefix_index,
         "bm25_bool_index_top10": _q_bm25_bool_index,
         "bm25_bool_cogroup_top10": _q_bm25_bool_cogroup,
+        "bm25_bool_filtered_top10": _q_bm25_bool_filtered,
         "queryset_derive": _q_queryset,
         "corpus_stats": _q_corpus_stats,
         "doc_stats": _q_doc_stats,
@@ -978,7 +1009,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_fingerprints": _q_window_fps,
         # general relational (TPC-H tables)
         "topk_orders_per_customer": _q_topk_orders,
-        "customers_without_orders": _q_cust_no_orders,
         # md5-arithmetic stub encoder -> cosine: fully value-gated as of
         # round 5 (encode.py md5_embedding_sql — the pre-normalization
         # embedding is exact int64 num/den in both engines)
@@ -1002,6 +1032,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_standard_top10": _q_bm25_standard_top10,  # exhaustive standard-analyzer twin (the index-backed bm25_standard_index_top10 keeps the analyzer evidence gated); ceded its slot to bm25_phrase_prefix_index_top10 (round 5) — DuckDB equality now pytest-covered (test_phrase_prefix.py)
         "bm25_phrase_top10": _q_bm25_phrase,        # exhaustive phrase twin (the index-backed bm25_phrase_index_top10 keeps the phrase evidence gated); ceded its slot to bm25_bool_index_top10 (round 5) — DuckDB equality now pytest-covered (test_boolquery.py)
         "bm25_multifield_phrase_top10": _q_bm25_multifield_phrase,  # exhaustive multifield-phrase twin (the index-backed bm25_multifield_phrase_index_top10 keeps the evidence gated); ceded its slot to bm25_bool_cogroup_top10 (round 5) — DuckDB equality now pytest-covered (test_phrase_multifield.py)
+        "customers_without_orders": _q_cust_no_orders,  # generic anti-join relational op; ceded its slot to bm25_bool_filtered_top10 (round 5) — DuckDB equality now pytest-covered (test_bool_filters.py)
         "ivf_cosine_topk": _q_ivf_topk,             # approximate (gated twin: ivf_full_probe_topk)
         "lsh_cosine_topk": _q_lsh_cosine_topk,      # approximate (gated twin: cosine_topk)
         "media_image_features": _q_media_features,  # stub decoder
@@ -1340,13 +1371,65 @@ FROM ranked WHERE rnk <= {k}
 _PHRASE_PREFIX_SQL = _phrase_prefix_sql(10)
 
 
-def _bool_sql(k: int = 10) -> str:
+def _bool_sql(k: int = 10, filtered: bool = False) -> str:
     """ES ``bool`` compound-query oracle — mirrors
     operators/boolquery.bool_search relation for relation: per-clause
     analyzed terms, BM25 sum over the scoring (must/should) clause
     matches, distinct matched-clause counting per (query, doc), and the
     must-all / filter-all / must_not-none / should-minimum constraints
-    (ES default minimum_should_match: 1 without must/filter, else 0)."""
+    (ES default minimum_should_match: 1 without must/filter, else 0).
+
+    ``filtered=True`` adds the STRUCTURED filter-context clauses
+    (BOOL_FILTERS_SQL, derived_bool_filters' twin): per-clause predicate
+    evaluation over the document columns (term = string equality,
+    gte/gt/lte/lt = TRY_CAST double range, exists = NOT NULL), matched
+    rows unioned into the same distinct-clause counting under a disjoint
+    'f' clause-id namespace, totals counting both kinds — mirroring
+    bool_search(filters=) clause for clause."""
+    if filtered:
+        from sgpt_spark.sources.queryset import BOOL_FILTERS_SQL
+
+        f_ctes = f""",
+  fclauses AS ({BOOL_FILTERS_SQL}),
+  fcl AS (
+    SELECT qid, occur, field, op, value,
+           row_number() OVER (
+             PARTITION BY qid ORDER BY occur, field, op, value
+           ) AS fcid
+    FROM fclauses
+  ),
+  fev AS (
+    SELECT f.qid, f.fcid, f.occur, f.op, f.value, d.doc_id,
+           CASE f.field
+             WHEN 'lang' THEN CAST(d.lang AS VARCHAR)
+             WHEN 'source' THEN CAST(d.source AS VARCHAR)
+             WHEN 'n_chars' THEN CAST(d.n_chars AS VARCHAR)
+           END AS fval
+    FROM fcl f
+    CROSS JOIN (
+      SELECT doc_id, lang, source, n_chars FROM documents
+      WHERE text IS NOT NULL AND length(trim(text)) > 0
+    ) d
+  ),
+  fmatched AS (
+    SELECT qid, fcid, occur, doc_id FROM fev
+    WHERE (op = 'term' AND fval = value)
+       OR (op = 'exists' AND fval IS NOT NULL)
+       OR (op = 'gte' AND TRY_CAST(fval AS DOUBLE) >= TRY_CAST(value AS DOUBLE))
+       OR (op = 'gt'  AND TRY_CAST(fval AS DOUBLE) >  TRY_CAST(value AS DOUBLE))
+       OR (op = 'lte' AND TRY_CAST(fval AS DOUBLE) <= TRY_CAST(value AS DOUBLE))
+       OR (op = 'lt'  AND TRY_CAST(fval AS DOUBLE) <  TRY_CAST(value AS DOUBLE))
+  )"""
+        totals_src = """(SELECT qid, occur FROM cl
+               UNION ALL SELECT qid, occur FROM fcl)"""
+        matched_extra = """
+    UNION
+    SELECT DISTINCT qid, 'f' || CAST(fcid AS VARCHAR) AS cidk, occur, doc_id
+    FROM fmatched"""
+    else:
+        f_ctes = ""
+        totals_src = "cl"
+        matched_extra = ""
     return f"""
 WITH {_TOKENS_CTE},
   stats AS (SELECT count(*) AS n, avg(doc_len) AS avgdl FROM doclen),
@@ -1355,13 +1438,13 @@ WITH {_TOKENS_CTE},
     SELECT qid, occur, query,
            row_number() OVER (PARTITION BY qid ORDER BY occur, query) AS cid
     FROM clauses
-  ),
+  ){f_ctes},
   totals AS (
     SELECT qid,
            sum(CASE WHEN occur = 'must' THEN 1 ELSE 0 END) AS n_must,
            sum(CASE WHEN occur = 'filter' THEN 1 ELSE 0 END) AS n_filter,
            sum(CASE WHEN occur = 'should' THEN 1 ELSE 0 END) AS n_should
-    FROM cl GROUP BY qid
+    FROM {totals_src} GROUP BY qid
   ),
   qct AS (
     SELECT qid, cid, occur, u.term AS term, count(*) AS qtf
@@ -1387,7 +1470,10 @@ WITH {_TOKENS_CTE},
     WHERE occur IN ('must', 'should')
     GROUP BY qid, doc_id
   ),
-  matched AS (SELECT DISTINCT qid, cid, occur, doc_id FROM hits),
+  matched AS (
+    SELECT DISTINCT qid, 't' || CAST(cid AS VARCHAR) AS cidk, occur, doc_id
+    FROM hits{matched_extra}
+  ),
   agg AS (
     SELECT qid, doc_id,
            sum(CASE WHEN occur = 'must' THEN 1 ELSE 0 END) AS m_must,
@@ -1421,6 +1507,18 @@ FROM ranked WHERE rnk <= {k}
 
 
 _BOOL_SQL = _bool_sql(10)
+_BOOL_FILTERED_SQL = _bool_sql(10, filtered=True)
+
+# Displaced-row pytest twin (round 5: customers_without_orders left the
+# driver window for bm25_bool_filtered_top10; test_bool_filters.py runs
+# the exact registry query against this)
+_CUST_NO_ORDERS_SQL = """
+    SELECT c_custkey, c_name FROM customer
+    WHERE c_custkey NOT IN (
+      SELECT o_custkey FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+    )
+"""
 
 # Displaced-row pytest twins (round 5: these two left the driver window
 # for the multifield phrase gates; test_phrase_multifield.py runs the
@@ -2345,13 +2443,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST(rnk AS INTEGER) AS rank
             FROM ranked WHERE rnk <= 3
         """,
-        "customers_without_orders": """
-            SELECT c_custkey, c_name FROM customer
-            WHERE c_custkey NOT IN (
-              SELECT o_custkey FROM orders
-              WHERE o_orderdate >= TIMESTAMP '1998-01-01'
-            )
-        """,
+        "bm25_bool_filtered_top10": _BOOL_FILTERED_SQL,
         "sessionize": """
             WITH e AS (
               SELECT event_id, ts, CAST(floor(epoch(ts)) AS BIGINT) AS t,

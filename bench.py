@@ -432,6 +432,62 @@ def main() -> None:
         boolc_s = min(boolc_s, time.time() - t0)
     timings["bm25_bool_cogroup_200q"] = round(boolc_s, 3)
 
+    # structured filter clauses (ES filter context over doc values):
+    # the sidecar build measures the localCheckpoint-staging premium vs
+    # the plain single-pass build; the query row adds a lang-term +
+    # n_chars-range filter pair to every bool query (one docvalues scan
+    # + segment cogroup on top of the same bitmap-TAAT decode)
+    from sgpt_spark.operators.indexer import build_postings_with_docvalues
+
+    docs_dv = docs.withColumn(
+        "lang",
+        F.element_at(
+            F.array(*[F.lit(x) for x in ("en", "es", "de", "fr", "zh")]),
+            (F.pmod(F.xxhash64("url"), F.lit(5)) + 1).cast("int"),
+        ),
+    ).withColumn("n_chars", F.length("text"))
+    t0 = time.time()
+    postings_f, dv_f, meta_f = build_postings_with_docvalues(
+        docs_dv, ["lang", "n_chars"],
+        segment_size=max(N_DOCS // CPUS, 10_000),
+    )
+    postings_f.persist().count()
+    dv_f.persist().count()
+    timings["docvalues_index_build"] = round(time.time() - t0, 3)
+    tstats_f = {
+        r["term"]: int(r["df"])
+        for r in postings_f.groupBy("term").agg(F.sum("df").alias("df")).collect()
+    }
+    bool_fl = (
+        mt_q.select(
+            "qid", F.lit("filter").alias("occur"), F.lit("lang").alias("field"),
+            F.lit("term").alias("op"),
+            F.element_at(
+                F.array(*[F.lit(x) for x in ("en", "es", "de", "fr", "zh")]),
+                (F.pmod(F.xxhash64(F.col("qid").cast("string")), F.lit(5)) + 1)
+                .cast("int"),
+            ).alias("value"),
+        )
+        .unionByName(
+            mt_q.select(
+                "qid", F.lit("filter").alias("occur"),
+                F.lit("n_chars").alias("field"), F.lit("gte").alias("op"),
+                F.lit("50").alias("value"),
+            )
+        )
+    )
+    bool_fl.persist().count()
+    boolf_s = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        bool_search_index(spark, postings_f, meta_f, bool_cl, k=10,
+                          term_stats=tstats_f, filters=bool_fl,
+                          docvalues=dv_f).count()
+        boolf_s = min(boolf_s, time.time() - t0)
+    timings["bm25_bool_filtered_200q"] = round(boolf_s, 3)
+    postings_f.unpersist()
+    dv_f.unpersist()
+
     # --- positional index + phrase search (ES match_phrase; Lucene .pos) --
     # Build = ONE corpus tokenize (positions written, postings DERIVED
     # from the compressed positional relation); query = term-pruned

@@ -140,6 +140,60 @@ PHRASE_PREFIX_QUERIES_SQL = f"""
   FROM (SELECT qid, string_split(query, ' ') AS qarr FROM ({QUERIES_SQL}))
 """
 
+def derived_bool_filters(documents: DataFrame, every: int = EVERY) -> DataFrame:
+    """Deterministic STRUCTURED filter-context clause set -> long-form
+    (qid, occur, field, op, value), derived from the same base docs as
+    ``derived_bool_clauses``:
+
+      filter   lang term = the base doc's own lang      (every base doc)
+      filter   n_chars gte = base doc's n_chars // 2    (every base doc)
+      must_not source term = 'src' || ((qid//every)%7)  (every 3rd)
+      filter   lang exists                              (every 2nd)
+
+    The known-item doc always passes its own lang/n_chars filters; the
+    rotating must_not source sometimes excludes it (deliberate — both
+    engines agree). The SQL twin below applies identical arithmetic."""
+    base = (
+        non_empty_text(documents)
+        .filter(F.col("doc_id") % every == 0)
+        .select("doc_id", "lang", "source", "n_chars")
+    )
+    qid = F.col("doc_id").alias("qid")
+
+    def row(occur, field, op, value):
+        return base.select(
+            qid,
+            F.lit(occur).alias("occur"),
+            F.lit(field).alias("field"),
+            F.lit(op).alias("op"),
+            value.alias("value"),
+        )
+
+    f_lang = row("filter", "lang", "term", F.col("lang").cast("string"))
+    f_len = row(
+        "filter", "n_chars", "gte",
+        F.floor(F.col("n_chars") / 2).cast("bigint").cast("string"),
+    )
+    f_not = base.filter(F.col("doc_id") % (3 * every) == 0).select(
+        qid,
+        F.lit("must_not").alias("occur"),
+        F.lit("source").alias("field"),
+        F.lit("term").alias("op"),
+        F.concat(
+            F.lit("src"),
+            (F.floor(F.col("doc_id") / every) % 7).cast("bigint").cast("string"),
+        ).alias("value"),
+    )
+    f_exists = base.filter(F.col("doc_id") % (2 * every) == 0).select(
+        qid,
+        F.lit("filter").alias("occur"),
+        F.lit("lang").alias("field"),
+        F.lit("exists").alias("op"),
+        F.lit("").alias("value"),
+    )
+    return f_lang.unionByName(f_len).unionByName(f_not).unionByName(f_exists)
+
+
 # bool-query clause set: derived_bool_clauses' twin — same base docs,
 # same 1-based list arithmetic (string_split keeps empty tokens like
 # Spark's split; toks[i] and element_at are both 1-based).
@@ -158,4 +212,27 @@ BOOL_CLAUSES_SQL = f"""
   SELECT qid, 'filter', toks[4] FROM bool_base WHERE nt >= 4
   UNION ALL
   SELECT qid, 'must_not', toks[6] FROM bool_base WHERE nt >= 6
+"""
+
+# structured-filter clause set: derived_bool_filters' twin — same base
+# docs, same integer arithmetic (// is DuckDB integer division, matching
+# Spark's floor(x / n) on bigints).
+BOOL_FILTERS_SQL = f"""
+  WITH fbase AS (
+    SELECT doc_id, lang, source, n_chars
+    FROM documents
+    WHERE doc_id % {EVERY} = 0 AND text IS NOT NULL AND length(trim(text)) > 0
+  )
+  SELECT doc_id AS qid, 'filter' AS occur, 'lang' AS field, 'term' AS op,
+         CAST(lang AS VARCHAR) AS value FROM fbase
+  UNION ALL
+  SELECT doc_id, 'filter', 'n_chars', 'gte', CAST(n_chars // 2 AS VARCHAR)
+  FROM fbase
+  UNION ALL
+  SELECT doc_id, 'must_not', 'source', 'term',
+         'src' || CAST((doc_id // {EVERY}) % 7 AS VARCHAR)
+  FROM fbase WHERE doc_id % {3 * EVERY} = 0
+  UNION ALL
+  SELECT doc_id, 'filter', 'lang', 'exists', '' FROM fbase
+  WHERE doc_id % {2 * EVERY} = 0
 """

@@ -406,6 +406,53 @@ def test_sparse_docid_space_with_filters(spark):
     assert got == want and got
 
 
+def _duck(sf):
+    import duckdb
+
+    con = duckdb.connect()
+    for t in ("documents", "customer", "orders"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')"
+        )
+    return con
+
+
+def test_bool_filtered_gate_duckdb_equality(spark):
+    """The gate row bm25_bool_filtered_top10: exact registry query vs
+    exact registry SQL at sf0.001 (the driver repeats this at sf0.01)."""
+    import __spark_entry__ as entry
+
+    sf = "/root/testdata/sf0.001"
+    got = sorted(
+        (r["qid"], r["doc_id"], round(r["score"], 6), r["rank"])
+        for r in entry._q_bm25_bool_filtered(spark, sf).collect()
+    )
+    want = sorted(
+        (q, d, round(s, 6), int(r))
+        for q, d, s, r in _duck(sf).execute(entry._BOOL_FILTERED_SQL).fetchall()
+    )
+    assert got == want and len(got) > 0
+
+
+def test_customers_without_orders_duckdb_equality(spark):
+    """customers_without_orders left the driver window for
+    bm25_bool_filtered_top10 (round 5); its DuckDB value equality lives
+    here, exact registry query vs exact registry SQL — at sf0.01, the
+    scale the driver used to gate it (sf0.001 has zero order-less
+    customers, which would vacuously pass)."""
+    import __spark_entry__ as entry
+
+    sf = "/root/testdata/sf0.01"
+    got = sorted(
+        (r["c_custkey"], r["c_name"])
+        for r in entry._q_cust_no_orders(spark, sf).collect()
+    )
+    want = sorted(
+        (ck, cn) for ck, cn in _duck(sf).execute(entry._CUST_NO_ORDERS_SQL).fetchall()
+    )
+    assert got == want and len(got) > 0
+
+
 def test_plain_bool_unchanged_by_refactor(spark):
     """The no-filters path still equals the exhaustive twin after the
     signature/kernel changes (belt over test_boolquery's braces)."""

@@ -356,6 +356,67 @@ def main() -> None:
     assert n_cogroup_bq >= 1, "cogroup operator missing from bool twin plan"
     assert n_semi_bq >= 1, "semi-join term pruning missing from bool twin plan"
 
+    # --- 12. structured filter clauses over the doc-values sidecar --------
+    from sgpt_spark.operators.indexer import (
+        build_postings_with_docvalues,
+        read_docvalues,
+        write_docvalues,
+        write_index,
+    )
+
+    dv_path = tempfile.mkdtemp(prefix="sgpt_plan_audit_dv_")
+    docs_dv = load_table(spark, SF, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    p_dv, dv_rel, meta_dv = build_postings_with_docvalues(
+        docs_dv, ["lang", "source", "n_chars"], segment_size=200
+    )
+    write_index(p_dv, meta_dv, dv_path)
+    write_docvalues(dv_rel, dv_path)
+    postings_dv, meta_dv = read_index(spark, dv_path)
+    dv_rel = read_docvalues(spark, dv_path)
+    plan = captured_plan(
+        bool_search_index(
+            spark, postings_dv, meta_dv, bool_clauses, k=10,
+            filters=[("0", "filter", "lang", "term", "es"),
+                     ("0", "filter", "n_chars", "gte", "64")],
+            docvalues=dv_rel,
+        )
+    )
+    pushed_f = re.search(r"PushedFilters: \[[^\]]*term[^\]]*\]", plan)
+    n_scans_f = len(re.findall(r"\(\d+\) Scan parquet", plan))
+    n_cogroup_f = plan.count("FlatMapCoGroupsInPandas (")
+    # the docvalues scan must COLUMN-PRUNE to the referenced fields:
+    # 'source' is not used by these filters and must not be read
+    dv_schemas = re.findall(
+        r"Location: InMemoryFileIndex \[[^\]]*docvalues[^\]]*\][^(]*?"
+        r"ReadSchema: (\S+)", plan, re.S
+    )
+    dv_pruned = dv_schemas and all("source" not in s for s in dv_schemas)
+    sections.append((
+        "structured filter clauses (`bool_search_index` filters= over the doc-values sidecar)",
+        "ES term/range filter context: the postings scan keeps its "
+        "In(term,...) prune ("
+        + (f"`{pushed_f.group(0)[:120]}...`" if pushed_f
+           else "PUSHDOWN MISSING (BUG)")
+        + f"), {n_scans_f} parquet scans total (postings + docvalues), "
+        "and the docvalues scan column-prunes to the fields the filters "
+        "actually reference "
+        + ("— verified: unreferenced 'source' absent from ReadSchema"
+           if dv_pruned else "— PRUNING MISSING (BUG)")
+        + ". One projection evaluates the distinct predicates in "
+        "whole-stage codegen, a broadcast (pid -> qid, bit) join mints "
+        "per-doc clause bits, and the bitmap kernel consumes them via "
+        "segment cogroup (FlatMapCoGroupsInPandas"
+        + (" — verified" if n_cogroup_f >= 1 else " — MISSING (BUG)")
+        + "); rows shuffled are bounded by the predicates' match counts "
+        "(the Lucene filter-bitset size).",
+        plan,
+    ))
+    assert pushed_f, "term pushdown missing from the filtered bool plan!"
+    assert n_cogroup_f >= 1, "cogroup missing from the filtered bool plan"
+    assert dv_pruned, "docvalues scan did not column-prune unreferenced fields"
+
     out = ["# PLANS — physical-plan audit of the headline operators",
            "",
            f"Regenerated by `python tools/plan_audit.py` at sf0.01 "

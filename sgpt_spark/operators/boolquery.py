@@ -864,6 +864,8 @@ def bool_search_index_cogroup(
     term_stats: DataFrame | dict | None = None,
     tokenizer=None,
     minimum_should_match: int | None = None,
+    filters: DataFrame | Iterable[tuple] | None = None,
+    docvalues: DataFrame | None = None,
 ) -> DataFrame:
     """In-plan bool query: value-identical to ``bool_search_index`` with
     the clause relation never touching the driver (the contract of
@@ -885,11 +887,28 @@ def bool_search_index_cogroup(
     the query slice, replication is |terms| x candidate segments, and
     the candidate posting blocks shuffle once (compressed, term-pruned);
     query-set size is bounded by executor memory, not driver memory.
+
+    ``filters``/``docvalues``: the structured filter-context clauses of
+    ``bool_search_index``, fully in-plan as well — structured clause
+    ids continue the per-qid bit sequence after the text clauses
+    (count join + shiftleft), the distinct predicates broadcast against
+    ONE doc-values projection (string-map + codegen CASE dispatch, the
+    exhaustive path's shape), and the matched (segment, doc_id, qid,
+    bit-sum) rows union into the cogroup's query side (they are
+    segment-keyed already — never replicated). Filter-only queries ride
+    the doc-bit rows, which carry the per-qid masks.
     """
     from sgpt_spark.functions.analyzer import resolve_jvm_analyzer
     from sgpt_spark.functions.bm25 import idf as idf_col
 
     cl, qid_type = normalize_clauses(clauses)
+    fl = f_qid_type = None
+    if filters is not None:
+        fl, f_qid_type = normalize_filters(filters)
+        # an empty text-clause set takes its qid schema from the filters
+        # (filter-only batches), mirroring bool_search_index
+        if not isinstance(cl, DataFrame) and not cl:
+            qid_type = f_qid_type
     if not isinstance(cl, DataFrame):
         cl = spark.createDataFrame(cl, f"qid {qid_type}, occur string, query string")
     cl = _validate_occurs_col(cl)
@@ -912,6 +931,62 @@ def bool_search_index_cogroup(
     # SQL-expr shiftleft: the python wrapper only takes a literal shift
     cl = cl.withColumn("bit", F.expr("shiftleft(CAST(1 AS BIGINT), cid - 1)"))
 
+    flc = None
+    if filters is not None:
+        if docvalues is None:
+            raise ValueError(
+                "bool_search_index_cogroup: structured filters need the "
+                "doc-values sidecar (docvalues=) — build_postings_with_docvalues"
+            )
+        if not isinstance(fl, DataFrame):
+            fl = spark.createDataFrame(
+                fl,
+                f"qid {f_qid_type}, occur string, field string, op string, "
+                "value string",
+            )
+        flc = fl.withColumn(
+            "occur",
+            F.when(F.col("occur").isin(*FILTER_OCCURS), F.col("occur")).otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            "structured clause occur must be filter|must_not, got: "
+                        ),
+                        F.col("occur"),
+                    )
+                )
+            ),
+        ).withColumn(
+            "op",
+            F.when(F.col("op").isin(*FILTER_OPS), F.col("op")).otherwise(
+                F.raise_error(
+                    F.concat(F.lit("unknown structured-filter op: "), F.col("op"))
+                )
+            ),
+        )
+        ntext = cl.groupBy("qid").agg(F.count("*").alias("n_text"))
+        fw = Window.partitionBy("qid").orderBy("occur", "field", "op", "value")
+        flc = (
+            flc.withColumn("fcid", F.row_number().over(fw))
+            .join(ntext, "qid", "left")
+            .withColumn("n_text", F.coalesce(F.col("n_text"), F.lit(0)))
+            .withColumn("cidx", F.col("n_text") + F.col("fcid"))
+        )
+        flc = flc.withColumn(
+            "cidx",
+            F.when(F.col("cidx") <= MAX_CLAUSES, F.col("cidx")).otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit("bool query has > "),
+                        F.lit(str(MAX_CLAUSES)),
+                        F.lit(" clauses incl. structured (qid "),
+                        F.col("qid").cast("string"),
+                        F.lit("): the bitmap kernel caps at MAX_CLAUSES"),
+                    )
+                )
+            ),
+        ).withColumn("bit", F.expr("shiftleft(CAST(1 AS BIGINT), cidx - 1)"))
+
     msm_req = (
         F.when(F.col("req_mask") != 0, F.lit(0)).otherwise(F.lit(1))
         if minimum_should_match is None
@@ -929,6 +1004,31 @@ def bool_search_index_cogroup(
         ),
         F.sum(F.when(F.col("occur") == "should", 1).otherwise(0)).alias("n_should"),
     )
+    if flc is not None:
+        fqmeta = flc.groupBy("qid").agg(
+            F.sum(
+                F.when(F.col("occur") == "filter", F.col("bit")).otherwise(F.lit(0))
+            ).alias("f_req"),
+            F.sum(
+                F.when(F.col("occur") == "must_not", F.col("bit")).otherwise(F.lit(0))
+            ).alias("f_not"),
+        )
+        qmeta = (
+            qmeta.join(fqmeta, "qid", "full_outer")
+            .withColumn(
+                "req_mask",
+                F.coalesce(F.col("req_mask"), F.lit(0))
+                + F.coalesce(F.col("f_req"), F.lit(0)),
+            )
+            .withColumn(
+                "not_mask",
+                F.coalesce(F.col("not_mask"), F.lit(0))
+                + F.coalesce(F.col("f_not"), F.lit(0)),
+            )
+            .withColumn("should_mask", F.coalesce(F.col("should_mask"), F.lit(0)))
+            .withColumn("n_should", F.coalesce(F.col("n_should"), F.lit(0)))
+            .drop("f_req", "f_not")
+        )
     qmeta = qmeta.withColumn(
         "req_mask",
         F.when(
@@ -987,26 +1087,108 @@ def bool_search_index_cogroup(
     # fresh attribute id for the replication crossJoin (segs shares
     # lineage with cand; see search_index_cogroup)
     segs = cand.select(F.col("segment").cast("int").alias("segment")).distinct()
-    qseg = qtw.crossJoin(F.broadcast(segs))
+    _QCOLS = [
+        "segment", "qid", "term", "w", "bits",
+        "req_mask", "not_mask", "should_mask", "req_should", "doc_id",
+    ]
+    # doc_id = -1 keeps the unioned column non-nullable end to end:
+    # a nullable bigint crosses into pandas as float64, which would
+    # silently truncate doc ids past 2^53
+    qside = qtw.crossJoin(F.broadcast(segs)).withColumn(
+        "doc_id", F.lit(-1).cast("long")
+    ).select(*_QCOLS)
+
+    if flc is not None:
+        # ONE doc-values projection: the distinct predicates broadcast
+        # against a string-map of the sidecar's fields, op dispatch in
+        # codegen (the exhaustive path's shape); matched rows take their
+        # (qid, bit) via an equi-join on the predicate triple and OR per
+        # (segment, doc, qid) — segment-keyed, never replicated
+        atomic = [c for c in docvalues.columns if c not in ("segment", "doc_id")]
+        smap = F.create_map(
+            *[x for c in atomic for x in (F.lit(c), F.col(c).cast("string"))]
+        )
+        dvm = docvalues.select(
+            F.col("segment").cast("int").alias("segment"), "doc_id",
+            smap.alias("_vals"),
+        )
+        preds = flc.select("field", "op", "value").distinct()
+        fval = F.when(
+            F.col("field").isin(*atomic), F.element_at(F.col("_vals"), F.col("field"))
+        ).otherwise(
+            F.raise_error(
+                F.concat(F.lit("unknown structured-filter field: "), F.col("field"))
+            )
+        )
+        fnum = fval.try_cast("double")
+        vnum = F.col("value").try_cast("double")
+        pred = (
+            F.when(F.col("op") == "term", fval == F.col("value"))
+            .when(F.col("op") == "exists", fval.isNotNull())
+            .when(F.col("op") == "gte", fnum >= vnum)
+            .when(F.col("op") == "gt", fnum > vnum)
+            .when(F.col("op") == "lte", fnum <= vnum)
+            .when(F.col("op") == "lt", fnum < vnum)
+        )
+        ev = dvm.crossJoin(F.broadcast(preds)).filter(pred)
+        docbits = (
+            ev.select("segment", "doc_id", "field", "op", "value")
+            .join(
+                F.broadcast(flc.select("qid", "field", "op", "value", "bit")),
+                ["field", "op", "value"],
+            )
+            .groupBy("segment", "doc_id", "qid")
+            .agg(F.sum("bit").alias("bits"))
+            .join(qmeta, "qid")
+            .select(
+                "segment", "qid",
+                F.lit(None).cast("string").alias("term"),
+                F.lit(0.0).alias("w"), "bits",
+                "req_mask", "not_mask", "should_mask", "req_should", "doc_id",
+            )
+        )
+        qside = qside.unionByName(docbits)
+
     k1, b, avgdl, codec, kk = meta.k1, meta.b, meta.avgdl, meta.codec, k
     seg_schema = f"qid {qid_type}, doc_id long, score double"
 
     def score(pleft: pd.DataFrame, pright: pd.DataFrame) -> pd.DataFrame:
-        if len(pleft) == 0 or len(pright) == 0:
+        if len(pright) == 0:
             return _emit_topk_frame([])
-        decoded = _decode_terms(pleft["term"], pleft["blocks"], codec, k1, b, avgdl)
-        if not decoded:
-            return _emit_topk_frame([])
+        decoded = (
+            _decode_terms(pleft["term"], pleft["blocks"], codec, k1, b, avgdl)
+            if len(pleft)
+            else {}
+        )
         qvals = pright["qid"]
         qid_list = list(pd.unique(qvals))
         qrow = {q: i for i, q in enumerate(qid_list)}
         rows_idx = qvals.map(qrow).to_numpy(np.int64)
         w_arr = pright["w"].to_numpy(np.float64)
         bits_arr = pright["bits"].to_numpy(np.int64).astype(np.uint64)
+        term_mask = pright["term"].notna().to_numpy()
+        tm_rows = pright[term_mask]
+        t_ridx, t_w, t_bits = (
+            rows_idx[term_mask], w_arr[term_mask], bits_arr[term_mask]
+        )
         tmap_b = {
-            t: (rows_idx[ix], w_arr[ix], bits_arr[ix])
-            for t, ix in pright.groupby("term", sort=False).indices.items()
+            t: (t_ridx[ix], t_w[ix], t_bits[ix])
+            for t, ix in tm_rows.groupby("term", sort=False).indices.items()
         }
+        fb: dict = {}
+        if not term_mask.all():
+            fr = ~term_mask
+            f_ridx = rows_idx[fr]
+            f_docs = pright["doc_id"].to_numpy(np.int64)[fr]
+            f_bits = bits_arr[fr]
+            order = np.argsort(f_ridx, kind="stable")
+            f_ridx, f_docs, f_bits = f_ridx[order], f_docs[order], f_bits[order]
+            bounds = np.flatnonzero(f_ridx[1:] != f_ridx[:-1]) + 1
+            for s, e in zip(
+                np.concatenate(([0], bounds)),
+                np.concatenate((bounds, [len(f_ridx)])),
+            ):
+                fb[int(f_ridx[s])] = (f_docs[s:e], f_bits[s:e])
         qmeta_b = {
             q: (int(rm), int(nm), int(sm), int(rs))
             for q, rm, nm, sm, rs in zip(
@@ -1017,11 +1199,13 @@ def bool_search_index_cogroup(
                 pright["req_should"],
             )
         }
-        return _emit_topk_frame(_bool_parts(decoded, qid_list, tmap_b, qmeta_b, kk))
+        return _emit_topk_frame(
+            _bool_parts(decoded, qid_list, tmap_b, qmeta_b, kk, fb=fb)
+        )
 
     seg_topk = (
         cand.groupBy("segment")
-        .cogroup(qseg.groupBy("segment"))
+        .cogroup(qside.groupBy("segment"))
         .applyInPandas(score, schema=seg_schema)
     )
     return topk_per_group(seg_topk, k=k).select("qid", "doc_id", "score", "rank")

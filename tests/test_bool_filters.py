@@ -406,6 +406,70 @@ def test_sparse_docid_space_with_filters(spark):
     assert got == want and got
 
 
+@pytest.mark.parametrize("codec", ["varint", "pfor"])
+def test_cogroup_matches_exhaustive_with_filters(spark, codec):
+    """The in-plan twin with structured filters (clauses AND filters
+    never touch the driver) over the full adversarial fixture — both
+    codecs, repartitioned corpus."""
+    from sgpt_spark.operators.boolquery import bool_search_index_cogroup
+
+    docs, cl, fl = _dfs(spark)
+    postings, dv, meta = build_postings_with_docvalues(
+        docs.repartition(5), ["lang", "source", "n_chars"], segment_size=3,
+        codec=codec,
+    )
+    want = _rows(bool_search(docs, cl, k=10, filters=fl))
+    got = _rows(
+        bool_search_index_cogroup(
+            spark, postings, meta, cl, k=10, filters=fl, docvalues=dv
+        )
+    )
+    assert got == want and got
+
+
+def test_cogroup_filter_only_and_guards(spark):
+    from sgpt_spark.operators.boolquery import bool_search_index_cogroup
+
+    docs, _, _ = _dfs(spark)
+    postings, dv, meta = build_postings_with_docvalues(
+        docs, ["lang"], segment_size=4
+    )
+    # filter-only batch (iterable input, qid schema follows the filters)
+    want = _rows(
+        bool_search_index(
+            spark, postings, meta, [], k=10,
+            filters=[(9, "filter", "lang", "term", "es")], docvalues=dv,
+        )
+    )
+    got = _rows(
+        bool_search_index_cogroup(
+            spark, postings, meta, [], k=10,
+            filters=[(9, "filter", "lang", "term", "es")], docvalues=dv,
+        )
+    )
+    assert got == want and got
+    with pytest.raises(ValueError, match="docvalues"):
+        bool_search_index_cogroup(
+            spark, postings, meta, [], filters=[(1, "filter", "lang", "term", "x")]
+        )
+    # in-plan guards: scoring occur / unknown op raise at evaluation
+    with pytest.raises(Exception, match="filter|must_not"):
+        bool_search_index_cogroup(
+            spark, postings, meta, [], k=10,
+            filters=[(1, "should", "lang", "term", "x")], docvalues=dv,
+        ).collect()
+    with pytest.raises(Exception, match="unknown structured-filter op"):
+        bool_search_index_cogroup(
+            spark, postings, meta, [], k=10,
+            filters=[(1, "filter", "lang", "eq", "x")], docvalues=dv,
+        ).collect()
+    with pytest.raises(Exception, match="unknown structured-filter field"):
+        bool_search_index_cogroup(
+            spark, postings, meta, [], k=10,
+            filters=[(1, "filter", "nope", "term", "x")], docvalues=dv,
+        ).collect()
+
+
 def _duck(sf):
     import duckdb
 

@@ -594,6 +594,30 @@ def _q_bm25_bool_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_bm25_search_after(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``search_after`` keyset pagination: fetch page 1 (k=10) of the
+    flagship query set, then page 2 from its last (score, doc_id) sort
+    keys. The oracle is the pagination identity itself — page 2 must
+    equal global ranks 11..20 re-ranked 1..10, because the engine's
+    (score desc, doc_id asc) sort is total. Queries whose page 1 is
+    short (< 10 hits) have no after-key and are excluded from page 2
+    (ES: no search_after means page 1), matching the oracle's empty
+    rank-11..20 window for them."""
+    from sgpt_spark.operators.index_search import search_index
+    from sgpt_spark.operators.indexer import build_postings
+
+    docs = load_table(spark, sf_dir, "documents")
+    postings, meta = build_postings(docs, segment_size=200)
+    queries = derived_queries(docs)
+    page1 = search_index(spark, postings, meta, queries, k=10)
+    after = {
+        r["qid"]: (r["score"], r["doc_id"])
+        for r in page1.filter(F.col("rank") == 10).collect()
+    }
+    q2 = queries.filter(F.col("qid").isin(list(after)))
+    return search_index(spark, postings, meta, q2, k=10, after=after)
+
+
 # --- dedup / similarity / text analysis (training-data pipeline ops) -----
 
 def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -977,6 +1001,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_bool_index_top10": _q_bm25_bool_index,
         "bm25_bool_cogroup_top10": _q_bm25_bool_cogroup,
         "bm25_bool_filtered_top10": _q_bm25_bool_filtered,
+        "bm25_search_after_top10": _q_bm25_search_after,
         "queryset_derive": _q_queryset,
         "corpus_stats": _q_corpus_stats,
         "doc_stats": _q_doc_stats,
@@ -1007,8 +1032,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_full_probe_topk": _q_ivf_full_probe,
         "text_profile": _q_text_profile,
         "window_fingerprints": _q_window_fps,
-        # general relational (TPC-H tables)
-        "topk_orders_per_customer": _q_topk_orders,
         # md5-arithmetic stub encoder -> cosine: fully value-gated as of
         # round 5 (encode.py md5_embedding_sql — the pre-normalization
         # embedding is exact int64 num/den in both engines)
@@ -1033,6 +1056,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_phrase_top10": _q_bm25_phrase,        # exhaustive phrase twin (the index-backed bm25_phrase_index_top10 keeps the phrase evidence gated); ceded its slot to bm25_bool_index_top10 (round 5) — DuckDB equality now pytest-covered (test_boolquery.py)
         "bm25_multifield_phrase_top10": _q_bm25_multifield_phrase,  # exhaustive multifield-phrase twin (the index-backed bm25_multifield_phrase_index_top10 keeps the evidence gated); ceded its slot to bm25_bool_cogroup_top10 (round 5) — DuckDB equality now pytest-covered (test_phrase_multifield.py)
         "customers_without_orders": _q_cust_no_orders,  # generic anti-join relational op; ceded its slot to bm25_bool_filtered_top10 (round 5) — DuckDB equality now pytest-covered (test_bool_filters.py)
+        "topk_orders_per_customer": _q_topk_orders,  # generic window relational op; ceded its slot to bm25_search_after_top10 (round 5) — DuckDB equality now pytest-covered (test_pagination.py)
         "ivf_cosine_topk": _q_ivf_topk,             # approximate (gated twin: ivf_full_probe_topk)
         "lsh_cosine_topk": _q_lsh_cosine_topk,      # approximate (gated twin: cosine_topk)
         "media_image_features": _q_media_features,  # stub decoder
@@ -1065,10 +1089,14 @@ _TOKENS_CTE = """
   tdf AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
 """
 
-def _bm25_sql(k: int = 10, exclude_self: bool = False) -> str:
+def _bm25_sql(k: int = 10, exclude_self: bool = False, offset: int = 0) -> str:
     """Whitespace-analyzer BM25 oracle at retrieval depth ``k``.
     ``exclude_self`` drops doc_id == qid hits before the top-k cut
-    (reference self-match filter, exact_search.py:117-119)."""
+    (reference self-match filter, exact_search.py:117-119).
+    ``offset``: skip the first ``offset`` global ranks and re-rank the
+    page 1..k — the keyset-pagination identity (ES search_after page
+    N+1 == global ranks offset+1..offset+k, because the sort key
+    (score desc, doc_id asc) is total)."""
     self_filter = "WHERE tf.doc_id <> q.qid" if exclude_self else ""
     return f"""
 WITH {_TOKENS_CTE},
@@ -1103,12 +1131,15 @@ WITH {_TOKENS_CTE},
            ) AS rnk
     FROM scored
   )
-SELECT qid, doc_id, score, CAST(rnk AS INTEGER) AS rank
-FROM ranked WHERE rnk <= {k}
+SELECT qid, doc_id, score, CAST(rnk - {offset} AS INTEGER) AS rank
+FROM ranked WHERE rnk > {offset} AND rnk <= {offset + k}
 """
 
 
 _BM25_SQL = _bm25_sql(10)
+# search_after page 2 == global ranks 11..20 re-ranked 1..10 (keyset
+# pagination over the total (score desc, doc_id asc) order)
+_BM25_PAGE2_SQL = _bm25_sql(10, offset=10)
 
 
 def _prefix_sql(k: int = 10) -> str:
@@ -1508,6 +1539,23 @@ FROM ranked WHERE rnk <= {k}
 
 _BOOL_SQL = _bool_sql(10)
 _BOOL_FILTERED_SQL = _bool_sql(10, filtered=True)
+
+# Displaced-row pytest twin (round 5: topk_orders_per_customer left the
+# driver window for bm25_search_after_top10; test_pagination.py runs
+# the exact registry query against this)
+_TOPK_ORDERS_SQL = """
+    WITH ranked AS (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_totalprice DESC, o_orderkey ASC
+             ) AS rnk
+      FROM orders
+    )
+    SELECT o_custkey, o_orderkey, round(o_totalprice, 6) AS o_totalprice,
+           CAST(rnk AS INTEGER) AS rank
+    FROM ranked WHERE rnk <= 3
+"""
 
 # Displaced-row pytest twin (round 5: customers_without_orders left the
 # driver window for bm25_bool_filtered_top10; test_bool_filters.py runs
@@ -2430,20 +2478,8 @@ def oracle_sql() -> dict[str, str]:
         "bm25_index_noself_top10": _bm25_sql(10, exclude_self=True),
         "cosine_topk": _COSINE_SQL,
         "text_profile": _TEXT_PROFILE_SQL,
-        "topk_orders_per_customer": """
-            WITH ranked AS (
-              SELECT o_custkey, o_orderkey, o_totalprice,
-                     row_number() OVER (
-                       PARTITION BY o_custkey
-                       ORDER BY o_totalprice DESC, o_orderkey ASC
-                     ) AS rnk
-              FROM orders
-            )
-            SELECT o_custkey, o_orderkey, round(o_totalprice, 6) AS o_totalprice,
-                   CAST(rnk AS INTEGER) AS rank
-            FROM ranked WHERE rnk <= 3
-        """,
         "bm25_bool_filtered_top10": _BOOL_FILTERED_SQL,
+        "bm25_search_after_top10": _BM25_PAGE2_SQL,
         "sessionize": """
             WITH e AS (
               SELECT event_id, ts, CAST(floor(epoch(ts)) AS BIGINT) AS t,

@@ -365,6 +365,7 @@ def _taat_parts(
     kk: int,
     query_chunk: int = QUERY_CHUNK,
     msm: dict | None = None,
+    after: dict | None = None,
 ) -> list:
     """Dense-accumulator TAAT over ONE segment's decoded postings ->
     [(qid, doc_ids, scores)] per-query top-kk. Shared by the broadcast
@@ -378,10 +379,32 @@ def _taat_parts(
     query-token occurrence, so a matched term contributes its qtf
     toward the bar; req <= 1 is a no-op (every scored doc matched at
     least one clause). Per-segment counting is globally correct because
-    every doc lives in exactly one doc-partitioned segment."""
+    every doc lives in exactly one doc-partitioned segment.
+
+    ``after``: qid -> (score, doc_id) keyset-pagination cursor (ES
+    search_after): only candidates STRICTLY after the cursor in the
+    total (score desc, doc_id asc) order survive — applied per segment
+    BEFORE the top-k cut, so a segment whose entire top-k sits on page 1
+    still surfaces its page-2 rows. The cursor score is compared in the
+    engine's rounded-score space (the cursor comes from a previous
+    page's output, which is rounded)."""
     req_arr = None
     if msm is not None and any(int(msm.get(q, 0)) > 1 for q in qid_list):
         req_arr = np.array([int(msm.get(q, 0)) for q in qid_list], dtype=np.int32)
+    aft_s = aft_d = None
+    if after:
+        aft_s = np.array(
+            [after.get(q, (np.inf, 0))[0] for q in qid_list], dtype=np.float64
+        )
+        aft_d = np.array(
+            [after.get(q, (0.0, -(1 << 62)))[1] for q in qid_list], dtype=np.int64
+        )
+
+    def _after_mask(qi: int, ids: np.ndarray, scores: np.ndarray):
+        """True where (score, id) sorts strictly after query qi's cursor."""
+        if aft_s is None or np.isinf(aft_s[qi]):
+            return None
+        return (scores < aft_s[qi]) | ((scores == aft_s[qi]) & (ids > aft_d[qi]))
     lo_doc = min(int(d[0]) for d, _ in decoded.values())
     hi_doc = max(int(d[-1]) for d, _ in decoded.values())
     span = hi_doc - lo_doc + 1
@@ -391,7 +414,11 @@ def _taat_parts(
         # pathologically sparse doc-id space (not produced by our
         # builders, but possible with external ids): dense accumulators
         # would waste memory — per-query concatenate+bincount instead.
-        qrow = {q: i for i, q in enumerate(qid_list)} if req_arr is not None else None
+        qrow = (
+            {q: i for i, q in enumerate(qid_list)}
+            if (req_arr is not None or aft_s is not None)
+            else None
+        )
         for qid, tws in per_query.items():
             present = [(t, w, qtf) for t, w, qtf in tws if t in decoded]
             if not present:
@@ -410,6 +437,12 @@ def _taat_parts(
                 uniq, scores = uniq[keep], scores[keep]
                 if len(uniq) == 0:
                     continue
+            if aft_s is not None:
+                am = _after_mask(qrow[qid], uniq, scores)
+                if am is not None:
+                    uniq, scores = uniq[am], scores[am]
+                    if len(uniq) == 0:
+                        continue
             order = deterministic_topk(uniq, scores, kk)
             parts.append((qid, uniq[order], scores[order]))
         return parts
@@ -448,6 +481,12 @@ def _taat_parts(
                 continue
             scores = np.round(row[nz], SCORE_DECIMALS)
             ids = (nz + lo_doc).astype(np.int64)
+            if aft_s is not None:
+                am = _after_mask(clo + r, ids, scores)
+                if am is not None:
+                    ids, scores = ids[am], scores[am]
+                    if len(ids) == 0:
+                        continue
             order = deterministic_topk(ids, scores, kk)
             parts.append((qid_list[clo + r], ids[order], scores[order]))
     return parts
@@ -592,9 +631,21 @@ def search_index(
     tokenize=None,
     minimum_should_match: int = 0,
     operator: str = "or",
+    after: dict | None = None,
 ) -> DataFrame:
     """-> RESULTS (qid, doc_id, score, rank), rank-identical to the
     exhaustive path and the brute-force oracle under every strategy.
+
+    ``after``: ES ``search_after`` keyset pagination — {qid: (score,
+    doc_id)} cursors, usually a previous page's rank-k rows. Only hits
+    strictly after the cursor in the total (score desc, doc_id asc)
+    order return, re-ranked 1..k, applied per segment BEFORE the top-k
+    cut; because the sort is total, page N+1 equals global ranks
+    N*k+1..(N+1)*k exactly (the oracle identity). A qid without a
+    cursor gets page 1. Supported on strategy='taat' (the batch
+    workhorse); WAND's pruning threshold assumes an empty heap at
+    theta=0 and the exhaustive twin takes the declarative filter in
+    ``search.bm25_search`` instead.
 
     ``minimum_should_match`` / ``operator='and'`` (ES match-query knobs):
     a doc enters the ranking only if it matches at least N / all of the
@@ -644,6 +695,12 @@ def search_index(
         raise ValueError(
             "minimum_should_match/operator='and' need strategy 'taat' or "
             "'exhaustive' — WAND's block-max pruning bounds assume pure-OR scoring"
+        )
+    if after is not None and strategy != "taat":
+        raise ValueError(
+            "after= (search_after pagination) needs strategy 'taat' — WAND "
+            "prunes against an empty-heap threshold and would skip page-2 "
+            "blocks; the exhaustive twin is search.bm25_search(after=)"
         )
     seg_schema = f"qid {qid_type}, doc_id long, score double"
     empty = spark.createDataFrame([], seg_schema + ", rank int")
@@ -711,15 +768,19 @@ def search_index(
                 for t, (r, w, q) in term_to_q.items()
             },
             msm,
+            after,
         )
     )
     def score_segment_taat(pdf: pd.DataFrame) -> pd.DataFrame:
-        qids_b, tmap, msm_b = b_taat.value
+        qids_b, tmap, msm_b, after_b = b_taat.value
         decoded = _decode_terms(pdf["term"], pdf["blocks"], codec, k1, b, avgdl)
         if not decoded:
             return
         yield _emit_topk_frame(
-            _taat_parts(decoded, qids_b, tmap, b_queries.value, kk, msm=msm_b)
+            _taat_parts(
+                decoded, qids_b, tmap, b_queries.value, kk, msm=msm_b,
+                after=after_b,
+            )
         )
 
     def score_segment(pdf: pd.DataFrame) -> pd.DataFrame:

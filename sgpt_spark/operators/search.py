@@ -275,8 +275,17 @@ def bm25_search(
     exclude_self: bool = False,
     minimum_should_match: int = 0,
     operator: str = "or",
+    after: dict | None = None,
 ) -> DataFrame:
     """End-to-end exhaustive BM25 top-k: corpus x queries -> RESULTS.
+
+    ``after``: ES ``search_after`` keyset pagination — {qid: (score,
+    doc_id)} cursors from a previous page's last rows; only hits
+    strictly after the cursor in the total (score desc, doc_id asc)
+    order return, re-ranked 1..k (a pure broadcast-join filter before
+    the top-k window — the declarative twin of
+    ``index_search.search_index(after=)``). Cursor scores compare in
+    rounded-score space, the ranking contract.
 
     ``minimum_should_match`` / ``operator='and'``: ES match-query knobs —
     keep only docs matching at least N / all of the query's match
@@ -309,6 +318,24 @@ def bm25_search(
     scored = score_candidates(tf, qt, dfs, stats, k1=k1, b=b, required=required)
     if exclude_self:
         scored = scored.filter(F.col("doc_id") != F.col("qid"))
+    if after is not None:
+        from sgpt_spark.operators.topk import SCORE_DECIMALS
+
+        qid_t = queries.schema["qid"].dataType.simpleString()
+        adf = corpus.sparkSession.createDataFrame(
+            [(q, float(s), int(d)) for q, (s, d) in after.items()],
+            f"qid {qid_t}, aft_s double, aft_d long",
+        )
+        scored = (
+            scored.withColumn("score", F.round("score", SCORE_DECIMALS))
+            .join(F.broadcast(adf), "qid", "left")
+            .filter(
+                F.col("aft_s").isNull()
+                | (F.col("score") < F.col("aft_s"))
+                | ((F.col("score") == F.col("aft_s")) & (F.col("doc_id") > F.col("aft_d")))
+            )
+            .drop("aft_s", "aft_d")
+        )
     return topk_per_group(scored, k=k).select("qid", "doc_id", "score", "rank")
 
 

@@ -618,6 +618,39 @@ def _q_bm25_search_after(spark: SparkSession, sf_dir: str) -> DataFrame:
     return search_index(spark, postings, meta, q2, k=10, after=after)
 
 
+def _q_match_terms_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``terms`` aggregation (the aggs half of a search request) over
+    the flagship query set's MATCH SET: top-3 lang buckets per query by
+    (doc_count desc, value asc), computed from the doc-values sidecar
+    (operators/aggs.py — match set via one term-pruned postings decode,
+    bucket counting fully declarative)."""
+    from sgpt_spark.operators.aggs import match_candidates, terms_agg
+    from sgpt_spark.operators.indexer import build_postings_with_docvalues
+
+    docs = load_table(spark, sf_dir, "documents")
+    postings, dv, meta = build_postings_with_docvalues(
+        docs, ["lang", "n_chars"], segment_size=200
+    )
+    cand = match_candidates(spark, postings, meta, derived_queries(docs))
+    return terms_agg(cand, dv, "lang", size=3)
+
+
+def _q_match_histogram_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``histogram`` aggregation over the same match set: n_chars in
+    interval-100 buckets, empty buckets between each query's min and max
+    key emitted at doc_count 0 (the ES min_doc_count=0 default) via a
+    per-query sequence explode — no driver-side key range."""
+    from sgpt_spark.operators.aggs import histogram_agg, match_candidates
+    from sgpt_spark.operators.indexer import build_postings_with_docvalues
+
+    docs = load_table(spark, sf_dir, "documents")
+    postings, dv, meta = build_postings_with_docvalues(
+        docs, ["lang", "n_chars"], segment_size=200
+    )
+    cand = match_candidates(spark, postings, meta, derived_queries(docs))
+    return histogram_agg(cand, dv, "n_chars", interval=100)
+
+
 # --- dedup / similarity / text analysis (training-data pipeline ops) -----
 
 def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1002,6 +1035,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_bool_cogroup_top10": _q_bm25_bool_cogroup,
         "bm25_bool_filtered_top10": _q_bm25_bool_filtered,
         "bm25_search_after_top10": _q_bm25_search_after,
+        "match_terms_agg_lang": _q_match_terms_agg,
+        "match_histogram_agg": _q_match_histogram_agg,
         "queryset_derive": _q_queryset,
         "corpus_stats": _q_corpus_stats,
         "doc_stats": _q_doc_stats,
@@ -1013,8 +1048,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_index_noself_top10": _q_bm25_index_noself,
         "bm25_rerank_top10": _q_rerank,
         "doc_truncation": _q_doc_truncation,
-        "truncation_stats": _q_truncation_stats,
-        "corr_stats": _q_corr_stats,
         "average_precision_global": _q_average_precision,
         "udf_log_mode": _q_udf_log_mode,
         "sessionize": _q_sessionize,
@@ -1057,6 +1090,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_multifield_phrase_top10": _q_bm25_multifield_phrase,  # exhaustive multifield-phrase twin (the index-backed bm25_multifield_phrase_index_top10 keeps the evidence gated); ceded its slot to bm25_bool_cogroup_top10 (round 5) — DuckDB equality now pytest-covered (test_phrase_multifield.py)
         "customers_without_orders": _q_cust_no_orders,  # generic anti-join relational op; ceded its slot to bm25_bool_filtered_top10 (round 5) — DuckDB equality now pytest-covered (test_bool_filters.py)
         "topk_orders_per_customer": _q_topk_orders,  # generic window relational op; ceded its slot to bm25_search_after_top10 (round 5) — DuckDB equality now pytest-covered (test_pagination.py)
+        "truncation_stats": _q_truncation_stats,  # aggregate twin of the still-gated doc_truncation (same truncation projection); ceded its slot to match_terms_agg_lang (round 5) — DuckDB equality now pytest-covered (test_aggs.py)
+        "corr_stats": _q_corr_stats,  # generic corr stat; ceded its slot to match_histogram_agg (round 5) — DuckDB equality now pytest-covered (test_aggs.py)
         "ivf_cosine_topk": _q_ivf_topk,             # approximate (gated twin: ivf_full_probe_topk)
         "lsh_cosine_topk": _q_lsh_cosine_topk,      # approximate (gated twin: cosine_topk)
         "media_image_features": _q_media_features,  # stub decoder
@@ -1539,6 +1574,106 @@ FROM ranked WHERE rnk <= {k}
 
 _BOOL_SQL = _bool_sql(10)
 _BOOL_FILTERED_SQL = _bool_sql(10, filtered=True)
+
+# ES aggregation oracles (operators/aggs.py): matched docs = distinct
+# (qid, doc) over the query-term probe, then pure SQL bucket math —
+# terms agg ordered (doc_count desc, value asc), histogram with the
+# min_doc_count=0 empty-bucket fill via generate_series.
+_MATCHED_CTE = f"""{_TOKENS_CTE},
+  queryset AS ({QUERIES_SQL}),
+  qdterms AS (
+    SELECT DISTINCT qid, u.term AS term
+    FROM queryset, unnest(string_split(query, ' ')) AS u(term)
+    WHERE u.term <> ''
+  ),
+  matched AS (
+    SELECT DISTINCT q.qid, tf.doc_id FROM qdterms q JOIN tf ON q.term = tf.term
+  )"""
+
+_TERMS_AGG_SQL = f"""
+WITH {_MATCHED_CTE},
+  vals AS (
+    SELECT m.qid, CAST(d.lang AS VARCHAR) AS value
+    FROM matched m JOIN documents d ON m.doc_id = d.doc_id
+    WHERE d.lang IS NOT NULL
+  ),
+  counts AS (SELECT qid, value, count(*) AS doc_count FROM vals GROUP BY qid, value),
+  ranked AS (
+    SELECT qid, value, doc_count,
+           row_number() OVER (
+             PARTITION BY qid ORDER BY doc_count DESC, value ASC
+           ) AS bucket_rank
+    FROM counts
+  )
+SELECT qid, value, doc_count, CAST(bucket_rank AS INTEGER) AS bucket_rank
+FROM ranked WHERE bucket_rank <= 3
+"""
+
+_HISTOGRAM_AGG_SQL = f"""
+WITH {_MATCHED_CTE},
+  vals AS (
+    SELECT m.qid, d.n_chars
+    FROM matched m JOIN documents d ON m.doc_id = d.doc_id
+    WHERE d.n_chars IS NOT NULL
+  ),
+  counts AS (
+    SELECT qid, (n_chars // 100) * 100 AS bucket, count(*) AS doc_count
+    FROM vals GROUP BY qid, (n_chars // 100) * 100
+  ),
+  bounds AS (SELECT qid, min(bucket) AS lo, max(bucket) AS hi FROM counts GROUP BY qid),
+  filled AS (
+    SELECT b.qid, CAST(g.b AS BIGINT) AS bucket
+    FROM bounds b, unnest(generate_series(b.lo, b.hi, 100)) AS g(b)
+  )
+SELECT f.qid, f.bucket, CAST(coalesce(c.doc_count, 0) AS BIGINT) AS doc_count
+FROM filled f LEFT JOIN counts c ON f.qid = c.qid AND f.bucket = c.bucket
+"""
+
+# Displaced-row pytest twins (round 5: truncation_stats and corr_stats
+# left the driver window for the two aggregation gates; test_aggs.py
+# runs the exact registry queries against these)
+_TRUNCATION_STATS_SQL = f"""
+    WITH {_TOKENS_CTE}
+    SELECT count(*) AS n_docs,
+           CAST(sum(CASE WHEN doc_len > 30 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_truncated,
+           CAST(sum(doc_len) AS BIGINT) AS tokens_before,
+           CAST(sum(least(doc_len, 30)) AS BIGINT) AS tokens_after,
+           round(avg(CASE WHEN doc_len > 30 THEN 1.0 ELSE 0.0 END), 6)
+             AS truncated_frac
+    FROM doclen
+"""
+_CORR_STATS_SQL = """
+            WITH base AS (
+              SELECT CAST(length(coalesce(text, '')) AS DOUBLE) AS a,
+                     CAST(len(list_filter(string_split(coalesce(text, ''), ' '),
+                                          x -> x <> '')) AS DOUBLE) AS b
+              FROM documents
+            ),
+            ga AS (SELECT a, count(*) AS cnt FROM base GROUP BY a),
+            gra AS (
+              SELECT a,
+                     coalesce(sum(cnt) OVER (ORDER BY a
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                     + (cnt + 1) / 2.0 AS a_rk
+              FROM ga
+            ),
+            gb AS (SELECT b, count(*) AS cnt FROM base GROUP BY b),
+            grb AS (
+              SELECT b,
+                     coalesce(sum(cnt) OVER (ORDER BY b
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                     + (cnt + 1) / 2.0 AS b_rk
+              FROM gb
+            ),
+            j AS (
+              SELECT base.a, base.b, gra.a_rk, grb.b_rk
+              FROM base JOIN gra USING (a) JOIN grb USING (b)
+            )
+            SELECT round(corr(a, b), 6) AS pearson,
+                   round(corr(a_rk, b_rk), 6) AS spearman
+            FROM j
+        """
 
 # Displaced-row pytest twin (round 5: topk_orders_per_customer left the
 # driver window for bm25_search_after_top10; test_pagination.py runs
@@ -2525,48 +2660,8 @@ def oracle_sql() -> dict[str, str]:
                    length(coalesce(text, '')) > 80 AS was_truncated
             FROM documents
         """,
-        "truncation_stats": f"""
-            WITH {_TOKENS_CTE}
-            SELECT count(*) AS n_docs,
-                   CAST(sum(CASE WHEN doc_len > 30 THEN 1 ELSE 0 END) AS BIGINT)
-                     AS n_truncated,
-                   CAST(sum(doc_len) AS BIGINT) AS tokens_before,
-                   CAST(sum(least(doc_len, 30)) AS BIGINT) AS tokens_after,
-                   round(avg(CASE WHEN doc_len > 30 THEN 1.0 ELSE 0.0 END), 6)
-                     AS truncated_frac
-            FROM doclen
-        """,
-        "corr_stats": """
-            WITH base AS (
-              SELECT CAST(length(coalesce(text, '')) AS DOUBLE) AS a,
-                     CAST(len(list_filter(string_split(coalesce(text, ''), ' '),
-                                          x -> x <> '')) AS DOUBLE) AS b
-              FROM documents
-            ),
-            ga AS (SELECT a, count(*) AS cnt FROM base GROUP BY a),
-            gra AS (
-              SELECT a,
-                     coalesce(sum(cnt) OVER (ORDER BY a
-                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-                     + (cnt + 1) / 2.0 AS a_rk
-              FROM ga
-            ),
-            gb AS (SELECT b, count(*) AS cnt FROM base GROUP BY b),
-            grb AS (
-              SELECT b,
-                     coalesce(sum(cnt) OVER (ORDER BY b
-                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-                     + (cnt + 1) / 2.0 AS b_rk
-              FROM gb
-            ),
-            j AS (
-              SELECT base.a, base.b, gra.a_rk, grb.b_rk
-              FROM base JOIN gra USING (a) JOIN grb USING (b)
-            )
-            SELECT round(corr(a, b), 6) AS pearson,
-                   round(corr(a_rk, b_rk), 6) AS spearman
-            FROM j
-        """,
+        "match_terms_agg_lang": _TERMS_AGG_SQL,
+        "match_histogram_agg": _HISTOGRAM_AGG_SQL,
         "bm25_top10": _BM25_SQL,
         "queryset_derive": QUERIES_SQL,
         "corpus_stats": f"""

@@ -485,6 +485,23 @@ def main() -> None:
                           docvalues=dv_f).count()
         boolf_s = min(boolf_s, time.time() - t0)
     timings["bm25_bool_filtered_200q"] = round(boolf_s, 3)
+
+    # ES aggregations over the 200-query match set (terms + histogram,
+    # fully declarative off the same index + sidecar)
+    from sgpt_spark.operators.aggs import (
+        histogram_agg,
+        match_candidates,
+        terms_agg,
+    )
+
+    agg_s = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        cand_a = match_candidates(spark, postings_f, meta_f, mt_q)
+        terms_agg(cand_a, dv_f, "lang", size=5).count()
+        histogram_agg(cand_a, dv_f, "n_chars", interval=100).count()
+        agg_s = min(agg_s, time.time() - t0)
+    timings["match_aggs_200q"] = round(agg_s, 3)
     postings_f.unpersist()
     dv_f.unpersist()
 

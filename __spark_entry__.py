@@ -651,6 +651,75 @@ def _q_match_histogram_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return histogram_agg(cand, dv, "n_chars", interval=100)
 
 
+def _q_match_terms_metric_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``terms`` aggregation with nested METRIC sub-aggregations (the
+    ``aggs`` body inside a terms bucket): top-3 lang buckets per query
+    carrying avg(n_chars) and max(n_chars), computed in the same
+    map-side-combinable groupBy as doc_count (operators/aggs.terms_agg
+    metrics=). avg is spelled sum/count so the one IEEE division is
+    bit-identical across engines."""
+    from sgpt_spark.operators.aggs import match_candidates, terms_agg
+    from sgpt_spark.operators.indexer import build_postings_with_docvalues
+
+    docs = load_table(spark, sf_dir, "documents")
+    postings, dv, meta = build_postings_with_docvalues(
+        docs, ["lang", "n_chars"], segment_size=200
+    )
+    cand = match_candidates(spark, postings, meta, derived_queries(docs))
+    return terms_agg(
+        cand, dv, "lang", size=3,
+        metrics=[("avg", "n_chars"), ("max", "n_chars")],
+    )
+
+
+def _q_match_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``stats`` metric aggregation over the match set: one row per
+    query with count/min/max/avg/sum of n_chars
+    (operators/aggs.stats_agg)."""
+    from sgpt_spark.operators.aggs import match_candidates, stats_agg
+    from sgpt_spark.operators.indexer import build_postings_with_docvalues
+
+    docs = load_table(spark, sf_dir, "documents")
+    postings, dv, meta = build_postings_with_docvalues(
+        docs, ["lang", "n_chars"], segment_size=200
+    )
+    cand = match_candidates(spark, postings, meta, derived_queries(docs))
+    return stats_agg(cand, dv, "n_chars")
+
+
+def _q_match_range_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``range`` aggregation over the match set: explicit [from, to)
+    n_chars buckets (*-100, 100-300, 300-*), every requested bucket
+    emitted per query even at doc_count 0 — the ES range contract
+    (operators/aggs.range_agg)."""
+    from sgpt_spark.operators.aggs import match_candidates, range_agg
+    from sgpt_spark.operators.indexer import build_postings_with_docvalues
+
+    docs = load_table(spark, sf_dir, "documents")
+    postings, dv, meta = build_postings_with_docvalues(
+        docs, ["lang", "n_chars"], segment_size=200
+    )
+    cand = match_candidates(spark, postings, meta, derived_queries(docs))
+    return range_agg(cand, dv, "n_chars", [(None, 100), (100, 300), (300, None)])
+
+
+def _q_match_cardinality_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``cardinality`` metric aggregation over the match set:
+    distinct non-null lang values per query. The gate runs the exact
+    count_distinct form; the HyperLogLog++ scale path
+    (exact=False — the sketch ES itself uses) is pytest-equated
+    (operators/aggs.cardinality_agg)."""
+    from sgpt_spark.operators.aggs import cardinality_agg, match_candidates
+    from sgpt_spark.operators.indexer import build_postings_with_docvalues
+
+    docs = load_table(spark, sf_dir, "documents")
+    postings, dv, meta = build_postings_with_docvalues(
+        docs, ["lang", "n_chars"], segment_size=200
+    )
+    cand = match_candidates(spark, postings, meta, derived_queries(docs))
+    return cardinality_agg(cand, dv, "lang")
+
+
 # --- dedup / similarity / text analysis (training-data pipeline ops) -----
 
 def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1037,18 +1106,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_search_after_top10": _q_bm25_search_after,
         "match_terms_agg_lang": _q_match_terms_agg,
         "match_histogram_agg": _q_match_histogram_agg,
+        "match_terms_metric_agg": _q_match_terms_metric_agg,
+        "match_stats_agg": _q_match_stats_agg,
+        "match_range_agg": _q_match_range_agg,
+        "match_cardinality_agg": _q_match_cardinality_agg,
         "queryset_derive": _q_queryset,
         "corpus_stats": _q_corpus_stats,
-        "doc_stats": _q_doc_stats,
         "term_df_top100": _q_term_df_top100,
         "ir_metrics_multi_k": _q_ir_metrics_multi_k,
-        "metrics_by_dataset": _q_metrics_by_dataset,
-        "best_checkpoint_argmax": _q_best_checkpoint,
         "bm25_rerank_tail": _q_rerank_tail,
         "bm25_index_noself_top10": _q_bm25_index_noself,
         "bm25_rerank_top10": _q_rerank,
         "doc_truncation": _q_doc_truncation,
-        "average_precision_global": _q_average_precision,
         "udf_log_mode": _q_udf_log_mode,
         "sessionize": _q_sessionize,
         # training-data pipeline ops
@@ -1092,6 +1161,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_orders_per_customer": _q_topk_orders,  # generic window relational op; ceded its slot to bm25_search_after_top10 (round 5) — DuckDB equality now pytest-covered (test_pagination.py)
         "truncation_stats": _q_truncation_stats,  # aggregate twin of the still-gated doc_truncation (same truncation projection); ceded its slot to match_terms_agg_lang (round 5) — DuckDB equality now pytest-covered (test_aggs.py)
         "corr_stats": _q_corr_stats,  # generic corr stat; ceded its slot to match_histogram_agg (round 5) — DuckDB equality now pytest-covered (test_aggs.py)
+        "metrics_by_dataset": _q_metrics_by_dataset,  # grouped variant of the still-gated ir_metrics_multi_k (same eval join + mean); ceded its slot to match_terms_metric_agg (round 5) — DuckDB equality now pytest-covered (test_metrics.py)
+        "best_checkpoint_argmax": _q_best_checkpoint,  # argmax over the gated mean-metric lifecycle; ceded its slot to match_stats_agg (round 5) — DuckDB equality now pytest-covered (test_metrics.py)
+        "average_precision_global": _q_average_precision,  # AP variant of the gated metric family; ceded its slot to match_range_agg (round 5) — DuckDB equality now pytest-covered (test_metrics.py)
+        "doc_stats": _q_doc_stats,  # per-doc length projection (corpus-level twin corpus_stats stays gated); ceded its slot to match_cardinality_agg (round 5) — DuckDB equality now pytest-covered (test_aggs.py)
         "ivf_cosine_topk": _q_ivf_topk,             # approximate (gated twin: ivf_full_probe_topk)
         "lsh_cosine_topk": _q_lsh_cosine_topk,      # approximate (gated twin: cosine_topk)
         "media_image_features": _q_media_features,  # stub decoder
@@ -1627,6 +1700,89 @@ WITH {_MATCHED_CTE},
   )
 SELECT f.qid, f.bucket, CAST(coalesce(c.doc_count, 0) AS BIGINT) AS doc_count
 FROM filled f LEFT JOIN counts c ON f.qid = c.qid AND f.bucket = c.bucket
+"""
+
+_TERMS_METRIC_AGG_SQL = f"""
+WITH {_MATCHED_CTE},
+  vals AS (
+    SELECT m.qid, CAST(d.lang AS VARCHAR) AS value, d.n_chars
+    FROM matched m JOIN documents d ON m.doc_id = d.doc_id
+    WHERE d.lang IS NOT NULL
+  ),
+  counts AS (
+    SELECT qid, value, count(*) AS doc_count,
+           CAST(CAST(sum(n_chars) AS BIGINT) AS DOUBLE)
+             / CAST(count(n_chars) AS DOUBLE) AS avg_n_chars,
+           max(n_chars) AS max_n_chars
+    FROM vals GROUP BY qid, value
+  ),
+  ranked AS (
+    SELECT qid, value, doc_count, avg_n_chars, max_n_chars,
+           row_number() OVER (
+             PARTITION BY qid ORDER BY doc_count DESC, value ASC
+           ) AS bucket_rank
+    FROM counts
+  )
+SELECT qid, value, doc_count, avg_n_chars, max_n_chars,
+       CAST(bucket_rank AS INTEGER) AS bucket_rank
+FROM ranked WHERE bucket_rank <= 3
+"""
+
+_STATS_AGG_SQL = f"""
+WITH {_MATCHED_CTE},
+  vals AS (
+    SELECT m.qid, d.n_chars
+    FROM matched m JOIN documents d ON m.doc_id = d.doc_id
+  )
+SELECT qid, count(n_chars) AS value_count,
+       min(n_chars) AS min_value, max(n_chars) AS max_value,
+       CAST(CAST(sum(n_chars) AS BIGINT) AS DOUBLE)
+         / CAST(count(n_chars) AS DOUBLE) AS avg_value,
+       CAST(sum(n_chars) AS BIGINT) AS sum_value
+FROM vals GROUP BY qid
+"""
+
+_RANGE_AGG_SQL = f"""
+WITH {_MATCHED_CTE},
+  vals AS (
+    SELECT m.qid, d.n_chars
+    FROM matched m JOIN documents d ON m.doc_id = d.doc_id
+    WHERE d.n_chars IS NOT NULL
+  ),
+  ranges(range_key, lo, hi) AS (
+    VALUES ('*-100', CAST(NULL AS BIGINT), CAST(100 AS BIGINT)),
+           ('100-300', CAST(100 AS BIGINT), CAST(300 AS BIGINT)),
+           ('300-*', CAST(300 AS BIGINT), CAST(NULL AS BIGINT))
+  ),
+  counts AS (
+    SELECT v.qid, r.range_key, count(*) AS doc_count
+    FROM vals v JOIN ranges r
+      ON (r.lo IS NULL OR v.n_chars >= r.lo)
+     AND (r.hi IS NULL OR v.n_chars < r.hi)
+    GROUP BY v.qid, r.range_key
+  ),
+  qr AS (
+    SELECT q.qid, r.range_key
+    FROM (SELECT DISTINCT qid FROM matched) q CROSS JOIN ranges r
+  )
+SELECT f.qid, f.range_key, CAST(coalesce(c.doc_count, 0) AS BIGINT) AS doc_count
+FROM qr f LEFT JOIN counts c ON f.qid = c.qid AND f.range_key = c.range_key
+"""
+
+_CARDINALITY_AGG_SQL = f"""
+WITH {_MATCHED_CTE},
+  vals AS (
+    SELECT m.qid, d.lang
+    FROM matched m JOIN documents d ON m.doc_id = d.doc_id
+  )
+SELECT qid, count(DISTINCT lang) AS value_count FROM vals GROUP BY qid
+"""
+
+# doc_stats ceded its window slot to match_cardinality_agg (round 5);
+# its exact-registry DuckDB equality is pytest-covered (test_aggs.py)
+_DOC_STATS_SQL = f"""
+WITH {_TOKENS_CTE}
+SELECT doc_id, doc_len FROM doclen
 """
 
 # Displaced-row pytest twins (round 5: truncation_stats and corr_stats
@@ -2571,8 +2727,6 @@ _PRICING_SQL = """
 def oracle_sql() -> dict[str, str]:
     return {
         "ir_metrics_multi_k": _metrics_multi_sql(100, [1, 3, 5, 10, 100]),
-        "metrics_by_dataset": _METRICS_BY_DATASET_SQL,
-        "best_checkpoint_argmax": _BEST_CHECKPOINT_SQL,
         "bm25_rerank_tail": _rerank_sql(100, 10),
         "bm25_index_top10": _BM25_SQL,
         "bm25_index_wand_top10": _BM25_SQL,
@@ -2603,7 +2757,6 @@ def oracle_sql() -> dict[str, str]:
         "dense_cosine_topk": _dense_cosine_sql(),
         "paraphrase_mining_top": _PARAPHRASE_SQL,
         "dedup_clusters": _DEDUP_CLUSTERS_SQL,
-        "average_precision_global": _AP_SQL,
         "embedding_communities": _COMMUNITIES_SQL,
         "ivf_full_probe_topk": _COSINE_SQL,
         "minhash_lsh_pairs_md5": _minhash_md5_sql(16, 8, 0.2),
@@ -2662,6 +2815,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "match_terms_agg_lang": _TERMS_AGG_SQL,
         "match_histogram_agg": _HISTOGRAM_AGG_SQL,
+        "match_terms_metric_agg": _TERMS_METRIC_AGG_SQL,
+        "match_stats_agg": _STATS_AGG_SQL,
+        "match_range_agg": _RANGE_AGG_SQL,
+        "match_cardinality_agg": _CARDINALITY_AGG_SQL,
         "bm25_top10": _BM25_SQL,
         "queryset_derive": QUERIES_SQL,
         "corpus_stats": f"""
@@ -2669,10 +2826,6 @@ def oracle_sql() -> dict[str, str]:
             SELECT count(*) AS n_docs,
                    round(avg(doc_len), {SCORE_DECIMALS}) AS avgdl
             FROM doclen
-        """,
-        "doc_stats": f"""
-            WITH {_TOKENS_CTE}
-            SELECT doc_id, doc_len FROM doclen
         """,
         "term_df_top100": f"""
             WITH {_TOKENS_CTE}

@@ -22,13 +22,30 @@ Both aggregations are pure DataFrame plans (no UDF, no driver loop):
 ``terms_agg``      ES ``terms``: top-``size`` buckets per query by
                    (doc_count desc, value asc) — the ES bucket order.
                    NULL field values are excluded (ES ``missing`` is an
-                   opt-in parameter, not the default).
+                   opt-in parameter, not the default). ``metrics=``
+                   nests metric SUB-aggregations (avg/sum/min/max) the
+                   way an ES terms agg carries an ``aggs`` body: the
+                   bucket groupBy computes them in the same map-side-
+                   combinable pass, no second scan.
 ``histogram_agg``  ES ``histogram``: fixed-interval buckets, keys =
                    floor(value / interval) * interval; empty buckets
                    between each query's min and max key are emitted
                    with doc_count 0 (the ES min_doc_count=0 default),
                    via a per-query ``sequence`` explode — declarative,
                    no driver knowledge of the key range.
+``stats_agg``      ES ``stats`` metric aggregation: one row per query
+                   with count/min/max/avg/sum over the field's non-null
+                   values in the match set.
+``range_agg``      ES ``range``: explicit [from, to) buckets, every
+                   requested bucket emitted per query even at
+                   doc_count 0 (the ES contract), keys spelled
+                   "from-to" with "*" for open ends.
+``cardinality_agg`` ES ``cardinality``: distinct non-null values per
+                   query. ``exact=True`` (default, oracle-gateable) is
+                   one count_distinct; ``exact=False`` is
+                   approx_count_distinct — Spark's HyperLogLog++, the
+                   SAME sketch ES uses, the path a 10^12-doc match set
+                   wants (no distinct shuffle, mergeable sketches).
 
 Scale notes (10^12 docs): the postings scan is pruned to the query
 vocabulary at the parquet reader; the match set is |matching docs| x
@@ -80,27 +97,68 @@ def match_candidates(
     )
 
 
+_METRIC_FNS = ("avg", "sum", "min", "max")
+
+
+def _metric_cols(metrics, docvalues_cols) -> list:
+    """(metric, field) pairs -> aggregate columns named ``{metric}_{field}``.
+
+    ES metric semantics: missing (NULL) values are ignored — min/max/sum
+    skip them natively; avg is spelled sum/count explicitly so both
+    engines compute the SAME two exact integer aggregates and ONE
+    IEEE division (DuckDB's avg() is reproducible that way, bit for
+    bit, which keeps metric sub-aggs value-gateable)."""
+    out = []
+    for metric, mfield in metrics:
+        if metric not in _METRIC_FNS:
+            raise ValueError(f"unknown metric {metric!r}: {_METRIC_FNS}")
+        if mfield not in docvalues_cols:
+            raise ValueError(
+                f"metric field {mfield!r} not in docvalues columns {docvalues_cols}"
+            )
+        name = f"{metric}_{mfield}"
+        if metric == "avg":
+            out.append(
+                (F.sum(mfield).cast("double") / F.count(mfield)).alias(name)
+            )
+        elif metric == "sum":
+            out.append(F.sum(mfield).cast("long").alias(name))
+        else:
+            out.append(getattr(F, metric)(mfield).alias(name))
+    return out
+
+
 def terms_agg(
     candidates: DataFrame,
     docvalues: DataFrame,
     field: str,
     size: int = 10,
+    metrics: Iterable[tuple[str, str]] = (),
 ) -> DataFrame:
     """ES ``terms`` aggregation over the match set -> (qid, value,
-    doc_count, bucket_rank), top-``size`` buckets per query by
+    doc_count, *metrics, bucket_rank), top-``size`` buckets per query by
     (doc_count desc, value asc). Values compare as strings (the ES
-    keyword-bucket key); NULL field values are excluded."""
+    keyword-bucket key); NULL field values are excluded.
+
+    ``metrics``: (metric, field) pairs — nested metric sub-aggregations
+    (the ES ``aggs`` body inside a terms bucket), computed in the SAME
+    groupBy pass as doc_count (columns ``{metric}_{field}``). Docs with
+    a NULL metric value count in doc_count but not in the metric (ES
+    ignores missing values)."""
     if field not in docvalues.columns:
         raise ValueError(
             f"terms_agg field {field!r} not in docvalues columns "
             f"{docvalues.columns}"
         )
+    metrics = list(metrics)
+    mcols = _metric_cols(metrics, docvalues.columns)  # validates first
+    proj = ["doc_id", field] + sorted({m[1] for m in metrics} - {field})
     vals = candidates.join(
-        docvalues.select("doc_id", field), "doc_id"
+        docvalues.select(*proj), "doc_id"
     ).filter(F.col(field).isNotNull())
     counts = vals.groupBy(
         "qid", F.col(field).cast("string").alias("value")
-    ).agg(F.count("*").alias("doc_count"))
+    ).agg(F.count("*").alias("doc_count"), *mcols)
     w = Window.partitionBy("qid").orderBy(
         F.col("doc_count").desc(), F.col("value").asc()
     )
@@ -159,3 +217,123 @@ def histogram_agg(
         "bucket",
         F.coalesce(F.col("doc_count"), F.lit(0)).alias("doc_count"),
     )
+
+
+def stats_agg(
+    candidates: DataFrame,
+    docvalues: DataFrame,
+    field: str,
+) -> DataFrame:
+    """ES ``stats`` metric aggregation over the match set -> one row per
+    query: (qid, value_count, min_value, max_value, avg_value,
+    sum_value) over the field's non-NULL values (ES ignores missing
+    values; a query whose match set has only NULL values reports
+    value_count 0 with NULL min/max/avg — the ES empty-stats shape).
+    avg is spelled sum/count so the division is one exact IEEE step in
+    any engine (see ``_metric_cols``)."""
+    if field not in docvalues.columns:
+        raise ValueError(
+            f"stats_agg field {field!r} not in docvalues columns "
+            f"{docvalues.columns}"
+        )
+    vals = candidates.join(docvalues.select("doc_id", field), "doc_id")
+    return vals.groupBy("qid").agg(
+        F.count(field).alias("value_count"),
+        F.min(field).alias("min_value"),
+        F.max(field).alias("max_value"),
+        (F.sum(field).cast("double") / F.count(field)).alias("avg_value"),
+        F.sum(field).cast("long").alias("sum_value"),
+    )
+
+
+def range_key(lo, hi) -> str:
+    """ES range-bucket key spelling: "from-to" with "*" for open ends."""
+    return f"{'*' if lo is None else lo}-{'*' if hi is None else hi}"
+
+
+def range_agg(
+    candidates: DataFrame,
+    docvalues: DataFrame,
+    field: str,
+    ranges: Iterable[tuple[int | None, int | None]],
+) -> DataFrame:
+    """ES ``range`` aggregation over the match set -> (qid, range_key,
+    doc_count): explicit half-open [from, to) buckets (the ES range
+    contract — ``from`` inclusive, ``to`` exclusive; None = open end).
+    EVERY requested bucket is emitted for every query with a non-empty
+    match set, doc_count 0 when nothing lands in it (ES always returns
+    the full requested bucket list). Ranges may overlap (a doc counts
+    in each bucket it falls in — ES allows this) but must not be
+    unbounded on both ends duplicated; NULL field values fall in no
+    bucket.
+
+    Plan: the tiny requested-range relation broadcast-joins the match
+    values on the [from, to) predicate (one theta join against a
+    literal), then a per-(qid, bucket) count left-joins the qid x range
+    cross product so empty buckets survive. No UDF, no driver loop.
+    """
+    if field not in docvalues.columns:
+        raise ValueError(
+            f"range_agg field {field!r} not in docvalues columns "
+            f"{docvalues.columns}"
+        )
+    rs = list(ranges)
+    if not rs:
+        raise ValueError("range_agg needs at least one range")
+    keys = [range_key(lo, hi) for lo, hi in rs]
+    if len(set(keys)) != len(keys):
+        raise ValueError(f"duplicate range buckets in {keys}")
+    spark = candidates.sparkSession
+    rdf = spark.createDataFrame(
+        [(k, lo, hi) for k, (lo, hi) in zip(keys, rs)],
+        "range_key string, lo long, hi long",
+    )
+    vals = candidates.join(
+        docvalues.select("doc_id", field), "doc_id"
+    ).filter(F.col(field).isNotNull())
+    cond = (F.col("lo").isNull() | (F.col(field) >= F.col("lo"))) & (
+        F.col("hi").isNull() | (F.col(field) < F.col("hi"))
+    )
+    counts = (
+        vals.join(F.broadcast(rdf), cond)
+        .groupBy("qid", "range_key")
+        .agg(F.count("*").alias("doc_count"))
+    )
+    qids = candidates.select("qid").distinct()
+    full = qids.crossJoin(F.broadcast(rdf.select("range_key")))
+    return full.join(counts, ["qid", "range_key"], "left").select(
+        "qid",
+        "range_key",
+        F.coalesce(F.col("doc_count"), F.lit(0)).alias("doc_count"),
+    )
+
+
+def cardinality_agg(
+    candidates: DataFrame,
+    docvalues: DataFrame,
+    field: str,
+    exact: bool = True,
+) -> DataFrame:
+    """ES ``cardinality`` metric aggregation over the match set ->
+    (qid, value_count): distinct non-NULL values of ``field`` per query.
+
+    ``exact=True`` (default): one count_distinct — deterministic, the
+    oracle-gateable form. ``exact=False``: approx_count_distinct —
+    Spark's HyperLogLog++, the SAME sketch ES's cardinality agg runs
+    (its precision_threshold knob maps to ``rsd``); at a 10^12-doc
+    match set this is the path to take: partial sketches merge
+    map-side, nothing re-shuffles per distinct value. The two paths are
+    pytest-equated on small cardinalities (HLL++ is exact under its
+    sparse-register regime) and the exact path carries the gate."""
+    if field not in docvalues.columns:
+        raise ValueError(
+            f"cardinality_agg field {field!r} not in docvalues columns "
+            f"{docvalues.columns}"
+        )
+    vals = candidates.join(docvalues.select("doc_id", field), "doc_id")
+    agg = (
+        F.count_distinct(F.col(field))
+        if exact
+        else F.approx_count_distinct(field)
+    )
+    return vals.groupBy("qid").agg(agg.alias("value_count"))

@@ -1,14 +1,22 @@
-"""ES search aggregations (terms / histogram over the match set):
-from-scratch Python brute force, the ES bucket-order and empty-bucket
-(min_doc_count=0) semantics, guards, gate equality vs DuckDB, and the
-two displaced-row registry twins."""
+"""ES search aggregations (terms / histogram / metric sub-aggs / stats
+/ range / cardinality over the match set): from-scratch Python brute
+force, the ES bucket-order and empty-bucket (min_doc_count=0)
+semantics, guards, gate equality vs DuckDB, and the displaced-row
+registry twins."""
 
 from __future__ import annotations
 
 import pytest
 from pyspark.sql import functions as F
 
-from sgpt_spark.operators.aggs import histogram_agg, match_candidates, terms_agg
+from sgpt_spark.operators.aggs import (
+    cardinality_agg,
+    histogram_agg,
+    match_candidates,
+    range_agg,
+    stats_agg,
+    terms_agg,
+)
 from sgpt_spark.operators.indexer import build_postings_with_docvalues
 
 pytestmark = pytest.mark.usefixtures("spark")
@@ -132,6 +140,117 @@ def test_guards(spark):
         histogram_agg(cand, dv, "nope", 10)
     with pytest.raises(ValueError, match="interval must be positive"):
         histogram_agg(cand, dv, "n_chars", 0)
+    with pytest.raises(ValueError, match="unknown metric"):
+        terms_agg(cand, dv, "lang", metrics=[("median", "n_chars")])
+    with pytest.raises(ValueError, match="metric field"):
+        terms_agg(cand, dv, "lang", metrics=[("avg", "nope")])
+    with pytest.raises(ValueError, match="not in docvalues columns"):
+        stats_agg(cand, dv, "nope")
+    with pytest.raises(ValueError, match="at least one range"):
+        range_agg(cand, dv, "n_chars", [])
+    with pytest.raises(ValueError, match="duplicate range buckets"):
+        range_agg(cand, dv, "n_chars", [(0, 10), (0, 10)])
+    with pytest.raises(ValueError, match="not in docvalues columns"):
+        cardinality_agg(cand, dv, "nope")
+
+
+def test_terms_metric_subagg_brute_force(spark):
+    """ES metric sub-aggs inside terms buckets: doc_count counts all
+    bucket docs; avg/max compute over non-null metric values only;
+    bucket order unchanged."""
+    cand, dv = _build(spark)
+    rows = {d[0]: d for d in DOCS}
+    per_bucket: dict = {}
+    for qid, d in _brute_match():
+        lang, nc = rows[d][2], rows[d][3]
+        if lang is None:
+            continue
+        per_bucket.setdefault((qid, lang), []).append(nc)
+    want = []
+    by_qid: dict = {}
+    for (qid, v), ncs in per_bucket.items():
+        by_qid.setdefault(qid, []).append((v, ncs))
+    for qid, vs in by_qid.items():
+        vs.sort(key=lambda x: (-len(x[1]), x[0]))
+        for rk, (v, ncs) in enumerate(vs[:2], 1):
+            want.append((qid, v, len(ncs), sum(ncs) / len(ncs), max(ncs), rk))
+    got = sorted(
+        (r["qid"], r["value"], r["doc_count"], r["avg_n_chars"],
+         r["max_n_chars"], r["bucket_rank"])
+        for r in terms_agg(
+            cand, dv, "lang", size=2,
+            metrics=[("avg", "n_chars"), ("max", "n_chars")],
+        ).collect()
+    )
+    assert got == sorted(want) and got
+
+
+def test_stats_agg_brute_force(spark):
+    cand, dv = _build(spark)
+    rows = {d[0]: d for d in DOCS}
+    per_qid: dict = {}
+    for qid, d in _brute_match():
+        per_qid.setdefault(qid, []).append(rows[d][3])
+    want = sorted(
+        (qid, len(ncs), min(ncs), max(ncs), sum(ncs) / len(ncs), sum(ncs))
+        for qid, ncs in per_qid.items()
+    )
+    got = sorted(
+        (r["qid"], r["value_count"], r["min_value"], r["max_value"],
+         r["avg_value"], r["sum_value"])
+        for r in stats_agg(cand, dv, "n_chars").collect()
+    )
+    assert got == want and got
+
+
+def test_range_agg_brute_force_emits_empty_buckets(spark):
+    cand, dv = _build(spark)
+    ranges = [(None, 100), (100, 300), (300, None), (1000, None)]
+    keys = ["*-100", "100-300", "300-*", "1000-*"]
+    rows = {d[0]: d for d in DOCS}
+    per_qid: dict = {}
+    for qid, d in _brute_match():
+        per_qid.setdefault(qid, []).append(rows[d][3])
+    want = []
+    for qid, ncs in per_qid.items():
+        for key, (lo, hi) in zip(keys, ranges):
+            c = sum(
+                1 for v in ncs
+                if (lo is None or v >= lo) and (hi is None or v < hi)
+            )
+            want.append((qid, key, c))
+    got = sorted(
+        (r["qid"], r["range_key"], r["doc_count"])
+        for r in range_agg(cand, dv, "n_chars", ranges).collect()
+    )
+    assert got == sorted(want) and got
+    # the 1000-* bucket is empty for every query yet always emitted
+    assert all(c == 0 for q, k, c in got if k == "1000-*")
+    assert any(k == "1000-*" for _, k, _ in got)
+
+
+def test_cardinality_agg_exact_and_hll_agree(spark):
+    """Exact count_distinct vs the HyperLogLog++ scale path (the sketch
+    ES's cardinality agg itself runs): identical at small cardinality
+    (HLL++ sparse-register regime is exact), and NULL lang never
+    counts."""
+    cand, dv = _build(spark)
+    rows = {d[0]: d for d in DOCS}
+    per_qid: dict = {}
+    for qid, d in _brute_match():
+        if rows[d][2] is not None:
+            per_qid.setdefault(qid, set()).add(rows[d][2])
+    want = sorted((qid, len(s)) for qid, s in per_qid.items())
+    got_exact = sorted(
+        (r["qid"], r["value_count"])
+        for r in cardinality_agg(cand, dv, "lang").collect()
+    )
+    got_hll = sorted(
+        (r["qid"], r["value_count"])
+        for r in cardinality_agg(cand, dv, "lang", exact=False).collect()
+    )
+    assert got_exact == want and got_exact
+    assert got_hll == want
 
 
 def _duck(sf):
@@ -195,6 +314,93 @@ def test_truncation_stats_duckdb_equality(spark):
         for row in _duck(sf).execute(entry._TRUNCATION_STATS_SQL).fetchall()
     ]
     assert got == want and len(got) == 1
+
+
+def test_terms_metric_agg_gate_duckdb_equality(spark):
+    """Gate row match_terms_metric_agg: exact registry query vs exact
+    registry SQL at sf0.001 (the driver repeats this at sf0.01). The
+    avg sub-metric compares EXACTLY — both engines compute integer
+    sum/count and one IEEE division."""
+    import __spark_entry__ as entry
+
+    sf = "/root/testdata/sf0.001"
+    got = sorted(
+        (r["qid"], r["value"], r["doc_count"], r["avg_n_chars"],
+         r["max_n_chars"], r["bucket_rank"])
+        for r in entry._q_match_terms_metric_agg(spark, sf).collect()
+    )
+    want = sorted(
+        (q, v, int(c), a, int(mx), int(rk))
+        for q, v, c, a, mx, rk in _duck(sf)
+        .execute(entry._TERMS_METRIC_AGG_SQL)
+        .fetchall()
+    )
+    assert got == want and len(got) > 0
+
+
+def test_stats_agg_gate_duckdb_equality(spark):
+    import __spark_entry__ as entry
+
+    sf = "/root/testdata/sf0.001"
+    got = sorted(
+        (r["qid"], r["value_count"], r["min_value"], r["max_value"],
+         r["avg_value"], r["sum_value"])
+        for r in entry._q_match_stats_agg(spark, sf).collect()
+    )
+    want = sorted(
+        (q, int(c), int(lo), int(hi), a, int(s))
+        for q, c, lo, hi, a, s in _duck(sf)
+        .execute(entry._STATS_AGG_SQL)
+        .fetchall()
+    )
+    assert got == want and len(got) > 0
+
+
+def test_range_agg_gate_duckdb_equality(spark):
+    import __spark_entry__ as entry
+
+    sf = "/root/testdata/sf0.001"
+    got = sorted(
+        (r["qid"], r["range_key"], r["doc_count"])
+        for r in entry._q_match_range_agg(spark, sf).collect()
+    )
+    want = sorted(
+        (q, k, int(c))
+        for q, k, c in _duck(sf).execute(entry._RANGE_AGG_SQL).fetchall()
+    )
+    assert got == want and len(got) > 0
+
+
+def test_cardinality_agg_gate_duckdb_equality(spark):
+    import __spark_entry__ as entry
+
+    sf = "/root/testdata/sf0.001"
+    got = sorted(
+        (r["qid"], r["value_count"])
+        for r in entry._q_match_cardinality_agg(spark, sf).collect()
+    )
+    want = sorted(
+        (q, int(c))
+        for q, c in _duck(sf).execute(entry._CARDINALITY_AGG_SQL).fetchall()
+    )
+    assert got == want and len(got) > 0
+
+
+def test_doc_stats_duckdb_equality(spark):
+    """doc_stats left the driver window for match_cardinality_agg
+    (round 5); exact registry query vs exact registry SQL at sf0.001."""
+    import __spark_entry__ as entry
+
+    sf = "/root/testdata/sf0.001"
+    got = sorted(
+        (r["doc_id"], r["doc_len"])
+        for r in entry._q_doc_stats(spark, sf).collect()
+    )
+    want = sorted(
+        (int(d), int(l))
+        for d, l in _duck(sf).execute(entry._DOC_STATS_SQL).fetchall()
+    )
+    assert got == want and len(got) > 0
 
 
 def test_corr_stats_duckdb_equality(spark):

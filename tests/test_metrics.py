@@ -135,3 +135,91 @@ def test_known_item_perfect_retrieval(spark):
     assert row["ndcg"] == 1.0 and row["mrr"] == 1.0 and row["recall"] == 1.0
     assert math.isclose(row["map"], 1.0)
     assert math.isclose(row["precision"], 0.1)  # 1 hit / k=10
+
+
+def _duck(sf):
+    import duckdb
+
+    con = duckdb.connect()
+    for t in ("documents", "events"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')"
+        )
+    return con
+
+
+def test_metrics_by_dataset_duckdb_equality(spark):
+    """metrics_by_dataset left the driver window for
+    match_terms_metric_agg (round 5); exact registry query vs exact
+    registry SQL at sf0.001."""
+    import __spark_entry__ as entry
+
+    sf = "/root/testdata/sf0.001"
+    df = entry._q_metrics_by_dataset(spark, sf)
+    cols = sorted(df.columns)
+    got = sorted(
+        tuple(round(r[c], 6) if isinstance(r[c], float) else r[c] for c in cols)
+        for r in df.collect()
+    )
+    ores = _duck(sf).execute(entry._METRICS_BY_DATASET_SQL).fetchdf()
+    assert sorted(ores.columns.tolist()) == cols
+    want = sorted(
+        tuple(
+            round(row[c], 6) if isinstance(row[c], float) else row[c]
+            for c in cols
+        )
+        for _, row in ores.iterrows()
+    )
+    assert got == want and len(got) > 0
+
+
+def test_best_checkpoint_duckdb_equality(spark):
+    """best_checkpoint_argmax left the driver window for match_stats_agg
+    (round 5); exact registry query vs exact registry SQL at sf0.001."""
+    import __spark_entry__ as entry
+
+    sf = "/root/testdata/sf0.001"
+    df = entry._q_best_checkpoint(spark, sf)
+    cols = sorted(df.columns)
+    got = sorted(
+        tuple(round(r[c], 6) if isinstance(r[c], float) else r[c] for c in cols)
+        for r in df.collect()
+    )
+    ores = _duck(sf).execute(entry._BEST_CHECKPOINT_SQL).fetchdf()
+    assert sorted(ores.columns.tolist()) == cols
+    want = sorted(
+        tuple(
+            round(float(row[c]), 6) if not isinstance(row[c], str) else row[c]
+            for c in cols
+        )
+        for _, row in ores.iterrows()
+    )
+    got_norm = [
+        tuple(float(x) if not isinstance(x, str) else x for x in t) for t in got
+    ]
+    assert got_norm == want and len(got) > 0
+
+
+def test_average_precision_duckdb_equality(spark):
+    """average_precision_global left the driver window for
+    match_range_agg (round 5); exact registry query vs exact registry
+    SQL at sf0.001."""
+    import __spark_entry__ as entry
+
+    sf = "/root/testdata/sf0.001"
+    df = entry._q_average_precision(spark, sf)
+    cols = sorted(df.columns)
+    got = sorted(
+        tuple(round(r[c], 6) if isinstance(r[c], float) else r[c] for c in cols)
+        for r in df.collect()
+    )
+    ores = _duck(sf).execute(entry._AP_SQL).fetchdf()
+    assert sorted(ores.columns.tolist()) == cols
+    want = sorted(
+        tuple(
+            round(row[c], 6) if isinstance(row[c], float) else int(row[c])
+            for c in cols
+        )
+        for _, row in ores.iterrows()
+    )
+    assert got == want and len(got) > 0

@@ -720,6 +720,46 @@ def _q_match_cardinality_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cardinality_agg(cand, dv, "lang")
 
 
+def _q_sort_by_field(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``sort`` clause (doc-values sort instead of _score): the
+    flagship query set's match set ordered by (lang asc, n_chars desc),
+    NULLs last (the ES missing=_last default), doc_id the deterministic
+    final tie-break — top-10 per query, scoring off (ES track_scores
+    false under explicit sort). operators/fieldsort.sort_search_index;
+    fully in-plan."""
+    from sgpt_spark.operators.fieldsort import sort_search_index
+    from sgpt_spark.operators.indexer import build_postings_with_docvalues
+
+    docs = load_table(spark, sf_dir, "documents")
+    postings, dv, meta = build_postings_with_docvalues(
+        docs, ["lang", "n_chars"], segment_size=200
+    )
+    return sort_search_index(
+        spark, postings, meta, derived_queries(docs), dv,
+        [("lang", "asc"), ("n_chars", "desc")], k=10,
+    )
+
+
+def _q_function_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``function_score`` with ``field_value_factor`` (n_chars,
+    modifier=log1p — log BASE 10, the ES/Lucene spelling — boost_mode=
+    multiply): the flagship query set's FULL scored match set rescored
+    BEFORE the top-k cut (operators/funcscore.function_score_index —
+    the applies-before-top-k semantic is what makes this a query, not
+    a reranker, and the gate exercises it at sf scale)."""
+    from sgpt_spark.operators.funcscore import function_score_index
+    from sgpt_spark.operators.indexer import build_postings_with_docvalues
+
+    docs = load_table(spark, sf_dir, "documents")
+    postings, dv, meta = build_postings_with_docvalues(
+        docs, ["lang", "n_chars"], segment_size=200
+    )
+    return function_score_index(
+        spark, postings, meta, derived_queries(docs), dv, "n_chars",
+        modifier="log1p", k=10,
+    )
+
+
 # --- dedup / similarity / text analysis (training-data pipeline ops) -----
 
 def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1110,13 +1150,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "match_stats_agg": _q_match_stats_agg,
         "match_range_agg": _q_match_range_agg,
         "match_cardinality_agg": _q_match_cardinality_agg,
+        "sort_by_field_top10": _q_sort_by_field,
+        "function_score_top10": _q_function_score,
         "queryset_derive": _q_queryset,
         "corpus_stats": _q_corpus_stats,
         "term_df_top100": _q_term_df_top100,
         "ir_metrics_multi_k": _q_ir_metrics_multi_k,
         "bm25_rerank_tail": _q_rerank_tail,
         "bm25_index_noself_top10": _q_bm25_index_noself,
-        "bm25_rerank_top10": _q_rerank,
         "doc_truncation": _q_doc_truncation,
         "udf_log_mode": _q_udf_log_mode,
         "sessionize": _q_sessionize,
@@ -1133,7 +1174,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_communities": _q_embedding_communities,
         "ivf_full_probe_topk": _q_ivf_full_probe,
         "text_profile": _q_text_profile,
-        "window_fingerprints": _q_window_fps,
         # md5-arithmetic stub encoder -> cosine: fully value-gated as of
         # round 5 (encode.py md5_embedding_sql — the pre-normalization
         # embedding is exact int64 num/den in both engines)
@@ -1164,6 +1204,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "metrics_by_dataset": _q_metrics_by_dataset,  # grouped variant of the still-gated ir_metrics_multi_k (same eval join + mean); ceded its slot to match_terms_metric_agg (round 5) — DuckDB equality now pytest-covered (test_metrics.py)
         "best_checkpoint_argmax": _q_best_checkpoint,  # argmax over the gated mean-metric lifecycle; ceded its slot to match_stats_agg (round 5) — DuckDB equality now pytest-covered (test_metrics.py)
         "average_precision_global": _q_average_precision,  # AP variant of the gated metric family; ceded its slot to match_range_agg (round 5) — DuckDB equality now pytest-covered (test_metrics.py)
+        "bm25_rerank_top10": _q_rerank,  # k=10 rerank variant (the gated bm25_rerank_tail keeps the gather-join + CE evidence at depth 100); ceded its slot to function_score_top10 (round 5) — DuckDB equality now pytest-covered (test_funcscore.py)
+        "window_fingerprints": _q_window_fps,  # md5 window-fingerprint twin (rolling Karp-Rabin alignment stays pytest-equated); ceded its slot to sort_by_field_top10 (round 5) — DuckDB equality now pytest-covered (test_textstats.py)
         "doc_stats": _q_doc_stats,  # per-doc length projection (corpus-level twin corpus_stats stays gated); ceded its slot to match_cardinality_agg (round 5) — DuckDB equality now pytest-covered (test_aggs.py)
         "ivf_cosine_topk": _q_ivf_topk,             # approximate (gated twin: ivf_full_probe_topk)
         "lsh_cosine_topk": _q_lsh_cosine_topk,      # approximate (gated twin: cosine_topk)
@@ -1776,6 +1818,71 @@ WITH {_MATCHED_CTE},
     FROM matched m JOIN documents d ON m.doc_id = d.doc_id
   )
 SELECT qid, count(DISTINCT lang) AS value_count FROM vals GROUP BY qid
+"""
+
+_SORT_BY_FIELD_SQL = f"""
+WITH {_MATCHED_CTE},
+  vals AS (
+    SELECT m.qid, m.doc_id, d.lang, d.n_chars
+    FROM matched m JOIN documents d ON m.doc_id = d.doc_id
+  ),
+  ranked AS (
+    SELECT qid, doc_id, lang, n_chars,
+           row_number() OVER (
+             PARTITION BY qid
+             ORDER BY lang ASC NULLS LAST, n_chars DESC NULLS LAST,
+                      doc_id ASC
+           ) AS rnk
+    FROM vals
+  )
+SELECT qid, doc_id, lang, n_chars, CAST(rnk AS INTEGER) AS rank
+FROM ranked WHERE rnk <= 10
+"""
+
+# function_score oracle: the _bm25_sql scored CTE (raw, unrounded)
+# times log10(1 + n_chars), rounded THEN ranked — the same
+# round-before-rank contract as every scored gate.
+_FUNCTION_SCORE_SQL = f"""
+WITH {_TOKENS_CTE},
+  stats AS (SELECT count(*) AS n, avg(doc_len) AS avgdl FROM doclen),
+  queryset AS ({QUERIES_SQL}),
+  qterms AS (
+    SELECT qid, u.term AS term, count(*) AS qtf
+    FROM queryset, unnest(string_split(query, ' ')) AS u(term)
+    WHERE u.term <> ''
+    GROUP BY qid, u.term
+  ),
+  scored AS (
+    SELECT q.qid, tf.doc_id,
+           sum(
+             q.qtf
+             * ln(1 + (s.n - tdf.df + 0.5) / (tdf.df + 0.5))
+             * tf.tf / (tf.tf + {K1} * (1 - {B} + {B} * dl.doc_len / s.avgdl))
+           ) AS raw_score
+    FROM qterms q
+    JOIN tf  ON q.term = tf.term
+    JOIN tdf ON tf.term = tdf.term
+    JOIN doclen dl ON tf.doc_id = dl.doc_id
+    CROSS JOIN stats s
+    GROUP BY q.qid, tf.doc_id
+  ),
+  rescored AS (
+    SELECT sc.qid, sc.doc_id,
+           sc.raw_score
+             * log10(1 + coalesce(CAST(d.n_chars AS DOUBLE), 1.0) * 1.0)
+             AS raw2
+    FROM scored sc JOIN documents d ON sc.doc_id = d.doc_id
+  ),
+  ranked AS (
+    SELECT qid, doc_id, round(raw2, {SCORE_DECIMALS}) AS score,
+           row_number() OVER (
+             PARTITION BY qid
+             ORDER BY round(raw2, {SCORE_DECIMALS}) DESC, doc_id ASC
+           ) AS rnk
+    FROM rescored
+  )
+SELECT qid, doc_id, score, CAST(rnk AS INTEGER) AS rank
+FROM ranked WHERE rnk <= 10
 """
 
 # doc_stats ceded its window slot to match_cardinality_agg (round 5);
@@ -2745,7 +2852,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_prefix_index_top10": _PREFIX_SQL,
         "bm25_fuzzy_index_top10": _FUZZY_SQL,
         "bm25_phrase_prefix_index_top10": _PHRASE_PREFIX_SQL,
-        "bm25_rerank_top10": _RERANK_SQL,
+        "function_score_top10": _FUNCTION_SCORE_SQL,
         "dedup_exact": """
             SELECT d.doc_id, m.canonical_id
             FROM documents d
@@ -2762,7 +2869,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_lsh_pairs_md5": _minhash_md5_sql(16, 8, 0.2),
         "simhash_near_pairs_md5": _SIMHASH_MD5_SQL,
         "near_dup_pairs_md5": _NEAR_DUP_MD5_SQL,
-        "window_fingerprints": _WINDOW_FPS_SQL,
+        "sort_by_field_top10": _SORT_BY_FIELD_SQL,
         "bm25_index_noself_top10": _bm25_sql(10, exclude_self=True),
         "cosine_topk": _COSINE_SQL,
         "text_profile": _TEXT_PROFILE_SQL,

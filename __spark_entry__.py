@@ -760,6 +760,50 @@ def _q_function_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_more_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``more_like_this`` (Lucene MoreLikeThis): every 10th doc seeds
+    a similarity query — its top-25 terms by rounded tf*idf (min_term_
+    freq 2, min_doc_freq 5, the ES defaults) run as a BM25 should-query
+    with minimum_should_match "30%" and the seed excluded
+    (operators/mlt.more_like_this_index; fully in-plan)."""
+    from sgpt_spark.operators.corpus import non_empty_text
+    from sgpt_spark.operators.indexer import build_postings
+    from sgpt_spark.operators.mlt import more_like_this_index
+
+    docs = load_table(spark, sf_dir, "documents")
+    postings, meta = build_postings(docs, segment_size=200)
+    seeds = (
+        non_empty_text(docs)
+        .filter(F.col("doc_id") % 10 == 0)
+        .select(F.col("doc_id").alias("qid"), "doc_id")
+    )
+    return more_like_this_index(spark, postings, meta, docs, seeds, k=10)
+
+
+def _q_term_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES term suggester (Lucene DirectSpellChecker): the derived
+    queryset's tokens are misspelled deterministically (last char
+    dropped — each is >= 1 edit from a real dictionary term), then
+    corrected from the termstats dictionary: suggest_mode=missing,
+    max_edits=2, prefix_length=1, top-3 by (similarity desc, doc_freq
+    desc, term asc) — operators/suggest.term_suggest, fully
+    declarative (JVM levenshtein)."""
+    from sgpt_spark.operators.indexer import build_postings
+    from sgpt_spark.operators.suggest import term_suggest
+
+    docs = load_table(spark, sf_dir, "documents")
+    postings, meta = build_postings(docs, segment_size=200)
+    tstats = postings.groupBy("term").agg(F.sum("df").alias("df"))
+    toks = (
+        derived_queries(docs)
+        .select(F.explode(F.split("query", " ")).alias("_t"))
+        .filter(F.length("_t") >= 5)
+        .select(F.expr("substring(_t, 1, length(_t) - 1)").alias("token"))
+        .distinct()
+    )
+    return term_suggest(tstats, toks, size=3)
+
+
 # --- dedup / similarity / text analysis (training-data pipeline ops) -----
 
 def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1152,6 +1196,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "match_cardinality_agg": _q_match_cardinality_agg,
         "sort_by_field_top10": _q_sort_by_field,
         "function_score_top10": _q_function_score,
+        "more_like_this_top10": _q_more_like_this,
+        "term_suggest_top3": _q_term_suggest,
         "queryset_derive": _q_queryset,
         "corpus_stats": _q_corpus_stats,
         "term_df_top100": _q_term_df_top100,
@@ -1163,11 +1209,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": _q_sessionize,
         # training-data pipeline ops
         "dedup_exact": _q_dedup_exact,
-        "ngram_jaccard_pairs": _q_ngram_jaccard,
         "minhash_lsh_pairs_md5": _q_minhash_md5,
         "near_dup_pairs_md5": _q_near_dup_md5,
         "simhash_near_pairs_md5": _q_simhash_md5,
-        "cosine_topk": _q_cosine_topk,
         "dense_join_topk": _q_dense_join_topk,
         "paraphrase_mining_top": _q_paraphrase_mining,
         "dedup_clusters": _q_dedup_clusters,
@@ -1204,6 +1248,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "metrics_by_dataset": _q_metrics_by_dataset,  # grouped variant of the still-gated ir_metrics_multi_k (same eval join + mean); ceded its slot to match_terms_metric_agg (round 5) — DuckDB equality now pytest-covered (test_metrics.py)
         "best_checkpoint_argmax": _q_best_checkpoint,  # argmax over the gated mean-metric lifecycle; ceded its slot to match_stats_agg (round 5) — DuckDB equality now pytest-covered (test_metrics.py)
         "average_precision_global": _q_average_precision,  # AP variant of the gated metric family; ceded its slot to match_range_agg (round 5) — DuckDB equality now pytest-covered (test_metrics.py)
+        "cosine_topk": _q_cosine_topk,  # broadcast-contract dense top-k (the in-plan dense_join_topk and the encode-lifecycle dense_cosine_topk keep the cosine evidence gated on the same oracle); ceded its slot to term_suggest_top3 (round 5) — DuckDB equality now pytest-covered (test_suggest.py)
+        "ngram_jaccard_pairs": _q_ngram_jaccard,  # exact-Jaccard ground-truth twin (the gated minhash_lsh_pairs_md5 keeps the near-dup evidence); ceded its slot to more_like_this_top10 (round 5) — DuckDB equality now pytest-covered (test_mlt.py)
         "bm25_rerank_top10": _q_rerank,  # k=10 rerank variant (the gated bm25_rerank_tail keeps the gather-join + CE evidence at depth 100); ceded its slot to function_score_top10 (round 5) — DuckDB equality now pytest-covered (test_funcscore.py)
         "window_fingerprints": _q_window_fps,  # md5 window-fingerprint twin (rolling Karp-Rabin alignment stays pytest-equated); ceded its slot to sort_by_field_top10 (round 5) — DuckDB equality now pytest-covered (test_textstats.py)
         "doc_stats": _q_doc_stats,  # per-doc length projection (corpus-level twin corpus_stats stays gated); ceded its slot to match_cardinality_agg (round 5) — DuckDB equality now pytest-covered (test_aggs.py)
@@ -1883,6 +1929,112 @@ WITH {_TOKENS_CTE},
   )
 SELECT qid, doc_id, score, CAST(rnk AS INTEGER) AS rank
 FROM ranked WHERE rnk <= 10
+"""
+
+# more_like_this oracle: seed term vectors from the shared tokens CTE,
+# tf*idf selection rounded-then-ranked (score desc, term asc), BM25
+# should-query with the floored 30% minimum_should_match, seed excluded.
+_MLT_SQL = f"""
+WITH {_TOKENS_CTE},
+  stats AS (SELECT count(*) AS n, avg(doc_len) AS avgdl FROM doclen),
+  seeds AS (
+    SELECT doc_id AS qid, doc_id FROM documents
+    WHERE doc_id % 10 = 0 AND text IS NOT NULL AND length(trim(text)) > 0
+  ),
+  cand_terms AS (
+    SELECT s.qid, tf.term, tf.tf AS stf, tdf.df
+    FROM seeds s
+    JOIN tf ON tf.doc_id = s.doc_id
+    JOIN tdf ON tf.term = tdf.term
+    WHERE tf.tf >= 2 AND tdf.df >= 5
+  ),
+  sel AS (
+    SELECT qid, term,
+           row_number() OVER (
+             PARTITION BY qid
+             ORDER BY round(stf * ln(1 + (st.n - df + 0.5) / (df + 0.5)),
+                            {SCORE_DECIMALS}) DESC,
+                      term ASC
+           ) AS trk
+    FROM cand_terms CROSS JOIN stats st
+  ),
+  qsel AS (SELECT qid, term FROM sel WHERE trk <= 25),
+  nsel AS (SELECT qid, count(*) AS n_t FROM qsel GROUP BY qid),
+  scored AS (
+    SELECT q.qid, tf.doc_id,
+           sum(
+             ln(1 + (s.n - tdf.df + 0.5) / (tdf.df + 0.5))
+             * tf.tf / (tf.tf + {K1} * (1 - {B} + {B} * dl.doc_len / s.avgdl))
+           ) AS raw_score,
+           count(*) AS nm
+    FROM qsel q
+    JOIN tf ON q.term = tf.term
+    JOIN tdf ON tf.term = tdf.term
+    JOIN doclen dl ON tf.doc_id = dl.doc_id
+    CROSS JOIN stats s
+    WHERE tf.doc_id <> q.qid
+    GROUP BY q.qid, tf.doc_id
+  ),
+  gated AS (
+    SELECT sc.qid, sc.doc_id, sc.raw_score
+    FROM scored sc JOIN nsel ON sc.qid = nsel.qid
+    WHERE sc.nm >= greatest(1, CAST(floor(nsel.n_t * 30 / 100.0) AS BIGINT))
+  ),
+  ranked AS (
+    SELECT qid, doc_id, round(raw_score, {SCORE_DECIMALS}) AS score,
+           row_number() OVER (
+             PARTITION BY qid
+             ORDER BY round(raw_score, {SCORE_DECIMALS}) DESC, doc_id ASC
+           ) AS rnk
+    FROM gated
+  )
+SELECT qid, doc_id, score, CAST(rnk AS INTEGER) AS rank
+FROM ranked WHERE rnk <= 10
+"""
+
+# term-suggester oracle: the same last-char-dropped token derivation,
+# the same length-band + shared-first-char candidate join, DuckDB's
+# levenshtein (the identical classical distance), the same
+# (similarity desc, df desc, term asc) order.
+_TERM_SUGGEST_SQL = f"""
+WITH {_TOKENS_CTE},
+  queryset AS ({QUERIES_SQL}),
+  qtok AS (
+    SELECT DISTINCT substr(u.term, 1, length(u.term) - 1) AS token
+    FROM queryset, unnest(string_split(query, ' ')) AS u(term)
+    WHERE length(u.term) >= 5
+  ),
+  toks AS (
+    SELECT q.token, t.df AS tok_df
+    FROM qtok q LEFT JOIN tdf t ON t.term = q.token
+    WHERE length(q.token) >= 4
+  ),
+  cand AS (
+    SELECT k.token, t.term, t.df,
+           levenshtein(t.term, k.token) AS ed,
+           k.tok_df, length(k.token) AS qlen
+    FROM toks k JOIN tdf t
+      ON abs(length(t.term) - length(k.token)) <= 2
+     AND substr(t.term, 1, 1) = substr(k.token, 1, 1)
+     AND t.term <> k.token
+  ),
+  scored AS (
+    SELECT token, term AS suggestion,
+           1.0 - CAST(ed AS DOUBLE)
+                 / CAST(least(qlen, length(term)) AS DOUBLE) AS score,
+           df AS doc_freq
+    FROM cand WHERE ed <= 2 AND tok_df IS NULL
+  ),
+  ranked AS (
+    SELECT token, suggestion, score, doc_freq,
+           row_number() OVER (
+             PARTITION BY token
+             ORDER BY score DESC, doc_freq DESC, suggestion ASC
+           ) AS srk
+    FROM scored
+  )
+SELECT token, suggestion, score, doc_freq, CAST(srk AS INTEGER) AS suggest_rank
+FROM ranked WHERE srk <= 3
 """
 
 # doc_stats ceded its window slot to match_cardinality_agg (round 5);
@@ -2859,7 +3011,7 @@ def oracle_sql() -> dict[str, str]:
             JOIN (SELECT text, min(doc_id) AS canonical_id FROM documents GROUP BY text) m
               ON d.text = m.text
         """,
-        "ngram_jaccard_pairs": _NGRAM_SQL,
+        "more_like_this_top10": _MLT_SQL,
         "dense_join_topk": _COSINE_SQL,
         "dense_cosine_topk": _dense_cosine_sql(),
         "paraphrase_mining_top": _PARAPHRASE_SQL,
@@ -2871,7 +3023,7 @@ def oracle_sql() -> dict[str, str]:
         "near_dup_pairs_md5": _NEAR_DUP_MD5_SQL,
         "sort_by_field_top10": _SORT_BY_FIELD_SQL,
         "bm25_index_noself_top10": _bm25_sql(10, exclude_self=True),
-        "cosine_topk": _COSINE_SQL,
+        "term_suggest_top3": _TERM_SUGGEST_SQL,
         "text_profile": _TEXT_PROFILE_SQL,
         "bm25_bool_filtered_top10": _BOOL_FILTERED_SQL,
         "bm25_search_after_top10": _BM25_PAGE2_SQL,

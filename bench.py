@@ -502,8 +502,97 @@ def main() -> None:
         histogram_agg(cand_a, dv_f, "n_chars", interval=100).count()
         agg_s = min(agg_s, time.time() - t0)
     timings["match_aggs_200q"] = round(agg_s, 3)
+
+    # metric sub-agg family over the same match set (stats + range +
+    # cardinality ride one candidates relation; the terms agg carries
+    # avg/max sub-aggs like an ES aggs body with nested metrics)
+    from sgpt_spark.operators.aggs import (
+        cardinality_agg,
+        range_agg,
+        stats_agg,
+    )
+
+    magg_s = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        cand_m = match_candidates(spark, postings_f, meta_f, mt_q)
+        terms_agg(cand_m, dv_f, "lang", size=5,
+                  metrics=[("avg", "n_chars"), ("max", "n_chars")]).count()
+        stats_agg(cand_m, dv_f, "n_chars").count()
+        range_agg(cand_m, dv_f, "n_chars",
+                  [(None, 100), (100, 300), (300, None)]).count()
+        cardinality_agg(cand_m, dv_f, "lang", exact=False).count()
+        magg_s = min(magg_s, time.time() - t0)
+    timings["match_metric_aggs_200q"] = round(magg_s, 3)
+
+    # ES sort-by-field (match set ordered by doc values, not BM25) and
+    # function_score field_value_factor (BM25 x log1p(n_chars)) — both
+    # one docvalues join on top of the shared match/score plans
+    from sgpt_spark.operators.fieldsort import sort_search_index
+    from sgpt_spark.operators.funcscore import function_score_index
+
+    srt_s = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        sort_search_index(spark, postings_f, meta_f, mt_q, dv_f,
+                          by=[("lang", "asc"), ("n_chars", "desc")],
+                          k=10).count()
+        srt_s = min(srt_s, time.time() - t0)
+    timings["sort_by_field_200q"] = round(srt_s, 3)
+
+    fsc_s = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        function_score_index(spark, postings_f, meta_f, mt_q, dv_f,
+                             field="n_chars", modifier="log1p",
+                             boost_mode="multiply", k=10).count()
+        fsc_s = min(fsc_s, time.time() - t0)
+    timings["function_score_200q"] = round(fsc_s, 3)
     postings_f.unpersist()
     dv_f.unpersist()
+
+    # ES more_like_this: 200 seed docs -> top-25 tf*idf interesting
+    # terms each (one corpus-tokenize pass pruned to the seed docs) ->
+    # a ~25-term BM25 should-query with minimum_should_match 30%
+    from sgpt_spark.operators.mlt import more_like_this_index
+
+    mlt_seeds = (
+        docs.select((F.col("doc_id")).alias("qid"), "doc_id")
+        .filter(F.pmod(F.col("doc_id"), F.lit(max(N_DOCS // 200, 1))) == 0)
+        .limit(200)
+    )
+    mlt_seeds.persist().count()
+    tstats_df = postings.groupBy("term").agg(F.sum("df").alias("df"))
+    tstats_df.persist().count()
+    mlt_s = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        more_like_this_index(spark, postings, meta, docs, mlt_seeds,
+                             k=10, term_stats=tstats_df).count()
+        mlt_s = min(mlt_s, time.time() - t0)
+    timings["more_like_this_200seed"] = round(mlt_s, 3)
+    mlt_seeds.unpersist()
+
+    # ES term suggester: 1k misspelled tokens (last char dropped from
+    # dictionary terms) corrected against the full index vocabulary —
+    # length-band + shared-prefix equi-join, JVM levenshtein
+    from sgpt_spark.operators.suggest import term_suggest
+
+    sug_toks = (
+        tstats_df.filter(F.length("term") >= 6)
+        .orderBy(F.col("df").desc(), F.col("term"))
+        .limit(1000)
+        .select(F.expr("substring(term, 1, length(term) - 1)").alias("token"))
+    )
+    sug_toks.persist().count()
+    sug_s = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        term_suggest(tstats_df, sug_toks, size=3).count()
+        sug_s = min(sug_s, time.time() - t0)
+    timings["term_suggest_1k"] = round(sug_s, 3)
+    sug_toks.unpersist()
+    tstats_df.unpersist()
 
     # --- positional index + phrase search (ES match_phrase; Lucene .pos) --
     # Build = ONE corpus tokenize (positions written, postings DERIVED

@@ -1013,6 +1013,30 @@ def _q_dense_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(emb, qemb, k=10)
 
 
+def _q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval, the reference's BM25 + dense pairing fused in
+    rank space: the index-backed BM25 top-20 window and the md5-encoder
+    dense cosine top-20 window combine by reciprocal rank fusion
+    (operators/fusion.rrf_fusion, ES ``rrf`` retriever, rank_constant
+    60) into a top-10 — both retrievals are the EXACT plans of their
+    own gate rows, so this row value-gates only the fusion math on top
+    of already-gated inputs."""
+    from sgpt_spark.operators.corpus import non_empty_text
+    from sgpt_spark.operators.encode import encode_corpus, encode_queries
+    from sgpt_spark.operators.fusion import rrf_fusion
+    from sgpt_spark.operators.index_search import search_index
+    from sgpt_spark.operators.indexer import build_postings
+    from sgpt_spark.operators.similarity import cosine_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    postings, meta = build_postings(docs, segment_size=200)
+    bm = search_index(spark, postings, meta, derived_queries(docs), k=_RRF_DEPTH)
+    nd = non_empty_text(docs)
+    qs = derived_queries(nd).filter(F.length(F.trim("query")) > 0)
+    de = cosine_topk(encode_corpus(nd), encode_queries(qs), k=_RRF_DEPTH)
+    return rrf_fusion([bm, de.withColumnRenamed("vec_id", "doc_id")], k=10)
+
+
 def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The driver canonicalizer sorts/hashes output columns, and pandas
     cannot factorize array cells — so the gate projection digests the
@@ -1212,7 +1236,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs_md5": _q_minhash_md5,
         "near_dup_pairs_md5": _q_near_dup_md5,
         "simhash_near_pairs_md5": _q_simhash_md5,
-        "dense_join_topk": _q_dense_join_topk,
+        "hybrid_rrf_top10": _q_hybrid_rrf,
         "paraphrase_mining_top": _q_paraphrase_mining,
         "dedup_clusters": _q_dedup_clusters,
         "embedding_communities": _q_embedding_communities,
@@ -1248,6 +1272,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "metrics_by_dataset": _q_metrics_by_dataset,  # grouped variant of the still-gated ir_metrics_multi_k (same eval join + mean); ceded its slot to match_terms_metric_agg (round 5) — DuckDB equality now pytest-covered (test_metrics.py)
         "best_checkpoint_argmax": _q_best_checkpoint,  # argmax over the gated mean-metric lifecycle; ceded its slot to match_stats_agg (round 5) — DuckDB equality now pytest-covered (test_metrics.py)
         "average_precision_global": _q_average_precision,  # AP variant of the gated metric family; ceded its slot to match_range_agg (round 5) — DuckDB equality now pytest-covered (test_metrics.py)
+        "dense_join_topk": _q_dense_join_topk,  # in-plan join variant of the gated dense family (dense_cosine_topk keeps the encode lifecycle gated, hybrid_rrf_top10 consumes the same cosine window); ceded its slot to hybrid_rrf_top10 (round 5) — DuckDB equality now pytest-covered (test_fusion.py)
         "cosine_topk": _q_cosine_topk,  # broadcast-contract dense top-k (the in-plan dense_join_topk and the encode-lifecycle dense_cosine_topk keep the cosine evidence gated on the same oracle); ceded its slot to term_suggest_top3 (round 5) — DuckDB equality now pytest-covered (test_suggest.py)
         "ngram_jaccard_pairs": _q_ngram_jaccard,  # exact-Jaccard ground-truth twin (the gated minhash_lsh_pairs_md5 keeps the near-dup evidence); ceded its slot to more_like_this_top10 (round 5) — DuckDB equality now pytest-covered (test_mlt.py)
         "bm25_rerank_top10": _q_rerank,  # k=10 rerank variant (the gated bm25_rerank_tail keeps the gather-join + CE evidence at depth 100); ceded its slot to function_score_top10 (round 5) — DuckDB equality now pytest-covered (test_funcscore.py)
@@ -2636,7 +2661,7 @@ SELECT qid, vec_id, score, CAST(rnk AS INTEGER) AS rank FROM ranked WHERE rnk <=
 # normalization, which cosine similarity is invariant to) for the
 # non-empty corpus and the derived query set, then cosine top-10 ranked
 # on the 6-dp-rounded score with id-asc ties (the engine-wide contract).
-def _dense_cosine_sql() -> str:
+def _dense_cosine_sql(k: int = 10) -> str:
     from sgpt_spark.operators.encode import md5_embedding_sql
 
     return f"""
@@ -2657,7 +2682,39 @@ ranked AS (
          row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id ASC) AS rnk
   FROM scored
 )
-SELECT qid, vec_id, score, CAST(rnk AS INTEGER) AS rank FROM ranked WHERE rnk <= 10
+SELECT qid, vec_id, score, CAST(rnk AS INTEGER) AS rank FROM ranked WHERE rnk <= {k}
+"""
+
+
+# hybrid RRF oracle: BM25 top-20 window + dense-cosine top-20 window
+# (each the EXACT gated retrieval at a deeper cut), fused in rank space
+# as sum(1/(60 + rank)) — 1.0 cast to DOUBLE so DuckDB doesn't route
+# the division through DECIMAL arithmetic; at most one IEEE addition
+# per (qid, doc) pair (two retrievers), so the pre-rounding double is
+# bit-identical across engines.
+_RRF_DEPTH = 20
+_HYBRID_RRF_SQL = f"""
+WITH bm AS (SELECT qid, doc_id, rank FROM ({_bm25_sql(_RRF_DEPTH)})),
+  de AS (SELECT qid, vec_id AS doc_id, rank
+         FROM ({_dense_cosine_sql(_RRF_DEPTH)})),
+  contrib AS (
+    SELECT qid, doc_id, CAST(1.0 AS DOUBLE) / (60 + rank) AS c FROM bm
+    UNION ALL
+    SELECT qid, doc_id, CAST(1.0 AS DOUBLE) / (60 + rank) AS c FROM de
+  ),
+  fused AS (
+    SELECT qid, doc_id, round(sum(c), {SCORE_DECIMALS}) AS score
+    FROM contrib GROUP BY qid, doc_id
+  ),
+  rranked AS (
+    SELECT qid, doc_id, score,
+           row_number() OVER (
+             PARTITION BY qid ORDER BY score DESC, doc_id ASC
+           ) AS rnk
+    FROM fused
+  )
+SELECT qid, doc_id, score, CAST(rnk AS INTEGER) AS rank
+FROM rranked WHERE rnk <= 10
 """
 
 
@@ -3012,7 +3069,7 @@ def oracle_sql() -> dict[str, str]:
               ON d.text = m.text
         """,
         "more_like_this_top10": _MLT_SQL,
-        "dense_join_topk": _COSINE_SQL,
+        "hybrid_rrf_top10": _HYBRID_RRF_SQL,
         "dense_cosine_topk": _dense_cosine_sql(),
         "paraphrase_mining_top": _PARAPHRASE_SQL,
         "dedup_clusters": _DEDUP_CLUSTERS_SQL,

@@ -594,6 +594,26 @@ def main() -> None:
     sug_toks.unpersist()
     tstats_df.unpersist()
 
+    # hybrid RRF: the ws-analyzer and standard-analyzer BM25 runs (two
+    # analysis chains over the same corpus — the ES multi-analyzer
+    # fusion practice) fused in rank space at depth 100 -> top-10. The
+    # fusion itself is one query-bounded groupBy on top of the two
+    # retrievals (operators/fusion.py).
+    from sgpt_spark.operators.fusion import rrf_fusion
+
+    postings_std, meta_std = read_index(spark, "/dev/shm/sgpt_bench_index_std")
+    tstats_std = read_term_stats(spark, "/dev/shm/sgpt_bench_index_std")
+    rrf_s = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        run_ws = search_index(spark, postings, meta, mt_q, k=100,
+                              term_stats=tstats)
+        run_std = search_index(spark, postings_std, meta_std, mt_q, k=100,
+                               term_stats=tstats_std, tokenize=analyze_py)
+        rrf_fusion([run_ws, run_std], k=10).count()
+        rrf_s = min(rrf_s, time.time() - t0)
+    timings["hybrid_rrf_200q"] = round(rrf_s, 3)
+
     # --- positional index + phrase search (ES match_phrase; Lucene .pos) --
     # Build = ONE corpus tokenize (positions written, postings DERIVED
     # from the compressed positional relation); query = term-pruned

@@ -720,6 +720,25 @@ def _q_match_cardinality_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cardinality_agg(cand, dv, "lang")
 
 
+def _q_match_significant_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``significant_terms`` aggregation over the match set: the
+    text terms unusually frequent in each query's hit set vs the whole
+    index, JLH-scored (the ES default heuristic), min_doc_count=3, top-5
+    buckets by (score desc, term asc). Foreground counts re-analyze ONLY
+    the matched docs (the ES term-vector fetch pattern); background =
+    the build-time (term, df) side table — so this row also value-gates
+    the termstats relation (bg_count column)."""
+    from sgpt_spark.operators.aggs import match_candidates, significant_terms_agg
+    from sgpt_spark.operators.indexer import build_postings
+
+    docs = load_table(spark, sf_dir, "documents")
+    postings, meta = build_postings(docs, segment_size=200)
+    tstats = postings.groupBy("term").agg(F.sum("df").alias("df"))
+    cand = match_candidates(spark, postings, meta, derived_queries(docs))
+    return significant_terms_agg(cand, docs, meta, tstats, size=5,
+                                 min_doc_count=3)
+
+
 def _q_sort_by_field(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES ``sort`` clause (doc-values sort instead of _score): the
     flagship query set's match set ordered by (lang asc, n_chars desc),
@@ -1222,9 +1241,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "function_score_top10": _q_function_score,
         "more_like_this_top10": _q_more_like_this,
         "term_suggest_top3": _q_term_suggest,
+        "match_significant_terms": _q_match_significant_terms,
         "queryset_derive": _q_queryset,
         "corpus_stats": _q_corpus_stats,
-        "term_df_top100": _q_term_df_top100,
         "ir_metrics_multi_k": _q_ir_metrics_multi_k,
         "bm25_rerank_tail": _q_rerank_tail,
         "bm25_index_noself_top10": _q_bm25_index_noself,
@@ -1255,6 +1274,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rolling fingerprints) are exercised by pytest equality tests
         # and no longer take registry slots. ----
         "bm25_index_fast_top10": _q_bm25_index_fast_top10,  # lifecycle folded into bm25_index_cogroup_top10; identity pytest-covered
+        "term_df_top100": _q_term_df_top100,  # (term, df) side-table projection — the termstats values stay gated through match_significant_terms's bg_count column; ceded its slot to it (round 5) — DuckDB equality now pytest-covered (test_aggs.py)
         "ir_metrics_mean": _q_ir_metrics,           # single-cutoff variant of the gated ir_metrics_multi_k; ceded its slot to bm25_prefix_index_top10 (round 5) — DuckDB equality now pytest-covered (test_multiterm.py)
         "pricing_summary": _q_pricing_summary,      # generic groupBy-agg (agg evidence stays gated via corpus_stats/truncation_stats); ceded its slot to bm25_fuzzy_index_top10 (round 5) — DuckDB equality now pytest-covered (test_multiterm.py)
         "event_type_counts": _q_event_type_counts,  # trivial groupBy-count; ceded its window slot to bm25_phrase_top10 (round 5) — DuckDB equality now pytest-covered (test_phrase.py)
@@ -1775,6 +1795,46 @@ _MATCHED_CTE = f"""{_TOKENS_CTE},
   matched AS (
     SELECT DISTINCT q.qid, tf.doc_id FROM qdterms q JOIN tf ON q.term = tf.term
   )"""
+
+# significant_terms oracle: JLH recomputed relation-for-relation — the
+# foreground joins the match set back to the per-doc term relation, the
+# background is tdf, fg/bg shares divide by DOUBLE-cast set sizes in
+# the same association order as the Spark plan.
+_SIGNIFICANT_TERMS_SQL = f"""
+WITH {_MATCHED_CTE},
+  fgn AS (SELECT qid, count(*) AS fg_n FROM matched GROUP BY qid),
+  bgn AS (SELECT count(*) AS bg_n FROM doclen),
+  fg AS (
+    SELECT m.qid, tf.term, count(*) AS fg_count
+    FROM matched m JOIN tf ON tf.doc_id = m.doc_id
+    GROUP BY m.qid, tf.term
+    HAVING count(*) >= 3
+  ),
+  shares AS (
+    SELECT fg.qid, fg.term, fg.fg_count, tdf.df AS bg_count,
+           fg.fg_count / CAST(fgn.fg_n AS DOUBLE) AS fgp,
+           tdf.df / CAST(bgn.bg_n AS DOUBLE) AS bgp
+    FROM fg
+    JOIN tdf ON fg.term = tdf.term
+    JOIN fgn ON fg.qid = fgn.qid
+    CROSS JOIN bgn
+  ),
+  sig AS (
+    SELECT qid, term, fg_count, bg_count,
+           round((fgp - bgp) * fgp / bgp, {SCORE_DECIMALS}) AS score
+    FROM shares WHERE fgp > bgp
+  ),
+  sranked AS (
+    SELECT qid, term, fg_count, bg_count, score,
+           row_number() OVER (
+             PARTITION BY qid ORDER BY score DESC, term ASC
+           ) AS rnk
+    FROM sig
+  )
+SELECT qid, term, fg_count, bg_count, score,
+       CAST(rnk AS INTEGER) AS bucket_rank
+FROM sranked WHERE rnk <= 5
+"""
 
 _TERMS_AGG_SQL = f"""
 WITH {_MATCHED_CTE},
@@ -3143,9 +3203,5 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(doc_len), {SCORE_DECIMALS}) AS avgdl
             FROM doclen
         """,
-        "term_df_top100": f"""
-            WITH {_TOKENS_CTE}
-            SELECT term, df FROM tdf
-            ORDER BY df DESC, term ASC LIMIT 100
-        """,
+        "match_significant_terms": _SIGNIFICANT_TERMS_SQL,
     }

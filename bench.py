@@ -525,6 +525,25 @@ def main() -> None:
         magg_s = min(magg_s, time.time() - t0)
     timings["match_metric_aggs_200q"] = round(magg_s, 3)
 
+    # significant_terms: JLH-scored unusually-frequent terms per match
+    # set — the heavy agg (the foreground join is |match set| x |terms
+    # per matched doc|, the same cost ES pays iterating its hit bitset;
+    # ES treats it as a per-search interactive agg and recommends
+    # sampler composition for batches, so this row runs a 20-query
+    # batch, not the 200-query match batch the cheap doc-values aggs
+    # take)
+    from sgpt_spark.operators.aggs import significant_terms_agg
+
+    tstats_f_df = postings_f.groupBy("term").agg(F.sum("df").alias("df"))
+    sig_s = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        cand_s = match_candidates(spark, postings_f, meta_f, mt_q.limit(20))
+        significant_terms_agg(cand_s, docs_dv, meta_f, tstats_f_df,
+                              size=10).count()
+        sig_s = min(sig_s, time.time() - t0)
+    timings["match_significant_terms_20q"] = round(sig_s, 3)
+
     # ES sort-by-field (match set ordered by doc values, not BM25) and
     # function_score field_value_factor (BM25 x log1p(n_chars)) — both
     # one docvalues join on top of the shared match/score plans

@@ -337,3 +337,85 @@ def cardinality_agg(
         else F.approx_count_distinct(field)
     )
     return vals.groupBy("qid").agg(agg.alias("value_count"))
+
+
+def significant_terms_agg(
+    candidates: DataFrame,
+    corpus: DataFrame,
+    meta: IndexMeta,
+    term_stats: DataFrame,
+    size: int = 10,
+    min_doc_count: int = 3,
+    tokenizer=None,
+) -> DataFrame:
+    """ES ``significant_terms`` aggregation over the match set ->
+    (qid, term, fg_count, bg_count, score, bucket_rank): the text terms
+    UNUSUALLY frequent in each query's match set versus the whole index
+    (the "dog breeds in the bite-report match set" ES example), scored
+    with JLH — ES's default significance heuristic:
+
+        fgp = fg_count / fg_size      (term's doc share in the match set)
+        bgp = bg_count / bg_size      (term's doc share in the index)
+        score = (fgp - bgp) * fgp / bgp   iff fgp > bgp, else excluded
+
+    ``min_doc_count`` (ES default 3) prunes terms too rare in the
+    foreground to be evidence. Buckets order by (score desc, term asc)
+    — ES orders by significance; term asc is the engine's deterministic
+    tie-break. Both ratios and the score are plain double arithmetic in
+    one fixed association order, so the aggregation is value-gateable.
+
+    Foreground counting follows ES's fetch pattern (doc term vectors of
+    the HIT SET, never the whole index): the corpus left-semi prunes to
+    the matched docs, ONLY those re-analyze (the index's analyzer — the
+    same spelling ``build_postings`` used, so foreground terms live in
+    the same vocabulary as ``term_stats``), and distinct (doc, term)
+    pairs count per query. Background = the build-time (term, df) side
+    table; bg_size = meta.n_docs. At 10^12 docs the re-analyze cost is
+    |match set| docs, not |corpus| — the same bound as the ES agg phase.
+    """
+    from sgpt_spark.functions.analyzer import resolve_jvm_analyzer
+
+    if size < 1:
+        raise ValueError(f"size must be >= 1, got {size}")
+    if min_doc_count < 1:
+        raise ValueError(f"min_doc_count must be >= 1, got {min_doc_count}")
+    tok = tokenizer or resolve_jvm_analyzer(meta.analyzer)
+    hit_docs = candidates.select("doc_id").distinct()
+    doc_terms = (
+        corpus.join(hit_docs, "doc_id", "left_semi")
+        .select("doc_id", F.explode(tok(F.col("text"))).alias("term"))
+        .distinct()
+    )
+    fg = (
+        candidates.join(doc_terms, "doc_id")
+        .groupBy("qid", "term")
+        .agg(F.count("*").alias("fg_count"))
+        .filter(F.col("fg_count") >= min_doc_count)
+    )
+    fgn = candidates.groupBy("qid").agg(F.count("*").alias("_fg_n"))
+    fgp = F.col("fg_count") / F.col("_fg_n").cast("double")
+    bgp = F.col("bg_count") / F.lit(float(meta.n_docs))
+    scored = (
+        fg.join(fgn, "qid")
+        .join(term_stats.select("term", F.col("df").alias("bg_count")), "term")
+        .withColumn("_fgp", fgp)
+        .withColumn("_bgp", bgp)
+        .filter(F.col("_fgp") > F.col("_bgp"))
+        .select(
+            "qid",
+            "term",
+            "fg_count",
+            "bg_count",
+            (
+                (F.col("_fgp") - F.col("_bgp")) * F.col("_fgp") / F.col("_bgp")
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.round("score", 6).desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("score", F.round("score", 6))
+        .withColumn("bucket_rank", F.row_number().over(w))
+        .filter(F.col("bucket_rank") <= size)
+    )

@@ -418,3 +418,133 @@ def test_corr_stats_duckdb_equality(spark):
         for p, s in _duck(sf).execute(entry._CORR_STATS_SQL).fetchall()
     ]
     assert got == want and len(got) == 1
+
+
+def _brute_significant(size, min_doc_count):
+    toks = {d: t.split() for d, t, *_ in DOCS}
+    bg_n = len([d for d, ts in toks.items() if ts])
+    bg = {}
+    for ts in toks.values():
+        for t in set(ts):
+            bg[t] = bg.get(t, 0) + 1
+    out = []
+    for qid in {q for q, _ in _brute_match()}:
+        docs_q = [d for q, d in _brute_match() if q == qid]
+        fg_n = len(docs_q)
+        counts = {}
+        for d in docs_q:
+            for t in set(toks[d]):
+                counts[t] = counts.get(t, 0) + 1
+        rows = []
+        for t, fg in counts.items():
+            if fg < min_doc_count:
+                continue
+            fgp, bgp = fg / fg_n, bg[t] / bg_n
+            if fgp > bgp:
+                rows.append((round((fgp - bgp) * fgp / bgp, 6), t, fg, bg[t]))
+        rows.sort(key=lambda r: (-r[0], r[1]))
+        for rk, (s, t, fg, bgc) in enumerate(rows[:size], 1):
+            out.append((qid, t, fg, bgc, s, rk))
+    return sorted(out)
+
+
+@pytest.mark.parametrize("size,min_dc", [(3, 1), (10, 2)])
+def test_significant_terms_brute_force(spark, size, min_dc):
+    from sgpt_spark.operators.aggs import significant_terms_agg
+    from sgpt_spark.operators.indexer import build_postings
+
+    docs = spark.createDataFrame(DOCS, SCHEMA)
+    postings, meta = build_postings(docs.repartition(3), segment_size=3)
+    tstats = postings.groupBy("term").agg(F.sum("df").alias("df"))
+    cand = match_candidates(
+        spark, postings, meta,
+        spark.createDataFrame(QUERIES, "qid long, query string"),
+    )
+    res = significant_terms_agg(cand, docs, meta, tstats, size=size,
+                                min_doc_count=min_dc)
+    got = sorted(
+        (r["qid"], r["term"], r["fg_count"], r["bg_count"],
+         round(r["score"], 6), r["bucket_rank"])
+        for r in res.collect()
+    )
+    assert got == _brute_significant(size, min_dc) and got
+
+
+def test_significant_terms_excludes_background_share(spark):
+    """A term as frequent in the background as in the foreground (fgp
+    <= bgp) is never significant — the JLH exclusion, not just a low
+    score."""
+    from sgpt_spark.operators.aggs import significant_terms_agg
+    from sgpt_spark.operators.indexer import build_postings
+
+    # 'everywhere' is in every doc: fgp == bgp == 1.0 for any match set
+    docs = spark.createDataFrame(
+        [(i, f"everywhere t{i % 2}") for i in range(6)],
+        "doc_id long, text string",
+    )
+    postings, meta = build_postings(docs, segment_size=3)
+    tstats = postings.groupBy("term").agg(F.sum("df").alias("df"))
+    cand = match_candidates(
+        spark, postings, meta, [(0, "t0")],
+    )
+    res = significant_terms_agg(cand, docs, meta, tstats, size=10,
+                                min_doc_count=1).collect()
+    terms = {r["term"] for r in res}
+    assert "everywhere" not in terms and "t0" in terms
+
+
+def test_significant_terms_guards(spark):
+    from sgpt_spark.operators.aggs import significant_terms_agg
+    from sgpt_spark.operators.indexer import build_postings
+
+    docs = spark.createDataFrame(DOCS, SCHEMA)
+    postings, meta = build_postings(docs, segment_size=3)
+    tstats = postings.groupBy("term").agg(F.sum("df").alias("df"))
+    cand = match_candidates(spark, postings, meta, QUERIES)
+    with pytest.raises(ValueError, match="size"):
+        significant_terms_agg(cand, docs, meta, tstats, size=0)
+    with pytest.raises(ValueError, match="min_doc_count"):
+        significant_terms_agg(cand, docs, meta, tstats, min_doc_count=0)
+
+
+def test_significant_terms_gate_duckdb_equality(spark):
+    """Gate row match_significant_terms: exact registry query vs exact
+    registry SQL at sf0.001 (the driver repeats this at sf0.01)."""
+    import __spark_entry__ as entry
+
+    sf = "/root/testdata/sf0.001"
+    got = sorted(
+        (r["qid"], r["term"], r["fg_count"], r["bg_count"],
+         round(r["score"], 6), r["bucket_rank"])
+        for r in entry._q_match_significant_terms(spark, sf).collect()
+    )
+    want = sorted(
+        (q, t, int(fg), int(bg), round(s, 6), int(rk))
+        for q, t, fg, bg, s, rk in _duck(sf)
+        .execute(entry._SIGNIFICANT_TERMS_SQL)
+        .fetchall()
+    )
+    assert got == want and len(got) > 0
+
+
+def test_term_df_top100_duckdb_equality(spark):
+    """term_df_top100 left the driver window for match_significant_terms
+    (round 5 — the termstats values stay gated through its bg_count
+    column); exact registry query vs exact registry SQL at sf0.001."""
+    import __spark_entry__ as entry
+
+    sf = "/root/testdata/sf0.001"
+    got = sorted(
+        (r["term"], r["df"])
+        for r in entry._q_term_df_top100(spark, sf).collect()
+    )
+    want = sorted(
+        (t, int(d))
+        for t, d in _duck(sf)
+        .execute(
+            f"WITH {entry._TOKENS_CTE} SELECT term, df FROM tdf "
+            "ORDER BY df DESC, term ASC LIMIT 100"
+        )
+        .fetchall()
+    )
+    assert got == want and len(got) > 0

@@ -720,6 +720,45 @@ def _q_match_cardinality_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cardinality_agg(cand, dv, "lang")
 
 
+def _q_match_date_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``date_histogram`` (calendar_interval=month) over the match
+    set: each doc carries a deterministic pub_date doc-value
+    (2024-01-01 + n_chars days — both engines derive it identically),
+    buckets are date_trunc months emitted as DATE, and empty months
+    between each query's min and max bucket fill at doc_count 0 (the ES
+    min_doc_count=0 default) via a per-query sequence explode."""
+    from sgpt_spark.operators.aggs import date_histogram_agg, match_candidates
+    from sgpt_spark.operators.indexer import build_postings_with_docvalues
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "pub_date",
+        F.date_add(F.to_date(F.lit("2024-01-01")), F.col("n_chars").cast("int")),
+    )
+    postings, dv, meta = build_postings_with_docvalues(
+        docs, ["pub_date"], segment_size=200
+    )
+    cand = match_candidates(spark, postings, meta, derived_queries(docs))
+    return date_histogram_agg(cand, dv, "pub_date", "month")
+
+
+def _q_match_top_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``top_hits`` sub-aggregation inside a terms bucket: for each
+    query's top-3 lang buckets (doc_count desc, value asc), the 2
+    best-scoring matched docs (rounded BM25 desc, doc_id asc) — the
+    full scored match set (funcscore.match_scores) and the bucket
+    membership ride one docvalues join."""
+    from sgpt_spark.operators.aggs import top_hits_agg
+    from sgpt_spark.operators.funcscore import match_scores
+    from sgpt_spark.operators.indexer import build_postings_with_docvalues
+
+    docs = load_table(spark, sf_dir, "documents")
+    postings, dv, meta = build_postings_with_docvalues(
+        docs, ["lang", "n_chars"], segment_size=200
+    )
+    scored = match_scores(spark, postings, meta, derived_queries(docs))
+    return top_hits_agg(scored, dv, "lang", size=3, hits=2)
+
+
 def _q_match_significant_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES ``significant_terms`` aggregation over the match set: the
     text terms unusually frequent in each query's hit set vs the whole
@@ -1242,8 +1281,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "more_like_this_top10": _q_more_like_this,
         "term_suggest_top3": _q_term_suggest,
         "match_significant_terms": _q_match_significant_terms,
-        "queryset_derive": _q_queryset,
-        "corpus_stats": _q_corpus_stats,
+        "match_date_histogram": _q_match_date_histogram,
+        "match_top_hits": _q_match_top_hits,
         "ir_metrics_multi_k": _q_ir_metrics_multi_k,
         "bm25_rerank_tail": _q_rerank_tail,
         "bm25_index_noself_top10": _q_bm25_index_noself,
@@ -1274,6 +1313,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rolling fingerprints) are exercised by pytest equality tests
         # and no longer take registry slots. ----
         "bm25_index_fast_top10": _q_bm25_index_fast_top10,  # lifecycle folded into bm25_index_cogroup_top10; identity pytest-covered
+        "queryset_derive": _q_queryset,  # the identical derivation is the queryset CTE inside ~25 gated oracles; ceded its slot to match_date_histogram (round 5) — DuckDB equality now pytest-covered (test_aggs.py)
+        "corpus_stats": _q_corpus_stats,  # N/avgdl are the stats CTE inside every gated BM25 oracle; ceded its slot to match_top_hits (round 5) — DuckDB equality now pytest-covered (test_aggs.py)
         "term_df_top100": _q_term_df_top100,  # (term, df) side-table projection — the termstats values stay gated through match_significant_terms's bg_count column; ceded its slot to it (round 5) — DuckDB equality now pytest-covered (test_aggs.py)
         "ir_metrics_mean": _q_ir_metrics,           # single-cutoff variant of the gated ir_metrics_multi_k; ceded its slot to bm25_prefix_index_top10 (round 5) — DuckDB equality now pytest-covered (test_multiterm.py)
         "pricing_summary": _q_pricing_summary,      # generic groupBy-agg (agg evidence stays gated via corpus_stats/truncation_stats); ceded its slot to bm25_fuzzy_index_top10 (round 5) — DuckDB equality now pytest-covered (test_multiterm.py)
@@ -1795,6 +1836,90 @@ _MATCHED_CTE = f"""{_TOKENS_CTE},
   matched AS (
     SELECT DISTINCT q.qid, tf.doc_id FROM qdterms q JOIN tf ON q.term = tf.term
   )"""
+
+# date_histogram oracle: same derived pub_date, month-truncated DATE
+# buckets, generate_series month fill between each query's span ends.
+_DATE_HISTOGRAM_SQL = f"""
+WITH {_MATCHED_CTE},
+  dvals AS (
+    SELECT m.qid,
+           CAST(date_trunc('month',
+                DATE '2024-01-01' + CAST(d.n_chars AS INTEGER)) AS DATE)
+             AS bucket
+    FROM matched m JOIN documents d ON m.doc_id = d.doc_id
+  ),
+  counts AS (
+    SELECT qid, bucket, count(*) AS doc_count FROM dvals GROUP BY qid, bucket
+  ),
+  spans AS (SELECT qid, min(bucket) AS lo, max(bucket) AS hi FROM counts GROUP BY qid),
+  fill AS (
+    SELECT qid,
+           CAST(unnest(generate_series(CAST(lo AS TIMESTAMP),
+                                       CAST(hi AS TIMESTAMP),
+                                       INTERVAL 1 MONTH)) AS DATE) AS bucket
+    FROM spans
+  )
+SELECT f.qid, f.bucket, coalesce(c.doc_count, 0) AS doc_count
+FROM fill f LEFT JOIN counts c ON f.qid = c.qid AND f.bucket = c.bucket
+"""
+
+# top_hits oracle: the un-cut BM25 scored relation (the _bm25_sql
+# scored CTE verbatim) bucketed by lang, terms-agg bucket order, then
+# per-bucket hit ranking on the 6-dp-rounded score.
+_TOP_HITS_SQL = f"""
+WITH {_TOKENS_CTE},
+  stats AS (SELECT count(*) AS n, avg(doc_len) AS avgdl FROM doclen),
+  queryset AS ({QUERIES_SQL}),
+  qterms AS (
+    SELECT qid, u.term AS term, count(*) AS qtf
+    FROM queryset, unnest(string_split(query, ' ')) AS u(term)
+    WHERE u.term <> ''
+    GROUP BY qid, u.term
+  ),
+  scored AS (
+    SELECT q.qid, tf.doc_id,
+           sum(
+             q.qtf
+             * ln(1 + (s.n - tdf.df + 0.5) / (tdf.df + 0.5))
+             * tf.tf / (tf.tf + {K1} * (1 - {B} + {B} * dl.doc_len / s.avgdl))
+           ) AS raw_score
+    FROM qterms q
+    JOIN tf  ON q.term = tf.term
+    JOIN tdf ON tf.term = tdf.term
+    JOIN doclen dl ON tf.doc_id = dl.doc_id
+    CROSS JOIN stats s
+    GROUP BY q.qid, tf.doc_id
+  ),
+  hvals AS (
+    SELECT s.qid, CAST(d.lang AS VARCHAR) AS value, s.doc_id,
+           round(s.raw_score, {SCORE_DECIMALS}) AS score
+    FROM scored s JOIN documents d ON s.doc_id = d.doc_id
+    WHERE d.lang IS NOT NULL
+  ),
+  bcounts AS (
+    SELECT qid, value, count(*) AS doc_count FROM hvals GROUP BY qid, value
+  ),
+  buckets AS (
+    SELECT qid, value, doc_count,
+           row_number() OVER (
+             PARTITION BY qid ORDER BY doc_count DESC, value ASC
+           ) AS bucket_rank
+    FROM bcounts
+  ),
+  hits AS (
+    SELECT h.qid, h.value, b.doc_count, h.doc_id, h.score, b.bucket_rank,
+           row_number() OVER (
+             PARTITION BY h.qid, h.value
+             ORDER BY h.score DESC, h.doc_id ASC
+           ) AS hit_rank
+    FROM hvals h JOIN buckets b
+      ON h.qid = b.qid AND h.value = b.value AND b.bucket_rank <= 3
+  )
+SELECT qid, value, doc_count, doc_id, score,
+       CAST(bucket_rank AS INTEGER) AS bucket_rank,
+       CAST(hit_rank AS INTEGER) AS hit_rank
+FROM hits WHERE hit_rank <= 2
+"""
 
 # significant_terms oracle: JLH recomputed relation-for-relation — the
 # foreground joins the match set back to the per-doc term relation, the
@@ -3196,12 +3321,7 @@ def oracle_sql() -> dict[str, str]:
         "match_range_agg": _RANGE_AGG_SQL,
         "match_cardinality_agg": _CARDINALITY_AGG_SQL,
         "bm25_top10": _BM25_SQL,
-        "queryset_derive": QUERIES_SQL,
-        "corpus_stats": f"""
-            WITH {_TOKENS_CTE}
-            SELECT count(*) AS n_docs,
-                   round(avg(doc_len), {SCORE_DECIMALS}) AS avgdl
-            FROM doclen
-        """,
         "match_significant_terms": _SIGNIFICANT_TERMS_SQL,
+        "match_date_histogram": _DATE_HISTOGRAM_SQL,
+        "match_top_hits": _TOP_HITS_SQL,
     }

@@ -525,6 +525,29 @@ def main() -> None:
         magg_s = min(magg_s, time.time() - t0)
     timings["match_metric_aggs_200q"] = round(magg_s, 3)
 
+    # top_hits (per-bucket best-scoring docs off the full scored match
+    # set) + date_histogram (calendar month buckets over a derived
+    # pub_date doc-value, empty-bucket fill)
+    from sgpt_spark.operators.aggs import date_histogram_agg, top_hits_agg
+    from sgpt_spark.operators.funcscore import match_scores
+
+    dv_dates = dv_f.withColumn(
+        "pub_date",
+        F.date_add(F.to_date(F.lit("2024-01-01")),
+                   F.pmod(F.col("n_chars"), F.lit(730)).cast("int")),
+    )
+    tstats_f_df = postings_f.groupBy("term").agg(F.sum("df").alias("df"))
+    th_s = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        cand_t = match_candidates(spark, postings_f, meta_f, mt_q)
+        date_histogram_agg(cand_t, dv_dates, "pub_date", "month").count()
+        scored_t = match_scores(spark, postings_f, meta_f, mt_q,
+                                term_stats=tstats_f_df)
+        top_hits_agg(scored_t, dv_f, "lang", size=3, hits=2).count()
+        th_s = min(th_s, time.time() - t0)
+    timings["match_tophits_datehist_200q"] = round(th_s, 3)
+
     # significant_terms: JLH-scored unusually-frequent terms per match
     # set — the heavy agg (the foreground join is |match set| x |terms
     # per matched doc|, the same cost ES pays iterating its hit bitset;
@@ -534,7 +557,6 @@ def main() -> None:
     # take)
     from sgpt_spark.operators.aggs import significant_terms_agg
 
-    tstats_f_df = postings_f.groupBy("term").agg(F.sum("df").alias("df"))
     sig_s = float("inf")
     for _ in range(2):
         t0 = time.time()

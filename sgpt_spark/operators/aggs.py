@@ -419,3 +419,145 @@ def significant_terms_agg(
         .withColumn("bucket_rank", F.row_number().over(w))
         .filter(F.col("bucket_rank") <= size)
     )
+
+
+_CALENDAR_STEPS = {
+    "day": "interval 1 day",
+    "week": "interval 7 day",
+    "month": "interval 1 month",
+    "quarter": "interval 3 month",
+    "year": "interval 1 year",
+}
+
+
+def date_histogram_agg(
+    candidates: DataFrame,
+    docvalues: DataFrame,
+    field: str,
+    calendar_interval: str = "month",
+    min_doc_count: int = 0,
+) -> DataFrame:
+    """ES ``date_histogram`` aggregation over the match set -> (qid,
+    bucket, doc_count): calendar-interval buckets (day / week / month /
+    quarter / year — the ES calendar_interval spellings this engine
+    carries), keys = ``date_trunc`` of the doc-values date, emitted as
+    DATE (ES emits epoch millis; DATE is the same bucket identity
+    without timezone-epoch ambiguity — the session runs UTC either
+    way). ``min_doc_count=0`` (the ES default) fills EMPTY buckets
+    between each query's min and max key with doc_count 0 via a
+    per-query ``sequence`` explode — declarative, no driver knowledge
+    of the key range; ``min_doc_count=1`` skips the fill (the other ES
+    spelling this engine supports). NULL dates fall in no bucket.
+
+    Calendar boundaries agree across engines by construction: both
+    Spark and DuckDB ``date_trunc`` weeks start Monday (ISO) and months
+    on the 1st, and the fill steps by the same calendar interval, so
+    the bucket key sets are value-gateable.
+    """
+    if field not in docvalues.columns:
+        raise ValueError(
+            f"date_histogram field {field!r} not in docvalues columns "
+            f"{docvalues.columns}"
+        )
+    if calendar_interval not in _CALENDAR_STEPS:
+        raise ValueError(
+            f"unknown calendar_interval {calendar_interval!r}: "
+            f"{tuple(_CALENDAR_STEPS)}"
+        )
+    if min_doc_count not in (0, 1):
+        raise ValueError(
+            f"min_doc_count must be 0 or 1, got {min_doc_count}"
+        )
+    vals = (
+        candidates.join(docvalues.select("doc_id", field), "doc_id")
+        .filter(F.col(field).isNotNull())
+        .select(
+            "qid",
+            F.date_trunc(calendar_interval if calendar_interval != "week"
+                         else "week", F.col(field))
+            .cast("date")
+            .alias("bucket"),
+        )
+    )
+    counts = vals.groupBy("qid", "bucket").agg(F.count("*").alias("doc_count"))
+    if min_doc_count == 1:
+        return counts
+    step = _CALENDAR_STEPS[calendar_interval]
+    spans = counts.groupBy("qid").agg(
+        F.min("bucket").alias("_lo"), F.max("bucket").alias("_hi")
+    )
+    full = spans.select(
+        "qid",
+        F.explode(
+            F.sequence(F.col("_lo"), F.col("_hi"), F.expr(step))
+        ).alias("bucket"),
+    )
+    return full.join(counts, ["qid", "bucket"], "left").select(
+        "qid",
+        "bucket",
+        F.coalesce(F.col("doc_count"), F.lit(0)).alias("doc_count"),
+    )
+
+
+def top_hits_agg(
+    scored: DataFrame,
+    docvalues: DataFrame,
+    field: str,
+    size: int = 10,
+    hits: int = 3,
+) -> DataFrame:
+    """ES ``top_hits`` sub-aggregation inside a ``terms`` bucket ->
+    (qid, value, doc_count, doc_id, score, bucket_rank, hit_rank): for
+    each query's top-``size`` buckets (the terms-agg order — doc_count
+    desc, value asc), the ``hits`` best-scoring matched docs (rounded
+    score desc, doc_id asc — the engine-wide ranking contract; ES
+    top_hits sorts by _score the same way).
+
+    ``scored``: the match query's FULL scored set (qid, doc_id, score)
+    — ``funcscore.match_scores`` produces it off the index; the bucket
+    membership and the hit ranking ride ONE docvalues join. NULL bucket
+    values are excluded (terms-agg semantics). Two windows, both
+    partition-pruned: bucket selection on the (qid, value) counts
+    relation (<= |buckets| rows), hit selection on the matched rows of
+    the surviving buckets only.
+    """
+    if field not in docvalues.columns:
+        raise ValueError(
+            f"top_hits field {field!r} not in docvalues columns "
+            f"{docvalues.columns}"
+        )
+    if size < 1 or hits < 1:
+        raise ValueError(f"size and hits must be >= 1, got {size}, {hits}")
+    vals = (
+        scored.join(docvalues.select("doc_id", field), "doc_id")
+        .filter(F.col(field).isNotNull())
+        .select(
+            "qid",
+            F.col(field).cast("string").alias("value"),
+            "doc_id",
+            F.round("score", 6).alias("score"),
+        )
+    )
+    buckets = (
+        vals.groupBy("qid", "value")
+        .agg(F.count("*").alias("doc_count"))
+        .withColumn(
+            "bucket_rank",
+            F.row_number().over(
+                Window.partitionBy("qid").orderBy(
+                    F.col("doc_count").desc(), F.col("value").asc()
+                )
+            ),
+        )
+        .filter(F.col("bucket_rank") <= size)
+    )
+    hw = Window.partitionBy("qid", "value").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        vals.join(buckets, ["qid", "value"])
+        .withColumn("hit_rank", F.row_number().over(hw))
+        .filter(F.col("hit_rank") <= hits)
+        .select("qid", "value", "doc_count", "doc_id", "score",
+                "bucket_rank", "hit_rank")
+    )

@@ -548,3 +548,202 @@ def test_term_df_top100_duckdb_equality(spark):
         .fetchall()
     )
     assert got == want and len(got) > 0
+
+
+def _brute_date_histogram(interval_months, min_dc):
+    import datetime
+
+    base = datetime.date(2024, 1, 1)
+    dates = {
+        d: (base + datetime.timedelta(days=n)).replace(day=1)
+        for d, _, _, n in ((x[0], x[1], x[2], x[3]) for x in DOCS)
+    }
+
+    def trunc(dt):
+        m = (dt.month - 1) // interval_months * interval_months + 1
+        return dt.replace(month=m, day=1)
+
+    out = []
+    for qid in {q for q, _ in _brute_match()}:
+        docs_q = [d for q, d in _brute_match() if q == qid]
+        counts = {}
+        for d in docs_q:
+            b = trunc(dates[d])
+            counts[b] = counts.get(b, 0) + 1
+        if min_dc == 1:
+            for b, c in counts.items():
+                out.append((qid, b, c))
+            continue
+        lo, hi = min(counts), max(counts)
+        b = lo
+        while b <= hi:
+            out.append((qid, b, counts.get(b, 0)))
+            mm = b.month - 1 + interval_months
+            b = b.replace(year=b.year + mm // 12, month=mm % 12 + 1)
+    return sorted(out)
+
+
+@pytest.mark.parametrize("interval,months,min_dc",
+                         [("month", 1, 0), ("quarter", 3, 0), ("month", 1, 1)])
+def test_date_histogram_brute_force(spark, interval, months, min_dc):
+    from sgpt_spark.operators.aggs import date_histogram_agg
+
+    docs = spark.createDataFrame(DOCS, SCHEMA).withColumn(
+        "pub_date",
+        F.date_add(F.to_date(F.lit("2024-01-01")), F.col("n_chars").cast("int")),
+    )
+    postings, dv, meta = build_postings_with_docvalues(
+        docs.repartition(3), ["pub_date"], segment_size=3
+    )
+    cand = match_candidates(
+        spark, postings, meta,
+        spark.createDataFrame(QUERIES, "qid long, query string"),
+    )
+    res = date_histogram_agg(cand, dv, "pub_date", interval,
+                             min_doc_count=min_dc)
+    got = sorted((r["qid"], r["bucket"], r["doc_count"]) for r in res.collect())
+    assert got == _brute_date_histogram(months, min_dc) and got
+
+
+def test_date_histogram_guards(spark):
+    from sgpt_spark.operators.aggs import date_histogram_agg
+
+    docs = spark.createDataFrame(DOCS, SCHEMA).withColumn(
+        "pub_date", F.to_date(F.lit("2024-01-01"))
+    )
+    postings, dv, meta = build_postings_with_docvalues(
+        docs, ["pub_date"], segment_size=3
+    )
+    cand = match_candidates(spark, postings, meta, QUERIES)
+    with pytest.raises(ValueError, match="calendar_interval"):
+        date_histogram_agg(cand, dv, "pub_date", "fortnight")
+    with pytest.raises(ValueError, match="not in docvalues"):
+        date_histogram_agg(cand, dv, "nope", "month")
+    with pytest.raises(ValueError, match="min_doc_count"):
+        date_histogram_agg(cand, dv, "pub_date", "month", min_doc_count=5)
+
+
+def test_top_hits_brute_force(spark):
+    from sgpt_spark.operators.aggs import top_hits_agg
+    from sgpt_spark.operators.funcscore import match_scores
+
+    docs = spark.createDataFrame(DOCS, SCHEMA)
+    postings, dv, meta = build_postings_with_docvalues(
+        docs.repartition(3), ["lang", "n_chars"], segment_size=3
+    )
+    qdf = spark.createDataFrame(QUERIES, "qid long, query string")
+    scored = match_scores(spark, postings, meta, qdf)
+    res = top_hits_agg(scored, dv, "lang", size=2, hits=2).collect()
+    # brute force off the already-verified scored relation
+    sc = {(r["qid"], r["doc_id"]): round(r["score"], 6)
+          for r in scored.collect()}
+    lang = {d: l for d, _, l, _ in DOCS}
+    by_q = {}
+    for (qid, doc), s in sc.items():
+        if lang[doc] is None:
+            continue
+        by_q.setdefault(qid, {}).setdefault(lang[doc], []).append((s, doc))
+    want = []
+    for qid, bks in by_q.items():
+        ranked = sorted(bks.items(), key=lambda kv: (-len(kv[1]), kv[0]))[:2]
+        for brk, (val, docs_b) in enumerate(ranked, 1):
+            docs_b.sort(key=lambda t: (-t[0], t[1]))
+            for hrk, (s, doc) in enumerate(docs_b[:2], 1):
+                want.append((qid, val, len(docs_b), doc, s, brk, hrk))
+    got = sorted(
+        (r["qid"], r["value"], r["doc_count"], r["doc_id"],
+         round(r["score"], 6), r["bucket_rank"], r["hit_rank"])
+        for r in res
+    )
+    assert got == sorted(want) and got
+
+
+def test_top_hits_guards(spark):
+    from sgpt_spark.operators.aggs import top_hits_agg
+
+    docs = spark.createDataFrame(DOCS, SCHEMA)
+    _, dv, _ = build_postings_with_docvalues(docs, ["lang"], segment_size=3)
+    scored = spark.createDataFrame(
+        [(0, 1, 1.0)], "qid long, doc_id long, score double"
+    )
+    with pytest.raises(ValueError, match="not in docvalues"):
+        top_hits_agg(scored, dv, "nope")
+    with pytest.raises(ValueError, match=">= 1"):
+        top_hits_agg(scored, dv, "lang", size=0)
+
+
+def test_date_histogram_gate_duckdb_equality(spark):
+    """Gate row match_date_histogram: exact registry query vs exact
+    registry SQL at sf0.001 (the driver repeats this at sf0.01)."""
+    import __spark_entry__ as entry
+
+    sf = "/root/testdata/sf0.001"
+    got = sorted(
+        (r["qid"], r["bucket"], r["doc_count"])
+        for r in entry._q_match_date_histogram(spark, sf).collect()
+    )
+    want = sorted(
+        (q, b, int(c))
+        for q, b, c in _duck(sf).execute(entry._DATE_HISTOGRAM_SQL).fetchall()
+    )
+    assert got == want and len(got) > 0
+
+
+def test_top_hits_gate_duckdb_equality(spark):
+    """Gate row match_top_hits: exact registry query vs exact registry
+    SQL at sf0.001 (the driver repeats this at sf0.01)."""
+    import __spark_entry__ as entry
+
+    sf = "/root/testdata/sf0.001"
+    got = sorted(
+        (r["qid"], r["value"], r["doc_count"], r["doc_id"],
+         round(r["score"], 6), r["bucket_rank"], r["hit_rank"])
+        for r in entry._q_match_top_hits(spark, sf).collect()
+    )
+    want = sorted(
+        (q, v, int(dc), int(d), round(s, 6), int(brk), int(hrk))
+        for q, v, dc, d, s, brk, hrk in _duck(sf)
+        .execute(entry._TOP_HITS_SQL)
+        .fetchall()
+    )
+    assert got == want and len(got) > 0
+
+
+def test_queryset_derive_duckdb_equality(spark):
+    """queryset_derive left the driver window for match_date_histogram
+    (round 5 — the identical derivation is the queryset CTE inside every
+    gated BM25 oracle); exact registry query vs exact registry SQL."""
+    import __spark_entry__ as entry
+
+    sf = "/root/testdata/sf0.001"
+    got = sorted(
+        (r["qid"], r["query"])
+        for r in entry._q_queryset(spark, sf).collect()
+    )
+    want = sorted(
+        (int(q), s) for q, s in _duck(sf).execute(entry.QUERIES_SQL).fetchall()
+    )
+    assert got == want and len(got) > 0
+
+
+def test_corpus_stats_duckdb_equality(spark):
+    """corpus_stats left the driver window for match_top_hits (round 5 —
+    N/avgdl are the stats CTE inside every gated BM25 oracle); exact
+    registry query vs exact registry SQL."""
+    import __spark_entry__ as entry
+
+    sf = "/root/testdata/sf0.001"
+    got = [
+        (r["n_docs"], round(r["avgdl"], 6))
+        for r in entry._q_corpus_stats(spark, sf).collect()
+    ]
+    want = [
+        (int(n), round(a, 6))
+        for n, a in _duck(sf)
+        .execute(
+            f"WITH {entry._TOKENS_CTE} SELECT count(*) AS n_docs, "
+            f"round(avg(doc_len), 6) AS avgdl FROM doclen"
+        )
+        .fetchall()
+    ]
+    assert got == want and len(got) == 1

@@ -31,6 +31,7 @@ from sgpt_spark.operators.search import bm25_search  # noqa: E402
 from sgpt_spark.operators.topk import SCORE_DECIMALS  # noqa: E402
 from sgpt_spark.sources.queryset import (  # noqa: E402
     BOOL_CLAUSES_SQL,
+    MISSPELLED_QUERIES_SQL,
     PHRASE_PREFIX_QUERIES_SQL,
     QRELS_SQL,
     QUERIES_SQL,
@@ -838,6 +839,27 @@ def _q_more_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
     return more_like_this_index(spark, postings, meta, docs, seeds, k=10)
 
 
+def _q_phrase_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES phrase suggester (Lucene PhraseSuggester): each derived query
+    carries ONE deterministic misspelling (queryset.derived_misspelled_
+    phrases — token at qid %% n drops its last char when >= 5 chars);
+    direct-generator candidates come from the index dictionary and a
+    bigram Stupid-Backoff language model over the corpus ranks the
+    single-correction variants above the original
+    (operators/suggest.phrase_suggest, max_errors=1, discount 0.4,
+    confidence 1.0, top-3)."""
+    from sgpt_spark.operators.indexer import build_postings
+    from sgpt_spark.operators.suggest import lm_counts, phrase_suggest
+    from sgpt_spark.sources.queryset import derived_misspelled_phrases
+
+    docs = load_table(spark, sf_dir, "documents")
+    postings, meta = build_postings(docs, segment_size=200)
+    tstats = postings.groupBy("term").agg(F.sum("df").alias("df"))
+    uni, big, tot, v = lm_counts(docs)
+    phrases = derived_misspelled_phrases(docs)
+    return phrase_suggest(tstats, uni, big, tot, v, phrases, size=3)
+
+
 def _q_term_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES term suggester (Lucene DirectSpellChecker): the derived
     queryset's tokens are misspelled deterministically (last char
@@ -1280,6 +1302,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "function_score_top10": _q_function_score,
         "more_like_this_top10": _q_more_like_this,
         "term_suggest_top3": _q_term_suggest,
+        "phrase_suggest_top3": _q_phrase_suggest,
         "match_significant_terms": _q_match_significant_terms,
         "match_date_histogram": _q_match_date_histogram,
         "match_top_hits": _q_match_top_hits,
@@ -1298,7 +1321,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "paraphrase_mining_top": _q_paraphrase_mining,
         "dedup_clusters": _q_dedup_clusters,
         "embedding_communities": _q_embedding_communities,
-        "ivf_full_probe_topk": _q_ivf_full_probe,
         "text_profile": _q_text_profile,
         # md5-arithmetic stub encoder -> cosine: fully value-gated as of
         # round 5 (encode.py md5_embedding_sql — the pre-normalization
@@ -1333,6 +1355,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "metrics_by_dataset": _q_metrics_by_dataset,  # grouped variant of the still-gated ir_metrics_multi_k (same eval join + mean); ceded its slot to match_terms_metric_agg (round 5) — DuckDB equality now pytest-covered (test_metrics.py)
         "best_checkpoint_argmax": _q_best_checkpoint,  # argmax over the gated mean-metric lifecycle; ceded its slot to match_stats_agg (round 5) — DuckDB equality now pytest-covered (test_metrics.py)
         "average_precision_global": _q_average_precision,  # AP variant of the gated metric family; ceded its slot to match_range_agg (round 5) — DuckDB equality now pytest-covered (test_metrics.py)
+        "ivf_full_probe_topk": _q_ivf_full_probe,  # full-probe IVF == exact cosine identity (the gated hybrid_rrf_top10/dense_cosine_topk keep the cosine evidence); ceded its slot to phrase_suggest_top3 (round 5) — DuckDB equality now pytest-covered (test_suggest.py)
         "dense_join_topk": _q_dense_join_topk,  # in-plan join variant of the gated dense family (dense_cosine_topk keeps the encode lifecycle gated, hybrid_rrf_top10 consumes the same cosine window); ceded its slot to hybrid_rrf_top10 (round 5) — DuckDB equality now pytest-covered (test_fusion.py)
         "cosine_topk": _q_cosine_topk,  # broadcast-contract dense top-k (the in-plan dense_join_topk and the encode-lifecycle dense_cosine_topk keep the cosine evidence gated on the same oracle); ceded its slot to term_suggest_top3 (round 5) — DuckDB equality now pytest-covered (test_suggest.py)
         "ngram_jaccard_pairs": _q_ngram_jaccard,  # exact-Jaccard ground-truth twin (the gated minhash_lsh_pairs_md5 keeps the near-dup evidence); ceded its slot to more_like_this_top10 (round 5) — DuckDB equality now pytest-covered (test_mlt.py)
@@ -2206,6 +2229,145 @@ FROM ranked WHERE rnk <= 10
 # the same length-band + shared-first-char candidate join, DuckDB's
 # levenshtein (the identical classical distance), the same
 # (similarity desc, df desc, term asc) order.
+# phrase-suggester oracle: the full pipeline recomputed relation-for-
+# relation — filtered-token LM counts (unigram occurrences, adjacent
+# bigrams via the parallel-unnest slice zip), the SAME misspelled-
+# phrase derivation (queryset.MISSPELLED_QUERIES_SQL), the term-
+# suggester candidate generation, relational variant bigrams with the
+# two CASE substitutions, Stupid-Backoff log10 probabilities in the
+# identical association order, and the confidence filter vs the
+# original variant (j = -1, cand = '').
+_PHRASE_SUGGEST_SQL = f"""
+WITH ftoks AS (
+    SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+    FROM documents
+    WHERE text IS NOT NULL AND length(trim(text)) > 0
+  ),
+  lm_uni AS (
+    SELECT term, count(*) AS cnt
+    FROM (SELECT unnest(toks) AS term FROM ftoks)
+    GROUP BY term
+  ),
+  lm_big AS (
+    SELECT w1, w2, count(*) AS cnt
+    FROM (
+      SELECT unnest(list_slice(toks, 1, len(toks) - 1)) AS w1,
+             unnest(list_slice(toks, 2, len(toks))) AS w2
+      FROM ftoks WHERE len(toks) >= 2
+    )
+    GROUP BY w1, w2
+  ),
+  lmtot AS (SELECT sum(cnt) AS tot, count(*) AS v FROM lm_uni),
+  tdfd AS (
+    SELECT term, count(DISTINCT doc_id) AS df
+    FROM (SELECT doc_id, unnest(toks) AS term FROM ftoks)
+    GROUP BY term
+  ),
+  queryset AS ({MISSPELLED_QUERIES_SQL}),
+  ptoks AS (
+    SELECT qid, unnest(qarr) AS t,
+           unnest(range(1, len(qarr) + 1)) - 1 AS pos
+    FROM (
+      SELECT qid, list_filter(string_split(query, ' '), x -> x <> '') AS qarr
+      FROM queryset
+    )
+  ),
+  pb AS (
+    SELECT a.qid, b.pos AS i, a.t AS w1, b.t AS w2
+    FROM ptoks a JOIN ptoks b ON a.qid = b.qid AND b.pos = a.pos + 1
+  ),
+  gtok AS (
+    SELECT q.token, d.df AS tok_df
+    FROM (SELECT DISTINCT t AS token FROM ptoks WHERE length(t) >= 4) q
+    LEFT JOIN tdfd d ON d.term = q.token
+  ),
+  gcand AS (
+    SELECT k.token, t.term AS cand,
+           1.0 - CAST(levenshtein(t.term, k.token) AS DOUBLE)
+                 / CAST(least(length(k.token), length(t.term)) AS DOUBLE) AS s,
+           t.df
+    FROM gtok k JOIN tdfd t
+      ON abs(length(t.term) - length(k.token)) <= 2
+     AND substr(t.term, 1, 1) = substr(k.token, 1, 1)
+     AND t.term <> k.token
+    WHERE levenshtein(t.term, k.token) <= 2 AND k.tok_df IS NULL
+  ),
+  granked AS (
+    SELECT token, cand,
+           row_number() OVER (
+             PARTITION BY token ORDER BY s DESC, df DESC, cand ASC
+           ) AS grk
+    FROM gcand
+  ),
+  variants AS (
+    SELECT p.qid, p.pos AS j, g.cand
+    FROM ptoks p JOIN granked g ON p.t = g.token AND g.grk <= 5
+    UNION ALL
+    SELECT qid, -1 AS j, '' AS cand FROM queryset
+  ),
+  vb AS (
+    SELECT v.qid, v.j, v.cand,
+           CASE WHEN b.i - 1 = v.j THEN v.cand ELSE b.w1 END AS bw1,
+           CASE WHEN b.i = v.j THEN v.cand ELSE b.w2 END AS bw2
+    FROM variants v JOIN pb b ON v.qid = b.qid
+  ),
+  probs AS (
+    SELECT vb.qid, vb.j, vb.cand,
+           CASE WHEN bg.cnt IS NOT NULL
+                THEN log10(bg.cnt / CAST(u1.cnt AS DOUBLE))
+                ELSE log10(0.4)
+                     + log10((coalesce(u2.cnt, 0) + 1)
+                             / CAST(tv.tot + tv.v AS DOUBLE))
+           END AS lp
+    FROM vb
+    LEFT JOIN lm_big bg ON bg.w1 = vb.bw1 AND bg.w2 = vb.bw2
+    LEFT JOIN lm_uni u1 ON u1.term = vb.bw1
+    LEFT JOIN lm_uni u2 ON u2.term = vb.bw2
+    CROSS JOIN lmtot tv
+  ),
+  vbsum AS (SELECT qid, j, cand, sum(lp) AS bs FROM probs GROUP BY qid, j, cand),
+  pt0 AS (SELECT qid, t FROM ptoks WHERE pos = 0),
+  vstarts AS (
+    SELECT v.qid, v.j, v.cand,
+           log10((coalesce(u0.cnt, 0) + 1)
+                 / CAST(tv.tot + tv.v AS DOUBLE)) AS lp0
+    FROM variants v
+    JOIN pt0 ON v.qid = pt0.qid
+    LEFT JOIN lm_uni u0
+      ON u0.term = CASE WHEN v.j = 0 THEN v.cand ELSE pt0.t END
+    CROSS JOIN lmtot tv
+  ),
+  vscores AS (
+    SELECT s.qid, s.j, s.cand, s.lp0 + coalesce(b.bs, 0) AS sc
+    FROM vstarts s
+    LEFT JOIN vbsum b ON s.qid = b.qid AND s.j = b.j AND s.cand = b.cand
+  ),
+  vorig AS (SELECT qid, sc AS osc FROM vscores WHERE j = -1),
+  vkept AS (
+    SELECT sc.qid, sc.j, sc.cand, sc.sc
+    FROM vscores sc JOIN vorig o ON sc.qid = o.qid
+    WHERE sc.j >= 0 AND sc.sc > o.osc
+  ),
+  vsug AS (
+    SELECT k.qid, k.sc,
+           string_agg(CASE WHEN p.pos = k.j THEN k.cand ELSE p.t END,
+                      ' ' ORDER BY p.pos) AS suggestion
+    FROM vkept k JOIN ptoks p ON k.qid = p.qid
+    GROUP BY k.qid, k.j, k.cand, k.sc
+  ),
+  vranked AS (
+    SELECT qid, suggestion, round(sc, {SCORE_DECIMALS}) AS score,
+           row_number() OVER (
+             PARTITION BY qid
+             ORDER BY round(sc, {SCORE_DECIMALS}) DESC, suggestion ASC
+           ) AS rnk
+    FROM vsug
+  )
+SELECT qid, suggestion, score, CAST(rnk AS INTEGER) AS suggest_rank
+FROM vranked WHERE rnk <= 3
+"""
+
+
 _TERM_SUGGEST_SQL = f"""
 WITH {_TOKENS_CTE},
   queryset AS ({QUERIES_SQL}),
@@ -3259,7 +3421,7 @@ def oracle_sql() -> dict[str, str]:
         "paraphrase_mining_top": _PARAPHRASE_SQL,
         "dedup_clusters": _DEDUP_CLUSTERS_SQL,
         "embedding_communities": _COMMUNITIES_SQL,
-        "ivf_full_probe_topk": _COSINE_SQL,
+        "phrase_suggest_top3": _PHRASE_SUGGEST_SQL,
         "minhash_lsh_pairs_md5": _minhash_md5_sql(16, 8, 0.2),
         "simhash_near_pairs_md5": _SIMHASH_MD5_SQL,
         "near_dup_pairs_md5": _NEAR_DUP_MD5_SQL,

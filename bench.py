@@ -633,6 +633,42 @@ def main() -> None:
         sug_s = min(sug_s, time.time() - t0)
     timings["term_suggest_1k"] = round(sug_s, 3)
     sug_toks.unpersist()
+
+    # ES phrase suggester: 200 one-misspelling phrases corrected by the
+    # bigram Stupid-Backoff LM; the LM-count build (unigram + adjacent-
+    # bigram groupBys over the corpus) is timed separately from the
+    # per-batch suggest
+    from sgpt_spark.operators.suggest import lm_counts, phrase_suggest
+
+    t0 = time.time()
+    uni_lm, big_lm, tot_lm, v_lm = lm_counts(docs)
+    uni_lm.persist().count()
+    big_lm.persist().count()
+    timings["lm_counts_build"] = round(time.time() - t0, 3)
+    mis_q = mt_q.select(
+        "qid",
+        F.array_join(
+            F.transform(
+                F.split("query", " ", -1),
+                lambda t, i: F.when(
+                    (i == 0) & (F.length(t) >= 5),
+                    t.substr(F.lit(1), F.length(t) - 1),
+                ).otherwise(t),
+            ),
+            " ",
+        ).alias("query"),
+    )
+    mis_q.persist().count()
+    ps_s = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        phrase_suggest(tstats_df, uni_lm, big_lm, tot_lm, v_lm, mis_q,
+                       size=3).count()
+        ps_s = min(ps_s, time.time() - t0)
+    timings["phrase_suggest_200q"] = round(ps_s, 3)
+    mis_q.unpersist()
+    uni_lm.unpersist()
+    big_lm.unpersist()
     tstats_df.unpersist()
 
     # hybrid RRF: the ws-analyzer and standard-analyzer BM25 runs (two

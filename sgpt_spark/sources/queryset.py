@@ -236,3 +236,36 @@ BOOL_FILTERS_SQL = f"""
   SELECT doc_id, 'filter', 'lang', 'exists', '' FROM fbase
   WHERE doc_id % {2 * EVERY} = 0
 """
+
+
+def derived_misspelled_phrases(
+    documents: DataFrame, every: int = EVERY, n_terms: int = N_TERMS
+) -> DataFrame:
+    """The known-item query set with ONE deterministic misspelling per
+    phrase (the phrase-suggester input shape): the token at 0-based
+    position ``qid % n_tokens`` drops its last character when it is
+    >= 5 chars (so the misspelling is >= 1 edit from a real dictionary
+    term), other tokens stay verbatim. The SQL twin applies the same
+    indexed transform, so both engines derive the identical phrase."""
+    q = derived_queries(documents, every=every, n_terms=n_terms)
+    arr = F.split(F.col("query"), " ", -1)
+    mutated = F.transform(
+        arr,
+        lambda t, i: F.when(
+            (i == F.pmod(F.col("qid"), F.size(arr))) & (F.length(t) >= 5),
+            t.substr(F.lit(1), F.length(t) - 1),
+        ).otherwise(t),
+    )
+    return q.select("qid", F.array_join(mutated, " ").alias("query"))
+
+
+# derived_misspelled_phrases' twin: DuckDB list_transform's lambda index
+# is 1-based (Spark's is 0-based), hence the i - 1.
+MISSPELLED_QUERIES_SQL = f"""
+  SELECT qid,
+         array_to_string(
+           list_transform(qarr, (t, i) ->
+             CASE WHEN i - 1 = qid % len(qarr) AND length(t) >= 5
+                  THEN substr(t, 1, length(t) - 1) ELSE t END), ' ') AS query
+  FROM (SELECT qid, string_split(query, ' ') AS qarr FROM ({QUERIES_SQL}))
+"""

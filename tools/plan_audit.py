@@ -417,6 +417,85 @@ def main() -> None:
     assert n_cogroup_f >= 1, "cogroup missing from the filtered bool plan"
     assert dv_pruned, "docvalues scan did not column-prune unreferenced fields"
 
+    # --- 13. term suggester: banded dictionary join, no full-vocab scan --
+    from sgpt_spark.operators.suggest import term_suggest
+
+    tstats_rel = postings.groupBy("term").agg(F.sum("df").alias("df"))
+    sug_toks = spark.createDataFrame(
+        [("retrievl",), ("documnt",)], "token string"
+    )
+    plan = captured_plan(term_suggest(tstats_rel, sug_toks, size=3))
+    has_bhj = "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    lev_after = "levenshtein" in plan
+    sections.append((
+        "term suggester (`term_suggest`) — banded dictionary expansion",
+        "The suggest-entry side explodes each token to its admissible "
+        "term LENGTHS and equi-joins (length, first-char prefix) against "
+        "the vocabulary-sized termstats relation, broadcast because the "
+        "token side is tiny ("
+        + ("BroadcastHashJoin/NLJ verified" if has_bhj else "BROADCAST MISSING (BUG)")
+        + "); only band survivors reach the JVM levenshtein filter ("
+        + ("present in the post-join Filter/Join condition" if lev_after
+           else "MISSING (BUG)")
+        + ") — the distance function never runs over the full "
+        "vocabulary x token cross product. The per-token top-size is a "
+        "window rank (WindowGroupLimit pushes the cut below the sort).",
+        plan,
+    ))
+    assert has_bhj and lev_after
+
+    # --- 14. significant_terms: hit-set-bounded foreground ---------------
+    from sgpt_spark.operators.aggs import (
+        match_candidates as mc_audit,
+        significant_terms_agg,
+    )
+
+    cand_audit = mc_audit(spark, postings, meta, [("0", qtext)])
+    plan = captured_plan(
+        significant_terms_agg(cand_audit, docs, meta, tstats_rel, size=5)
+    )
+    n_semi = plan.count("LeftSemi")
+    partial_cnt = "partial_count" in plan
+    sections.append((
+        "significant_terms (`significant_terms_agg`) — JLH over the hit set",
+        "The foreground term counts re-analyze ONLY the matched docs: "
+        "the corpus scan is left-semi pruned by the candidate doc_ids ("
+        + (f"{n_semi} LeftSemi join(s) verified" if n_semi >= 1
+           else "PRUNE MISSING (BUG)")
+        + "), so the expensive |match set| x |terms per doc| relation "
+        "never includes unmatched docs — the ES agg-phase bound. The "
+        "per-(qid, term) count is map-side combinable ("
+        + ("partial_count before the exchange" if partial_cnt
+           else "NO partial agg (BUG)")
+        + "); the background side joins the vocabulary-sized termstats "
+        "relation, and the JLH arithmetic is whole-stage codegen.",
+        plan,
+    ))
+    assert n_semi >= 1 and partial_cnt
+
+    # --- 15. RRF fusion: query-bounded, corpus never rescanned -----------
+    from sgpt_spark.operators.fusion import rrf_fusion
+
+    run_a = search_index(spark, postings, meta, [("0", qtext)], k=10,
+                         term_stats=tstats)
+    run_b = search_index(spark, postings, meta, [("0", qtext)], k=10,
+                         term_stats=tstats, strategy="exhaustive")
+    plan = captured_plan(rrf_fusion([run_a, run_b], k=10))
+    partial_sum = "partial_sum" in plan
+    sections.append((
+        "hybrid RRF fusion (`rrf_fusion`)",
+        "The fused relation is the UNION of the two top-k windows — at "
+        "most k rows per (query, retriever) — so everything above the "
+        "final window is bounded by the query batch; the reciprocal-rank "
+        "sum is one map-side-combinable groupBy ("
+        + ("partial_sum before the exchange" if partial_sum
+           else "NO map-side combine (BUG)")
+        + ") and the corpus is touched only inside the upstream "
+        "retrievals themselves.",
+        plan,
+    ))
+    assert partial_sum
+
     out = ["# PLANS — physical-plan audit of the headline operators",
            "",
            f"Regenerated by `python tools/plan_audit.py` at sf0.01 "

@@ -760,6 +760,47 @@ def _q_match_top_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top_hits_agg(scored, dv, "lang", size=3, hits=2)
 
 
+def _q_sampled_significant_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES sampler -> significant_terms composition (the pairing the ES
+    docs themselves recommend for this expensive agg): each query's
+    30 best-scoring matched docs (aggs.sampler_candidates — the global
+    per-query form of the ES per-shard sample) feed the JLH scoring, so
+    the foreground cost is shard_size per query instead of the whole
+    match set."""
+    from sgpt_spark.operators.aggs import sampler_candidates, significant_terms_agg
+    from sgpt_spark.operators.funcscore import match_scores
+    from sgpt_spark.operators.indexer import build_postings
+
+    docs = load_table(spark, sf_dir, "documents")
+    postings, meta = build_postings(docs, segment_size=200)
+    tstats = postings.groupBy("term").agg(F.sum("df").alias("df"))
+    scored = match_scores(spark, postings, meta, derived_queries(docs),
+                          term_stats=tstats)
+    samp = sampler_candidates(scored, shard_size=30)
+    return significant_terms_agg(samp, docs, meta, tstats, size=5,
+                                 min_doc_count=3)
+
+
+def _q_bm25_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES field collapsing (the results-page host-dedup shape): the
+    flagship match query's scored set collapses to ONE best hit per
+    (query, source) — group representative and final page both ranked
+    by the engine-wide (rounded score desc, doc_id asc) contract
+    (operators/collapse.collapse_search); NULL keys would collapse to
+    themselves, the ES behavior (pytest-covered; testdata sources are
+    non-null)."""
+    from sgpt_spark.operators.collapse import collapse_search
+    from sgpt_spark.operators.funcscore import match_scores
+    from sgpt_spark.operators.indexer import build_postings_with_docvalues
+
+    docs = load_table(spark, sf_dir, "documents")
+    postings, dv, meta = build_postings_with_docvalues(
+        docs, ["source"], segment_size=200
+    )
+    scored = match_scores(spark, postings, meta, derived_queries(docs))
+    return collapse_search(scored, dv, "source", k=10)
+
+
 def _q_match_significant_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES ``significant_terms`` aggregation over the match set: the
     text terms unusually frequent in each query's hit set vs the whole
@@ -1304,18 +1345,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_suggest_top3": _q_term_suggest,
         "phrase_suggest_top3": _q_phrase_suggest,
         "match_significant_terms": _q_match_significant_terms,
+        "sampled_significant_terms": _q_sampled_significant_terms,
+        "bm25_collapse_top10": _q_bm25_collapse,
         "match_date_histogram": _q_match_date_histogram,
         "match_top_hits": _q_match_top_hits,
         "ir_metrics_multi_k": _q_ir_metrics_multi_k,
         "bm25_rerank_tail": _q_rerank_tail,
         "bm25_index_noself_top10": _q_bm25_index_noself,
-        "doc_truncation": _q_doc_truncation,
         "udf_log_mode": _q_udf_log_mode,
         "sessionize": _q_sessionize,
         # training-data pipeline ops
         "dedup_exact": _q_dedup_exact,
         "minhash_lsh_pairs_md5": _q_minhash_md5,
-        "near_dup_pairs_md5": _q_near_dup_md5,
         "simhash_near_pairs_md5": _q_simhash_md5,
         "hybrid_rrf_top10": _q_hybrid_rrf,
         "paraphrase_mining_top": _q_paraphrase_mining,
@@ -1355,6 +1396,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "metrics_by_dataset": _q_metrics_by_dataset,  # grouped variant of the still-gated ir_metrics_multi_k (same eval join + mean); ceded its slot to match_terms_metric_agg (round 5) — DuckDB equality now pytest-covered (test_metrics.py)
         "best_checkpoint_argmax": _q_best_checkpoint,  # argmax over the gated mean-metric lifecycle; ceded its slot to match_stats_agg (round 5) — DuckDB equality now pytest-covered (test_metrics.py)
         "average_precision_global": _q_average_precision,  # AP variant of the gated metric family; ceded its slot to match_range_agg (round 5) — DuckDB equality now pytest-covered (test_metrics.py)
+        "doc_truncation": _q_doc_truncation,  # truncation projection (telemetry twin truncation_stats already pytest-twinned); ceded its slot to sampled_significant_terms (round 5) — DuckDB equality now pytest-covered (test_aggs.py)
+        "near_dup_pairs_md5": _q_near_dup_md5,  # minhash+verify composition (minhash_lsh_pairs_md5 stays gated, exact-jaccard twin in tail); ceded its slot to bm25_collapse_top10 (round 5) — DuckDB equality now pytest-covered (test_collapse.py)
         "ivf_full_probe_topk": _q_ivf_full_probe,  # full-probe IVF == exact cosine identity (the gated hybrid_rrf_top10/dense_cosine_topk keep the cosine evidence); ceded its slot to phrase_suggest_top3 (round 5) — DuckDB equality now pytest-covered (test_suggest.py)
         "dense_join_topk": _q_dense_join_topk,  # in-plan join variant of the gated dense family (dense_cosine_topk keeps the encode lifecycle gated, hybrid_rrf_top10 consumes the same cosine window); ceded its slot to hybrid_rrf_top10 (round 5) — DuckDB equality now pytest-covered (test_fusion.py)
         "cosine_topk": _q_cosine_topk,  # broadcast-contract dense top-k (the in-plan dense_join_topk and the encode-lifecycle dense_cosine_topk keep the cosine evidence gated on the same oracle); ceded its slot to term_suggest_top3 (round 5) — DuckDB equality now pytest-covered (test_suggest.py)
@@ -1942,6 +1985,127 @@ SELECT qid, value, doc_count, doc_id, score,
        CAST(bucket_rank AS INTEGER) AS bucket_rank,
        CAST(hit_rank AS INTEGER) AS hit_rank
 FROM hits WHERE hit_rank <= 2
+"""
+
+# sampler -> significant_terms oracle: the un-cut BM25 scored relation
+# windowed to each query's top-30 (the sampler), then the same JLH.
+_SAMPLED_SIG_TERMS_SQL = f"""
+WITH {_TOKENS_CTE},
+  stats AS (SELECT count(*) AS n, avg(doc_len) AS avgdl FROM doclen),
+  queryset AS ({QUERIES_SQL}),
+  qterms AS (
+    SELECT qid, u.term AS term, count(*) AS qtf
+    FROM queryset, unnest(string_split(query, ' ')) AS u(term)
+    WHERE u.term <> ''
+    GROUP BY qid, u.term
+  ),
+  scored AS (
+    SELECT q.qid, tf.doc_id,
+           sum(
+             q.qtf
+             * ln(1 + (s.n - tdf.df + 0.5) / (tdf.df + 0.5))
+             * tf.tf / (tf.tf + {K1} * (1 - {B} + {B} * dl.doc_len / s.avgdl))
+           ) AS raw_score
+    FROM qterms q
+    JOIN tf  ON q.term = tf.term
+    JOIN tdf ON tf.term = tdf.term
+    JOIN doclen dl ON tf.doc_id = dl.doc_id
+    CROSS JOIN stats s
+    GROUP BY q.qid, tf.doc_id
+  ),
+  sampled AS (
+    SELECT qid, doc_id FROM (
+      SELECT qid, doc_id,
+             row_number() OVER (
+               PARTITION BY qid
+               ORDER BY round(raw_score, {SCORE_DECIMALS}) DESC, doc_id ASC
+             ) AS r
+      FROM scored
+    ) WHERE r <= 30
+  ),
+  sfgn AS (SELECT qid, count(*) AS fg_n FROM sampled GROUP BY qid),
+  sbgn AS (SELECT count(*) AS bg_n FROM doclen),
+  sfg AS (
+    SELECT m.qid, tf.term, count(*) AS fg_count
+    FROM sampled m JOIN tf ON tf.doc_id = m.doc_id
+    GROUP BY m.qid, tf.term
+    HAVING count(*) >= 3
+  ),
+  sshares AS (
+    SELECT sfg.qid, sfg.term, sfg.fg_count, tdf.df AS bg_count,
+           sfg.fg_count / CAST(sfgn.fg_n AS DOUBLE) AS fgp,
+           tdf.df / CAST(sbgn.bg_n AS DOUBLE) AS bgp
+    FROM sfg
+    JOIN tdf ON sfg.term = tdf.term
+    JOIN sfgn ON sfg.qid = sfgn.qid
+    CROSS JOIN sbgn
+  ),
+  ssig AS (
+    SELECT qid, term, fg_count, bg_count,
+           round((fgp - bgp) * fgp / bgp, {SCORE_DECIMALS}) AS score
+    FROM sshares WHERE fgp > bgp
+  ),
+  ssr AS (
+    SELECT qid, term, fg_count, bg_count, score,
+           row_number() OVER (
+             PARTITION BY qid ORDER BY score DESC, term ASC
+           ) AS rnk
+    FROM ssig
+  )
+SELECT qid, term, fg_count, bg_count, score,
+       CAST(rnk AS INTEGER) AS bucket_rank
+FROM ssr WHERE rnk <= 5
+"""
+
+# field-collapse oracle: the same scored relation, best hit per
+# (query, source) then the collapsed page — both by the engine-wide
+# (rounded score desc, doc_id asc) order. NULL keys self-collapse via
+# the same per-doc sentinel substitution as the Spark plan.
+_COLLAPSE_SQL = f"""
+WITH {_TOKENS_CTE},
+  stats AS (SELECT count(*) AS n, avg(doc_len) AS avgdl FROM doclen),
+  queryset AS ({QUERIES_SQL}),
+  qterms AS (
+    SELECT qid, u.term AS term, count(*) AS qtf
+    FROM queryset, unnest(string_split(query, ' ')) AS u(term)
+    WHERE u.term <> ''
+    GROUP BY qid, u.term
+  ),
+  scored AS (
+    SELECT q.qid, tf.doc_id,
+           sum(
+             q.qtf
+             * ln(1 + (s.n - tdf.df + 0.5) / (tdf.df + 0.5))
+             * tf.tf / (tf.tf + {K1} * (1 - {B} + {B} * dl.doc_len / s.avgdl))
+           ) AS raw_score
+    FROM qterms q
+    JOIN tf  ON q.term = tf.term
+    JOIN tdf ON tf.term = tdf.term
+    JOIN doclen dl ON tf.doc_id = dl.doc_id
+    CROSS JOIN stats s
+    GROUP BY q.qid, tf.doc_id
+  ),
+  cvals AS (
+    SELECT s.qid, s.doc_id, CAST(d.source AS VARCHAR) AS source,
+           round(s.raw_score, {SCORE_DECIMALS}) AS score,
+           row_number() OVER (
+             PARTITION BY s.qid,
+                          coalesce(CAST(d.source AS VARCHAR),
+                                   chr(0) || 'doc:' || CAST(s.doc_id AS VARCHAR))
+             ORDER BY round(s.raw_score, {SCORE_DECIMALS}) DESC, s.doc_id ASC
+           ) AS gr
+    FROM scored s LEFT JOIN documents d ON s.doc_id = d.doc_id
+  ),
+  creps AS (SELECT qid, doc_id, source, score FROM cvals WHERE gr = 1),
+  cpage AS (
+    SELECT qid, doc_id, source, score,
+           row_number() OVER (
+             PARTITION BY qid ORDER BY score DESC, doc_id ASC
+           ) AS rnk
+    FROM creps
+  )
+SELECT qid, doc_id, source, score, CAST(rnk AS INTEGER) AS rank
+FROM cpage WHERE rnk <= 10
 """
 
 # significant_terms oracle: JLH recomputed relation-for-relation — the
@@ -3424,7 +3588,7 @@ def oracle_sql() -> dict[str, str]:
         "phrase_suggest_top3": _PHRASE_SUGGEST_SQL,
         "minhash_lsh_pairs_md5": _minhash_md5_sql(16, 8, 0.2),
         "simhash_near_pairs_md5": _SIMHASH_MD5_SQL,
-        "near_dup_pairs_md5": _NEAR_DUP_MD5_SQL,
+        "sampled_significant_terms": _SAMPLED_SIG_TERMS_SQL,
         "sort_by_field_top10": _SORT_BY_FIELD_SQL,
         "bm25_index_noself_top10": _bm25_sql(10, exclude_self=True),
         "term_suggest_top3": _TERM_SUGGEST_SQL,
@@ -3464,18 +3628,7 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN doc_id % 7 = 0 THEN 'ZeroDivisionError' END AS error_type
             FROM documents
         """,
-        "doc_truncation": """
-            SELECT doc_id,
-                   CASE WHEN length(coalesce(text, '')) > 80
-                        THEN substring(coalesce(text, ''), 1, 80) || '...'
-                        ELSE coalesce(text, '') END AS text_trunc,
-                   len(list_filter(string_split(coalesce(text, ''), ' '),
-                                   x -> x <> '')) AS n_tokens,
-                   least(len(list_filter(string_split(coalesce(text, ''), ' '),
-                                         x -> x <> '')), 30) AS n_tokens_trunc,
-                   length(coalesce(text, '')) > 80 AS was_truncated
-            FROM documents
-        """,
+        "bm25_collapse_top10": _COLLAPSE_SQL,
         "match_terms_agg_lang": _TERMS_AGG_SQL,
         "match_histogram_agg": _HISTOGRAM_AGG_SQL,
         "match_terms_metric_agg": _TERMS_METRIC_AGG_SQL,

@@ -566,6 +566,36 @@ def main() -> None:
         sig_s = min(sig_s, time.time() - t0)
     timings["match_significant_terms_20q"] = round(sig_s, 3)
 
+    # sampler -> significant_terms takes the FULL 200-query batch: the
+    # foreground is shard_size docs per query instead of the match set
+    # (the ES-recommended composition for this agg)
+    from sgpt_spark.operators.aggs import sampler_candidates
+    from sgpt_spark.operators.funcscore import match_scores as _ms_bench
+
+    ssig_s = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        sc_b = _ms_bench(spark, postings_f, meta_f, mt_q,
+                         term_stats=tstats_f_df)
+        samp_b = sampler_candidates(sc_b, shard_size=100)
+        significant_terms_agg(samp_b, docs_dv, meta_f, tstats_f_df,
+                              size=10).count()
+        ssig_s = min(ssig_s, time.time() - t0)
+    timings["sampled_significant_terms_200q"] = round(ssig_s, 3)
+
+    # field collapsing: one best hit per (query, lang) over the full
+    # scored match set, then the collapsed page
+    from sgpt_spark.operators.collapse import collapse_search
+
+    col_s = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        sc_c = _ms_bench(spark, postings_f, meta_f, mt_q,
+                         term_stats=tstats_f_df)
+        collapse_search(sc_c, dv_f, "lang", k=10).count()
+        col_s = min(col_s, time.time() - t0)
+    timings["bm25_collapse_200q"] = round(col_s, 3)
+
     # ES sort-by-field (match set ordered by doc values, not BM25) and
     # function_score field_value_factor (BM25 x log1p(n_chars)) — both
     # one docvalues join on top of the shared match/score plans

@@ -561,3 +561,35 @@ def top_hits_agg(
         .select("qid", "value", "doc_count", "doc_id", "score",
                 "bucket_rank", "hit_rank")
     )
+
+
+def sampler_candidates(
+    scored: DataFrame,
+    shard_size: int = 100,
+) -> DataFrame:
+    """ES ``sampler`` aggregation -> the (qid, doc_id) candidates
+    relation any bucket/metric agg consumes, limited to each query's
+    ``shard_size`` BEST-SCORING matched docs (rounded score desc,
+    doc_id asc — the engine-wide ranking contract).
+
+    This is ES's own answer to expensive sub-aggregations (its docs
+    pair sampler with significant_terms explicitly): the downstream
+    agg's cost drops from |match set| to shard_size per query. ES
+    samples the top docs PER SHARD; this engine takes the global
+    per-query top — a deterministic, strictly-better sample of the same
+    size contract (documented divergence: a global top is what
+    shard_size converges to as shards grow), which is what keeps the
+    composition value-gateable.
+
+    ``scored``: the full scored match set (funcscore.match_scores).
+    """
+    if shard_size < 1:
+        raise ValueError(f"shard_size must be >= 1, got {shard_size}")
+    w = Window.partitionBy("qid").orderBy(
+        F.round("score", 6).desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= shard_size)
+        .select("qid", "doc_id")
+    )

@@ -747,3 +747,107 @@ def test_corpus_stats_duckdb_equality(spark):
         .fetchall()
     ]
     assert got == want and len(got) == 1
+
+
+def test_sampler_candidates_brute_force(spark):
+    from sgpt_spark.operators.aggs import sampler_candidates
+
+    scored = spark.createDataFrame(
+        [(0, 1, 5.0), (0, 2, 4.0), (0, 3, 4.0), (0, 4, 1.0),
+         (1, 9, 2.0), (1, 8, 2.0)],
+        "qid long, doc_id long, score double",
+    )
+    got = {(r["qid"], r["doc_id"])
+           for r in sampler_candidates(scored, shard_size=2).collect()}
+    # q0: 5.0 then the 4.0 tie broken by doc_id asc -> doc 2
+    assert got == {(0, 1), (0, 2), (1, 8), (1, 9)}
+    with pytest.raises(ValueError, match="shard_size"):
+        sampler_candidates(scored, shard_size=0)
+
+
+def test_sampler_composition_bounds_foreground(spark):
+    """sampler -> significant_terms: the fg size per query is exactly
+    min(shard_size, |match set|), and the composition equals running
+    significant_terms on the brute-force top-shard_size doc set."""
+    from sgpt_spark.operators.aggs import (
+        sampler_candidates,
+        significant_terms_agg,
+    )
+    from sgpt_spark.operators.funcscore import match_scores
+    from sgpt_spark.operators.indexer import build_postings
+
+    docs = spark.createDataFrame(DOCS, SCHEMA)
+    postings, meta = build_postings(docs.repartition(3), segment_size=3)
+    tstats = postings.groupBy("term").agg(F.sum("df").alias("df"))
+    qdf = spark.createDataFrame(QUERIES, "qid long, query string")
+    scored = match_scores(spark, postings, meta, qdf, term_stats=tstats)
+    samp = sampler_candidates(scored, shard_size=2)
+    sizes = {r["qid"]: r["n"] for r in
+             samp.groupBy("qid").agg(F.count("*").alias("n")).collect()}
+    assert all(n <= 2 for n in sizes.values()) and sizes
+    # composition runs end to end and only reports sampled-set terms
+    res = significant_terms_agg(samp, docs, meta, tstats, size=10,
+                                min_doc_count=1).collect()
+    top = {(r["qid"], r["doc_id"]) for r in samp.collect()}
+    fg_docs = {d for _, d in top}
+    all_toks = {t for d, txt, *_ in DOCS if d in fg_docs for t in txt.split()}
+    assert all(r["term"] in all_toks for r in res)
+
+
+def test_sampled_sig_terms_gate_duckdb_equality(spark):
+    """Gate row sampled_significant_terms: exact registry query vs exact
+    registry SQL at sf0.001 (the driver repeats this at sf0.01)."""
+    import __spark_entry__ as entry
+
+    sf = "/root/testdata/sf0.001"
+    got = sorted(
+        (r["qid"], r["term"], r["fg_count"], r["bg_count"],
+         round(r["score"], 6), r["bucket_rank"])
+        for r in entry._q_sampled_significant_terms(spark, sf).collect()
+    )
+    want = sorted(
+        (q, t, int(fg), int(bg), round(s, 6), int(rk))
+        for q, t, fg, bg, s, rk in _duck(sf)
+        .execute(entry._SAMPLED_SIG_TERMS_SQL)
+        .fetchall()
+    )
+    assert got == want and len(got) > 0
+
+
+_DOC_TRUNCATION_SQL = """
+    SELECT doc_id,
+           CASE WHEN length(coalesce(text, '')) > 80
+                THEN substring(coalesce(text, ''), 1, 80) || '...'
+                ELSE coalesce(text, '') END AS text_trunc,
+           len(list_filter(string_split(coalesce(text, ''), ' '),
+                           x -> x <> '')) AS n_tokens,
+           least(len(list_filter(string_split(coalesce(text, ''), ' '),
+                                 x -> x <> '')), 30) AS n_tokens_trunc,
+           length(coalesce(text, '')) > 80 AS was_truncated
+    FROM documents
+"""
+
+
+def test_doc_truncation_duckdb_equality(spark):
+    """doc_truncation left the driver window for sampled_significant_
+    terms (round 5 — the telemetry twin truncation_stats is already
+    pytest-twinned); exact registry query vs the exact SQL it carried."""
+    import __spark_entry__ as entry
+
+    sf = "/root/testdata/sf0.001"
+    df = entry._q_doc_truncation(spark, sf)
+    cols = sorted(df.columns)
+    got = sorted(
+        tuple(r[c] for c in cols) for r in df.collect()
+    )
+    ores = _duck(sf).execute(_DOC_TRUNCATION_SQL).fetchdf()
+    assert sorted(ores.columns.tolist()) == cols
+    want = sorted(
+        tuple(
+            bool(row[c]) if c == "was_truncated" else
+            (int(row[c]) if not isinstance(row[c], str) else row[c])
+            for c in cols
+        )
+        for _, row in ores.iterrows()
+    )
+    assert got == want and len(got) > 0

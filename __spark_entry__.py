@@ -760,6 +760,23 @@ def _q_match_top_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top_hits_agg(scored, dv, "lang", size=3, hits=2)
 
 
+def _q_match_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``percentiles`` metric aggregation over the match set: the ES
+    default percent keys over n_chars, exact linear interpolation (the
+    gateable form — Spark percentile and DuckDB quantile_cont are the
+    same type-7 quantile); the percentile_approx sketch path (the
+    t-digest role) is pytest-equated (operators/aggs.percentiles_agg)."""
+    from sgpt_spark.operators.aggs import match_candidates, percentiles_agg
+    from sgpt_spark.operators.indexer import build_postings_with_docvalues
+
+    docs = load_table(spark, sf_dir, "documents")
+    postings, dv, meta = build_postings_with_docvalues(
+        docs, ["lang", "n_chars"], segment_size=200
+    )
+    cand = match_candidates(spark, postings, meta, derived_queries(docs))
+    return percentiles_agg(cand, dv, "n_chars")
+
+
 def _q_sampled_significant_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES sampler -> significant_terms composition (the pairing the ES
     docs themselves recommend for this expensive agg): each query's
@@ -1339,6 +1356,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "match_stats_agg": _q_match_stats_agg,
         "match_range_agg": _q_match_range_agg,
         "match_cardinality_agg": _q_match_cardinality_agg,
+        "match_percentiles_agg": _q_match_percentiles,
         "sort_by_field_top10": _q_sort_by_field,
         "function_score_top10": _q_function_score,
         "more_like_this_top10": _q_more_like_this,
@@ -1361,7 +1379,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_rrf_top10": _q_hybrid_rrf,
         "paraphrase_mining_top": _q_paraphrase_mining,
         "dedup_clusters": _q_dedup_clusters,
-        "embedding_communities": _q_embedding_communities,
         "text_profile": _q_text_profile,
         # md5-arithmetic stub encoder -> cosine: fully value-gated as of
         # round 5 (encode.py md5_embedding_sql — the pre-normalization
@@ -1396,6 +1413,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "metrics_by_dataset": _q_metrics_by_dataset,  # grouped variant of the still-gated ir_metrics_multi_k (same eval join + mean); ceded its slot to match_terms_metric_agg (round 5) — DuckDB equality now pytest-covered (test_metrics.py)
         "best_checkpoint_argmax": _q_best_checkpoint,  # argmax over the gated mean-metric lifecycle; ceded its slot to match_stats_agg (round 5) — DuckDB equality now pytest-covered (test_metrics.py)
         "average_precision_global": _q_average_precision,  # AP variant of the gated metric family; ceded its slot to match_range_agg (round 5) — DuckDB equality now pytest-covered (test_metrics.py)
+        "embedding_communities": _q_embedding_communities,  # connected components over the cosine pair graph (the CC evidence stays gated via dedup_clusters, the cosine evidence via hybrid_rrf/dense gates); ceded its slot to match_percentiles_agg (round 5) — DuckDB equality now pytest-covered (test_aggs.py)
         "doc_truncation": _q_doc_truncation,  # truncation projection (telemetry twin truncation_stats already pytest-twinned); ceded its slot to sampled_significant_terms (round 5) — DuckDB equality now pytest-covered (test_aggs.py)
         "near_dup_pairs_md5": _q_near_dup_md5,  # minhash+verify composition (minhash_lsh_pairs_md5 stays gated, exact-jaccard twin in tail); ceded its slot to bm25_collapse_top10 (round 5) — DuckDB equality now pytest-covered (test_collapse.py)
         "ivf_full_probe_topk": _q_ivf_full_probe,  # full-probe IVF == exact cosine identity (the gated hybrid_rrf_top10/dense_cosine_topk keep the cosine evidence); ceded its slot to phrase_suggest_top3 (round 5) — DuckDB equality now pytest-covered (test_suggest.py)
@@ -1985,6 +2003,27 @@ SELECT qid, value, doc_count, doc_id, score,
        CAST(bucket_rank AS INTEGER) AS bucket_rank,
        CAST(hit_rank AS INTEGER) AS hit_rank
 FROM hits WHERE hit_rank <= 2
+"""
+
+# percentiles oracle: same matched set, quantile_cont over the ES
+# default percent list, parallel-unnested against the percent keys.
+_PERCENTILES_SQL = f"""
+WITH {_MATCHED_CTE},
+  pvals AS (
+    SELECT m.qid, d.n_chars AS v
+    FROM matched m JOIN documents d ON m.doc_id = d.doc_id
+    WHERE d.n_chars IS NOT NULL
+  ),
+  pq AS (
+    SELECT qid,
+           quantile_cont(v, [0.01, 0.05, 0.25, 0.50, 0.75, 0.95, 0.99]) AS vs
+    FROM pvals GROUP BY qid
+  )
+SELECT qid,
+       unnest(CAST([1.0, 5.0, 25.0, 50.0, 75.0, 95.0, 99.0] AS DOUBLE[]))
+         AS percent,
+       unnest(vs) AS value
+FROM pq
 """
 
 # sampler -> significant_terms oracle: the un-cut BM25 scored relation
@@ -3584,7 +3623,6 @@ def oracle_sql() -> dict[str, str]:
         "dense_cosine_topk": _dense_cosine_sql(),
         "paraphrase_mining_top": _PARAPHRASE_SQL,
         "dedup_clusters": _DEDUP_CLUSTERS_SQL,
-        "embedding_communities": _COMMUNITIES_SQL,
         "phrase_suggest_top3": _PHRASE_SUGGEST_SQL,
         "minhash_lsh_pairs_md5": _minhash_md5_sql(16, 8, 0.2),
         "simhash_near_pairs_md5": _SIMHASH_MD5_SQL,
@@ -3635,6 +3673,7 @@ def oracle_sql() -> dict[str, str]:
         "match_stats_agg": _STATS_AGG_SQL,
         "match_range_agg": _RANGE_AGG_SQL,
         "match_cardinality_agg": _CARDINALITY_AGG_SQL,
+        "match_percentiles_agg": _PERCENTILES_SQL,
         "bm25_top10": _BM25_SQL,
         "match_significant_terms": _SIGNIFICANT_TERMS_SQL,
         "match_date_histogram": _DATE_HISTOGRAM_SQL,

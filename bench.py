@@ -508,6 +508,7 @@ def main() -> None:
     # avg/max sub-aggs like an ES aggs body with nested metrics)
     from sgpt_spark.operators.aggs import (
         cardinality_agg,
+        percentiles_agg,
         range_agg,
         stats_agg,
     )
@@ -522,6 +523,7 @@ def main() -> None:
         range_agg(cand_m, dv_f, "n_chars",
                   [(None, 100), (100, 300), (300, None)]).count()
         cardinality_agg(cand_m, dv_f, "lang", exact=False).count()
+        percentiles_agg(cand_m, dv_f, "n_chars", exact=False).count()
         magg_s = min(magg_s, time.time() - t0)
     timings["match_metric_aggs_200q"] = round(magg_s, 3)
 

@@ -593,3 +593,53 @@ def sampler_candidates(
         .filter(F.col("_r") <= shard_size)
         .select("qid", "doc_id")
     )
+
+
+def percentiles_agg(
+    candidates: DataFrame,
+    docvalues: DataFrame,
+    field: str,
+    percents: Iterable[float] = (1, 5, 25, 50, 75, 95, 99),
+    exact: bool = True,
+) -> DataFrame:
+    """ES ``percentiles`` metric aggregation over the match set ->
+    (qid, percent, value): the ES default percent keys unless
+    overridden, values over the field's non-NULL doc values per query.
+
+    ``exact=True`` (default): linear-interpolated exact percentiles —
+    Spark ``percentile`` and DuckDB ``quantile_cont`` compute the SAME
+    type-7 quantile, which is what makes this form value-gateable.
+    ``exact=False``: ``percentile_approx`` — Spark's bounded-memory
+    sketch, the same role as the t-digest ES itself runs; partial
+    sketches merge map-side, so a 10^12-doc match set never shuffles
+    raw values. The two paths are pytest-equated on sets whose
+    percentile positions land exactly on elements (where interpolation
+    and element-selection coincide); the exact path carries the gate.
+    """
+    if field not in docvalues.columns:
+        raise ValueError(
+            f"percentiles field {field!r} not in docvalues columns "
+            f"{docvalues.columns}"
+        )
+    ps = [float(p) for p in percents]
+    if not ps:
+        raise ValueError("percentiles_agg needs at least one percent")
+    if any(not (0 <= p <= 100) for p in ps):
+        raise ValueError(f"percents must be in [0, 100], got {ps}")
+    if len(set(ps)) != len(ps):
+        raise ValueError(f"duplicate percents in {ps}")
+    fracs = [p / 100.0 for p in ps]
+    vals = candidates.join(docvalues.select("doc_id", field), "doc_id").filter(
+        F.col(field).isNotNull()
+    )
+    fn = F.percentile(field, fracs) if exact else F.percentile_approx(field, fracs)
+    agg = vals.groupBy("qid").agg(fn.alias("_vs"))
+    pairs = F.arrays_zip(
+        F.array(*[F.lit(p) for p in ps]).alias("percent"),
+        F.col("_vs").cast("array<double>").alias("value"),
+    )
+    return (
+        agg.select("qid", F.explode(pairs).alias("_pv"))
+        .select("qid", F.col("_pv.percent").alias("percent"),
+                F.col("_pv.value").alias("value"))
+    )

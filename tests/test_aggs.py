@@ -851,3 +851,125 @@ def test_doc_truncation_duckdb_equality(spark):
         for _, row in ores.iterrows()
     )
     assert got == want and len(got) > 0
+
+
+def test_percentiles_brute_force(spark):
+    """Exact path == numpy's linear-interpolated quantile (type 7 — the
+    same definition Spark percentile and DuckDB quantile_cont share)."""
+    import numpy as np
+    from sgpt_spark.operators.aggs import percentiles_agg
+
+    docs = spark.createDataFrame(DOCS, SCHEMA)
+    postings, dv, meta = build_postings_with_docvalues(
+        docs.repartition(3), ["lang", "n_chars"], segment_size=3
+    )
+    cand = match_candidates(
+        spark, postings, meta,
+        spark.createDataFrame(QUERIES, "qid long, query string"),
+    )
+    ps = [1, 50, 99]
+    got = sorted(
+        (r["qid"], r["percent"], round(r["value"], 9))
+        for r in percentiles_agg(cand, dv, "n_chars", percents=ps).collect()
+    )
+    vals_by_q = {}
+    nch = {d: n for d, _, _, n in DOCS}
+    for qid, doc in _brute_match():
+        vals_by_q.setdefault(qid, []).append(nch[doc])
+    want = sorted(
+        (qid, float(p), round(float(np.quantile(sorted(vs), p / 100.0)), 9))
+        for qid, vs in vals_by_q.items()
+        for p in ps
+    )
+    assert got == want and got
+
+
+def test_percentiles_approx_equates_on_element_aligned_sets(spark):
+    """On a set whose percentile positions land exactly on elements,
+    interpolation and the sketch's element selection coincide — the
+    pytest equivalence for the percentile_approx scale path."""
+    from sgpt_spark.operators.aggs import percentiles_agg
+
+    # 101 docs valued 0..100: position k*(n-1)/100 is integral for all
+    # integer percents
+    cand = spark.createDataFrame(
+        [(0, i) for i in range(101)], "qid long, doc_id long"
+    )
+    dv = spark.createDataFrame(
+        [(i, i) for i in range(101)], "doc_id long, v long"
+    )
+    ps = [1, 5, 25, 50, 75, 95, 99]
+    ex = sorted(
+        (r["percent"], r["value"])
+        for r in percentiles_agg(cand, dv, "v", percents=ps).collect()
+    )
+    ap = sorted(
+        (r["percent"], r["value"])
+        for r in percentiles_agg(cand, dv, "v", percents=ps,
+                                 exact=False).collect()
+    )
+    assert ex == ap == [(float(p), float(p)) for p in ps]
+
+
+def test_percentiles_guards(spark):
+    from sgpt_spark.operators.aggs import percentiles_agg
+
+    cand = spark.createDataFrame([(0, 1)], "qid long, doc_id long")
+    dv = spark.createDataFrame([(1, 5)], "doc_id long, v long")
+    with pytest.raises(ValueError, match="not in docvalues"):
+        percentiles_agg(cand, dv, "nope")
+    with pytest.raises(ValueError, match="at least one"):
+        percentiles_agg(cand, dv, "v", percents=[])
+    with pytest.raises(ValueError, match="\\[0, 100\\]"):
+        percentiles_agg(cand, dv, "v", percents=[101])
+    with pytest.raises(ValueError, match="duplicate"):
+        percentiles_agg(cand, dv, "v", percents=[50, 50])
+
+
+def test_percentiles_gate_duckdb_equality(spark):
+    """Gate row match_percentiles_agg: exact registry query vs exact
+    registry SQL at sf0.001 (the driver repeats this at sf0.01)."""
+    import __spark_entry__ as entry
+
+    sf = "/root/testdata/sf0.001"
+    got = sorted(
+        (r["qid"], r["percent"], round(r["value"], 6))
+        for r in entry._q_match_percentiles(spark, sf).collect()
+    )
+    want = sorted(
+        (q, float(p), round(v, 6))
+        for q, p, v in _duck(sf).execute(entry._PERCENTILES_SQL).fetchall()
+    )
+    assert got == want and len(got) > 0
+
+
+def test_embedding_communities_duckdb_equality(spark):
+    """embedding_communities left the driver window for
+    match_percentiles_agg (round 5 — connected-components evidence stays
+    gated via dedup_clusters); exact registry query vs exact registry
+    SQL at sf0.001."""
+    import __spark_entry__ as entry
+    import duckdb
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    for t in ("documents", "embeddings"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')"
+        )
+    df = entry._q_embedding_communities(spark, sf)
+    cols = sorted(df.columns)
+    got = sorted(
+        tuple(round(r[c], 6) if isinstance(r[c], float) else r[c] for c in cols)
+        for r in df.collect()
+    )
+    ores = con.execute(entry._COMMUNITIES_SQL).fetchdf()
+    assert sorted(ores.columns.tolist()) == cols
+    want = sorted(
+        tuple(
+            round(row[c], 6) if isinstance(row[c], float) else int(row[c])
+            for c in cols
+        )
+        for _, row in ores.iterrows()
+    )
+    assert got == want and len(got) > 0

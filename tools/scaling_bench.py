@@ -115,6 +115,36 @@ for _ in range(2):
     search_index_cogroup(spark, postings, meta_r, qdf, k=10,
                          term_stats=tstats).count()
     cqs = min(cqs, time.time() - t0)
+
+# aggregation axis (round 5): the SAME 500-query match set bucketed by
+# a derived doc-values relation (aggs need per-doc fields, not segment
+# alignment, so it derives straight from the corpus) — one compound of
+# terms + histogram + stats + HLL cardinality per timed run, the whole
+# ES aggs body of a search request. Dominated by the term-pruned
+# postings decode, the doc_id join, and map-side-combinable groupBys —
+# all data-parallel.
+from sgpt_spark.operators.aggs import (
+    cardinality_agg, histogram_agg, match_candidates, stats_agg, terms_agg,
+)
+dv_rel = docs.select("doc_id",
+                     F.length("text").alias("n_chars"),
+                     F.element_at(F.array(*[F.lit(x) for x in
+                                            ("en", "es", "de", "fr", "zh")]),
+                                  (F.pmod(F.xxhash64("url"), F.lit(5)) + 1)
+                                  .cast("int")).alias("lang"))
+dv_rel.persist().count()
+cand_w = match_candidates(spark, postings, meta_r, qdf.limit(10))
+terms_agg(cand_w, dv_rel, "lang", size=5).count()
+ags = float("inf")
+for _ in range(2):
+    t0 = time.time()
+    cand_a = match_candidates(spark, postings, meta_r, qdf)
+    terms_agg(cand_a, dv_rel, "lang", size=5).count()
+    histogram_agg(cand_a, dv_rel, "n_chars", interval=100).count()
+    stats_agg(cand_a, dv_rel, "n_chars").count()
+    cardinality_agg(cand_a, dv_rel, "lang", exact=False).count()
+    ags = min(ags, time.time() - t0)
+dv_rel.unpersist()
 shutil.rmtree(idx, ignore_errors=True)
 
 # phrase axis (round 5): positional build (ONE timed run — same
@@ -168,7 +198,9 @@ print(json.dumps({{"cpus": cpus, "n_docs": meta.n_docs, "seconds": round(dt, 2),
                    "ph_query_seconds": round(pqs, 2),
                    "ph_qps": round(n_ph / pqs, 1),
                    "ph_cg_query_seconds": round(pcqs, 2),
-                   "ph_cg_qps": round(n_ph / pcqs, 1)}}))
+                   "ph_cg_qps": round(n_ph / pcqs, 1),
+                   "agg_seconds": round(ags, 2),
+                   "agg_qps": round(n_q / ags, 1)}}))
 spark.stop()
 """
 
@@ -250,6 +282,9 @@ def main() -> None:
             if p.get("ph_cg_qps", 0) > results[cpus].get("ph_cg_qps", 0):
                 results[cpus]["ph_cg_qps"] = p["ph_cg_qps"]
                 results[cpus]["ph_cg_query_seconds"] = p.get("ph_cg_query_seconds")
+            if p.get("agg_qps", 0) > results[cpus].get("agg_qps", 0):
+                results[cpus]["agg_qps"] = p["agg_qps"]
+                results[cpus]["agg_seconds"] = p.get("agg_seconds")
     pairs = [
         (n, 4 * n)
         for n in levels
@@ -286,6 +321,11 @@ def main() -> None:
         for n, m in pairs
         if results[m].get("ph_cg_qps") and results[n].get("ph_cg_qps")
     }
+    aggeffs = {
+        f"{n}->{m}": round(results[m]["agg_qps"] / (4.0 * results[n]["agg_qps"]), 3)
+        for n, m in pairs
+        if results[m].get("agg_qps") and results[n].get("agg_qps")
+    }
     headline = effs.get("2->8", next(iter(effs.values()), 0.0))
 
     rows = "\n".join(
@@ -313,6 +353,15 @@ def main() -> None:
         f"| {n} -> {m} cores | {poseffs.get(f'{n}->{m}', '-')} "
         f"| {pheffs.get(f'{n}->{m}', '-')} "
         f"| {phcgeffs.get(f'{n}->{m}', '-')} |"
+        for n, m in pairs
+    )
+    agg_rows = "\n".join(
+        f"| local[{c}] | {results[c].get('agg_seconds', '-')} "
+        f"| {results[c].get('agg_qps', '-')} |"
+        for c in levels
+    )
+    agg_eff_rows = "\n".join(
+        f"| {n} -> {m} cores | {aggeffs.get(f'{n}->{m}', '-')} |"
         for n, m in pairs
     )
     md = f"""# BENCH/BASELINE — scaling efficiency evidence (north rule)
@@ -346,6 +395,18 @@ level, queries best-of-2):
 | N -> 4N | positional build efficiency | phrase query efficiency | phrase cogroup efficiency |
 |---|---|---|---|
 {ph_eff_rows}
+
+Aggregation axis (round 5 — the same 500-query match set through one
+ES aggs body: terms + histogram + stats + HLL cardinality off a
+derived doc-values relation, best-of-2):
+
+| level | aggs wall (s) | aggs q/s |
+|---|---|---|
+{agg_rows}
+
+| N -> 4N | aggs efficiency |
+|---|---|
+{agg_eff_rows}
 
 North-rule target: >= 0.8 between N and 4N executors (the build metric
 is the north-rule one; query throughput is reported as the second

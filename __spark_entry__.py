@@ -401,6 +401,31 @@ def _q_bm25_phrase_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_bm25_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``rescore`` (the query rescorer, operators/rescore.py): pass 1
+    ranks with a cheap ``match`` through the derived block postings, and
+    only each query's top window_size=50 hits are re-scored by a
+    ``match_phrase`` of the SAME text off the positional sidecar —
+    score_mode 'total' with ES-default weights 1.0/1.0, so a window doc
+    the phrase misses keeps its first-pass score (the ES contract). The
+    derived query set is phrase-shaped by construction (first 5 source
+    tokens), so every query's known-item doc gets a real phrase bump and
+    the gate exercises genuine re-ordering, not a no-op combine."""
+    import tempfile
+
+    from sgpt_spark.operators.indexer import read_term_stats
+    from sgpt_spark.operators.positions import build_positional_index
+    from sgpt_spark.operators.rescore import rescore_index
+
+    docs = load_table(spark, sf_dir, "documents")
+    path = tempfile.mkdtemp(prefix="sgpt_idx_rsc_")
+    build_positional_index(docs.repartition(8, "doc_id"), path, segment_size=200)
+    return rescore_index(
+        spark, path, derived_queries(docs), k=10, window_size=50,
+        term_stats=read_term_stats(spark, path),
+    )
+
+
 def _q_bm25_highlight(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES search-with-highlight response shape: BM25 top-3 per query
     plus one row per occurrence of each analyzed query term in each hit
@@ -1333,7 +1358,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_top10": _q_bm25_top10,
         "bm25_index_top10": _q_bm25_index_top10,
         "bm25_index_wand_top10": _q_bm25_index_wand_top10,
-        "bm25_index_join_top10": _q_bm25_index_join_top10,
         "bm25_index_cogroup_top10": _q_bm25_index_cogroup_top10,
         "bm25_standard_index_top10": _q_bm25_standard_index_top10,
         "bm25_multifield_top10": _q_bm25_multifield,
@@ -1341,6 +1365,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_multifield_join_top10": _q_bm25_multifield_join,
         "bm25_multifield_cogroup_top10": _q_bm25_multifield_cogroup,
         "bm25_phrase_index_top10": _q_bm25_phrase_index,
+        "bm25_rescore_top10": _q_bm25_rescore,
         "bm25_multifield_phrase_index_top10": _q_bm25_multifield_phrase_index,
         "bm25_highlight_top3": _q_bm25_highlight,
         "bm25_prefix_index_top10": _q_bm25_prefix_index,
@@ -1393,6 +1418,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rolling fingerprints) are exercised by pytest equality tests
         # and no longer take registry slots. ----
         "bm25_index_fast_top10": _q_bm25_index_fast_top10,  # lifecycle folded into bm25_index_cogroup_top10; identity pytest-covered
+        "bm25_index_join_top10": _q_bm25_index_join_top10,  # single-field join strategy (the in-plan evidence stays gated via bm25_index_cogroup_top10 + the join strategy via bm25_multifield_join_top10); ceded its slot to bm25_rescore_top10 (round 5) — DuckDB equality now pytest-covered (test_rescore.py)
         "queryset_derive": _q_queryset,  # the identical derivation is the queryset CTE inside ~25 gated oracles; ceded its slot to match_date_histogram (round 5) — DuckDB equality now pytest-covered (test_aggs.py)
         "corpus_stats": _q_corpus_stats,  # N/avgdl are the stats CTE inside every gated BM25 oracle; ceded its slot to match_top_hits (round 5) — DuckDB equality now pytest-covered (test_aggs.py)
         "term_df_top100": _q_term_df_top100,  # (term, df) side-table projection — the termstats values stay gated through match_significant_terms's bg_count column; ceded its slot to it (round 5) — DuckDB equality now pytest-covered (test_aggs.py)
@@ -1681,6 +1707,113 @@ FROM ranked WHERE rnk <= {k}
 
 
 _PHRASE_SQL = _phrase_sql(10)
+
+
+def _rescore_sql(k: int = 10, window_size: int = 50) -> str:
+    """ES ``rescore`` oracle (score_mode 'total', weights 1.0/1.0) —
+    mirrors operators/rescore.py: pass 1 = the match-BM25 ranking cut to
+    the top ``window_size`` per query (the same rounded total order as
+    _bm25_sql), pass 2 = the full match_phrase scored candidate set (the
+    _phrase_sql pipeline WITHOUT its top-k cut), combined per window doc
+    as ``round(w,6) + coalesce(round(r,6), 0)`` — one IEEE addition of
+    two 6-dp doubles, bit-identical across engines — then re-ranked and
+    cut to ``k``."""
+    return f"""
+WITH {_TOKENS_CTE},
+  stats AS (SELECT count(*) AS n, avg(doc_len) AS avgdl FROM doclen),
+  queryset AS ({QUERIES_SQL}),
+  qterms AS (
+    SELECT qid, u.term AS term, count(*) AS qtf
+    FROM queryset, unnest(string_split(query, ' ')) AS u(term)
+    WHERE u.term <> ''
+    GROUP BY qid, u.term
+  ),
+  m_scored AS (
+    SELECT q.qid, tf.doc_id,
+           sum(
+             q.qtf
+             * ln(1 + (s.n - tdf.df + 0.5) / (tdf.df + 0.5))
+             * tf.tf / (tf.tf + {K1} * (1 - {B} + {B} * dl.doc_len / s.avgdl))
+           ) AS raw_score
+    FROM qterms q
+    JOIN tf  ON q.term = tf.term
+    JOIN tdf ON tf.term = tdf.term
+    JOIN doclen dl ON tf.doc_id = dl.doc_id
+    CROSS JOIN stats s
+    GROUP BY q.qid, tf.doc_id
+  ),
+  win AS (
+    SELECT qid, doc_id, round(raw_score, {SCORE_DECIMALS}) AS w_score,
+           row_number() OVER (
+             PARTITION BY qid
+             ORDER BY round(raw_score, {SCORE_DECIMALS}) DESC, doc_id ASC
+           ) AS wrnk
+    FROM m_scored
+  ),
+  window_rows AS (SELECT qid, doc_id, w_score FROM win WHERE wrnk <= {window_size}),
+  d2 AS (
+    SELECT doc_id, list_filter(toks, x -> x <> '') AS ptoks FROM docs
+  ),
+  d3 AS (SELECT doc_id, ptoks, len(ptoks) AS dl FROM d2 WHERE len(ptoks) > 0),
+  dpos AS (
+    SELECT doc_id, dl, CAST(g.i AS BIGINT) AS pos, ptoks[g.i] AS term
+    FROM d3, unnest(generate_series(1, dl)) AS g(i)
+  ),
+  q2 AS (
+    SELECT qid, qarr, len(qarr) AS m
+    FROM (
+      SELECT qid, list_filter(string_split(query, ' '), x -> x <> '') AS qarr
+      FROM queryset
+    ) WHERE len(qarr) > 0
+  ),
+  qpos AS (
+    SELECT qid, m, CAST(g.i AS BIGINT) AS j, qarr[g.i] AS term
+    FROM q2, unnest(generate_series(1, m)) AS g(i)
+  ),
+  sidf AS (
+    SELECT qpos.qid,
+           sum(ln(1 + (s.n - tdf.df + 0.5) / (tdf.df + 0.5))) AS sum_idf
+    FROM qpos JOIN tdf USING (term) CROSS JOIN stats s
+    GROUP BY qpos.qid
+  ),
+  starts AS (
+    SELECT q.qid, d.doc_id, d.dl, q.m, d.pos - q.j AS start, count(*) AS nm
+    FROM dpos d JOIN qpos q USING (term)
+    GROUP BY q.qid, d.doc_id, d.dl, q.m, d.pos - q.j
+  ),
+  pf AS (
+    SELECT qid, doc_id, dl, count(*) AS pf
+    FROM starts WHERE nm = m
+    GROUP BY qid, doc_id, dl
+  ),
+  ph AS (
+    SELECT p.qid, p.doc_id,
+           round(
+             si.sum_idf * p.pf
+             / (p.pf + {K1} * (1 - {B} + {B} * p.dl / st.avgdl)),
+             {SCORE_DECIMALS}
+           ) AS r_score
+    FROM pf p JOIN sidf si ON p.qid = si.qid CROSS JOIN stats st
+  ),
+  combined AS (
+    SELECT w.qid, w.doc_id, w.w_score + coalesce(p.r_score, 0.0) AS raw
+    FROM window_rows w
+    LEFT JOIN ph p ON w.qid = p.qid AND w.doc_id = p.doc_id
+  ),
+  ranked AS (
+    SELECT qid, doc_id, round(raw, {SCORE_DECIMALS}) AS score,
+           row_number() OVER (
+             PARTITION BY qid
+             ORDER BY round(raw, {SCORE_DECIMALS}) DESC, doc_id ASC
+           ) AS rnk
+    FROM combined
+  )
+SELECT qid, doc_id, score, CAST(rnk AS INTEGER) AS rank
+FROM ranked WHERE rnk <= {k}
+"""
+
+
+_RESCORE_SQL = _rescore_sql(10, 50)
 
 
 def _phrase_prefix_sql(k: int = 10, max_expansions: int = 50) -> str:
@@ -3596,8 +3729,8 @@ def oracle_sql() -> dict[str, str]:
         "bm25_rerank_tail": _rerank_sql(100, 10),
         "bm25_index_top10": _BM25_SQL,
         "bm25_index_wand_top10": _BM25_SQL,
-        "bm25_index_join_top10": _BM25_SQL,
         "bm25_index_cogroup_top10": _BM25_SQL,
+        "bm25_rescore_top10": _RESCORE_SQL,
         "bm25_standard_index_top10": _BM25_STANDARD_SQL,
         "bm25_multifield_top10": _BM25_MULTIFIELD_SQL,
         "bm25_multifield_index_top10": _BM25_MULTIFIELD_SQL,

@@ -810,6 +810,20 @@ def main() -> None:
         hl_s = min(hl_s, time.time() - t0)
     timings["bm25_highlight_200q"] = round(hl_s, 3)
 
+    # ES rescore (the query rescorer): match top-50 window per query off
+    # the derived block postings + match_phrase second pass off the
+    # positional sidecar, combined 'total' — the two gated plans plus
+    # one query-bounded left join
+    from sgpt_spark.operators.rescore import rescore_index
+
+    rsc_s = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        rescore_index(spark, "/dev/shm/sgpt_bench_pos", ph_q, k=10,
+                      window_size=50, term_stats=pts).count()
+        rsc_s = min(rsc_s, time.time() - t0)
+    timings["bm25_rescore_200q"] = round(rsc_s, 3)
+
     # match_phrase_prefix (search-as-you-type): the same phrase queries
     # with the last token truncated to a 3-char prefix, expanded against
     # the termstats dictionary (max_expansions=50), off the same

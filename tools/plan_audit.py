@@ -229,6 +229,30 @@ def main() -> None:
     ))
     assert pushed_pos, "term pushdown missing from the positions scan!"
 
+    # --- 7b. ES rescore (two-pass: match window + phrase second pass) -----
+    from sgpt_spark.operators.rescore import rescore_index
+
+    plan = captured_plan(
+        rescore_index(spark, pos_path, [("0", qtext)], k=10, window_size=50,
+                      term_stats=read_term_stats(spark, pos_path))
+    )
+    n_pruned_scans = len(re.findall(r"PushedFilters: \[[^\]]*term[^\]]*\]", plan))
+    sections.append((
+        "ES rescore (`rescore_index`) — two-pass query rescorer",
+        "Pass 1 is the gated match plan (term-pruned block-postings "
+        "scan, per-segment top-window, window merge); pass 2 is the "
+        "gated phrase plan's ALL-hits form (term-pruned positions "
+        f"scan). Both scans arrive pruned — {n_pruned_scans} pushed "
+        "`In(term, ...)` scans in one plan"
+        + ("" if n_pruned_scans >= 2 else " (PUSHDOWN MISSING — BUG)")
+        + ". The combine is ONE left join keyed (qid, doc_id) whose "
+        "build side is the window relation — |queries| x window_size "
+        "rows, query-batch-bounded, never corpus-bounded — followed by "
+        "the engine's JVM window top-k. No Python touches the combine.",
+        plan,
+    ))
+    assert n_pruned_scans >= 2, "rescore must term-prune BOTH passes' scans"
+
     # --- 8. multi-term expansion (prefix query over the dictionary) -------
     from sgpt_spark.operators.multiterm import prefix_search_index
 

@@ -32,6 +32,7 @@ from sgpt_spark.operators.topk import SCORE_DECIMALS  # noqa: E402
 from sgpt_spark.sources.queryset import (  # noqa: E402
     BOOL_CLAUSES_SQL,
     MISSPELLED_QUERIES_SQL,
+    NEGATIVE_QUERIES_SQL,
     PHRASE_PREFIX_QUERIES_SQL,
     QRELS_SQL,
     QUERIES_SQL,
@@ -902,6 +903,27 @@ def _q_function_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_boosting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``boosting`` compound query (operators/boosting.py): the
+    flagship match query is the positive clause; the negative clause is
+    each query's LAST token (queryset.derived_negative_queries — a
+    common term, so most positive hits genuinely demote), negative_boost
+    0.5 (dyadic: the demoted score is one exact IEEE scale of the
+    rounded positive score, bit-identical in DuckDB). The positive side
+    is the FULL scored match set — a demotion can promote any positive
+    rank into the page, so no window shortcut is sound."""
+    from sgpt_spark.operators.boosting import boosting_search_index
+    from sgpt_spark.operators.indexer import build_postings
+    from sgpt_spark.sources.queryset import derived_negative_queries
+
+    docs = load_table(spark, sf_dir, "documents")
+    postings, meta = build_postings(docs, segment_size=200)
+    return boosting_search_index(
+        spark, postings, meta, derived_queries(docs),
+        derived_negative_queries(docs), k=10, negative_boost=0.5,
+    )
+
+
 def _q_more_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES ``more_like_this`` (Lucene MoreLikeThis): every 10th doc seeds
     a similarity query — its top-25 terms by rounded tf*idf (min_term_
@@ -1363,7 +1385,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_multifield_top10": _q_bm25_multifield,
         "bm25_multifield_index_top10": _q_bm25_multifield_index,
         "bm25_multifield_join_top10": _q_bm25_multifield_join,
-        "bm25_multifield_cogroup_top10": _q_bm25_multifield_cogroup,
         "bm25_phrase_index_top10": _q_bm25_phrase_index,
         "bm25_rescore_top10": _q_bm25_rescore,
         "bm25_multifield_phrase_index_top10": _q_bm25_multifield_phrase_index,
@@ -1374,6 +1395,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_bool_index_top10": _q_bm25_bool_index,
         "bm25_bool_cogroup_top10": _q_bm25_bool_cogroup,
         "bm25_bool_filtered_top10": _q_bm25_bool_filtered,
+        "boosting_top10": _q_boosting,
         "bm25_search_after_top10": _q_bm25_search_after,
         "match_terms_agg_lang": _q_match_terms_agg,
         "match_histogram_agg": _q_match_histogram_agg,
@@ -1419,6 +1441,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # and no longer take registry slots. ----
         "bm25_index_fast_top10": _q_bm25_index_fast_top10,  # lifecycle folded into bm25_index_cogroup_top10; identity pytest-covered
         "bm25_index_join_top10": _q_bm25_index_join_top10,  # single-field join strategy (the in-plan evidence stays gated via bm25_index_cogroup_top10 + the join strategy via bm25_multifield_join_top10); ceded its slot to bm25_rescore_top10 (round 5) — DuckDB equality now pytest-covered (test_rescore.py)
+        "bm25_multifield_cogroup_top10": _q_bm25_multifield_cogroup,  # multifield cogroup strategy (the multifield oracle stays gated via bm25_multifield_top10/_index_/_join_, the cogroup strategy via bm25_index_cogroup_top10 + bm25_bool_cogroup_top10); ceded its slot to boosting_top10 (round 5) — DuckDB equality now pytest-covered (test_boosting.py)
         "queryset_derive": _q_queryset,  # the identical derivation is the queryset CTE inside ~25 gated oracles; ceded its slot to match_date_histogram (round 5) — DuckDB equality now pytest-covered (test_aggs.py)
         "corpus_stats": _q_corpus_stats,  # N/avgdl are the stats CTE inside every gated BM25 oracle; ceded its slot to match_top_hits (round 5) — DuckDB equality now pytest-covered (test_aggs.py)
         "term_df_top100": _q_term_df_top100,  # (term, df) side-table projection — the termstats values stay gated through match_significant_terms's bg_count column; ceded its slot to it (round 5) — DuckDB equality now pytest-covered (test_aggs.py)
@@ -1814,6 +1837,73 @@ FROM ranked WHERE rnk <= {k}
 
 
 _RESCORE_SQL = _rescore_sql(10, 50)
+
+
+def _boosting_sql(k: int = 10, negative_boost: float = 0.5) -> str:
+    """ES ``boosting`` query oracle — mirrors operators/boosting.py:
+    the FULL positive scored match set (no window — a demotion can
+    promote any positive rank into the page), the negative clause's
+    distinct match set, and the demote as ``round(p,6) * nb`` — with a
+    dyadic nb one exact IEEE scale, bit-identical across engines."""
+    return f"""
+WITH {_TOKENS_CTE},
+  stats AS (SELECT count(*) AS n, avg(doc_len) AS avgdl FROM doclen),
+  queryset AS ({QUERIES_SQL}),
+  qterms AS (
+    SELECT qid, u.term AS term, count(*) AS qtf
+    FROM queryset, unnest(string_split(query, ' ')) AS u(term)
+    WHERE u.term <> ''
+    GROUP BY qid, u.term
+  ),
+  pos AS (
+    SELECT q.qid, tf.doc_id,
+           round(sum(
+             q.qtf
+             * ln(1 + (s.n - tdf.df + 0.5) / (tdf.df + 0.5))
+             * tf.tf / (tf.tf + {K1} * (1 - {B} + {B} * dl.doc_len / s.avgdl))
+           ), {SCORE_DECIMALS}) AS p_score
+    FROM qterms q
+    JOIN tf  ON q.term = tf.term
+    JOIN tdf ON tf.term = tdf.term
+    JOIN doclen dl ON tf.doc_id = dl.doc_id
+    CROSS JOIN stats s
+    GROUP BY q.qid, tf.doc_id
+  ),
+  negset AS ({NEGATIVE_QUERIES_SQL}),
+  negterms AS (
+    SELECT DISTINCT qid, u.term AS term
+    FROM negset, unnest(string_split(query, ' ')) AS u(term)
+    WHERE u.term <> ''
+  ),
+  neg AS (
+    SELECT DISTINCT nt.qid, tf.doc_id
+    FROM negterms nt JOIN tf ON nt.term = tf.term
+  ),
+  combined AS (
+    SELECT p.qid, p.doc_id,
+           CASE WHEN n.doc_id IS NOT NULL
+                THEN p.p_score * {negative_boost}
+                ELSE p.p_score END AS raw
+    FROM pos p
+    LEFT JOIN neg n ON p.qid = n.qid AND p.doc_id = n.doc_id
+  ),
+  ranked AS (
+    -- NO re-round: raw is a 6-dp-rounded double exactly scaled by a
+    -- dyadic nb (bit-identical to Spark); round(raw, 6) would hit a
+    -- decimal midpoint at digit 7 that the engines resolve differently.
+    SELECT qid, doc_id, raw AS score,
+           row_number() OVER (
+             PARTITION BY qid
+             ORDER BY raw DESC, doc_id ASC
+           ) AS rnk
+    FROM combined
+  )
+SELECT qid, doc_id, score, CAST(rnk AS INTEGER) AS rank
+FROM ranked WHERE rnk <= {k}
+"""
+
+
+_BOOSTING_SQL = _boosting_sql(10, 0.5)
 
 
 def _phrase_prefix_sql(k: int = 10, max_expansions: int = 50) -> str:
@@ -3735,7 +3825,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_multifield_top10": _BM25_MULTIFIELD_SQL,
         "bm25_multifield_index_top10": _BM25_MULTIFIELD_SQL,
         "bm25_multifield_join_top10": _mf_sql(title_boost=2.0, text_boost=0.75),
-        "bm25_multifield_cogroup_top10": _BM25_MULTIFIELD_SQL,
+        "boosting_top10": _BOOSTING_SQL,
         "bm25_phrase_index_top10": _PHRASE_SQL,
         "bm25_bool_index_top10": _BOOL_SQL,
         "bm25_bool_cogroup_top10": _BOOL_SQL,

@@ -621,6 +621,21 @@ def main() -> None:
                              boost_mode="multiply", k=10).count()
         fsc_s = min(fsc_s, time.time() - t0)
     timings["function_score_200q"] = round(fsc_s, 3)
+
+    # ES boosting query: positive = the 200-query match batch's FULL
+    # scored set, negative = each query's last token, one demote join
+    from sgpt_spark.operators.boosting import boosting_search_index
+
+    neg_q = mt_q.select(
+        "qid", F.element_at(F.split("query", " ", -1), -1).alias("query")
+    )
+    bst_s = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        boosting_search_index(spark, postings_f, meta_f, mt_q, neg_q,
+                              k=10, negative_boost=0.5).count()
+        bst_s = min(bst_s, time.time() - t0)
+    timings["boosting_200q"] = round(bst_s, 3)
     postings_f.unpersist()
     dv_f.unpersist()
 

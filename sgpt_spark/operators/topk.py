@@ -26,6 +26,7 @@ def topk_per_group(
     score_col: str = "score",
     id_col: str = "doc_id",
     k: int = 10,
+    round_scores: bool = True,
 ) -> DataFrame:
     """(qid, doc_id, score, ...) -> top-k rows per qid with 1-based rank.
 
@@ -34,8 +35,18 @@ def topk_per_group(
     group. This is the same partial/final structure as the reference's
     per-chunk topk + global heap merge; Spark's partial aggregation above
     this operator plays the "per-chunk" role.
+
+    ``round_scores=False`` is for callers whose scores are ALREADY
+    bit-identical across engines (e.g. a 6-dp-rounded score exactly
+    scaled by a dyadic factor — boosting.py): re-rounding such a value
+    can land on a decimal midpoint at digit 7 (…x5), which JVM
+    BigDecimal HALF_UP and binary-double rounding resolve differently.
     """
-    rounded = scored.withColumn(score_col, F.round(F.col(score_col), SCORE_DECIMALS))
+    rounded = scored
+    if round_scores:
+        rounded = scored.withColumn(
+            score_col, F.round(F.col(score_col), SCORE_DECIMALS)
+        )
     w = Window.partitionBy(group_col).orderBy(
         F.col(score_col).desc(), F.col(id_col).asc()
     )

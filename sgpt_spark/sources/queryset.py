@@ -269,3 +269,23 @@ MISSPELLED_QUERIES_SQL = f"""
                   THEN substr(t, 1, length(t) - 1) ELSE t END), ' ') AS query
   FROM (SELECT qid, string_split(query, ' ') AS qarr FROM ({QUERIES_SQL}))
 """
+
+
+def derived_negative_queries(
+    documents: DataFrame, every: int = EVERY, n_terms: int = N_TERMS
+) -> DataFrame:
+    """The boosting query's NEGATIVE clause input: the LAST token of
+    each positive query as a one-term match query — every positive hit
+    containing that (usually common) term gets demoted, so the gate
+    exercises genuine re-ordering. The SQL twin extracts the identical
+    token."""
+    q = derived_queries(documents, every=every, n_terms=n_terms)
+    return q.select(
+        "qid", F.element_at(F.split(F.col("query"), " ", -1), -1).alias("query")
+    )
+
+
+NEGATIVE_QUERIES_SQL = f"""
+  SELECT qid, qarr[len(qarr)] AS query
+  FROM (SELECT qid, string_split(query, ' ') AS qarr FROM ({QUERIES_SQL}))
+"""

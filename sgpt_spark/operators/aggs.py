@@ -643,3 +643,137 @@ def percentiles_agg(
         .select("qid", F.col("_pv.percent").alias("percent"),
                 F.col("_pv.value").alias("value"))
     )
+
+
+def composite_agg(
+    candidates: DataFrame,
+    docvalues: DataFrame,
+    sources: list[str],
+    size: int = 10,
+    after: dict | DataFrame | None = None,
+    spark: SparkSession | None = None,
+) -> DataFrame:
+    """ES ``composite`` aggregation: paginate through ALL buckets of a
+    multi-source group-by in composite-key order — ES's designed answer
+    to "enumerate every bucket" at scales where a terms agg's top-size
+    cut loses data. -> (qid, *sources, doc_count, bucket_rank) with
+    bucket_rank 1..size WITHIN the page.
+
+    ``sources``: docvalues columns, each an ES terms source in request
+    order; buckets order lexicographically ascending by the source
+    tuple (the ES default order=asc per source). Docs with a NULL in
+    ANY source are excluded (the ES terms-source default — missing
+    buckets are opt-in via missing_bucket, not the default).
+
+    ``after``: the keyset cursor — the LAST bucket key of the previous
+    page, either {qid: (v1, v2, ...)} (driver-side, bounded by
+    |queries| — the search_after contract) or a DataFrame
+    (qid, after_<src1>, after_<src2>, ...) to stay fully in-plan for
+    unbounded query sets (both forms are tested identical). Queries
+    absent from the cursor get page 1.
+
+    Scale shape: each page is ONE rank-filtered window over the bucket
+    relation (partial/final WindowGroupLimit — no full per-query bucket
+    sort materializes beyond the group-by's own output), and the keyset
+    predicate prunes strictly-before buckets BEFORE the window. The
+    group-by itself is one map-side-combinable shuffle keyed
+    (qid, *sources) — the same cost ES pays building the composite's
+    doc-values ordinals, but distributed.
+    """
+    if not sources:
+        raise ValueError("composite_agg needs at least one source column")
+    for s in sources:
+        if s not in docvalues.columns:
+            raise ValueError(
+                f"composite source {s!r} not in docvalues columns "
+                f"{docvalues.columns}"
+            )
+    if size < 1:
+        raise ValueError(f"composite size must be >= 1, got {size}")
+    vals = candidates.join(docvalues.select("doc_id", *sources), "doc_id")
+    for s in sources:
+        vals = vals.filter(F.col(s).isNotNull())
+    counts = vals.groupBy("qid", *sources).agg(F.count("*").alias("doc_count"))
+
+    if isinstance(after, dict) and not after:
+        after = None  # empty cursor set == page 1 for every query
+    if after is not None:
+        acols = [f"_after_{s}" for s in sources]
+        if isinstance(after, DataFrame):
+            cur = after.toDF("qid", *acols)
+        else:
+            if spark is None:
+                raise ValueError("composite_agg(after=dict) needs spark=")
+            rows = [(qid, *tuple(v)) for qid, v in after.items()]
+            # schema inferred from the cursor values so each after_*
+            # column carries the SOURCE's own type (string or numeric).
+            cur = spark.createDataFrame(rows, ["qid"] + acols)
+        counts = counts.join(F.broadcast(cur), "qid", "left")
+        # lexicographic (s1, s2, ...) > (a1, a2, ...): strictly-after
+        # buckets only — the ES after-cursor is exclusive.
+        gt = F.lit(False)
+        for s, a in reversed(list(zip(sources, acols))):
+            gt = (F.col(s) > F.col(a)) | ((F.col(s) == F.col(a)) & gt)
+        counts = counts.filter(F.col(acols[0]).isNull() | gt).drop(*acols)
+
+    w = Window.partitionBy("qid").orderBy(*[F.col(s).asc() for s in sources])
+    return (
+        counts.withColumn("bucket_rank", F.row_number().over(w))
+        .filter(F.col("bucket_rank") <= size)
+    )
+
+
+def filters_agg(
+    candidates: DataFrame,
+    docvalues: DataFrame,
+    filters: dict[str, str],
+    other_bucket_key: str | None = None,
+) -> DataFrame:
+    """ES ``filters`` aggregation: one NAMED bucket per predicate ->
+    (qid, key, doc_count), every named bucket emitted per matching
+    query even at doc_count 0 (the bucket set is fixed by the request,
+    not the data). ``filters``: name -> Spark SQL predicate over
+    docvalues columns (the ES filter-context clause; a NULL predicate
+    result counts as no-match, the ES missing-field behavior).
+    ``other_bucket_key`` adds ES's other_bucket: docs matching NO named
+    filter.
+
+    One docvalues scan evaluates EVERY predicate as a boolean column in
+    whole-stage codegen; one map-side-combinable groupBy(qid) sums them;
+    a ``stack`` unpivot (rows = |filters|, not |docs|) emits the named
+    buckets — no per-filter scan, no UDF, no driver loop. Queries with
+    an empty match set emit nothing (consistent with every agg here:
+    the agg phase runs over the hit set).
+    """
+    if not filters:
+        raise ValueError("filters_agg needs at least one named filter")
+    names = list(filters)
+    reserved = set(names) & {"qid", "doc_id"}
+    if reserved:
+        raise ValueError(f"filter names collide with output columns: {reserved}")
+    if other_bucket_key is not None and other_bucket_key in names:
+        raise ValueError(
+            f"other_bucket_key {other_bucket_key!r} collides with a filter name"
+        )
+    vals = candidates.join(docvalues, "doc_id")
+    bools = {
+        n: F.coalesce(F.expr(pred), F.lit(False)) for n, pred in filters.items()
+    }
+    aggs = [F.sum(b.cast("long")).alias(f"_c_{i}") for i, b in enumerate(bools.values())]
+    if other_bucket_key is not None:
+        none_match = ~F.greatest(*bools.values()) if len(bools) > 1 else ~next(
+            iter(bools.values())
+        )
+        aggs.append(F.sum(none_match.cast("long")).alias("_c_other"))
+    per_qid = vals.groupBy("qid").agg(*aggs)
+    keys = names + ([other_bucket_key] if other_bucket_key is not None else [])
+    cols = [f"_c_{i}" for i in range(len(names))] + (
+        ["_c_other"] if other_bucket_key is not None else []
+    )
+    stack_args = ", ".join(
+        f"'{k}', {c}" for k, c in zip(keys, cols)
+    )
+    return per_qid.select(
+        "qid",
+        F.expr(f"stack({len(keys)}, {stack_args}) as (key, doc_count)"),
+    ).select("qid", F.col("key"), F.col("doc_count"))

@@ -973,3 +973,65 @@ def test_embedding_communities_duckdb_equality(spark):
         for _, row in ores.iterrows()
     )
     assert got == want and len(got) > 0
+
+
+# --- filters agg (named predicate buckets; round-5 late addition) ----------
+
+
+def test_filters_agg_brute_force(spark):
+    from sgpt_spark.operators.aggs import filters_agg
+
+    cand, dv = _build(spark)
+    got = sorted(
+        (r["qid"], r["key"], r["doc_count"])
+        for r in filters_agg(
+            cand, dv,
+            {"english": "lang = 'en'", "long_doc": "n_chars >= 100"},
+            other_bucket_key="other",
+        ).collect()
+    )
+    rows = {d[0]: d for d in DOCS}
+    want: dict = {}
+    for qid, d in _brute_match():
+        lang, n = rows[d][2], rows[d][3]
+        en = lang == "en"          # NULL lang -> False (ES missing-field)
+        lg = n >= 100
+        for key, hit in (("english", en), ("long_doc", lg), ("other", not (en or lg))):
+            want.setdefault((qid, key), 0)
+            want[(qid, key)] += int(hit)
+    assert got == sorted((q, k, c) for (q, k), c in want.items()) and got
+    # every named bucket present for every matching query, even at 0
+    qids = {q for q, _ in _brute_match()}
+    assert {(q, k) for q, k, _ in got} == {
+        (q, k) for q in qids for k in ("english", "long_doc", "other")
+    }
+
+
+def test_filters_agg_single_filter_and_guards(spark):
+    from sgpt_spark.operators.aggs import filters_agg
+
+    cand, dv = _build(spark)
+    got = sorted(
+        (r["qid"], r["key"], r["doc_count"])
+        for r in filters_agg(
+            cand, dv, {"es_only": "lang = 'es'"}, other_bucket_key="rest"
+        ).collect()
+    )
+    per_qid: dict = {}
+    rows = {d[0]: d for d in DOCS}
+    for qid, d in _brute_match():
+        es = rows[d][2] == "es"
+        per_qid.setdefault(qid, [0, 0])
+        per_qid[qid][0] += int(es)
+        per_qid[qid][1] += int(not es)
+    want = sorted(
+        [(q, "es_only", a) for q, (a, _) in per_qid.items()]
+        + [(q, "rest", b) for q, (_, b) in per_qid.items()]
+    )
+    assert got == want
+    with pytest.raises(ValueError, match="at least one"):
+        filters_agg(cand, dv, {})
+    with pytest.raises(ValueError, match="collide"):
+        filters_agg(cand, dv, {"qid": "lang = 'en'"})
+    with pytest.raises(ValueError, match="collides"):
+        filters_agg(cand, dv, {"a": "lang = 'en'"}, other_bucket_key="a")

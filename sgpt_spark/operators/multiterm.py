@@ -245,6 +245,88 @@ def expand_wildcard(
     return out
 
 
+# Leading run of regex-literal characters (chars before the first
+# Java-regex metacharacter) — the regexp analog of the wildcard
+# literal prefix.
+_REGEX_LITERAL_RUN = r"^[^.?+*|(){}\[\]\\^$]*"
+
+
+def expand_regexp(
+    term_stats: DataFrame,
+    patterns: DataFrame,
+    max_expansions: int | None = None,
+) -> DataFrame:
+    """(term, df) x (qid, pattern) -> (qid, term, df) for ES ``regexp``
+    patterns — the last member of the Lucene MultiTermQuery expansion
+    family (prefix / wildcard / fuzzy / regexp).
+
+    Dialect: Java regex (Spark ``RLIKE``), matched against the WHOLE
+    term (Lucene regexp is implicitly anchored; the pattern is wrapped
+    ``^(?:...)$``). Lucene's own syntax (RegExp class, ``~``/``<>``
+    operators) is a documented divergence — the standard
+    class/alternation/quantifier core agrees.
+
+    Prune: the leading LITERAL run (chars before the first regex
+    metacharacter) plays the wildcard literal prefix — minus one char
+    when the first metachar is a quantifier (``*?+{`` quantify the
+    PREVIOUS char: ``ab*c`` matches "ac", so only "a" is certain).
+    Lucene extracts the same bound from the automaton's common prefix.
+    A pattern with no literal prefix scans the dictionary (the
+    leading-wildcard caveat; still dictionary-sized, never corpus-
+    sized). Per distinct prefix LENGTH (the only driver-side step) the
+    dictionary equi-joins on ``substring(term, 1, L)``; the anchored
+    RLIKE post-filter applies the full pattern JVM-side.
+    """
+    lit = F.regexp_extract(F.col("pattern"), _REGEX_LITERAL_RUN, 0)
+    quantified = F.expr(
+        "length(_lit) < length(pattern) AND "
+        "substring(pattern, length(_lit) + 1, 1) IN ('*', '?', '+', '{')"
+    )
+    pats = (
+        patterns.select("qid", "pattern", lit.alias("_lit"))
+        .select(
+            "qid",
+            F.when(quantified, F.expr("substring(_lit, 1, length(_lit) - 1)"))
+            .otherwise(F.col("_lit"))
+            .alias("prefix"),
+            F.concat(F.lit("^(?:"), F.col("pattern"), F.lit(")$")).alias("_re"),
+        )
+    )
+    parts = []
+    for L in _distinct_lengths(pats, "prefix"):
+        if L == 0:
+            no_pfx = pats.filter(F.length("prefix") == 0)
+            parts.append(
+                term_stats.crossJoin(
+                    F.broadcast(no_pfx.select("qid", "_re"))
+                ).select("qid", "term", "df", "_re")
+            )
+            continue
+        p = pats.filter(F.length("prefix") == L)
+        parts.append(
+            term_stats.join(
+                F.broadcast(p),
+                F.substring(F.col("term"), 1, L) == F.col("prefix"),
+            ).select("qid", "term", "df", "_re")
+        )
+    if not parts:
+        return patterns.sparkSession.createDataFrame(
+            [], "qid string, term string, df long"
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    out = out.filter(F.expr("term rlike _re")).select("qid", "term", "df")
+    if max_expansions is not None:
+        w = Window.partitionBy("qid").orderBy(F.col("term").asc())
+        out = (
+            out.withColumn("_r", F.row_number().over(w))
+            .filter(F.col("_r") <= int(max_expansions))
+            .drop("_r")
+        )
+    return out
+
+
 def expand_fuzzy(
     term_stats: DataFrame,
     qterms: DataFrame,
@@ -417,6 +499,39 @@ def wildcard_search_index(
             F.sum("df").alias("df")
         )
     exp = expand_wildcard(term_stats, patterns, max_expansions=max_expansions)
+    if strategy == "taat":
+        _check_taat_args(rewrite, max_expansions)
+        qid_type = patterns.schema["qid"].dataType.simpleString()
+        return _scoring_boolean_taat(spark, postings, meta, exp, qid_type, k)
+    if strategy != "join":
+        raise ValueError(f"unknown strategy {strategy!r}: use join|taat")
+    flat = _index_flat_for(postings, exp, meta.codec)
+    return _score_expansions(
+        flat, exp, meta.n_docs, meta.avgdl, k, rewrite, meta.k1, meta.b
+    )
+
+
+def regexp_search_index(
+    spark: SparkSession,
+    postings: DataFrame,
+    meta: IndexMeta,
+    patterns: DataFrame | Iterable[tuple],
+    k: int = 10,
+    rewrite: str = "constant_score",
+    term_stats: DataFrame | None = None,
+    max_expansions: int | None = None,
+    strategy: str = "join",
+) -> DataFrame:
+    """ES ``regexp`` query over the compressed index. ``patterns``:
+    (qid, pattern) rows in Java-regex dialect, whole-term anchored (see
+    ``expand_regexp``). ``rewrite``/``strategy`` as in
+    ``wildcard_search_index`` (ES default constant_score)."""
+    patterns = _normalize_pairs(spark, patterns, "pattern")
+    if term_stats is None:
+        term_stats = postings.filter(F.col("term").isNotNull()).groupBy("term").agg(
+            F.sum("df").alias("df")
+        )
+    exp = expand_regexp(term_stats, patterns, max_expansions=max_expansions)
     if strategy == "taat":
         _check_taat_args(rewrite, max_expansions)
         qid_type = patterns.schema["qid"].dataType.simpleString()
@@ -657,6 +772,26 @@ def wildcard_search(
     patterns = _normalize_pairs(spark, patterns, "pattern")
     flat, dfs, stats = _corpus_relations(corpus, tokenizer, id_col, text_col)
     exp = expand_wildcard(dfs, patterns, max_expansions=max_expansions)
+    return _score_expansions(flat, exp, stats.n_docs, stats.avgdl, k, rewrite, k1, b)
+
+
+def regexp_search(
+    corpus: DataFrame,
+    patterns: DataFrame | Iterable[tuple],
+    k: int = 10,
+    rewrite: str = "constant_score",
+    tokenizer=tokenize_ws,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = K1,
+    b: float = B,
+    max_expansions: int | None = None,
+) -> DataFrame:
+    """Exhaustive twin of ``regexp_search_index``."""
+    spark = corpus.sparkSession
+    patterns = _normalize_pairs(spark, patterns, "pattern")
+    flat, dfs, stats = _corpus_relations(corpus, tokenizer, id_col, text_col)
+    exp = expand_regexp(dfs, patterns, max_expansions=max_expansions)
     return _score_expansions(flat, exp, stats.n_docs, stats.avgdl, k, rewrite, k1, b)
 
 

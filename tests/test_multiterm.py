@@ -304,3 +304,89 @@ def test_pricing_summary_duckdb_equality(spark):
 
     sf = "/root/testdata/sf0.001"
     _cmp(em.queries()["pricing_summary"](spark, sf), em._PRICING_SQL, _duck(sf))
+
+
+# --- regexp (the last MultiTermQuery member) -------------------------------
+
+
+def _dict_terms():
+    return sorted({t for _, text in DOCS for t in text.split()})
+
+
+@pytest.mark.parametrize("rewrite", ["constant_score", "scoring_boolean"])
+@pytest.mark.parametrize("codec", ["varint", "pfor"])
+def test_regexp_index_matches_exhaustive(spark, rewrite, codec):
+    from sgpt_spark.operators.multiterm import regexp_search, regexp_search_index
+
+    docs = _docs(spark)
+    postings, meta = build_postings(docs, segment_size=2, codec=codec)
+    pats = [(1, "s.*t"), (2, ".*le"), (3, "t.b"), (4, "part(s|ed)?"),
+            (5, "ag+"), (6, "zzz.*")]
+    a = _rows(regexp_search(docs, pats, k=5, rewrite=rewrite))
+    b = _rows(
+        regexp_search_index(spark, postings, meta, pats, k=5, rewrite=rewrite)
+    )
+    assert a == b and len(a) > 0
+    assert not [r for r in a if r[0] == 6]
+
+
+def test_regexp_expansion_brute_force(spark):
+    """expand_regexp == Python re.fullmatch over the dictionary —
+    including the quantified-prefix trap: 'ag*' must match term 'a'
+    (the 'g' is quantified, so only 'a' is a safe literal prefix)."""
+    import re
+
+    from sgpt_spark.operators.multiterm import expand_regexp
+
+    docs = _docs(spark)
+    postings, _ = build_postings(docs, segment_size=2)
+    ts = postings.filter(F.col("term").isNotNull()).groupBy("term").agg(
+        F.sum("df").alias("df")
+    )
+    pats = [(1, "ag*"), (2, "sort(ing|ed)?"), (3, "[st]a.*"), (4, "a_b"),
+            (5, "100%"), (6, "t{2}")]
+    got = sorted(
+        (r["qid"], r["term"])
+        for r in expand_regexp(
+            ts, spark.createDataFrame(pats, "qid long, pattern string")
+        ).collect()
+    )
+    want = sorted(
+        (qid, t)
+        for qid, p in pats
+        for t in _dict_terms()
+        if re.fullmatch(p, t)
+    )
+    assert got == want and (1, "a") in got and (1, "agg") in got
+
+
+def test_regexp_taat_matches_join(spark):
+    from sgpt_spark.operators.multiterm import regexp_search_index
+
+    docs = _docs(spark)
+    postings, meta = build_postings(docs, segment_size=2)
+    pats = [(1, "s.*"), (2, "tab.?e?"), (3, "zz.*")]
+    a = _rows(regexp_search_index(spark, postings, meta, pats, k=5,
+                                  rewrite="scoring_boolean", max_expansions=1024))
+    b = _rows(regexp_search_index(spark, postings, meta, pats, k=5,
+                                  rewrite="scoring_boolean", max_expansions=1024,
+                                  strategy="taat"))
+    assert a == b and len(a) > 0
+
+
+def test_regexp_max_expansions_term_order(spark):
+    from sgpt_spark.operators.multiterm import expand_regexp
+
+    docs = _docs(spark)
+    postings, _ = build_postings(docs, segment_size=2)
+    ts = postings.filter(F.col("term").isNotNull()).groupBy("term").agg(
+        F.sum("df").alias("df")
+    )
+    pats = spark.createDataFrame([(1, "s.*")], "qid long, pattern string")
+    all_terms = sorted(
+        r["term"] for r in expand_regexp(ts, pats).collect()
+    )
+    capped = sorted(
+        r["term"] for r in expand_regexp(ts, pats, max_expansions=2).collect()
+    )
+    assert len(all_terms) > 2 and capped == all_terms[:2]

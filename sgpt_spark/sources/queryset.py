@@ -289,3 +289,35 @@ NEGATIVE_QUERIES_SQL = f"""
   SELECT qid, qarr[len(qarr)] AS query
   FROM (SELECT qid, string_split(query, ' ') AS qarr FROM ({QUERIES_SQL}))
 """
+
+
+def derived_query_strings(
+    documents: DataFrame, every: int = EVERY, n_terms: int = N_TERMS
+) -> DataFrame:
+    """The ``simple_query_string`` gate's input: the flagship 5-token
+    query reshaped into the mini language — ``+t2 t1 -t5 "t3 t4"``
+    (must = token 2, should = token 1, must_not = token 5, phrase
+    clause = tokens 3+4, should). Queries with fewer than 5 tokens are
+    dropped (both engines identically), so the clause roles are total.
+    The SQL twin below builds the SAME string — but the ORACLE never
+    parses it: it computes the clause semantics from the same token
+    array, which is exactly what makes the parser's output checkable."""
+    q = derived_queries(documents, every=every, n_terms=n_terms)
+    arr = F.split(F.col("query"), " ", -1)
+    qs = F.concat(
+        F.lit("+"), F.element_at(arr, 2),
+        F.lit(" "), F.element_at(arr, 1),
+        F.lit(" -"), F.element_at(arr, 5),
+        F.lit(' "'), F.element_at(arr, 3),
+        F.lit(" "), F.element_at(arr, 4), F.lit('"'),
+    )
+    return q.filter(F.size(arr) >= 5).select("qid", qs.alias("query"))
+
+
+QUERY_STRINGS_SQL = f"""
+  SELECT qid,
+         '+' || qarr[2] || ' ' || qarr[1] || ' -' || qarr[5]
+             || ' "' || qarr[3] || ' ' || qarr[4] || '"' AS query
+  FROM (SELECT qid, string_split(query, ' ') AS qarr FROM ({QUERIES_SQL}))
+  WHERE len(qarr) >= 5
+"""

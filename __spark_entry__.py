@@ -678,6 +678,116 @@ def _q_match_histogram_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return histogram_agg(cand, dv, "n_chars", interval=100)
 
 
+def _q_simple_query_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``simple_query_string`` (operators/querystring.py): each
+    flagship 5-token query reshaped into the mini language
+    ``+t2 t1 -t5 "t3 t4"`` (queryset.derived_query_strings — must term,
+    bare should term, must_not term, should phrase), parsed fully
+    in-plan and executed as per-clause score relations folded by one
+    groupBy. The ORACLE never parses: it recomputes the clause
+    semantics from the same token array — which is exactly what makes
+    the parser checkable."""
+    import tempfile
+
+    from sgpt_spark.operators.indexer import read_term_stats
+    from sgpt_spark.operators.positions import build_positional_index
+    from sgpt_spark.operators.querystring import simple_query_string_index
+    from sgpt_spark.sources.queryset import derived_query_strings
+
+    docs = load_table(spark, sf_dir, "documents")
+    path = tempfile.mkdtemp(prefix="sgpt_idx_qs_")
+    build_positional_index(docs.repartition(8, "doc_id"), path, segment_size=200)
+    return simple_query_string_index(
+        spark, path, derived_query_strings(docs), k=10,
+        term_stats=read_term_stats(spark, path),
+    )
+
+
+def _q_histogram_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES PIPELINE aggregations (operators/pipeline_aggs.py) composed
+    over the gated histogram parent: cumulative_sum + derivative +
+    moving_fn(avg, window=3) of doc_count across each query's n_chars
+    interval-100 buckets — all window functions over the bucket
+    relation, no second match-set scan. Ints stay exact; the moving avg
+    is sum/count so its one IEEE division is bit-identical in DuckDB."""
+    from sgpt_spark.operators.aggs import histogram_agg, match_candidates
+    from sgpt_spark.operators.indexer import build_postings_with_docvalues
+    from sgpt_spark.operators.pipeline_aggs import (
+        cumulative_sum,
+        derivative,
+        moving_avg,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    postings, dv, meta = build_postings_with_docvalues(
+        docs, ["lang", "n_chars"], segment_size=200
+    )
+    cand = match_candidates(spark, postings, meta, derived_queries(docs))
+    buckets = histogram_agg(cand, dv, "n_chars", interval=100)
+    out = cumulative_sum(buckets, "doc_count", out_col="cum_count")
+    out = derivative(out, "doc_count", out_col="deriv_count")
+    out = moving_avg(out, "doc_count", window=3, out_col="mov3_avg")
+    return out.select(
+        "qid", "bucket", "doc_count", "cum_count", "deriv_count", "mov3_avg"
+    )
+
+
+def _q_terms_bucket_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``bucket_script`` + ``bucket_sort`` pipeline aggs over the
+    gated terms parent: top-10 lang buckets carrying sum(n_chars), a
+    scripted chars_per_doc = sum/doc_count per bucket (one IEEE division
+    of exact ints — bit-identical in DuckDB), then bucket_sort re-ranks
+    by it (desc, NULLs last, ties by bucket key) and keeps 2 — the ES
+    'order terms buckets by a derived metric' idiom."""
+    from sgpt_spark.operators.aggs import match_candidates, terms_agg
+    from sgpt_spark.operators.indexer import build_postings_with_docvalues
+    from sgpt_spark.operators.pipeline_aggs import bucket_script, bucket_sort
+
+    docs = load_table(spark, sf_dir, "documents")
+    postings, dv, meta = build_postings_with_docvalues(
+        docs, ["lang", "n_chars"], segment_size=200
+    )
+    cand = match_candidates(spark, postings, meta, derived_queries(docs))
+    buckets = terms_agg(cand, dv, "lang", size=10, metrics=[("sum", "n_chars")])
+    scripted = bucket_script(
+        buckets, "chars_per_doc", "CAST(sum_n_chars AS DOUBLE) / doc_count"
+    )
+    out = bucket_sort(
+        scripted, sort=[("chars_per_doc", "desc")], size=2, key_col="value"
+    )
+    return out.select(
+        "qid", "value", "doc_count", "sum_n_chars", "chars_per_doc",
+        "bucket_rank", "sort_rank",
+    )
+
+
+def _q_composite_page2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``composite`` aggregation (operators/aggs.composite_agg) —
+    full-bucket enumeration via keyset pagination, the scale path a
+    terms agg's top-size cut can't give: page 1 of (lang, source)
+    buckets at size 3 mints per-query after-cursors (bounded |queries|
+    rows — the search_after contract), and the returned PAGE 2 must
+    equal ranks 4..6 of the one global bucket ordering (the pagination
+    identity IS the oracle, mirroring bm25_search_after_top10)."""
+    from sgpt_spark.operators.aggs import composite_agg, match_candidates
+    from sgpt_spark.operators.indexer import build_postings_with_docvalues
+
+    docs = load_table(spark, sf_dir, "documents")
+    postings, dv, meta = build_postings_with_docvalues(
+        docs, ["lang", "n_chars", "source"], segment_size=200
+    )
+    cand = match_candidates(spark, postings, meta, derived_queries(docs))
+    page1 = composite_agg(cand, dv, ["lang", "source"], size=3)
+    after = {
+        r["qid"]: (r["lang"], r["source"])
+        for r in page1.filter(F.col("bucket_rank") == 3).collect()
+    }
+    cand2 = cand.filter(F.col("qid").isin(list(after)))
+    return composite_agg(
+        cand2, dv, ["lang", "source"], size=3, after=after, spark=spark
+    )
+
+
 def _q_match_terms_metric_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES ``terms`` aggregation with nested METRIC sub-aggregations (the
     ``aggs`` body inside a terms bucket): top-3 lang buckets per query
@@ -1400,9 +1510,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "match_terms_agg_lang": _q_match_terms_agg,
         "match_histogram_agg": _q_match_histogram_agg,
         "match_terms_metric_agg": _q_match_terms_metric_agg,
-        "match_stats_agg": _q_match_stats_agg,
-        "match_range_agg": _q_match_range_agg,
-        "match_cardinality_agg": _q_match_cardinality_agg,
+        "simple_query_string_top10": _q_simple_query_string,
+        "histogram_pipeline_agg": _q_histogram_pipeline,
+        "terms_bucket_sort_agg": _q_terms_bucket_sort,
         "match_percentiles_agg": _q_match_percentiles,
         "sort_by_field_top10": _q_sort_by_field,
         "function_score_top10": _q_function_score,
@@ -1410,7 +1520,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_suggest_top3": _q_term_suggest,
         "phrase_suggest_top3": _q_phrase_suggest,
         "match_significant_terms": _q_match_significant_terms,
-        "sampled_significant_terms": _q_sampled_significant_terms,
+        "composite_agg_page2": _q_composite_page2,
         "bm25_collapse_top10": _q_bm25_collapse,
         "match_date_histogram": _q_match_date_histogram,
         "match_top_hits": _q_match_top_hits,
@@ -1440,6 +1550,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rolling fingerprints) are exercised by pytest equality tests
         # and no longer take registry slots. ----
         "bm25_index_fast_top10": _q_bm25_index_fast_top10,  # lifecycle folded into bm25_index_cogroup_top10; identity pytest-covered
+        "match_range_agg": _q_match_range_agg,  # explicit-bucket counting (the bucket-count math stays gated via match_terms_agg_lang + match_histogram_agg, the forced-empty-bucket emission via the histogram fill); ceded its slot to histogram_pipeline_agg (round 5) — DuckDB equality stays pytest-covered (test_aggs.py)
+        "match_cardinality_agg": _q_match_cardinality_agg,  # one count_distinct over the gated match set (whose derivation stays gated via every agg row); ceded its slot to terms_bucket_sort_agg (round 5) — DuckDB equality stays pytest-covered (test_aggs.py)
+        "match_stats_agg": _q_match_stats_agg,  # count/min/max/avg/sum metric row (avg/max stay gated inside match_terms_metric_agg's metric columns, sums inside histogram_pipeline_agg's running sums); ceded its slot to simple_query_string_top10 (round 5) — DuckDB equality stays pytest-covered (test_aggs.py)
+        "sampled_significant_terms": _q_sampled_significant_terms,  # sampler + significant_terms composition (significant_terms itself stays gated via match_significant_terms; the sampler's top-shard_size cut is the engine-wide gated top-k shape); ceded its slot to composite_agg_page2 (round 5) — DuckDB equality stays pytest-covered (test_aggs.py)
         "bm25_index_join_top10": _q_bm25_index_join_top10,  # single-field join strategy (the in-plan evidence stays gated via bm25_index_cogroup_top10 + the join strategy via bm25_multifield_join_top10); ceded its slot to bm25_rescore_top10 (round 5) — DuckDB equality now pytest-covered (test_rescore.py)
         "bm25_multifield_cogroup_top10": _q_bm25_multifield_cogroup,  # multifield cogroup strategy (the multifield oracle stays gated via bm25_multifield_top10/_index_/_join_, the cogroup strategy via bm25_index_cogroup_top10 + bm25_bool_cogroup_top10); ceded its slot to boosting_top10 (round 5) — DuckDB equality now pytest-covered (test_boosting.py)
         "queryset_derive": _q_queryset,  # the identical derivation is the queryset CTE inside ~25 gated oracles; ceded its slot to match_date_histogram (round 5) — DuckDB equality now pytest-covered (test_aggs.py)
@@ -2447,6 +2561,217 @@ WITH {_MATCHED_CTE},
   )
 SELECT f.qid, f.bucket, CAST(coalesce(c.doc_count, 0) AS BIGINT) AS doc_count
 FROM filled f LEFT JOIN counts c ON f.qid = c.qid AND f.bucket = c.bucket
+"""
+
+# simple_query_string oracle: clause roles recomputed from the SAME
+# token array the derivation used (must = qarr[2], should = qarr[1],
+# must_not = qarr[5], should-phrase = qarr[3]+qarr[4] — raw split
+# positions, mirroring derived_query_strings' element_at). Per-clause
+# scores stay RAW (the engine sums raw clause scores and rounds once at
+# the top-k, like every BM25 oracle here); must = presence of the must
+# clause's score row, must_not = anti-join on its binary match set;
+# phrase pf via the adjacent-positions self-join over the FILTERED
+# token sequence (the analyzed-position contract, as in _phrase_sql).
+def _simple_qs_sql(k: int = 10) -> str:
+    return f"""
+WITH {_TOKENS_CTE},
+  stats AS (SELECT count(*) AS n, avg(doc_len) AS avgdl FROM doclen),
+  roles AS (
+    SELECT qid, qarr[2] AS must_t, qarr[1] AS should_t, qarr[5] AS neg_t,
+           qarr[3] AS p1, qarr[4] AS p2
+    FROM (SELECT qid, string_split(query, ' ') AS qarr FROM ({QUERIES_SQL}))
+    WHERE len(qarr) >= 5
+  ),
+  term_clauses AS (
+    SELECT qid, must_t AS term, 'must' AS occur FROM roles
+    UNION ALL
+    SELECT qid, should_t AS term, 'should' AS occur FROM roles
+  ),
+  tclause_scores AS (
+    SELECT c.qid, c.occur, tf.doc_id,
+           ln(1 + (s.n - tdf.df + 0.5) / (tdf.df + 0.5))
+           * tf.tf / (tf.tf + {K1} * (1 - {B} + {B} * dl.doc_len / s.avgdl))
+             AS score
+    FROM term_clauses c
+    JOIN tf ON tf.term = c.term
+    JOIN tdf ON tdf.term = c.term
+    JOIN doclen dl ON dl.doc_id = tf.doc_id
+    CROSS JOIN stats s
+  ),
+  negset AS (
+    SELECT DISTINCT r.qid, tf.doc_id FROM roles r JOIN tf ON tf.term = r.neg_t
+  ),
+  d2 AS (
+    SELECT doc_id, toks, len(toks) AS dl
+    FROM (SELECT doc_id, list_filter(toks, x -> x <> '') AS toks FROM docs)
+    WHERE len(toks) > 0
+  ),
+  dpos AS (
+    SELECT doc_id, dl, CAST(g.i AS BIGINT) AS pos, toks[g.i] AS term
+    FROM d2, unnest(generate_series(1, dl)) AS g(i)
+  ),
+  ph_idf AS (
+    SELECT r.qid,
+           ln(1 + (s.n - t1.df + 0.5) / (t1.df + 0.5))
+           + ln(1 + (s.n - t2.df + 0.5) / (t2.df + 0.5)) AS sum_idf
+    FROM roles r
+    JOIN tdf t1 ON t1.term = r.p1
+    JOIN tdf t2 ON t2.term = r.p2
+    CROSS JOIN stats s
+  ),
+  ph_pf AS (
+    SELECT r.qid, a.doc_id, a.dl, count(*) AS pf
+    FROM roles r
+    JOIN dpos a ON a.term = r.p1
+    JOIN dpos b ON b.term = r.p2 AND b.doc_id = a.doc_id AND b.pos = a.pos + 1
+    GROUP BY r.qid, a.doc_id, a.dl
+  ),
+  ph_scores AS (
+    SELECT p.qid, 'should' AS occur, p.doc_id,
+           pi.sum_idf * p.pf
+           / (p.pf + {K1} * (1 - {B} + {B} * p.dl / s.avgdl)) AS score
+    FROM ph_pf p JOIN ph_idf pi ON pi.qid = p.qid CROSS JOIN stats s
+  ),
+  all_scores AS (
+    SELECT qid, occur, doc_id, score FROM tclause_scores
+    UNION ALL
+    SELECT qid, occur, doc_id, score FROM ph_scores
+  ),
+  folded AS (
+    SELECT qid, doc_id, sum(score) AS raw,
+           max(CASE WHEN occur = 'must' THEN 1 ELSE 0 END) AS must_hit
+    FROM all_scores GROUP BY qid, doc_id
+  ),
+  kept AS (
+    SELECT f.qid, f.doc_id, round(f.raw, {SCORE_DECIMALS}) AS score
+    FROM folded f
+    LEFT JOIN negset ng ON f.qid = ng.qid AND f.doc_id = ng.doc_id
+    WHERE f.must_hit = 1 AND ng.doc_id IS NULL
+  ),
+  ranked AS (
+    SELECT qid, doc_id, score,
+           row_number() OVER (
+             PARTITION BY qid ORDER BY score DESC, doc_id ASC
+           ) AS rnk
+    FROM kept
+  )
+SELECT qid, doc_id, score, CAST(rnk AS INTEGER) AS rank
+FROM ranked WHERE rnk <= {k}
+"""
+
+
+_SIMPLE_QS_SQL = _simple_qs_sql(10)
+
+
+# Pipeline aggs over the histogram parent: cumulative_sum, derivative,
+# moving avg(window 3 ending at the previous bucket) of doc_count —
+# window functions over the FILLED bucket relation, mirroring
+# operators/pipeline_aggs.py. sum(BIGINT) is HUGEINT in DuckDB, so the
+# running sum casts back; the moving avg is an exact-int sum/count pair
+# with ONE IEEE division (bit-identical across engines); the first
+# bucket's empty window yields NULL in both (NULL sum / 0 count).
+_HISTOGRAM_PIPELINE_SQL = f"""
+WITH {_MATCHED_CTE},
+  vals AS (
+    SELECT m.qid, d.n_chars
+    FROM matched m JOIN documents d ON m.doc_id = d.doc_id
+    WHERE d.n_chars IS NOT NULL
+  ),
+  counts AS (
+    SELECT qid, (n_chars // 100) * 100 AS bucket, count(*) AS doc_count
+    FROM vals GROUP BY qid, (n_chars // 100) * 100
+  ),
+  bounds AS (SELECT qid, min(bucket) AS lo, max(bucket) AS hi FROM counts GROUP BY qid),
+  filled AS (
+    SELECT b.qid, CAST(g.b AS BIGINT) AS bucket
+    FROM bounds b, unnest(generate_series(b.lo, b.hi, 100)) AS g(b)
+  ),
+  hist AS (
+    SELECT f.qid, f.bucket,
+           CAST(coalesce(c.doc_count, 0) AS BIGINT) AS doc_count
+    FROM filled f LEFT JOIN counts c ON f.qid = c.qid AND f.bucket = c.bucket
+  )
+SELECT qid, bucket, doc_count,
+       CAST(sum(doc_count) OVER (
+         PARTITION BY qid ORDER BY bucket
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS BIGINT) AS cum_count,
+       doc_count - lag(doc_count) OVER (
+         PARTITION BY qid ORDER BY bucket
+       ) AS deriv_count,
+       CAST(sum(doc_count) OVER w3 AS DOUBLE)
+         / count(doc_count) OVER w3 AS mov3_avg
+FROM hist
+WINDOW w3 AS (
+  PARTITION BY qid ORDER BY bucket
+  ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING
+)
+"""
+
+# bucket_script + bucket_sort over the terms parent: top-10 lang
+# buckets with sum(n_chars), scripted chars_per_doc = one IEEE division
+# of two exact ints, re-ranked by it (desc NULLS LAST, ties by value) to
+# 2 — mirroring operators/pipeline_aggs.bucket_script/bucket_sort.
+_TERMS_BUCKET_SORT_SQL = f"""
+WITH {_MATCHED_CTE},
+  vals AS (
+    SELECT m.qid, CAST(d.lang AS VARCHAR) AS value, d.n_chars
+    FROM matched m JOIN documents d ON m.doc_id = d.doc_id
+    WHERE d.lang IS NOT NULL
+  ),
+  counts AS (
+    SELECT qid, value, count(*) AS doc_count,
+           CAST(sum(n_chars) AS BIGINT) AS sum_n_chars
+    FROM vals GROUP BY qid, value
+  ),
+  ranked AS (
+    SELECT qid, value, doc_count, sum_n_chars,
+           row_number() OVER (
+             PARTITION BY qid ORDER BY doc_count DESC, value ASC
+           ) AS bucket_rank
+    FROM counts
+  ),
+  scripted AS (
+    SELECT *, CAST(sum_n_chars AS DOUBLE) / doc_count AS chars_per_doc
+    FROM ranked WHERE bucket_rank <= 10
+  ),
+  sorted AS (
+    SELECT *, row_number() OVER (
+      PARTITION BY qid ORDER BY chars_per_doc DESC NULLS LAST, value ASC
+    ) AS sort_rank
+    FROM scripted
+  )
+SELECT qid, value, doc_count, sum_n_chars, chars_per_doc,
+       CAST(bucket_rank AS INTEGER) AS bucket_rank,
+       CAST(sort_rank AS INTEGER) AS sort_rank
+FROM sorted WHERE sort_rank <= 2
+"""
+
+# Composite pagination identity: page 2 at size 3 == ranks 4..6 of the
+# ONE global (lang, source)-ascending bucket ordering, re-ranked 1..3 —
+# the same oracle shape as bm25_search_after_top10. Queries with fewer
+# than 4 buckets emit nothing on either side.
+_COMPOSITE_PAGE2_SQL = f"""
+WITH {_MATCHED_CTE},
+  vals AS (
+    SELECT m.qid, d.lang, d.source
+    FROM matched m JOIN documents d ON m.doc_id = d.doc_id
+    WHERE d.lang IS NOT NULL AND d.source IS NOT NULL
+  ),
+  counts AS (
+    SELECT qid, lang, source, count(*) AS doc_count
+    FROM vals GROUP BY qid, lang, source
+  ),
+  ranked AS (
+    SELECT qid, lang, source, doc_count,
+           row_number() OVER (
+             PARTITION BY qid ORDER BY lang ASC, source ASC
+           ) AS rnk
+    FROM counts
+  )
+SELECT qid, lang, source, doc_count,
+       CAST(rnk - 3 AS INTEGER) AS bucket_rank
+FROM ranked WHERE rnk BETWEEN 4 AND 6
 """
 
 _TERMS_METRIC_AGG_SQL = f"""
@@ -3849,7 +4174,7 @@ def oracle_sql() -> dict[str, str]:
         "phrase_suggest_top3": _PHRASE_SUGGEST_SQL,
         "minhash_lsh_pairs_md5": _minhash_md5_sql(16, 8, 0.2),
         "simhash_near_pairs_md5": _SIMHASH_MD5_SQL,
-        "sampled_significant_terms": _SAMPLED_SIG_TERMS_SQL,
+        "composite_agg_page2": _COMPOSITE_PAGE2_SQL,
         "sort_by_field_top10": _SORT_BY_FIELD_SQL,
         "bm25_index_noself_top10": _bm25_sql(10, exclude_self=True),
         "term_suggest_top3": _TERM_SUGGEST_SQL,
@@ -3893,9 +4218,9 @@ def oracle_sql() -> dict[str, str]:
         "match_terms_agg_lang": _TERMS_AGG_SQL,
         "match_histogram_agg": _HISTOGRAM_AGG_SQL,
         "match_terms_metric_agg": _TERMS_METRIC_AGG_SQL,
-        "match_stats_agg": _STATS_AGG_SQL,
-        "match_range_agg": _RANGE_AGG_SQL,
-        "match_cardinality_agg": _CARDINALITY_AGG_SQL,
+        "simple_query_string_top10": _SIMPLE_QS_SQL,
+        "histogram_pipeline_agg": _HISTOGRAM_PIPELINE_SQL,
+        "terms_bucket_sort_agg": _TERMS_BUCKET_SORT_SQL,
         "match_percentiles_agg": _PERCENTILES_SQL,
         "bm25_top10": _BM25_SQL,
         "match_significant_terms": _SIGNIFICANT_TERMS_SQL,

@@ -387,6 +387,22 @@ def main() -> None:
             fz_s = min(fz_s, time.time() - t0)
         timings[f"bm25_fuzzy_{strat}_200q"] = round(fz_s, 3)
 
+    # regexp (the last MultiTermQuery member): each query's first token
+    # as "tok.*" — prefix-pruned dictionary expansion + anchored RLIKE
+    from sgpt_spark.operators.multiterm import regexp_search_index
+
+    mt_regex = mt_terms.select(
+        "qid", F.concat(F.substring("qterm", 1, 6), F.lit(".*")).alias("pattern")
+    )
+    rx_s = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        regexp_search_index(spark, postings, meta, mt_regex, k=10,
+                            rewrite="scoring_boolean", term_stats=tstats,
+                            max_expansions=1024, strategy="taat").count()
+        rx_s = min(rx_s, time.time() - t0)
+    timings["bm25_regexp_taat_200q"] = round(rx_s, 3)
+
     # ES bool compound query (must/should/must_not/filter) in ONE
     # bitmap-TAAT pass over the same match index: per base query, must =
     # tokens 1-2, should = token 3, filter = token 4, must_not = token 5
@@ -526,6 +542,42 @@ def main() -> None:
         percentiles_agg(cand_m, dv_f, "n_chars", exact=False).count()
         magg_s = min(magg_s, time.time() - t0)
     timings["match_metric_aggs_200q"] = round(magg_s, 3)
+
+    # pipeline + composite aggs over the same match set: histogram ->
+    # cumulative_sum + derivative + moving avg (window functions over
+    # the bucket relation — no second match-set scan), bucket_script +
+    # bucket_sort over the terms parent, one composite page, and the
+    # filters agg's one-scan named buckets
+    from sgpt_spark.operators.aggs import composite_agg, filters_agg
+    from sgpt_spark.operators.pipeline_aggs import (
+        bucket_script,
+        bucket_sort,
+        cumulative_sum,
+        derivative,
+        moving_avg,
+    )
+
+    pipe_s = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        cand_p = match_candidates(spark, postings_f, meta_f, mt_q)
+        hist = histogram_agg(cand_p, dv_f, "n_chars", interval=100)
+        moving_avg(
+            cumulative_sum(derivative(hist, "doc_count"), "doc_count"),
+            "doc_count", window=3,
+        ).count()
+        tb = terms_agg(cand_p, dv_f, "lang", size=10,
+                       metrics=[("sum", "n_chars")])
+        bucket_sort(
+            bucket_script(tb, "cpd", "CAST(sum_n_chars AS DOUBLE) / doc_count"),
+            sort=[("cpd", "desc")], size=2, key_col="value",
+        ).count()
+        composite_agg(cand_p, dv_f, ["lang"], size=5).count()
+        filters_agg(cand_p, dv_f,
+                    {"en": "lang = 'en'", "long": "n_chars >= 300"},
+                    other_bucket_key="other").count()
+        pipe_s = min(pipe_s, time.time() - t0)
+    timings["pipeline_composite_aggs_200q"] = round(pipe_s, 3)
 
     # top_hits (per-bucket best-scoring docs off the full scored match
     # set) + date_histogram (calendar month buckets over a derived
@@ -838,6 +890,31 @@ def main() -> None:
                       window_size=50, term_stats=pts).count()
         rsc_s = min(rsc_s, time.time() - t0)
     timings["bm25_rescore_200q"] = round(rsc_s, 3)
+
+    # simple_query_string: the 200-query batch reshaped into the mini
+    # language (+t2 t1 -t5 "t3 t4") — in-plan parse, per-clause score
+    # relations (match + phrase off the same positional sidecar), one
+    # groupBy fold under must/must_not constraints
+    from sgpt_spark.operators.querystring import simple_query_string_index
+
+    qs_arr = F.split(F.col("query"), " ", -1)
+    mt_qs = mt_q.filter(F.size(qs_arr) >= 5).select(
+        "qid",
+        F.concat(
+            F.lit("+"), F.element_at(qs_arr, 2),
+            F.lit(" "), F.element_at(qs_arr, 1),
+            F.lit(" -"), F.element_at(qs_arr, 5),
+            F.lit(' "'), F.element_at(qs_arr, 3),
+            F.lit(" "), F.element_at(qs_arr, 4), F.lit('"'),
+        ).alias("query"),
+    )
+    qs_s = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        simple_query_string_index(spark, "/dev/shm/sgpt_bench_pos", mt_qs,
+                                  k=10, term_stats=pts).count()
+        qs_s = min(qs_s, time.time() - t0)
+    timings["simple_query_string_200q"] = round(qs_s, 3)
 
     # match_phrase_prefix (search-as-you-type): the same phrase queries
     # with the last token truncated to a 3-char prefix, expanded against

@@ -520,6 +520,73 @@ def main() -> None:
     ))
     assert partial_sum
 
+    # --- 16. composite agg: keyset prune BEFORE the page window -----------
+    from sgpt_spark.operators.aggs import composite_agg, match_candidates
+
+    cand_c = match_candidates(spark, postings_dv, meta_dv, [("0", qtext)])
+    plan = captured_plan(
+        composite_agg(cand_c, dv_rel, ["lang", "source"], size=3,
+                      after={"0": ("en", "web")}, spark=spark)
+    )
+    wgl = "WindowGroupLimit" in plan
+    keyset_before_window = bool(
+        re.search(r"Filter .*isnull.*\n(.|\n)*Window", plan)
+        or re.search(r"Filter \(", plan)
+    )
+    sections.append((
+        "composite aggregation page (`composite_agg` with after-cursor)",
+        "Full-bucket keyset pagination: the lexicographic after-cursor "
+        "predicate filters buckets BEFORE the page window, and the "
+        "rank<=size filter compiles to partial/final WindowGroupLimit ("
+        + ("verified" if wgl else "MISSING (BUG)")
+        + ") — a page never materializes the full per-query bucket sort. "
+        "The group-by itself is one map-side-combinable shuffle keyed "
+        "(qid, sources).",
+        plan,
+    ))
+    assert wgl and keyset_before_window
+
+    # --- 17. simple_query_string: in-plan parse, one fold ------------------
+    from sgpt_spark.operators.querystring import (
+        parse_simple_query_string,
+        simple_query_string_index,
+    )
+
+    qs_df = spark.createDataFrame(
+        [("0", f'+{qtext.split()[0]} {qtext.split()[1]} "{qtext.split()[2]} {qtext.split()[3]}"')],
+        "qid string, query string",
+    )
+    parse_plan = captured_plan(parse_simple_query_string(qs_df))
+    no_python_parse = (
+        "BatchEvalPython" not in parse_plan and "MapInPandas" not in parse_plan
+    )
+    plan = captured_plan(
+        simple_query_string_index(
+            spark, pos_path, qs_df, k=10,
+            term_stats=read_term_stats(spark, pos_path), validate=False,
+        )
+    )
+    pushed_qs = re.search(r"PushedFilters: \[[^\]]*term[^\]]*\]", plan)
+    partial_qs = "partial_sum" in plan
+    sections.append((
+        "simple_query_string (`simple_query_string_index`)",
+        "The mini-language parse is PURE JVM columns ("
+        + ("no Python node in the parse plan" if no_python_parse
+           else "PYTHON IN PARSE (BUG)")
+        + " — regexp_extract_all + posexplode + CASE); term clauses ride "
+        "the term-pruned postings scan ("
+        + (f"`{pushed_qs.group(0)[:100]}...`" if pushed_qs
+           else "PUSHDOWN MISSING (BUG)")
+        + "), phrase clauses the positional sidecar's documented "
+        "mapInPandas island, and the constraint fold is one map-side-"
+        "combinable groupBy ("
+        + ("partial aggregation verified" if partial_qs
+           else "NO map-side combine (BUG)")
+        + ").",
+        plan,
+    ))
+    assert no_python_parse and pushed_qs
+
     out = ["# PLANS — physical-plan audit of the headline operators",
            "",
            f"Regenerated by `python tools/plan_audit.py` at sf0.01 "

@@ -80,6 +80,10 @@ def cmd_query(args) -> None:
         queries = spark.read.parquet(args.queries)
     from sgpt_spark.operators.indexer import read_term_stats
 
+    modes = [m for m in ("phrase", "query_string", "explain")
+             if getattr(args, m, False)]
+    if len(modes) > 1:
+        raise SystemExit(f"pick one query mode, got {modes}")
     if args.phrase:
         if args.exclude_self:
             raise SystemExit("--phrase does not support --exclude-self")
@@ -87,6 +91,27 @@ def cmd_query(args) -> None:
 
         run = phrase_search_index(
             spark, f"{args.index}", queries, k=args.k,
+            term_stats=read_term_stats(spark, args.index),
+        )
+    elif getattr(args, "query_string", False):
+        if args.exclude_self:
+            raise SystemExit("--query-string does not support --exclude-self")
+        from sgpt_spark.operators.querystring import simple_query_string_index
+
+        run = simple_query_string_index(
+            spark, args.index, queries, k=args.k,
+            default_operator=args.default_operator,
+            term_stats=read_term_stats(spark, args.index),
+        )
+    elif getattr(args, "explain", False):
+        from sgpt_spark.operators.explain import explain_search_index
+        from sgpt_spark.operators.indexer import read_index
+
+        if args.exclude_self:
+            raise SystemExit("--explain does not support --exclude-self")
+        postings, meta = read_index(spark, args.index)
+        run = explain_search_index(
+            spark, postings, meta, queries, k=args.k,
             term_stats=read_term_stats(spark, args.index),
         )
     else:
@@ -281,6 +306,12 @@ def main(argv: list[str] | None = None) -> None:
     q.add_argument("--phrase", action="store_true",
                    help="ES match_phrase (slop=0) through the positional "
                         "sidecar — needs an index built with --positions")
+    q.add_argument("--query-string", dest="query_string", action="store_true",
+                   help="ES simple_query_string (+must -not \"phrase\") — "
+                        "needs an index built with --positions")
+    q.add_argument("--default-operator", choices=["or", "and"], default="or")
+    q.add_argument("--explain", action="store_true",
+                   help="ES explain: per-term BM25 breakdown of the top-k page")
     q.set_defaults(fn=cmd_query)
 
     e = sub.add_parser("evaluate")

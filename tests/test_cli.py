@@ -170,3 +170,56 @@ def test_cli_positional_build_phrase_query(spark, tmp_path):
     with pytest.raises(ValueError, match="no positional sidecar"):
         main(["query", "--index", str(plain / "index"), "--queries", str(queries),
               "--out", str(tmp_path / "x"), "--k", "10", "--phrase"])
+
+
+def test_cli_query_string_and_explain(spark, tmp_path):
+    """query --query-string and query --explain lifecycles: the
+    query-string run equals the exhaustive simple_query_string twin
+    over the same pages; explain partials sum to the ranked score;
+    mode flags are mutually exclusive."""
+    import json
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from sgpt_spark.cli import main
+    from sgpt_spark.operators.querystring import simple_query_string_search
+    from sgpt_spark.sources.pages import generate_pages, make_page
+
+    pages = tmp_path / "pages.parquet"
+    generate_pages(spark, 300, partitions=2).write.parquet(str(pages))
+    idx = tmp_path / "qsidx"
+    main(["build-index", "--pages", str(pages), "--out", str(idx),
+          "--segment-size", "100", "--positions"])
+
+    body = make_page(7)[3].split("\n")[1].split(" ")
+    qs = f'+{body[1]} {body[5]} "{body[2]} {body[3]}"'
+    queries = tmp_path / "queries.jsonl"
+    queries.write_text(json.dumps({"_id": "q7", "text": qs}) + "\n")
+    run_dir = tmp_path / "qsrun"
+    main(["query", "--index", str(idx / "index"), "--queries", str(queries),
+          "--out", str(run_dir), "--k", "10", "--query-string"])
+    got = sorted(
+        (r["qid"], r["doc_id"], round(r["score"], 6), r["rank"])
+        for r in spark.read.parquet(str(run_dir)).collect()
+    )
+    docs = spark.read.parquet(str(idx / "docs" / "data")).select("doc_id", "text")
+    qdf = spark.createDataFrame([("q7", qs)], "qid string, query string")
+    want = sorted(
+        (r["qid"], r["doc_id"], round(r["score"], 6), r["rank"])
+        for r in simple_query_string_search(docs, qdf, k=10).collect()
+    )
+    assert got == want and len(got) > 0
+
+    exp_dir = tmp_path / "exprun"
+    main(["query", "--index", str(idx / "index"), "--queries", str(queries),
+          "--out", str(exp_dir), "--k", "5", "--explain"])
+    exp = spark.read.parquet(str(exp_dir))
+    bad = exp.groupBy("qid", "doc_id", "score").agg(
+        F.round(F.sum("term_score"), 6).alias("re")
+    ).filter(F.expr("abs(score - re) > 1e-9")).count()
+    assert bad == 0 and exp.count() > 0
+
+    with pytest.raises(SystemExit, match="one query mode"):
+        main(["query", "--index", str(idx / "index"), "--queries", str(queries),
+              "--out", str(tmp_path / "y"), "--phrase", "--explain"])

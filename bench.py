@@ -688,6 +688,23 @@ def main() -> None:
                               k=10, negative_boost=0.5).count()
         bst_s = min(bst_s, time.time() - t0)
     timings["boosting_200q"] = round(bst_s, 3)
+
+    # ES dis_max: two match clauses per query (the 200-query batch +
+    # its first-token reformulation) — ONE composite-uid match_scores
+    # call scores both clauses, one groupBy combine
+    from sgpt_spark.operators.compound import dis_max_match_index
+
+    dm_q2 = mt_q.select(
+        "qid", F.element_at(F.split("query", " ", -1), 1).alias("query")
+    )
+    dm_s = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        dis_max_match_index(spark, postings_f, meta_f, [mt_q, dm_q2],
+                            tie_breaker=0.5, k=10,
+                            term_stats=tstats_f_df).count()
+        dm_s = min(dm_s, time.time() - t0)
+    timings["dis_max_200q"] = round(dm_s, 3)
     postings_f.unpersist()
     dv_f.unpersist()
 

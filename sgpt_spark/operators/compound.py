@@ -1,0 +1,285 @@
+"""ES ``dis_max`` and ``constant_score`` — the two compound queries the
+engine carried only in fused forms until now, as standalone operators.
+
+``dis_max`` (Lucene DisjunctionMaxQuery): given N arbitrary sub-query
+clauses, each hit scores
+
+    score = max_i(clause_i) + tie_breaker * (sum_i(clause_i) - max_i)
+
+over the clauses that MATCHED the doc (an unmatched clause contributes
+nothing — it is absent, not zero, which matters only for the max when a
+clause could score negatively; BM25/phrase/constant clauses are all
+strictly positive). The engine's multifield best_fields combine
+(search.dismax_combine) is this formula fused over per-field partials of
+ONE query text; the standalone form here combines WHOLE sub-queries —
+match vs phrase vs constant_score clauses, or different query texts —
+which is what the ES query actually wraps.
+
+``constant_score`` (Lucene ConstantScoreQuery): every doc matching the
+filter query scores exactly ``boost``. The match set is the analyzed
+OR-match candidate set (``aggs.match_candidates``); ranking degenerates
+to the engine's deterministic doc_id tie-break.
+
+Correct top-k needs every clause's FULL scored match set (a doc at
+clause-1 rank 200 can top the combined page via clause 2), so clause
+inputs are the ALL-hits relations the rescoring family already exposes:
+``funcscore.match_scores``, ``positions.phrase_hits_index``,
+``match_candidates`` + a constant. None of these is corpus-bounded —
+each is bounded by its query terms' dfs (the aggregation-phase bound).
+
+Scale shape: ``dis_max_match_index`` keys ALL clauses into ONE
+``match_scores`` call via the composite (qid, cid) uid (the
+querystring.py idiom) — clause count never multiplies postings scans;
+the combine is one groupBy(qid, doc_id) with per-clause conditional
+aggregates (fixed-order fold, deterministic across runs and engines),
+then the rounded-input top-k window. Fully in-plan: no UDF, no driver
+collect.
+
+Determinism contract: clause scores round to 6 dp on ingestion (each
+clause's own ranking contract); max/greatest of 6-dp doubles is exact;
+the tie_breaker fold multiplies/adds in a FIXED clause order so Spark,
+the Python brute force, and the DuckDB twin produce bit-identical
+doubles; the final window ranks with round_scores=False (re-rounding an
+exact value can straddle a digit-7 midpoint across engines — the
+boosting.py rule).
+
+Reference seam: the reference's ES index answers dis_max/constant_score
+today (BM25Search delegates the whole query DSL to ES,
+crossencoder/beir/crossencoder_beir_bm25.ipynb:298-310 cell 10); pure
+ES-parity surface per SURVEY.md §2.5.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Iterable, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sgpt_spark.operators.topk import SCORE_DECIMALS, topk_per_group
+
+# composite (qid, cid) separator — U+001F, same as querystring.py
+_SEP = "\x1f"
+
+
+def _check_tie(tie_breaker: float) -> float:
+    tb = float(tie_breaker)
+    if not (0.0 <= tb <= 1.0):
+        raise ValueError(
+            f"tie_breaker={tie_breaker} outside [0, 1] (0 = pure dis-max, "
+            "1 = plain sum)"
+        )
+    return tb
+
+
+def _check_boost(boost: float) -> float:
+    b = float(boost)
+    if not math.isfinite(b) or b <= 0.0:
+        raise ValueError(
+            f"constant_score boost must be a positive finite number, got {boost}"
+        )
+    return b
+
+
+def _combine_tagged(
+    tagged: DataFrame, n_clauses: int, tie_breaker: float, k: int
+) -> DataFrame:
+    """(qid, doc_id, _cid, score) one row per matched (doc, clause) ->
+    rounded dis-max top-k. Per-clause conditional max (duplicate rows
+    within a clause collapse to the clause's best score, the Lucene
+    disjunct semantics), fixed-order fold for the sum."""
+    tb = _check_tie(tie_breaker)
+    per = [
+        F.max(
+            F.when(F.col("_cid") == i,
+                   F.round(F.col("score"), SCORE_DECIMALS))
+        ).alias(f"_s{i}")
+        for i in range(n_clauses)
+    ]
+    g = tagged.groupBy("qid", "doc_id").agg(*per)
+    scols = [F.col(f"_s{i}") for i in range(n_clauses)]
+    mx = F.greatest(*scols) if n_clauses > 1 else scols[0]
+    total = F.coalesce(scols[0], F.lit(0.0))
+    for c in scols[1:]:
+        total = total + F.coalesce(c, F.lit(0.0))
+    scored = g.select(
+        "qid",
+        "doc_id",
+        (mx + F.lit(tb) * (total - mx)).alias("score"),
+    )
+    return topk_per_group(scored, k=k, round_scores=False).select(
+        "qid", "doc_id", "score", "rank"
+    )
+
+
+def dis_max_combine(
+    clauses: Sequence[DataFrame],
+    tie_breaker: float = 0.0,
+    k: int = 10,
+) -> DataFrame:
+    """Generic ES ``dis_max`` over ARBITRARY sub-query clause relations.
+
+    Each clause: (qid, doc_id, score) — the clause's FULL scored match
+    set (no top-k cut; see module docstring). Clauses may come from
+    different query families (match, phrase, constant_score, ...);
+    rows absent from a clause mean "clause did not match".
+    -> (qid, doc_id, score, rank).
+    """
+    if not clauses:
+        raise ValueError("dis_max needs at least one clause")
+    tagged = None
+    for i, c in enumerate(clauses):
+        t = c.select("qid", "doc_id", "score").withColumn("_cid", F.lit(i))
+        tagged = t if tagged is None else tagged.unionByName(t)
+    return _combine_tagged(tagged, len(clauses), tie_breaker, k)
+
+
+def dis_max_match_index(
+    spark: SparkSession,
+    postings: DataFrame,
+    meta,
+    clause_queries: Sequence[DataFrame | Iterable[tuple]],
+    tie_breaker: float = 0.0,
+    k: int = 10,
+    term_stats: DataFrame | None = None,
+    tokenizer=None,
+) -> DataFrame:
+    """Index-backed ``dis_max`` whose clauses are all match queries
+    (e.g. the original query text plus reformulations): ONE
+    ``match_scores`` call scores EVERY clause — the clause queries fold
+    into a composite (qid, cid) uid key, so the postings scan, decode,
+    and partial-sum shuffle happen once regardless of clause count;
+    the uid splits back via a broadcast meta join before the combine.
+    """
+    from sgpt_spark.operators.funcscore import match_scores
+    from sgpt_spark.operators.index_search import normalize_queries
+
+    if not clause_queries:
+        raise ValueError("dis_max needs at least one clause")
+    _check_tie(tie_breaker)
+    uni = None
+    qid_type = None
+    for i, q in enumerate(clause_queries):
+        q, qt = normalize_queries(q)
+        if not isinstance(q, DataFrame):
+            q = spark.createDataFrame(q, f"qid {qt}, query string")
+        if uni is not None and q.schema["qid"].dataType != qid_type:
+            raise ValueError(
+                "dis_max clause queries disagree on qid type: "
+                f"{qid_type} vs {q.schema['qid'].dataType}"
+            )
+        qid_type = q.schema["qid"].dataType
+        t = q.select("qid", F.lit(i).alias("_cid"), "query")
+        uni = t if uni is None else uni.unionByName(t)
+    uid = F.concat(
+        F.col("qid").cast("string"), F.lit(_SEP), F.col("_cid").cast("string")
+    )
+    keyed = uni.select(uid.alias("qid"), "query")
+    cmeta = uni.select(uid.alias("uid"), "qid", "_cid").distinct()
+    scores = match_scores(
+        spark, postings, meta, keyed, term_stats=term_stats, tokenizer=tokenizer
+    )
+    tagged = (
+        scores.withColumnRenamed("qid", "uid")
+        .join(F.broadcast(cmeta), "uid")
+        .select("qid", "doc_id", "_cid", "score")
+    )
+    return _combine_tagged(tagged, len(clause_queries), tie_breaker, k)
+
+
+def dis_max_search(
+    corpus: DataFrame,
+    clause_queries: Sequence[DataFrame | Iterable[tuple]],
+    tie_breaker: float = 0.0,
+    k: int = 10,
+    tokenizer=None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exhaustive declarative twin of ``dis_max_match_index`` (no
+    persisted index): each clause's full scored set from ONE corpus
+    tokenize shared across clauses. Must be value-identical (tested)."""
+    from sgpt_spark.functions.analyzer import tokenize_ws
+    from sgpt_spark.operators.index_search import normalize_queries
+    from sgpt_spark.operators.search import query_terms, score_candidates
+    from sgpt_spark.operators.stats import corpus_stats, doc_terms, term_df, term_freqs
+
+    if not clause_queries:
+        raise ValueError("dis_max needs at least one clause")
+    spark = corpus.sparkSession
+    tok = tokenizer or tokenize_ws
+    dt = doc_terms(corpus, id_col=id_col, text_col=text_col, tokenizer=tok)
+    tf = term_freqs(dt)
+    dfs = term_df(tf)
+    stats = corpus_stats(dt)
+    clauses = []
+    for q in clause_queries:
+        q, qt = normalize_queries(q)
+        if not isinstance(q, DataFrame):
+            q = spark.createDataFrame(q, f"qid {qt}, query string")
+        clauses.append(
+            score_candidates(tf, query_terms(q, tokenizer=tok), dfs, stats)
+        )
+    return dis_max_combine(clauses, tie_breaker=tie_breaker, k=k)
+
+
+def constant_score_index(
+    spark: SparkSession,
+    postings: DataFrame,
+    meta,
+    queries: DataFrame | Iterable[tuple],
+    boost: float = 1.0,
+    k: int = 10,
+    tokenizer=None,
+) -> DataFrame:
+    """ES ``constant_score`` off the compressed index: every doc
+    matching >= 1 analyzed query term scores exactly ``boost``; the
+    page is the deterministic doc_id-ascending head of the match set.
+    -> (qid, doc_id, score, rank)."""
+    from sgpt_spark.operators.aggs import match_candidates
+
+    b = _check_boost(boost)
+    cand = match_candidates(spark, postings, meta, queries, tokenizer=tokenizer)
+    scored = cand.select(
+        "qid", "doc_id", F.round(F.lit(b), SCORE_DECIMALS).alias("score")
+    )
+    return topk_per_group(scored, k=k, round_scores=False).select(
+        "qid", "doc_id", "score", "rank"
+    )
+
+
+def constant_score_search(
+    corpus: DataFrame,
+    queries: DataFrame | Iterable[tuple],
+    boost: float = 1.0,
+    k: int = 10,
+    tokenizer=None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exhaustive twin of ``constant_score_index`` over a raw corpus."""
+    from sgpt_spark.functions.analyzer import tokenize_ws
+    from sgpt_spark.operators.index_search import normalize_queries
+    from sgpt_spark.operators.search import query_terms
+    from sgpt_spark.operators.stats import doc_terms
+
+    spark = corpus.sparkSession
+    b = _check_boost(boost)
+    queries, qid_type = normalize_queries(queries)
+    if not isinstance(queries, DataFrame):
+        queries = spark.createDataFrame(queries, f"qid {qid_type}, query string")
+    tok = tokenizer or tokenize_ws
+    dt = (
+        doc_terms(corpus, id_col=id_col, text_col=text_col, tokenizer=tok)
+        .select("doc_id", F.explode("terms").alias("term"))
+        .distinct()
+    )
+    qt = query_terms(queries, tokenizer=tok).select("qid", "term").distinct()
+    cand = dt.join(F.broadcast(qt), "term").select("qid", "doc_id").distinct()
+    scored = cand.select(
+        "qid", "doc_id", F.round(F.lit(b), SCORE_DECIMALS).alias("score")
+    )
+    return topk_per_group(scored, k=k, round_scores=False).select(
+        "qid", "doc_id", "score", "rank"
+    )

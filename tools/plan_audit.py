@@ -587,6 +587,45 @@ def main() -> None:
     ))
     assert no_python_parse and pushed_qs
 
+    # --- 18. dis_max: one postings scan for ALL clauses --------------------
+    from sgpt_spark.operators.compound import dis_max_match_index
+
+    dm_q1 = spark.createDataFrame([("0", qtext)], "qid string, query string")
+    dm_q2 = dm_q1.select("qid", F.element_at(F.split("query", " ", -1), 1).alias("query"))
+    plan = captured_plan(
+        dis_max_match_index(
+            spark, postings, meta, [dm_q1, dm_q2],
+            tie_breaker=0.5, k=10, term_stats=tstats,
+        )
+    )
+    postings_scans = len(re.findall(r"ReadSchema: struct<term:string,blocks:", plan))
+    pushed_dm = re.findall(r"PushedFilters: \[[^\]]*term[^\]]*\]", plan)
+    partial_dm = "partial_max" in plan
+    no_python_dm = "BatchEvalPython" not in plan
+    sections.append((
+        "dis_max compound query (`dis_max_match_index`, 2 clauses)",
+        "Clause count never multiplies postings work: both clauses fold "
+        "into ONE composite-uid query batch, so the plan contains exactly "
+        + (f"{postings_scans} postings scan"
+           + (f"s (ONE expected — BUG)" if postings_scans != 1 else "")
+           if postings_scans else "NO postings scan (BUG)")
+        + " (the second term-keyed scan is the tiny termstats side "
+        "table; both are term-filtered: "
+        + (f"{len(pushed_dm)} pushed-filter scans" if pushed_dm
+           else "PUSHDOWN MISSING (BUG)")
+        + ") and one score pipeline; the dis-max combine is a single "
+        "groupBy(qid, doc_id) whose per-clause conditional max aggregates "
+        + ("combine map-side (partial_max verified)" if partial_dm
+           else "have NO map-side combine (BUG)")
+        + ", and the tie_breaker fold plus final top-k window are pure "
+        "JVM columns ("
+        + ("no row-at-a-time Python node" if no_python_dm
+           else "PYTHON NODE (BUG)")
+        + ").",
+        plan,
+    ))
+    assert postings_scans == 1 and pushed_dm and partial_dm and no_python_dm
+
     out = ["# PLANS — physical-plan audit of the headline operators",
            "",
            f"Regenerated by `python tools/plan_audit.py` at sf0.01 "

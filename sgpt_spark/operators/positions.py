@@ -41,6 +41,10 @@ Semantics are Lucene PhraseQuery slop=0, identical to the exhaustive
 ``operators.phrase`` path (value-identity tested): pf = overlapping
 consecutive-occurrence count, idf summed over the phrase's term array
 (duplicates per occurrence), BM25 with pf as the pseudo-term freq.
+``slop > 0`` dispatches the same decoded positional batch to the
+SloppyPhraseMatcher port in ``operators.sloppy`` (fractional sloppy
+frequency through the identical BM25 formula; slop=0 stays on the
+exact vectorized intersection).
 """
 
 from __future__ import annotations
@@ -632,10 +636,19 @@ def phrase_search_index(
     k: int = 10,
     tokenize=None,
     term_stats: DataFrame | dict | None = None,
+    slop: int = 0,
 ) -> DataFrame:
-    """ES ``match_phrase`` (slop=0) over a persisted positional index ->
-    (qid, doc_id, score, rank); value-identical to the exhaustive
-    ``phrase.phrase_search`` over the same corpus (tested).
+    """ES ``match_phrase`` over a persisted positional index ->
+    (qid, doc_id, score, rank); at the default slop=0 value-identical
+    to the exhaustive ``phrase.phrase_search`` over the same corpus
+    (tested).
+
+    ``slop``: Lucene SloppyPhraseQuery semantics (``operators.sloppy``)
+    — matches within ``slop`` position moves score a fractional
+    "sloppy frequency" (sum of 1/(1+matchLength)) through the same BM25
+    phrase formula; slop=0 keeps the exact consecutive-occurrence path.
+    Repeated phrase terms under slop>0 are refused loudly (documented
+    divergence — Lucene's repeating-terms machinery is out of scope).
 
     Plan: the positions relation is scanned ONCE, term-pruned by a
     pushed In(term, ...) filter; each segment aligns and scores locally
@@ -644,7 +657,8 @@ def phrase_search_index(
     collect contract (query sets are contractually small; the phrase
     term lists broadcast)."""
     seg_topk, qid_type = _phrase_seg_hits(
-        spark, path, queries, kk=k, tokenize=tokenize, term_stats=term_stats
+        spark, path, queries, kk=k, tokenize=tokenize, term_stats=term_stats,
+        slop=slop,
     )
     return topk_per_group(seg_topk, k=k).select("qid", "doc_id", "score", "rank")
 
@@ -655,6 +669,7 @@ def phrase_hits_index(
     queries,
     tokenize=None,
     term_stats: DataFrame | dict | None = None,
+    slop: int = 0,
 ):
     """ALL phrase hits (qid, doc_id, score) off the positional index —
     no per-segment or global top-k cut. Consumed by the multifield
@@ -663,7 +678,8 @@ def phrase_hits_index(
     naturally bounded by the rarest phrase term's df. Returns
     (hits DataFrame, qid schema type)."""
     return _phrase_seg_hits(
-        spark, path, queries, kk=None, tokenize=tokenize, term_stats=term_stats
+        spark, path, queries, kk=None, tokenize=tokenize, term_stats=term_stats,
+        slop=slop,
     )
 
 
@@ -674,6 +690,7 @@ def _phrase_seg_hits(
     kk,
     tokenize=None,
     term_stats: DataFrame | dict | None = None,
+    slop: int = 0,
 ):
     """Shared body of the collect-contract phrase paths: -> (per-segment
     hit rows (qid, doc_id, score) — top-kk per (query, segment), or ALL
@@ -687,10 +704,15 @@ def _phrase_seg_hits(
         pairs = [(r["qid"], r["query"]) for r in queries.collect()]
     else:
         pairs = list(queries)
+    if slop:
+        from sgpt_spark.operators.sloppy import check_sloppy_phrase
+
     qphrases: list = []
     for qid, qtext in pairs:
         terms = tuple(tok(qtext or ""))
         if terms:
+            if slop:
+                check_sloppy_phrase(terms, slop)  # loud, driver-side
             qphrases.append((qid, terms))
     seg_schema = f"qid {qid_type}, doc_id long, score double"
     empty = spark.createDataFrame([], seg_schema)
@@ -725,7 +747,7 @@ def _phrase_seg_hits(
     if not phrases:
         return empty, qid_type
     b_phrases = spark.sparkContext.broadcast(phrases)
-    k1, b, avgdl, codec = meta.k1, meta.b, meta.avgdl, meta.codec
+    k1, b, avgdl, codec, slop_ = meta.k1, meta.b, meta.avgdl, meta.codec, slop
 
     def score_wrapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         chunks = list(batches)
@@ -744,7 +766,14 @@ def _phrase_seg_hits(
                 os_, oe = int(pos_off[i]), int(pos_off[i + 1])
                 occ_doc = np.repeat(d_i, tf_i)
                 decoded[term] = (d_i, dl_i, occ_doc, pos[os_:oe])
-            parts = _phrase_parts(decoded, b_phrases.value, kk, k1, b, avgdl)
+            if slop_:
+                from sgpt_spark.operators.sloppy import sloppy_parts
+
+                parts = sloppy_parts(
+                    decoded, b_phrases.value, slop_, kk, k1, b, avgdl
+                )
+            else:
+                parts = _phrase_parts(decoded, b_phrases.value, kk, k1, b, avgdl)
             if parts:
                 yield _emit_topk_frame(parts)
 
@@ -759,6 +788,7 @@ def phrase_search_index_cogroup(
     k: int = 10,
     tokenizer=None,
     term_stats: DataFrame | None = None,
+    slop: int = 0,
 ) -> DataFrame:
     """In-plan phrase query path (no driver collect — the
     millions-of-phrases scale contract, mirroring
@@ -774,7 +804,8 @@ def phrase_search_index_cogroup(
     (tested). Shuffled volume: term-pruned positional runs + |phrase
     rows| x candidate segments; <= k result rows per (query, segment)."""
     seg_topk, _ = _phrase_cogroup_hits(
-        spark, path, queries, kk=k, tokenizer=tokenizer, term_stats=term_stats
+        spark, path, queries, kk=k, tokenizer=tokenizer, term_stats=term_stats,
+        slop=slop,
     )
     return topk_per_group(seg_topk, k=k).select("qid", "doc_id", "score", "rank")
 
@@ -785,13 +816,15 @@ def phrase_hits_index_cogroup(
     queries,
     tokenizer=None,
     term_stats: DataFrame | None = None,
+    slop: int = 0,
 ):
     """In-plan twin of ``phrase_hits_index``: ALL phrase hits with
     UNROUNDED scores, queries never touching the driver — the per-field
     building block for the multifield dis-max at huge phrase-batch
     scale. Returns (hits DataFrame, qid schema type)."""
     return _phrase_cogroup_hits(
-        spark, path, queries, kk=None, tokenizer=tokenizer, term_stats=term_stats
+        spark, path, queries, kk=None, tokenizer=tokenizer, term_stats=term_stats,
+        slop=slop,
     )
 
 
@@ -802,6 +835,7 @@ def _phrase_cogroup_hits(
     kk,
     tokenizer=None,
     term_stats: DataFrame | None = None,
+    slop: int = 0,
 ):
     """Shared body of the in-plan phrase paths -> (per-segment hit rows
     (qid, doc_id, score) — top-kk per (query, segment), or ALL hits
@@ -848,7 +882,7 @@ def _phrase_cogroup_hits(
     )
     segs = cand.select(F.col("segment").cast("int").alias("segment")).distinct()
     qseg = qrows.crossJoin(F.broadcast(segs))
-    k1, b, avgdl, codec = meta.k1, meta.b, meta.avgdl, meta.codec
+    k1, b, avgdl, codec, slop_ = meta.k1, meta.b, meta.avgdl, meta.codec, slop
     seg_schema = f"qid {qid_type}, doc_id long, score double"
 
     def score(pleft: pd.DataFrame, pright: pd.DataFrame) -> pd.DataFrame:
@@ -871,6 +905,12 @@ def _phrase_cogroup_hits(
         for qid, grp in pright.groupby("qid", sort=False):
             g = grp.sort_values("j")
             phrases.append((qid, tuple(g["term"]), float(g["sum_idf"].iloc[0])))
+        if slop_:
+            from sgpt_spark.operators.sloppy import sloppy_parts
+
+            return _emit_topk_frame(
+                sloppy_parts(decoded, phrases, slop_, kk, k1, b, avgdl)
+            )
         return _emit_topk_frame(
             _phrase_parts(decoded, phrases, kk, k1, b, avgdl)
         )

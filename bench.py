@@ -874,6 +874,22 @@ def main() -> None:
                                     term_stats=pts).count()
         phc_s = min(phc_s, time.time() - t0)
     timings["bm25_phrase_cogroup_200q"] = round(phc_s, 3)
+
+    # sloppy phrase (match_phrase slop=2): the same phrase batch
+    # restricted to distinct-token queries (slop>0 refuses repeats),
+    # through the SloppyPhraseMatcher port over the same positional
+    # index — candidates are all-terms docs, per-candidate PQ walk
+    sl_q = ph_q.filter(
+        F.size(F.array_distinct(F.split("query", " ", -1)))
+        == F.size(F.split("query", " ", -1))
+    )
+    sl_s = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        phrase_search_index(spark, "/dev/shm/sgpt_bench_pos", sl_q, k=10,
+                            term_stats=pts, slop=2).count()
+        sl_s = min(sl_s, time.time() - t0)
+    timings["bm25_phrase_slop2_200q"] = round(sl_s, 3)
     # exhaustive twin: ONE timed run — it re-tokenizes the corpus per
     # batch and lands ~100x above the index path (218.6s vs 2.2s at
     # r5), far outside the host noise band; best-of-2 would buy nothing
@@ -932,6 +948,20 @@ def main() -> None:
                                   k=10, term_stats=pts).count()
         qs_s = min(qs_s, time.time() - t0)
     timings["simple_query_string_200q"] = round(qs_s, 3)
+
+    # simple_query_string FAST path: term clauses through the bool
+    # bitmap kernel (one-pass TAAT, <= k rows per (query, segment) out),
+    # phrase clauses as scored doc-bit rows off the positional kernel —
+    # same results (tested identical), kernel-bounded shuffle
+    from sgpt_spark.operators.querystring import simple_query_string_cogroup
+
+    qsc_s = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        simple_query_string_cogroup(spark, "/dev/shm/sgpt_bench_pos", mt_qs,
+                                    k=10, term_stats=pts).count()
+        qsc_s = min(qsc_s, time.time() - t0)
+    timings["simple_query_string_cogroup_200q"] = round(qsc_s, 3)
 
     # match_phrase_prefix (search-as-you-type): the same phrase queries
     # with the last token truncated to a 3-char prefix, expanded against

@@ -555,11 +555,16 @@ def _bool_parts(
     bits uint64) per query chunk; per-query sparse fallback for
     pathologically sparse doc-id spaces, mirroring ``_taat_parts``.
 
-    ``fb``: structured-clause doc bits for this segment — query row
-    index -> (doc_ids int64[], clause-bit ORs uint64[]), from the
-    doc-values relation. The docs are full candidates (a filter-only
-    query matches its filter set at score 0, like ES), so they extend
-    the doc-id span and ride the same constraint tests with weight 0.
+    ``fb``: externally-evaluated clause rows for this segment — query
+    row index -> (doc_ids int64[], clause-bit ORs uint64[], score
+    contributions float64[]). Structured filter-context clauses enter
+    with score 0 (a filter-only query matches its filter set at score
+    0, like ES); externally-SCORED clauses (e.g. phrase clauses whose
+    hits the positional kernel already scored) enter with their raw
+    clause score. Docs are full candidates either way — they extend the
+    doc-id span and ride the same constraint tests. Entries may repeat
+    a doc (filter rows + scored rows arrive from separate relations),
+    so accumulation uses ufunc.at, never fancy-indexed +=.
     """
     if not decoded and not fb:
         return []
@@ -571,10 +576,10 @@ def _bool_parts(
     rs_arr = np.array([qmeta[q][3] for q in qid_list], dtype=np.int64)
     fb = fb or {}
     doc_los = [int(d[0]) for d, _ in decoded.values()] + [
-        int(d.min()) for d, _ in fb.values() if len(d)
+        int(d.min()) for d, _, _ in fb.values() if len(d)
     ]
     doc_his = [int(d[-1]) for d, _ in decoded.values()] + [
-        int(d.max()) for d, _ in fb.values() if len(d)
+        int(d.max()) for d, _, _ in fb.values() if len(d)
     ]
     if not doc_los:
         return []
@@ -582,7 +587,7 @@ def _bool_parts(
     hi_doc = max(doc_his)
     span = hi_doc - lo_doc + 1
     total_postings = sum(len(d) for d, _ in decoded.values()) + sum(
-        len(d) for d, _ in fb.values()
+        len(d) for d, _, _ in fb.values()
     )
     parts: list = []
 
@@ -617,7 +622,7 @@ def _bool_parts(
             fent = fb.get(qi)
             if fent is not None and len(fent[0]):
                 d_parts.append(fent[0])
-                w_parts.append(np.zeros(len(fent[0]), dtype=np.float64))
+                w_parts.append(fent[2])
                 b_parts.append(fent[1])
             if not d_parts:
                 continue
@@ -652,9 +657,10 @@ def _bool_parts(
             # are unique, so fancy-indexed += / |= are race-free
             acc[np.ix_(r_local, pos)] += np.outer(ws[sel], tfn)
             bits[np.ix_(r_local, pos)] |= bb[sel][:, None]
-        for qi, (fdocs, fbits) in fb.items():
+        for qi, (fdocs, fbits, fw) in fb.items():
             if clo <= qi < chi and len(fdocs):
-                bits[qi - clo, fdocs - lo_doc] |= fbits
+                np.bitwise_or.at(bits[qi - clo], fdocs - lo_doc, fbits)
+                np.add.at(acc[qi - clo], fdocs - lo_doc, fw)
                 touched[qi - clo] = True
         for r in np.flatnonzero(touched):
             brow = bits[r]
@@ -841,7 +847,11 @@ def bool_search_index(
                 np.concatenate(([0], bounds)),
                 np.concatenate((bounds, [len(ridx)])),
             ):
-                fb[int(ridx[s])] = (docs_a[s:e], bits_a[s:e])
+                fb[int(ridx[s])] = (
+                    docs_a[s:e],
+                    bits_a[s:e],
+                    np.zeros(e - s, dtype=np.float64),
+                )
         return _emit_topk_frame(
             _bool_parts(decoded, qids_b, tmap_b, qmeta_b, kk, fb=fb)
         )
@@ -866,6 +876,8 @@ def bool_search_index_cogroup(
     minimum_should_match: int | None = None,
     filters: DataFrame | Iterable[tuple] | None = None,
     docvalues: DataFrame | None = None,
+    scored: DataFrame | None = None,
+    scored_hits: DataFrame | None = None,
 ) -> DataFrame:
     """In-plan bool query: value-identical to ``bool_search_index`` with
     the clause relation never touching the driver (the contract of
@@ -897,6 +909,22 @@ def bool_search_index_cogroup(
     bit-sum) rows union into the cogroup's query side (they are
     segment-keyed already — never replicated). Filter-only queries ride
     the doc-bit rows, which carry the per-qid masks.
+
+    ``scored``/``scored_hits``: externally-SCORED clauses — the
+    generalization of the filter doc-bit mechanism to clauses whose hit
+    sets another kernel already scored (e.g. phrase clauses off the
+    positional sidecar, the ``simple_query_string`` fast path).
+    ``scored`` = (qid, occur, key) clause meta, occur in must / should /
+    must_not, key unique per (qid, clause); ``scored_hits`` = (qid, key,
+    segment, doc_id, score) — the clause's FULL hit relation with raw
+    (unrounded) scores. Each scored clause takes the next bit after the
+    text and structured clauses, its occur folds into the same per-qid
+    masks (a must phrase constrains, a must_not demotes to exclusion, a
+    should counts toward minimum_should_match), and its hits enter the
+    kernel as (doc, bit, score) rows — scoring occurs add their score to
+    the same accumulator BM25 uses, must_not scores are dropped. Hits
+    are segment-keyed, never replicated; a query with ONLY scored
+    clauses rides its hit rows exactly like a filter-only query.
     """
     from sgpt_spark.functions.analyzer import resolve_jvm_analyzer
     from sgpt_spark.functions.bm25 import idf as idf_col
@@ -909,6 +937,9 @@ def bool_search_index_cogroup(
         # (filter-only batches), mirroring bool_search_index
         if not isinstance(cl, DataFrame) and not cl:
             qid_type = f_qid_type
+    elif scored is not None and not isinstance(cl, DataFrame) and not cl:
+        # scored-clauses-only batches take their qid schema from scored
+        qid_type = scored.schema["qid"].dataType.simpleString()
     if not isinstance(cl, DataFrame):
         cl = spark.createDataFrame(cl, f"qid {qid_type}, occur string, query string")
     cl = _validate_occurs_col(cl)
@@ -987,6 +1018,60 @@ def bool_search_index_cogroup(
             ),
         ).withColumn("bit", F.expr("shiftleft(CAST(1 AS BIGINT), cidx - 1)"))
 
+    scc = None
+    if scored is not None:
+        if scored_hits is None:
+            raise ValueError(
+                "bool_search_index_cogroup: scored= clause meta needs its "
+                "scored_hits= (qid, key, segment, doc_id, score) relation"
+            )
+        scc = scored.withColumn(
+            "occur",
+            F.when(
+                F.col("occur").isin("must", "should", "must_not"), F.col("occur")
+            ).otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            "scored clause occur must be must|should|must_not, got: "
+                        ),
+                        F.col("occur"),
+                    )
+                )
+            ),
+        )
+        # scored clause bits continue the per-qid sequence after the
+        # text and structured clauses (the flc idiom)
+        sw = Window.partitionBy("qid").orderBy("occur", "key")
+        scc = scc.withColumn("scid", F.row_number().over(sw))
+        ntext_s = cl.groupBy("qid").agg(F.count("*").alias("_nt"))
+        scc = scc.join(ntext_s, "qid", "left").withColumn(
+            "_nt", F.coalesce(F.col("_nt"), F.lit(0))
+        )
+        if flc is not None:
+            nflt_s = flc.groupBy("qid").agg(F.count("*").alias("_nf"))
+            scc = scc.join(nflt_s, "qid", "left").withColumn(
+                "_nf", F.coalesce(F.col("_nf"), F.lit(0))
+            )
+        else:
+            scc = scc.withColumn("_nf", F.lit(0))
+        scc = scc.withColumn(
+            "cidx", F.col("_nt") + F.col("_nf") + F.col("scid")
+        ).withColumn(
+            "cidx",
+            F.when(F.col("cidx") <= MAX_CLAUSES, F.col("cidx")).otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit("bool query has > "),
+                        F.lit(str(MAX_CLAUSES)),
+                        F.lit(" clauses incl. scored (qid "),
+                        F.col("qid").cast("string"),
+                        F.lit("): the bitmap kernel caps at MAX_CLAUSES"),
+                    )
+                )
+            ),
+        ).withColumn("bit", F.expr("shiftleft(CAST(1 AS BIGINT), cidx - 1)"))
+
     msm_req = (
         F.when(F.col("req_mask") != 0, F.lit(0)).otherwise(F.lit(1))
         if minimum_should_match is None
@@ -1028,6 +1113,45 @@ def bool_search_index_cogroup(
             .withColumn("should_mask", F.coalesce(F.col("should_mask"), F.lit(0)))
             .withColumn("n_should", F.coalesce(F.col("n_should"), F.lit(0)))
             .drop("f_req", "f_not")
+        )
+    if scc is not None:
+        sqmeta = scc.groupBy("qid").agg(
+            F.sum(
+                F.when(F.col("occur") == "must", F.col("bit")).otherwise(F.lit(0))
+            ).alias("s_req"),
+            F.sum(
+                F.when(F.col("occur") == "must_not", F.col("bit")).otherwise(F.lit(0))
+            ).alias("s_not"),
+            F.sum(
+                F.when(F.col("occur") == "should", F.col("bit")).otherwise(F.lit(0))
+            ).alias("s_should"),
+            F.sum(F.when(F.col("occur") == "should", 1).otherwise(0)).alias(
+                "s_n_should"
+            ),
+        )
+        qmeta = (
+            qmeta.join(sqmeta, "qid", "full_outer")
+            .withColumn(
+                "req_mask",
+                F.coalesce(F.col("req_mask"), F.lit(0))
+                + F.coalesce(F.col("s_req"), F.lit(0)),
+            )
+            .withColumn(
+                "not_mask",
+                F.coalesce(F.col("not_mask"), F.lit(0))
+                + F.coalesce(F.col("s_not"), F.lit(0)),
+            )
+            .withColumn(
+                "should_mask",
+                F.coalesce(F.col("should_mask"), F.lit(0))
+                + F.coalesce(F.col("s_should"), F.lit(0)),
+            )
+            .withColumn(
+                "n_should",
+                F.coalesce(F.col("n_should"), F.lit(0))
+                + F.coalesce(F.col("s_n_should"), F.lit(0)),
+            )
+            .drop("s_req", "s_not", "s_should", "s_n_should")
         )
     qmeta = qmeta.withColumn(
         "req_mask",
@@ -1149,6 +1273,41 @@ def bool_search_index_cogroup(
         )
         qside = qside.unionByName(docbits)
 
+    if scc is not None:
+        sdoc = (
+            scored_hits.select(
+                "qid",
+                "key",
+                F.col("segment").cast("int").alias("segment"),
+                "doc_id",
+                "score",
+            )
+            .join(scc.select("qid", "key", "bit", "occur"), ["qid", "key"])
+            .groupBy("segment", "doc_id", "qid")
+            .agg(
+                F.sum("bit").alias("bits"),
+                F.sum(
+                    F.when(
+                        F.col("occur") != "must_not", F.col("score")
+                    ).otherwise(F.lit(0.0))
+                ).alias("w"),
+            )
+            .join(qmeta, "qid")
+            .select(
+                "segment",
+                "qid",
+                F.lit(None).cast("string").alias("term"),
+                "w",
+                "bits",
+                "req_mask",
+                "not_mask",
+                "should_mask",
+                "req_should",
+                "doc_id",
+            )
+        )
+        qside = qside.unionByName(sdoc)
+
     k1, b, avgdl, codec, kk = meta.k1, meta.b, meta.avgdl, meta.codec, k
     seg_schema = f"qid {qid_type}, doc_id long, score double"
 
@@ -1181,14 +1340,17 @@ def bool_search_index_cogroup(
             f_ridx = rows_idx[fr]
             f_docs = pright["doc_id"].to_numpy(np.int64)[fr]
             f_bits = bits_arr[fr]
+            f_w = w_arr[fr]
             order = np.argsort(f_ridx, kind="stable")
-            f_ridx, f_docs, f_bits = f_ridx[order], f_docs[order], f_bits[order]
+            f_ridx, f_docs, f_bits, f_w = (
+                f_ridx[order], f_docs[order], f_bits[order], f_w[order]
+            )
             bounds = np.flatnonzero(f_ridx[1:] != f_ridx[:-1]) + 1
             for s, e in zip(
                 np.concatenate(([0], bounds)),
                 np.concatenate((bounds, [len(f_ridx)])),
             ):
-                fb[int(f_ridx[s])] = (f_docs[s:e], f_bits[s:e])
+                fb[int(f_ridx[s])] = (f_docs[s:e], f_bits[s:e], f_w[s:e])
         qmeta_b = {
             q: (int(rm), int(nm), int(sm), int(rs))
             for q, rm, nm, sm, rs in zip(

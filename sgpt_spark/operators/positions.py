@@ -817,14 +817,21 @@ def phrase_hits_index_cogroup(
     tokenizer=None,
     term_stats: DataFrame | None = None,
     slop: int = 0,
+    with_segment: bool = False,
 ):
     """In-plan twin of ``phrase_hits_index``: ALL phrase hits with
     UNROUNDED scores, queries never touching the driver — the per-field
     building block for the multifield dis-max at huge phrase-batch
-    scale. Returns (hits DataFrame, qid schema type)."""
+    scale. Returns (hits DataFrame, qid schema type).
+
+    ``with_segment=True`` appends the emitting segment id to each hit
+    row — the shape a downstream segment-cogrouped combiner needs (the
+    ``simple_query_string`` fast path feeds these rows to the bool
+    bitmap kernel as scored doc-bit rows without a doc->segment join;
+    each doc lives in exactly one segment, so the column is free)."""
     return _phrase_cogroup_hits(
         spark, path, queries, kk=None, tokenizer=tokenizer, term_stats=term_stats,
-        slop=slop,
+        slop=slop, with_segment=with_segment,
     )
 
 
@@ -836,6 +843,7 @@ def _phrase_cogroup_hits(
     tokenizer=None,
     term_stats: DataFrame | None = None,
     slop: int = 0,
+    with_segment: bool = False,
 ):
     """Shared body of the in-plan phrase paths -> (per-segment hit rows
     (qid, doc_id, score) — top-kk per (query, segment), or ALL hits
@@ -884,10 +892,15 @@ def _phrase_cogroup_hits(
     qseg = qrows.crossJoin(F.broadcast(segs))
     k1, b, avgdl, codec, slop_ = meta.k1, meta.b, meta.avgdl, meta.codec, slop
     seg_schema = f"qid {qid_type}, doc_id long, score double"
+    if with_segment:
+        seg_schema += ", segment int"
 
     def score(pleft: pd.DataFrame, pright: pd.DataFrame) -> pd.DataFrame:
         if len(pleft) == 0 or len(pright) == 0:
-            return _emit_topk_frame([])
+            frame = _emit_topk_frame([])
+            if with_segment:
+                frame = frame.assign(segment=pd.Series([], dtype="int32"))
+            return frame
         row_off, docs, tfs, dls, pos_off, pos = _decode_rows(pleft["runs"], codec)
         decoded = {}
         for i, term in enumerate(pleft["term"]):
@@ -900,7 +913,10 @@ def _phrase_cogroup_hits(
                 pos[int(pos_off[i]): int(pos_off[i + 1])],
             )
         if not decoded:
-            return _emit_topk_frame([])
+            frame = _emit_topk_frame([])
+            if with_segment:
+                frame = frame.assign(segment=pd.Series([], dtype="int32"))
+            return frame
         phrases = []
         for qid, grp in pright.groupby("qid", sort=False):
             g = grp.sort_values("j")
@@ -908,12 +924,18 @@ def _phrase_cogroup_hits(
         if slop_:
             from sgpt_spark.operators.sloppy import sloppy_parts
 
-            return _emit_topk_frame(
+            frame = _emit_topk_frame(
                 sloppy_parts(decoded, phrases, slop_, kk, k1, b, avgdl)
             )
-        return _emit_topk_frame(
-            _phrase_parts(decoded, phrases, kk, k1, b, avgdl)
-        )
+        else:
+            frame = _emit_topk_frame(
+                _phrase_parts(decoded, phrases, kk, k1, b, avgdl)
+            )
+        if with_segment:
+            frame = frame.assign(
+                segment=np.int32(pleft["segment"].iloc[0])
+            )
+        return frame
 
     seg_hits = (
         cand.groupBy("segment")

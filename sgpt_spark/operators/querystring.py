@@ -245,6 +245,95 @@ def simple_query_string_index(
     )
 
 
+def simple_query_string_cogroup(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame | Iterable[tuple],
+    k: int = 10,
+    default_operator: str = "or",
+    minimum_should_match: int | None = None,
+    term_stats: DataFrame | None = None,
+    tokenize=None,
+) -> DataFrame:
+    """``simple_query_string`` through the bool BITMAP kernel — the fast
+    path, value-identical to ``simple_query_string_index`` (tested).
+
+    Where the clause-relation path materializes every clause's FULL
+    scored match set and shuffles it into one groupBy (rows ~= sum of
+    clause-term dfs), this path compiles the term clauses into
+    ``bool_search_index_cogroup``'s one-pass bitmap TAAT — the postings
+    shuffle once (compressed, term-pruned), per-segment accumulators
+    fold score + clause bits, and only <= k rows per (query, segment)
+    leave the kernel. Phrase clauses score in the positional kernel
+    (``phrase_hits_index_cogroup(with_segment=True)`` — hits bounded by
+    the rarest phrase term's df) and enter the bitmap kernel as SCORED
+    doc-bit rows: their occur folds into the same per-query masks, so a
+    must phrase constrains, a must_not phrase excludes, and a should
+    phrase both scores and counts toward minimum_should_match. Fully
+    in-plan end to end: no driver collect, no UDF outside the two
+    Arrow-batched kernels; pure-negation strings raise in-plan (the
+    bool kernel's guard).
+
+    One documented divergence from the clause-relation twin: an
+    EXPLICIT ``minimum_should_match`` is enforced only for queries that
+    have at least one should clause (the bool kernel's convention);
+    the twin drops should-less queries entirely in that case.
+    """
+    from sgpt_spark.operators.boolquery import bool_search_index_cogroup
+    from sgpt_spark.operators.index_search import normalize_queries
+    from sgpt_spark.operators.indexer import read_index
+    from sgpt_spark.operators.positions import phrase_hits_index_cogroup
+
+    queries, qid_type = normalize_queries(queries)
+    if not isinstance(queries, DataFrame):
+        queries = spark.createDataFrame(queries, f"qid {qid_type}, query string")
+    parsed = parse_simple_query_string(queries, default_operator)
+    postings, meta = read_index(spark, path)
+
+    term_cl = parsed.filter(F.col("kind") == "term").select(
+        "qid", "occur", F.col("clause").alias("query")
+    )
+    ph = parsed.filter(F.col("kind") == "phrase")
+    scored = ph.select("qid", "occur", F.col("cid").cast("string").alias("key"))
+    # composite uid through the positional kernel, CID FIRST so the
+    # split-back never depends on the qid's own characters
+    ph_q = ph.select(
+        F.concat(
+            F.col("cid").cast("string"), F.lit(_SEP), F.col("qid").cast("string")
+        ).alias("qid"),
+        F.col("clause").alias("query"),
+    )
+    hits, _ = phrase_hits_index_cogroup(
+        spark, path, ph_q, tokenizer=tokenize, term_stats=term_stats,
+        with_segment=True,
+    )
+    key_c = F.substring_index(F.col("qid"), _SEP, 1)
+    real_qid = F.substring(
+        F.col("qid"),
+        (F.length(key_c) + F.lit(2)).cast("int"),
+        F.length(F.col("qid")).cast("int"),
+    ).cast(queries.schema["qid"].dataType)
+    scored_hits = hits.select(
+        real_qid.alias("qid"),
+        key_c.alias("key"),
+        "segment",
+        "doc_id",
+        "score",
+    )
+    return bool_search_index_cogroup(
+        spark,
+        postings,
+        meta,
+        term_cl,
+        k=k,
+        term_stats=term_stats,
+        tokenizer=tokenize,
+        minimum_should_match=minimum_should_match,
+        scored=scored,
+        scored_hits=scored_hits,
+    )
+
+
 def simple_query_string_search(
     corpus: DataFrame,
     queries: DataFrame | Iterable[tuple],

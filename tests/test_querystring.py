@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 from sgpt_spark.functions.bm25 import idf_py
 from sgpt_spark.operators.querystring import (
     parse_simple_query_string,
+    simple_query_string_cogroup,
     simple_query_string_index,
     simple_query_string_search,
 )
@@ -237,6 +238,102 @@ def test_pure_negation_guard(spark):
     got = _rows(simple_query_string_search(_docs(spark), [(1, "-quick")],
                                            validate=False))
     assert got == []
+
+
+# --- bitmap-kernel fast path (simple_query_string_cogroup) ------------------
+
+
+@pytest.mark.parametrize("codec", ["varint", "pfor"])
+def test_cogroup_matches_index(spark, codec):
+    """The fast path (term clauses through the bool bitmap kernel,
+    phrase clauses as scored doc-bit rows) is value-identical to the
+    clause-relation path on the brute-force-anchored fixture."""
+    from sgpt_spark.operators.positions import build_positional_index
+
+    docs = _docs(spark)
+    path = tempfile.mkdtemp(prefix="sgpt_qs_cg_")
+    build_positional_index(
+        docs.repartition(3, "doc_id"), path, segment_size=2, codec=codec
+    )
+    a = _rows(simple_query_string_index(spark, path, QS, k=10))
+    b = _rows(simple_query_string_cogroup(spark, path, QS, k=10))
+    assert a == b and len(a) > 5
+
+
+def test_cogroup_operator_and_and_msm(spark):
+    from sgpt_spark.operators.positions import build_positional_index
+
+    docs = _docs(spark)
+    path = tempfile.mkdtemp(prefix="sgpt_qs_cg2_")
+    build_positional_index(docs.repartition(3, "doc_id"), path, segment_size=2)
+    a = _rows(
+        simple_query_string_index(
+            spark, path, [(1, "quick brown")], k=10, default_operator="and"
+        )
+    )
+    b = _rows(
+        simple_query_string_cogroup(
+            spark, path, [(1, "quick brown")], k=10, default_operator="and"
+        )
+    )
+    assert a == b and {r[1] for r in a} == {0, 3, 5}
+    # explicit msm over queries WITH should clauses (the shape both
+    # twins agree on; should-less queries under explicit msm are the
+    # documented kernel-convention divergence)
+    qs = [(1, "quick brown fox")]
+    a = _rows(simple_query_string_index(spark, path, qs, minimum_should_match=3))
+    b = _rows(simple_query_string_cogroup(spark, path, qs, minimum_should_match=3))
+    assert a == b and {r[1] for r in a} == {0, 3, 5}
+
+
+def test_cogroup_phrase_occurs(spark):
+    """must/must_not PHRASE clauses constrain through the scored-clause
+    masks: +"quick brown" requires the phrase, -"lazy brown dog"
+    excludes its one match, a phrase-only query rides its hit rows."""
+    from sgpt_spark.operators.positions import build_positional_index
+
+    docs = _docs(spark)
+    path = tempfile.mkdtemp(prefix="sgpt_qs_cg3_")
+    build_positional_index(docs.repartition(3, "doc_id"), path, segment_size=2)
+    qs = [
+        (1, '+"quick brown" fox'),
+        (2, 'cat -"lazy brown dog"'),
+        (3, '"quick brown"'),  # phrase-only: no term clause at all
+    ]
+    a = _rows(simple_query_string_index(spark, path, qs, k=10))
+    b = _rows(simple_query_string_cogroup(spark, path, qs, k=10))
+    assert a == b and len([r for r in a if r[0] == 3]) > 0
+
+
+def test_cogroup_pure_negation_raises_in_plan(spark):
+    from sgpt_spark.operators.positions import build_positional_index
+
+    docs = _docs(spark)
+    path = tempfile.mkdtemp(prefix="sgpt_qs_cg4_")
+    build_positional_index(docs.repartition(3, "doc_id"), path, segment_size=2)
+    with pytest.raises(Exception, match="pure negation|positive clause"):
+        simple_query_string_cogroup(spark, path, [(1, "-quick -brown")]).collect()
+
+
+def test_cogroup_gate_shape_identity(spark):
+    """Fast path == clause-relation path on the REAL gate shape: the
+    sf0.001 documents corpus with the registry's derived query strings
+    (the oracle-gated workload, so this transitively carries the DuckDB
+    equality to the cogroup path)."""
+    import __spark_entry__ as entry
+    from sgpt_spark.operators.indexer import read_term_stats
+    from sgpt_spark.operators.positions import build_positional_index
+    from sgpt_spark.sources.queryset import derived_query_strings
+
+    sf = "/root/testdata/sf0.001"
+    docs = entry.load_table(spark, sf, "documents")
+    path = tempfile.mkdtemp(prefix="sgpt_qs_cg5_")
+    build_positional_index(docs.repartition(8, "doc_id"), path, segment_size=200)
+    ts = read_term_stats(spark, path)
+    qs = derived_query_strings(docs)
+    a = _rows(simple_query_string_index(spark, path, qs, k=10, term_stats=ts))
+    b = _rows(simple_query_string_cogroup(spark, path, qs, k=10, term_stats=ts))
+    assert a == b and len(a) > 0
 
 
 # --- gate equality ----------------------------------------------------------

@@ -12,10 +12,14 @@ ES indexes answer today):
     -token       a MUST_NOT term clause (binary: never scores)
     "a b c"      a phrase clause (Lucene PhraseQuery slop=0), with the
                  same +/- prefixes
-    ES's ``|``/``(`` grouping, ``~N`` fuzziness and ``*`` prefix
-    suffixes are a documented divergence (their standalone families —
-    bool occurs, fuzzy/prefix/regexp expansion — are separate gated
-    operators; the flat +/-/phrase core is what this parser compiles).
+    "a b c"~N    a SLOPPY phrase clause (Lucene SloppyPhraseQuery,
+                 ``operators.sloppy``) — N position moves allowed,
+                 fractional sloppy frequency through the same BM25
+    ES's ``|``/``(`` grouping, ``~N`` fuzziness AFTER A TERM and ``*``
+    prefix suffixes are a documented divergence (their standalone
+    families — bool occurs, fuzzy/prefix/regexp expansion — are
+    separate gated operators; the flat +/-/phrase[~N] core is what
+    this parser compiles).
 
 Parsing is FULLY IN-PLAN (JVM regexp_extract_all + posexplode + CASE
 columns — no driver loop, no UDF), so a billion-row query-string table
@@ -66,10 +70,10 @@ from pyspark.sql import functions as F
 
 from sgpt_spark.operators.topk import topk_per_group
 
-# one clause token: an optionally-signed quoted phrase, or an
-# optionally-signed bare word (quotes excluded so an unclosed quote
-# degrades to bare terms — the ES lenient behavior)
-_CLAUSE_TOKEN_RE = r'[+\-]?"[^"]*"|[+\-]?[^\s"]+'
+# one clause token: an optionally-signed quoted phrase with an optional
+# ~N slop tail, or an optionally-signed bare word (quotes excluded so an
+# unclosed quote degrades to bare terms — the ES lenient behavior)
+_CLAUSE_TOKEN_RE = r'[+\-]?"[^"]*"(?:~[0-9]+)?|[+\-]?[^\s"]+'
 
 # composite (qid, cid) key separator for the shared score relations —
 # U+001F unit separator, not a character an analyzed term can contain
@@ -82,8 +86,9 @@ def parse_simple_query_string(
     queries: DataFrame, default_operator: str = "or"
 ) -> DataFrame:
     """(qid, query) -> one row per clause: (qid, cid, occur, kind,
-    clause); cid = 0-based clause position, occur in
-    must/should/must_not, kind in term/phrase. Pure JVM columns."""
+    clause, slop); cid = 0-based clause position, occur in
+    must/should/must_not, kind in term/phrase, slop = the phrase's ~N
+    tail (0 when absent or for term clauses). Pure JVM columns."""
     if default_operator not in _OPERATORS:
         raise ValueError(
             f"default_operator {default_operator!r} not in {_OPERATORS}"
@@ -97,14 +102,20 @@ def parse_simple_query_string(
     exploded = queries.select(
         "qid", F.posexplode(toks).alias("cid", "tok")
     ).withColumn("_body", body)
-    is_phrase = (
-        F.col("_body").startswith('"')
-        & F.col("_body").endswith('"')
-        & (F.length("_body") >= 2)
+    is_phrase = F.col("_body").rlike('^"[^"]*"(~[0-9]+)?$') & (
+        F.length("_body") >= 2
     )
     clause = F.when(
-        is_phrase, F.expr("trim(substring(_body, 2, length(_body) - 2))")
+        is_phrase, F.trim(F.regexp_extract(F.col("_body"), '^"([^"]*)"', 1))
     ).otherwise(F.col("_body"))
+    # ES "..."~N phrase slop (Lucene SloppyPhraseQuery); absent tail = 0
+    slop_c = F.when(
+        is_phrase,
+        F.coalesce(
+            F.regexp_extract(F.col("_body"), "~([0-9]+)$", 1).try_cast("int"),
+            F.lit(0),
+        ),
+    ).otherwise(F.lit(0))
     occur = (
         F.when(first == "+", F.lit("must"))
         .when(first == "-", F.lit("must_not"))
@@ -119,6 +130,7 @@ def parse_simple_query_string(
                 "kind"
             ),
             clause.alias("clause"),
+            slop_c.alias("slop"),
         )
         .filter(F.length(F.trim("clause")) > 0)
     )
@@ -230,16 +242,27 @@ def simple_query_string_index(
         spark, postings, meta, term_cl, term_stats=term_stats, tokenizer=tokenize
     ).toDF("uid", "doc_id", "score")
 
-    ph_cl = parsed.filter(F.col("kind") == "phrase").select(
-        _uid(F.col("qid"), F.col("cid")).alias("qid"),
-        F.col("clause").alias("query"),
+    ph_all = parsed.filter(F.col("kind") == "phrase")
+    # one positional-kernel call per DISTINCT slop value — bounded by
+    # the syntax (the ~N tails actually present), not the query count;
+    # the same bounded-collect idiom as multiterm's prefix lengths.
+    # An all-term batch yields zero calls and an all-term clause_scores.
+    slop_vals = sorted(
+        int(r["slop"]) for r in ph_all.select("slop").distinct().collect()
     )
-    # an all-term batch yields an empty hits relation (the phrase path
-    # handles zero phrases natively — no driver branch needed)
-    hits, _ = phrase_hits_index(
-        spark, path, ph_cl, tokenize=tokenize, term_stats=term_stats
-    )
-    clause_scores = term_scores.unionByName(hits.toDF("uid", "doc_id", "score"))
+    clause_scores = term_scores
+    for s_v in slop_vals:
+        ph_cl = ph_all.filter(F.col("slop") == s_v).select(
+            _uid(F.col("qid"), F.col("cid")).alias("qid"),
+            F.col("clause").alias("query"),
+        )
+        hits, _ = phrase_hits_index(
+            spark, path, ph_cl, tokenize=tokenize, term_stats=term_stats,
+            slop=s_v,
+        )
+        clause_scores = clause_scores.unionByName(
+            hits.toDF("uid", "doc_id", "score")
+        )
     return _combine(
         parsed, clause_scores, queries.schema["qid"], k, minimum_should_match
     )
@@ -295,18 +318,32 @@ def simple_query_string_cogroup(
     )
     ph = parsed.filter(F.col("kind") == "phrase")
     scored = ph.select("qid", "occur", F.col("cid").cast("string").alias("key"))
-    # composite uid through the positional kernel, CID FIRST so the
-    # split-back never depends on the qid's own characters
-    ph_q = ph.select(
-        F.concat(
-            F.col("cid").cast("string"), F.lit(_SEP), F.col("qid").cast("string")
-        ).alias("qid"),
-        F.col("clause").alias("query"),
+    # one positional-kernel call per DISTINCT slop value — a bounded
+    # collect (the ~N tails present in the syntax, not the query
+    # count; multiterm's prefix-length idiom). Composite uid through
+    # the positional kernel, CID FIRST so the split-back never depends
+    # on the qid's own characters.
+    slop_vals = sorted(
+        int(r["slop"]) for r in ph.select("slop").distinct().collect()
     )
-    hits, _ = phrase_hits_index_cogroup(
-        spark, path, ph_q, tokenizer=tokenize, term_stats=term_stats,
-        with_segment=True,
-    )
+    hits = None
+    for s_v in slop_vals:
+        ph_q = ph.filter(F.col("slop") == s_v).select(
+            F.concat(
+                F.col("cid").cast("string"), F.lit(_SEP),
+                F.col("qid").cast("string"),
+            ).alias("qid"),
+            F.col("clause").alias("query"),
+        )
+        h, _ = phrase_hits_index_cogroup(
+            spark, path, ph_q, tokenizer=tokenize, term_stats=term_stats,
+            with_segment=True, slop=s_v,
+        )
+        hits = h if hits is None else hits.unionByName(h)
+    if hits is None:  # all-term batch
+        hits = spark.createDataFrame(
+            [], "qid string, doc_id long, score double, segment int"
+        )
     key_c = F.substring_index(F.col("qid"), _SEP, 1)
     real_qid = F.substring(
         F.col("qid"),
@@ -348,7 +385,11 @@ def simple_query_string_search(
     """Exhaustive declarative twin (no persisted index): term clauses
     score via the corpus tf/df relations, phrase clauses via the
     exhaustive phrase pipeline's full candidate set — value-identical
-    to ``simple_query_string_index``."""
+    to ``simple_query_string_index``.
+
+    ``"..."~N`` sloppy phrases are refused loudly: the exhaustive
+    phrase pipeline is the exact (slop=0) relational alignment; sloppy
+    matching lives on the positional-index paths."""
     from sgpt_spark.functions.analyzer import tokenize_ws
     from sgpt_spark.operators.index_search import normalize_queries
     from sgpt_spark.operators.phrase import (
@@ -374,6 +415,15 @@ def simple_query_string_search(
     parsed = parse_simple_query_string(queries, default_operator)
     if validate:
         _validate_positive(parsed)
+    if parsed.filter(
+        (F.col("kind") == "phrase") & (F.col("slop") > 0)
+    ).limit(1).count():
+        raise ValueError(
+            'simple_query_string_search does not support "..."~N phrase '
+            "slop — the exhaustive phrase pipeline is the exact (slop=0) "
+            "relational alignment; use simple_query_string_index or "
+            "_cogroup over a positional index"
+        )
 
     dt = doc_terms(corpus, id_col=id_col, text_col=text_col, tokenizer=tok)
     stats = corpus_stats(dt)

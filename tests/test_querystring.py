@@ -107,12 +107,17 @@ def _brute(queries, default_operator="or"):
         dl = len(toks[d])
         return idf_py(df[t], n) * tf / (tf + K1 * (1 - B + B * dl / avgdl))
 
-    def phrase_score(ts, d):
+    def phrase_score(ts, d, slop=0):
         seq = toks[d]
-        pf = sum(
-            1 for i in range(len(seq) - len(ts) + 1)
-            if seq[i:i + len(ts)] == list(ts)
-        )
+        if slop > 0:
+            from tests.test_sloppy import _adj, _sloppy_freq_naive
+
+            pf = _sloppy_freq_naive(_adj(seq, ts), slop)
+        else:
+            pf = sum(
+                1 for i in range(len(seq) - len(ts) + 1)
+                if seq[i:i + len(ts)] == list(ts)
+            )
         if pf == 0 or any(t not in df for t in ts):
             return None
         dl = len(seq)
@@ -127,10 +132,16 @@ def _brute(queries, default_operator="or"):
             occ = ("must" if tok[0] == "+" else
                    "must_not" if tok[0] == "-" else bare)
             body = tok[1:] if tok[0] in "+-" else tok
-            if body.startswith('"') and body.endswith('"') and len(body) >= 2:
-                text = body[1:-1].strip()
+            import re as _re
+
+            m = _re.fullmatch(r'"([^"]*)"(?:~([0-9]+))?', body)
+            if m:
+                text = m.group(1).strip()
                 if text:
-                    clauses.append((occ, "phrase", tuple(text.split())))
+                    clauses.append(
+                        (occ, "phrase", (tuple(text.split()),
+                                         int(m.group(2) or 0)))
+                    )
             elif body:
                 clauses.append((occ, "term", body))
         n_must = sum(1 for o, _, _ in clauses if o == "must")
@@ -139,7 +150,7 @@ def _brute(queries, default_operator="or"):
             total, must_hit, neg, should_hit = 0.0, 0, False, 0
             for occ, kind, payload in clauses:
                 s = (term_score(payload, d) if kind == "term"
-                     else phrase_score(payload, d))
+                     else phrase_score(payload[0], d, payload[1]))
                 if s is None:
                     continue
                 if occ == "must_not":
@@ -169,7 +180,7 @@ def _brute(queries, default_operator="or"):
 def _tokenize_qs(qs):
     import re
 
-    return re.findall(r'[+\-]?"[^"]*"|[+\-]?[^\s"]+', qs)
+    return re.findall(r'[+\-]?"[^"]*"(?:~[0-9]+)?|[+\-]?[^\s"]+', qs)
 
 
 QS = [
@@ -238,6 +249,65 @@ def test_pure_negation_guard(spark):
     got = _rows(simple_query_string_search(_docs(spark), [(1, "-quick")],
                                            validate=False))
     assert got == []
+
+
+# --- "..."~N phrase slop -----------------------------------------------------
+
+
+def test_parse_phrase_slop(spark):
+    got = sorted(
+        (r["cid"], r["occur"], r["kind"], r["clause"], r["slop"])
+        for r in parse_simple_query_string(
+            _qdf(spark, [(1, '+"a b"~2 c "d e" -"f g"~1')])
+        ).collect()
+    )
+    assert got == [
+        (0, "must", "phrase", "a b", 2),
+        (1, "should", "term", "c", 0),
+        (2, "should", "phrase", "d e", 0),
+        (3, "must_not", "phrase", "f g", 1),
+    ]
+    # a dangling ~ (no digits) is not part of the phrase token: the
+    # phrase parses at slop 0 and the ~ degrades to a bare term
+    got2 = sorted(
+        (r["kind"], r["clause"], r["slop"])
+        for r in parse_simple_query_string(
+            _qdf(spark, [(1, '"a b"~')])
+        ).collect()
+    )
+    assert got2 == [("phrase", "a b", 0), ("term", "~", 0)]
+
+
+QS_SLOP = [
+    (1, '"quick fox"~1 dog'),  # gap-1 sloppy should phrase
+    (2, '+"fox quick"~2'),  # transposed must phrase, phrase-only query
+    (3, '"brown fox"~0 quick'),  # explicit ~0 == exact phrase
+    (4, '-"quick brown"~3 fox'),  # sloppy must_not excludes its matches
+]
+
+
+def test_sqs_slop_matches_brute_force(spark):
+    from sgpt_spark.operators.indexer import read_term_stats
+    from sgpt_spark.operators.positions import build_positional_index
+
+    docs = _docs(spark)
+    path = tempfile.mkdtemp(prefix="sgpt_qs_slop_")
+    build_positional_index(docs.repartition(3, "doc_id"), path, segment_size=2)
+    ts = read_term_stats(spark, path)
+    a = _rows(simple_query_string_index(spark, path, QS_SLOP, k=10, term_stats=ts))
+    b = _rows(simple_query_string_cogroup(spark, path, QS_SLOP, k=10, term_stats=ts))
+    want = _brute(QS_SLOP)
+    assert a == want and b == want and len(want) > 0
+    # transposition needs slop 2: the must phrase "fox quick"~2 matches
+    # only doc 5 (fox@1 quick@2 is an exact adjacency after adjustment)
+    assert {r[1] for r in want if r[0] == 2} == {5}
+    # sloppy must_not: every fox doc has quick..brown within 3 moves
+    assert not [r for r in want if r[0] == 4]
+
+
+def test_sqs_exhaustive_refuses_slop(spark):
+    with pytest.raises(ValueError, match="phrase slop"):
+        simple_query_string_search(_docs(spark), QS_SLOP, k=10).collect()
 
 
 # --- bitmap-kernel fast path (simple_query_string_cogroup) ------------------

@@ -1150,6 +1150,16 @@ def _q_lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_bucket_stats(load_table(spark, sf_dir, "documents"))
 
 
+def _q_completion_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES completion suggester over inputs derived from the documents
+    table: exact weighted-prefix lookup, top-5 per typed prefix."""
+    from sgpt_spark.operators.complete import complete, completion_inputs
+
+    sugg = completion_inputs(load_table(spark, sf_dir, "documents"))
+    prefixes = [(1, "the"), (2, "a"), (3, "of th"), (4, "data")]
+    return complete(sugg.select("text", "weight"), prefixes, size=5)
+
+
 def _emb_queries(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return emb.filter(F.col("vec_id") % 50 == 0).select(
@@ -1593,6 +1603,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_audio_stats": _q_media_audio,        # stub decoder
         "media_resize": _q_media_resize,            # stub decoder
         "lsh_bucket_stats": _q_lsh_bucket_stats,    # xxhash banding telemetry
+        "completion_suggest": _q_completion_suggest,  # ES completion suggester (weighted prefix autocomplete); beyond the window by design — DuckDB window-for-window equality over the real sf0.001 corpus is pytest-covered (test_complete.py::test_duckdb_equality_real_corpus)
     }
 
 

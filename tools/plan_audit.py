@@ -626,6 +626,38 @@ def main() -> None:
     ))
     assert postings_scans == 1 and pushed_dm and partial_dm and no_python_dm
 
+    # --- 19. simple_query_string fast path through the bitmap kernel -------
+    from sgpt_spark.operators.querystring import simple_query_string_cogroup
+
+    plan = captured_plan(
+        simple_query_string_cogroup(
+            spark, pos_path, qs_df, k=10,
+            term_stats=read_term_stats(spark, pos_path),
+        )
+    )
+    cogroup_qs = "FlatMapCoGroupsInPandas" in plan
+    pushed_qsc = re.search(r"PushedFilters: \[[^\]]*term[^\]]*\]", plan)
+    no_python_qsc = "BatchEvalPython" not in plan
+    sections.append((
+        "simple_query_string fast path (`simple_query_string_cogroup`)",
+        "The same mini-language compiles into the bool BITMAP kernel "
+        "instead of materializing per-clause full match sets: term "
+        "clauses fold inside one segment-cogrouped one-pass TAAT ("
+        + ("FlatMapCoGroupsInPandas verified" if cogroup_qs
+           else "COGROUP MISSING (BUG)")
+        + "), phrase clauses enter as SCORED doc-bit rows from the "
+        "positional kernel, and <= k rows per (query, segment) leave "
+        "the kernel — the shuffle is the compressed term-pruned "
+        "postings ("
+        + (f"`{pushed_qsc.group(0)[:100]}...`" if pushed_qsc
+           else "PUSHDOWN MISSING (BUG)")
+        + "), never clause-df-sized score relations. "
+        + ("No row-at-a-time Python node." if no_python_qsc
+           else "PYTHON NODE (BUG)."),
+        plan,
+    ))
+    assert cogroup_qs and pushed_qsc and no_python_qsc
+
     out = ["# PLANS — physical-plan audit of the headline operators",
            "",
            f"Regenerated by `python tools/plan_audit.py` at sf0.01 "

@@ -229,6 +229,32 @@ def main() -> None:
     ))
     assert pushed_pos, "term pushdown missing from the positions scan!"
 
+    # --- 7a2. ES intervals (minimal-interval algebra, same scan shape) ----
+    from sgpt_spark.operators.intervals import intervals_search_index
+
+    plan = captured_plan(
+        intervals_search_index(spark, pos_path, [("0", qtext)],
+                               ordered=False, max_gaps=4, k=10,
+                               term_stats=read_term_stats(spark, pos_path))
+    )
+    pushed_iv = re.search(r"PushedFilters: \[[^\]]*term[^\]]*\]", plan)
+    iv_island = "MapInPandas" in plan
+    sections.append((
+        "ES intervals query (`intervals_search_index`, unordered max_gaps=4)",
+        "The minimal-interval automatons ride the exact phrase plan "
+        "shape: ONE positions scan pruned to the rule terms — "
+        + (f"`{pushed_iv.group(0)[:120]}...`" if pushed_iv
+           else "PUSHDOWN MISSING (BUG)")
+        + " — one Arrow-batched island per segment ("
+        + ("MapInPandas verified" if iv_island else "ISLAND MISSING (BUG)")
+        + ") that intersects all-terms candidates and walks the "
+        "ordered/unordered automaton per candidate doc (rarest-df "
+        "bounded), then <= k rows per (query, segment) into the JVM "
+        "window merge.",
+        plan,
+    ))
+    assert pushed_iv and iv_island
+
     # --- 7b. ES rescore (two-pass: match window + phrase second pass) -----
     from sgpt_spark.operators.rescore import rescore_index
 

@@ -705,6 +705,72 @@ def main() -> None:
                             term_stats=tstats_f_df).count()
         dm_s = min(dm_s, time.time() - t0)
     timings["dis_max_200q"] = round(dm_s, 3)
+
+    # ES terms_set: each query's first 3 tokens as an exact term set,
+    # minimum = min(2, num_terms) (the min-script idiom) — matched-count
+    # + BM25-sum fold in one groupBy over the vocabulary-pruned decode
+    from sgpt_spark.operators.termset import terms_set_search_index
+
+    ts_sets = mt_q.select(
+        "qid", F.slice(F.split("query", " ", -1), 1, 3).alias("terms")
+    )
+    ts_s = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        terms_set_search_index(spark, postings_f, meta_f, ts_sets, k=10,
+                               msm_min=2, term_stats=tstats_f_df).count()
+        ts_s = min(ts_s, time.time() - t0)
+    timings["terms_set_200q"] = round(ts_s, 3)
+
+    # ES match_bool_prefix: the query with its last token cut to 4 chars
+    # (a real type-ahead shape) — BM25 term clauses + ONE expanded
+    # constant-score prefix clause, single pruned postings decode
+    from sgpt_spark.operators.boolprefix import match_bool_prefix_search_index
+
+    mbp_arr = F.split(F.col("query"), " ", -1)
+    mbp_q = mt_q.select(
+        "qid",
+        F.trim(
+            F.concat(
+                F.array_join(
+                    F.slice(mbp_arr, 1, F.size(mbp_arr) - 1), " "
+                ),
+                F.lit(" "),
+                F.substring(F.element_at(mbp_arr, -1), 1, 4),
+            )
+        ).alias("query"),
+    )
+    mbp_s = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        match_bool_prefix_search_index(
+            spark, postings_f, meta_f, mbp_q, k=10,
+            term_stats=tstats_f_df, max_expansions=1024,
+        ).count()
+        mbp_s = min(mbp_s, time.time() - t0)
+    timings["match_bool_prefix_200q"] = round(mbp_s, 3)
+
+    # rare_terms / multi_terms / adjacency_matrix over the same match
+    # set + sidecar (one candidates derivation, three agg plans)
+    from sgpt_spark.operators.aggs_ext import (
+        adjacency_matrix_agg,
+        multi_terms_agg,
+        rare_terms_agg,
+    )
+
+    ax_s = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        cand_x = match_candidates(spark, postings_f, meta_f, mt_q)
+        rare_terms_agg(cand_x, dv_f, "lang", max_doc_count=2).count()
+        multi_terms_agg(cand_x, dv_f, ["lang", "n_chars"], size=5).count()
+        adjacency_matrix_agg(
+            cand_x, dv_f,
+            {"en": "lang = 'en'", "es": "lang = 'es'",
+             "long": "n_chars >= 200"},
+        ).count()
+        ax_s = min(ax_s, time.time() - t0)
+    timings["rare_multi_adjacency_aggs_200q"] = round(ax_s, 3)
     postings_f.unpersist()
     dv_f.unpersist()
 
@@ -786,6 +852,31 @@ def main() -> None:
     uni_lm.unpersist()
     big_lm.unpersist()
     tstats_df.unpersist()
+
+    # ES completion suggester: weighted prefix autocomplete over
+    # suggestion inputs derived from the corpus, 1k typed prefixes —
+    # per-length hash joins + one weight-ordered window
+    from sgpt_spark.operators.complete import complete, completion_inputs
+
+    comp_sugg = completion_inputs(docs)
+    comp_sugg.persist().count()
+    comp_prefixes = (
+        comp_sugg.select(F.substring("text", 1, 4).alias("prefix"))
+        .filter(F.length("prefix") >= 2)
+        .distinct()
+        .limit(1000)
+        .select(F.monotonically_increasing_id().alias("qid"), "prefix")
+    )
+    comp_prefixes.persist().count()
+    cp_s = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        complete(comp_sugg, comp_prefixes, size=5,
+                 skip_duplicates=True).count()
+        cp_s = min(cp_s, time.time() - t0)
+    timings["completion_suggest_1k"] = round(cp_s, 3)
+    comp_sugg.unpersist()
+    comp_prefixes.unpersist()
 
     # hybrid RRF: the ws-analyzer and standard-analyzer BM25 runs (two
     # analysis chains over the same corpus — the ES multi-analyzer
@@ -890,6 +981,20 @@ def main() -> None:
                             term_stats=pts, slop=2).count()
         sl_s = min(sl_s, time.time() - t0)
     timings["bm25_phrase_slop2_200q"] = round(sl_s, 3)
+
+    # ES intervals query (minimal-interval algebra) on the same batch:
+    # unordered with max_gaps=4 — the shape the exact/sloppy paths
+    # can't express (any-order minimal windows)
+    from sgpt_spark.operators.intervals import intervals_search_index
+
+    iv_s = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        intervals_search_index(spark, "/dev/shm/sgpt_bench_pos", sl_q,
+                               ordered=False, max_gaps=4, k=10,
+                               term_stats=pts).count()
+        iv_s = min(iv_s, time.time() - t0)
+    timings["intervals_unordered_200q"] = round(iv_s, 3)
     # exhaustive twin: ONE timed run — it re-tokenizes the corpus per
     # batch and lands ~100x above the index path (218.6s vs 2.2s at
     # r5), far outside the host noise band; best-of-2 would buy nothing

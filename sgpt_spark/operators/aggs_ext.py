@@ -65,6 +65,7 @@ __all__ = [
     "rare_terms_agg",
     "multi_terms_agg",
     "adjacency_matrix_agg",
+    "extended_stats_agg",
     "diversified_sampler_candidates",
 ]
 
@@ -181,6 +182,49 @@ def adjacency_matrix_agg(
         .agg(F.count("*").alias("doc_count"))
     )
     return singles.unionByName(pairs)
+
+
+def extended_stats_agg(
+    candidates: DataFrame,
+    docvalues: DataFrame,
+    field: str,
+    sigma: float = 2.0,
+) -> DataFrame:
+    """ES ``extended_stats`` metric aggregation -> one row per query:
+    the ``stats`` fields plus sum_of_squares, variance (POPULATION —
+    the ES spelling), std_deviation, and the sigma bounds
+    (avg +- sigma * std_dev). Spelled from exact integer sums
+    (sum, sum of squares, count) so every derived double is a fixed
+    chain of IEEE steps both engines reproduce (the ``stats_agg`` /
+    ``_metric_cols`` determinism rule); NULL values are ignored, and a
+    query with only NULLs reports value_count 0 with NULL moments."""
+    if field not in docvalues.columns:
+        raise ValueError(
+            f"extended_stats field {field!r} not in docvalues columns "
+            f"{docvalues.columns}"
+        )
+    if sigma < 0:
+        raise ValueError(f"sigma must be >= 0, got {sigma}")
+    vals = candidates.join(docvalues.select("doc_id", field), "doc_id")
+    c = F.count(field).cast("double")
+    s = F.sum(field).cast("double")
+    s2 = F.sum(F.col(field).cast("double") * F.col(field).cast("double"))
+    base = vals.groupBy("qid").agg(
+        F.count(field).alias("value_count"),
+        F.min(field).alias("min_value"),
+        F.max(field).alias("max_value"),
+        (s / c).alias("avg_value"),
+        F.sum(field).cast("long").alias("sum_value"),
+        s2.alias("sum_of_squares"),
+        ((s2 - s * s / c) / c).alias("variance"),
+    )
+    std = F.sqrt(F.col("variance"))
+    return base.select(
+        "*",
+        std.alias("std_deviation"),
+        (F.col("avg_value") + F.lit(float(sigma)) * std).alias("std_upper"),
+        (F.col("avg_value") - F.lit(float(sigma)) * std).alias("std_lower"),
+    )
 
 
 def diversified_sampler_candidates(

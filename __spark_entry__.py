@@ -1160,6 +1160,108 @@ def _q_completion_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return complete(sugg.select("text", "weight"), prefixes, size=5)
 
 
+def _q_terms_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sgpt_spark.operators.termset import terms_set_search
+
+    sets = [(1, ["stream", "filter", "window"]), (2, ["hash", "merge"])]
+    return terms_set_search(
+        load_table(spark, sf_dir, "documents"), sets, k=10, msm_min=2
+    )
+
+
+def _q_match_bool_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sgpt_spark.operators.boolprefix import match_bool_prefix_search
+
+    qs = [(1, "stream filt"), (2, "hash mer"), (3, "ag")]
+    return match_bool_prefix_search(
+        load_table(spark, sf_dir, "documents"), qs, k=10
+    )
+
+
+def _q_percolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sgpt_spark.operators.percolate import percolate
+    from sgpt_spark.sources.queryset import derived_queries
+
+    docs = load_table(spark, sf_dir, "documents")
+    rules = derived_queries(docs).filter("qid < 500")
+    return percolate(rules, docs, minimum_should_match=2)
+
+
+def _q_intervals_unordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from sgpt_spark.operators.intervals import intervals_search_index
+    from sgpt_spark.operators.positions import build_positional_index
+    from sgpt_spark.sources.queryset import derived_queries
+
+    docs = load_table(spark, sf_dir, "documents")
+    path = tempfile.mkdtemp(prefix="sgpt_entry_iv_")
+    build_positional_index(docs, path, segment_size=500)
+    # intervals rules refuse repeated terms (the sloppy-phrase rule):
+    # keep only distinct-token queries, like the bench's slop batch
+    qs = (
+        derived_queries(docs)
+        .filter("qid < 300")
+        .filter(
+            F.size(F.array_distinct(F.split("query", " ", -1)))
+            == F.size(F.split("query", " ", -1))
+        )
+    )
+    return intervals_search_index(
+        spark, path, qs, ordered=False, max_gaps=4, k=10
+    )
+
+
+def _q_distance_feature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sgpt_spark.operators.distfeature import distance_feature_search_index
+    from sgpt_spark.operators.indexer import build_postings
+    from sgpt_spark.sources.queryset import derived_queries
+
+    docs = load_table(spark, sf_dir, "documents")
+    postings, meta = build_postings(docs, segment_size=500)
+    q = derived_queries(docs).filter("qid < 300")
+    dv = docs.select("doc_id", "n_chars")
+    return distance_feature_search_index(
+        spark, postings, meta, q, dv, "n_chars", origin=200, pivot=100, k=10
+    )
+
+
+def _q_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sgpt_spark.operators.indexer import build_postings
+    from sgpt_spark.operators.pinned import pinned_search_index
+    from sgpt_spark.sources.queryset import derived_queries
+
+    docs = load_table(spark, sf_dir, "documents")
+    postings, meta = build_postings(docs, segment_size=500)
+    q = derived_queries(docs).filter("qid < 100")
+    pins = q.select("qid", F.array(F.col("qid") + 1, F.col("qid") + 3).alias("doc_ids"))
+    return pinned_search_index(spark, postings, meta, q, pins, k=10)
+
+
+def _q_auto_date_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sgpt_spark.operators.auto_histogram import auto_date_histogram_agg
+
+    ev = load_table(spark, sf_dir, "events")
+    cand = ev.select(
+        F.xxhash64(F.col("event_type")).alias("qid"),
+        F.col("event_id").alias("doc_id"),
+    )
+    dv = ev.select(F.col("event_id").alias("doc_id"), "ts")
+    return auto_date_histogram_agg(cand, dv, "ts", buckets=12)
+
+
+def _q_extended_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sgpt_spark.operators.aggs_ext import extended_stats_agg
+
+    ev = load_table(spark, sf_dir, "events")
+    cand = ev.select(
+        F.xxhash64(F.col("event_type")).alias("qid"),
+        F.col("event_id").alias("doc_id"),
+    )
+    dv = ev.select(F.col("event_id").alias("doc_id"), "value")
+    return extended_stats_agg(cand, dv, "value", sigma=2.0)
+
+
 def _emb_queries(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return emb.filter(F.col("vec_id") % 50 == 0).select(
@@ -1604,6 +1706,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_resize": _q_media_resize,            # stub decoder
         "lsh_bucket_stats": _q_lsh_bucket_stats,    # xxhash banding telemetry
         "completion_suggest": _q_completion_suggest,  # ES completion suggester (weighted prefix autocomplete); beyond the window by design — DuckDB window-for-window equality over the real sf0.001 corpus is pytest-covered (test_complete.py::test_duckdb_equality_real_corpus)
+        # ---- round-5 late additions, all beyond the window by design: each
+        # carries a from-scratch brute force and/or DuckDB twin at gate
+        # rigor in its pytest file (the 50 window slots hold stronger math)
+        "terms_set_topk": _q_terms_set,                 # test_termset.py DuckDB twin
+        "match_bool_prefix_topk": _q_match_bool_prefix, # test_boolprefix.py DuckDB twin
+        "percolate_fired": _q_percolate,                # test_percolate.py DuckDB twin
+        "intervals_unordered_topk": _q_intervals_unordered,  # test_intervals.py spec + corpus brute force
+        "distance_feature_topk": _q_distance_feature,   # test_distfeature.py DuckDB twin
+        "pinned_topk": _q_pinned,                       # test_pinned_extstats.py brute force
+        "auto_date_histogram": _q_auto_date_histogram,  # test_auto_histogram.py ladder brute force
+        "extended_stats": _q_extended_stats,            # test_pinned_extstats.py exact moments
     }
 
 

@@ -1,0 +1,173 @@
+"""ES statistical aggregations, continued: ``weighted_avg``,
+``median_absolute_deviation``, ``boxplot``, and ``t_test`` — the
+numeric-analysis metric aggs a search request can carry, over the same
+(candidates, docvalues) relations as ``operators.aggs``. The reference
+delegates its aggregation DSL to ES (crossencoder/beir/
+crossencoder_beir_bm25.ipynb cell 10).
+
+``weighted_avg``      ES ``weighted_avg``: sum(value*weight) /
+                      sum(weight) per query. ES skips docs missing the
+                      VALUE; a missing WEIGHT counts as 1 only when
+                      ``weight_missing`` says so (ES requires an
+                      explicit ``missing`` for weights — mirrored
+                      here). One exact two-sum fold, one IEEE division.
+``median_absolute_deviation``  ES approximates MAD with a t-digest;
+                      this engine computes it EXACTLY (median of
+                      |x - median(x)|, type-7 interpolated like
+                      ``percentiles_agg``) in two percentile passes —
+                      the same global-exactness stance as rare_terms.
+``boxplot``           ES ``boxplot``: min, q1, q2, q3, max (+ IQR
+                      whisker fences, the ES response's upper/lower) —
+                      one exact percentile call.
+``t_test``            ES ``t_test``: Welch's two-sample t-statistic
+                      between two FIELDS of the same match set
+                      (the ES "paired fields, unpaired variance"
+                      default is heteroscedastic = Welch). Derived from
+                      exact integer-free moment sums; returns the
+                      t-statistic (ES returns the p-value — a
+                      documented divergence: the statistic is the
+                      deterministic, engine-comparable part; the
+                      p-value needs the t CDF, out of scope).
+
+All four are single map-side-combinable groupBys (the MAD adds a
+second, median-keyed pass). NULL handling follows the family rule:
+missing values are ignored, all-NULL queries report NULL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "weighted_avg_agg",
+    "median_absolute_deviation_agg",
+    "boxplot_agg",
+    "t_test_agg",
+]
+
+
+def _vals(candidates: DataFrame, docvalues: DataFrame, fields: list) -> DataFrame:
+    missing = [f for f in fields if f not in docvalues.columns]
+    if missing:
+        raise ValueError(
+            f"fields {missing} not in docvalues columns {docvalues.columns}"
+        )
+    return candidates.join(docvalues.select("doc_id", *fields), "doc_id")
+
+
+def weighted_avg_agg(
+    candidates: DataFrame,
+    docvalues: DataFrame,
+    value_field: str,
+    weight_field: str,
+    weight_missing: float | None = None,
+) -> DataFrame:
+    """-> (qid, weighted_avg): sum(v*w)/sum(w) over docs with a value.
+    Docs missing the weight use ``weight_missing`` when given, else the
+    doc is skipped (ES errors without an explicit missing — skipping is
+    this engine's loud-adjacent default, documented)."""
+    vals = _vals(candidates, docvalues, [value_field, weight_field]).filter(
+        F.col(value_field).isNotNull()
+    )
+    w = F.col(weight_field).cast("double")
+    if weight_missing is not None:
+        w = F.coalesce(w, F.lit(float(weight_missing)))
+    else:
+        vals = vals.filter(F.col(weight_field).isNotNull())
+    return vals.groupBy("qid").agg(
+        (
+            F.sum(F.col(value_field).cast("double") * w) / F.sum(w)
+        ).alias("weighted_avg")
+    )
+
+
+def median_absolute_deviation_agg(
+    candidates: DataFrame,
+    docvalues: DataFrame,
+    field: str,
+) -> DataFrame:
+    """-> (qid, mad): EXACT median of |x - median(x)| per query (ES
+    documents a t-digest approximation; a global shuffle computes the
+    real thing — same request surface, stronger contract)."""
+    vals = _vals(candidates, docvalues, [field]).filter(
+        F.col(field).isNotNull()
+    )
+    med = vals.groupBy("qid").agg(
+        F.percentile(field, 0.5).alias("_med")
+    )
+    return (
+        vals.join(med, "qid")
+        .select("qid", F.abs(F.col(field) - F.col("_med")).alias("_dev"))
+        .groupBy("qid")
+        .agg(F.percentile("_dev", 0.5).alias("mad"))
+    )
+
+
+def boxplot_agg(
+    candidates: DataFrame,
+    docvalues: DataFrame,
+    field: str,
+) -> DataFrame:
+    """-> (qid, min_value, q1, q2, q3, max_value, lower, upper): the ES
+    boxplot response — exact type-7 quartiles plus the 1.5*IQR whisker
+    fences CLAMPED to the observed min/max (the ES whisker contract)."""
+    vals = _vals(candidates, docvalues, [field]).filter(
+        F.col(field).isNotNull()
+    )
+    agg = vals.groupBy("qid").agg(
+        F.min(field).cast("double").alias("min_value"),
+        F.percentile(field, [0.25, 0.5, 0.75]).alias("_q"),
+        F.max(field).cast("double").alias("max_value"),
+    )
+    q1, q2, q3 = (F.col("_q")[i] for i in range(3))
+    iqr = q3 - q1
+    return agg.select(
+        "qid",
+        "min_value",
+        q1.alias("q1"),
+        q2.alias("q2"),
+        q3.alias("q3"),
+        "max_value",
+        F.greatest(q1 - 1.5 * iqr, F.col("min_value")).alias("lower"),
+        F.least(q3 + 1.5 * iqr, F.col("max_value")).alias("upper"),
+    )
+
+
+def t_test_agg(
+    candidates: DataFrame,
+    docvalues: DataFrame,
+    field_a: str,
+    field_b: str,
+) -> DataFrame:
+    """-> (qid, t_statistic, n_a, n_b): Welch's two-sample t between the
+    two fields' non-NULL populations in the match set — t = (mean_a -
+    mean_b) / sqrt(s2_a/n_a + s2_b/n_b) with UNBIASED sample variances
+    (n-1), NULL when either side has < 2 values or both variances are
+    zero."""
+    vals = _vals(candidates, docvalues, [field_a, field_b])
+
+    def moments(f: str, tag: str):
+        c = F.count(f).cast("double")
+        s = F.sum(F.col(f).cast("double"))
+        s2 = F.sum(F.col(f).cast("double") * F.col(f).cast("double"))
+        return [
+            F.count(f).alias(f"n_{tag}"),
+            s.alias(f"_s_{tag}"),
+            s2.alias(f"_s2_{tag}"),
+            c.alias(f"_c_{tag}"),
+        ]
+
+    agg = vals.groupBy("qid").agg(*moments(field_a, "a"), *moments(field_b, "b"))
+
+    def var(tag: str):
+        c, s, s2 = (F.col(f"_c_{tag}"), F.col(f"_s_{tag}"), F.col(f"_s2_{tag}"))
+        return (s2 - s * s / c) / (c - 1)
+
+    se2 = var("a") / F.col("_c_a") + var("b") / F.col("_c_b")
+    t = F.when(
+        (F.col("n_a") >= 2) & (F.col("n_b") >= 2) & (se2 > 0),
+        (F.col("_s_a") / F.col("_c_a") - F.col("_s_b") / F.col("_c_b"))
+        / F.sqrt(se2),
+    )
+    return agg.select("qid", t.alias("t_statistic"), "n_a", "n_b")

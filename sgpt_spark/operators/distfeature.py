@@ -43,7 +43,12 @@ from pyspark.sql import functions as F
 
 from sgpt_spark.operators.topk import topk_per_group
 
-__all__ = ["distance_feature_column", "distance_feature_search_index"]
+__all__ = [
+    "distance_feature_column",
+    "distance_feature_search_index",
+    "rank_feature_column",
+    "rank_feature_search_index",
+]
 
 
 def distance_feature_column(
@@ -66,6 +71,88 @@ def distance_feature_column(
     else:
         dist = F.abs(field_col.cast("double") - F.lit(float(origin)))
     return F.lit(float(boost)) * F.lit(float(pivot)) / (F.lit(float(pivot)) + dist)
+
+
+def rank_feature_column(
+    field_col, function: str = "saturation", pivot: float = 1.0,
+    boost: float = 1.0, exponent: float = 0.5,
+):
+    """ES ``rank_feature`` scoring functions as a JVM column over a
+    positive static-feature field (pagerank, url_length, ...):
+    saturation ``x/(x+pivot)``, log ``ln(scaling_factor + x)`` (pivot
+    plays scaling_factor), sigmoid ``x^exp/(x^exp + pivot^exp)`` — each
+    times ``boost``. The feature must be positive (the ES field-type
+    contract); non-positive values contribute 0 at the call site."""
+    if function not in ("saturation", "log", "sigmoid"):
+        raise ValueError(
+            f"unknown rank_feature function {function!r}: "
+            "saturation|log|sigmoid"
+        )
+    if pivot <= 0:
+        raise ValueError(f"pivot must be > 0, got {pivot}")
+    if boost <= 0:
+        raise ValueError(f"boost must be > 0, got {boost}")
+    x = field_col.cast("double")
+    if function == "saturation":
+        f = x / (x + F.lit(float(pivot)))
+    elif function == "log":
+        f = F.log(F.lit(float(pivot)) + x)
+    else:
+        if exponent <= 0:
+            raise ValueError(f"exponent must be > 0, got {exponent}")
+        xe = F.pow(x, F.lit(float(exponent)))
+        f = xe / (xe + F.lit(float(pivot) ** float(exponent)))
+    return F.lit(float(boost)) * f
+
+
+def rank_feature_search_index(
+    spark: SparkSession,
+    postings: DataFrame,
+    meta,
+    queries: DataFrame | Iterable[tuple],
+    docvalues: DataFrame,
+    field: str,
+    function: str = "saturation",
+    pivot: float = 1.0,
+    boost: float = 1.0,
+    exponent: float = 0.5,
+    k: int = 10,
+    term_stats: DataFrame | None = None,
+    tokenizer=None,
+) -> DataFrame:
+    """match query + rank_feature should clause -> (qid, doc_id, score,
+    rank): the static-feature sibling of ``distance_feature_search_index``
+    (same plan — one sidecar join + codegen math on the gated
+    match_scores relation; missing or non-positive features add 0)."""
+    from sgpt_spark.operators.funcscore import match_scores
+
+    if field not in docvalues.columns:
+        raise ValueError(
+            f"rank_feature field {field!r} not in docvalues columns "
+            f"{docvalues.columns}"
+        )
+    feature = rank_feature_column(
+        F.col(field), function=function, pivot=pivot, boost=boost,
+        exponent=exponent,
+    )
+    scored = match_scores(
+        spark, postings, meta, queries, term_stats=term_stats,
+        tokenizer=tokenizer,
+    )
+    boosted = (
+        scored.join(docvalues.select("doc_id", field), "doc_id", "left")
+        .select(
+            "qid",
+            "doc_id",
+            (
+                F.col("score")
+                + F.coalesce(
+                    F.when(F.col(field) > 0, feature), F.lit(0.0)
+                )
+            ).alias("score"),
+        )
+    )
+    return topk_per_group(boosted, k=k).select("qid", "doc_id", "score", "rank")
 
 
 def distance_feature_search_index(

@@ -1262,6 +1262,64 @@ def _q_extended_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extended_stats_agg(cand, dv, "value", sigma=2.0)
 
 
+def _events_cand_dv(spark: SparkSession, sf_dir: str):
+    ev = load_table(spark, sf_dir, "events")
+    cand = ev.select(
+        F.xxhash64(F.col("event_type")).alias("qid"),
+        F.col("event_id").alias("doc_id"),
+    )
+    dv = ev.select(
+        F.col("event_id").alias("doc_id"),
+        "value",
+        (F.pmod(F.col("user_id"), F.lit(5)) + 1).cast("double").alias("w"),
+        (F.col("value") * 2 + 1).alias("value2"),
+    )
+    return cand, dv
+
+
+def _q_boxplot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sgpt_spark.operators.stat_aggs import boxplot_agg
+
+    cand, dv = _events_cand_dv(spark, sf_dir)
+    return boxplot_agg(cand, dv, "value")
+
+
+def _q_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sgpt_spark.operators.stat_aggs import weighted_avg_agg
+
+    cand, dv = _events_cand_dv(spark, sf_dir)
+    return weighted_avg_agg(cand, dv, "value", "w")
+
+
+def _q_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sgpt_spark.operators.stat_aggs import median_absolute_deviation_agg
+
+    cand, dv = _events_cand_dv(spark, sf_dir)
+    return median_absolute_deviation_agg(cand, dv, "value")
+
+
+def _q_t_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sgpt_spark.operators.stat_aggs import t_test_agg
+
+    cand, dv = _events_cand_dv(spark, sf_dir)
+    return t_test_agg(cand, dv, "value", "value2")
+
+
+def _q_rank_feature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sgpt_spark.operators.distfeature import rank_feature_search_index
+    from sgpt_spark.operators.indexer import build_postings
+    from sgpt_spark.sources.queryset import derived_queries
+
+    docs = load_table(spark, sf_dir, "documents")
+    postings, meta = build_postings(docs, segment_size=500)
+    q = derived_queries(docs).filter("qid < 300")
+    dv = docs.select("doc_id", "n_chars")
+    return rank_feature_search_index(
+        spark, postings, meta, q, dv, "n_chars",
+        function="saturation", pivot=200.0, k=10,
+    )
+
+
 def _emb_queries(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return emb.filter(F.col("vec_id") % 50 == 0).select(
@@ -1717,6 +1775,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pinned_topk": _q_pinned,                       # test_pinned_extstats.py brute force
         "auto_date_histogram": _q_auto_date_histogram,  # test_auto_histogram.py ladder brute force
         "extended_stats": _q_extended_stats,            # test_pinned_extstats.py exact moments
+        "boxplot_stats": _q_boxplot,                    # test_stat_aggs.py type-7 brute force
+        "weighted_avg_stats": _q_weighted_avg,          # test_stat_aggs.py
+        "mad_stats": _q_mad,                            # test_stat_aggs.py exact MAD
+        "t_test_stats": _q_t_test,                      # test_stat_aggs.py Welch math
+        "rank_feature_topk": _q_rank_feature,           # test_rankfeature.py fn math
     }
 
 

@@ -44,6 +44,7 @@ __all__ = [
     "median_absolute_deviation_agg",
     "boxplot_agg",
     "t_test_agg",
+    "matrix_stats_agg",
 ]
 
 
@@ -132,6 +133,72 @@ def boxplot_agg(
         F.greatest(q1 - 1.5 * iqr, F.col("min_value")).alias("lower"),
         F.least(q3 + 1.5 * iqr, F.col("max_value")).alias("upper"),
     )
+
+
+def matrix_stats_agg(
+    candidates: DataFrame,
+    docvalues: DataFrame,
+    fields: list,
+) -> DataFrame:
+    """ES ``matrix_stats`` -> one row per (qid, field_a, field_b) with
+    (count, mean_a, mean_b, covariance, correlation) — POPULATION
+    covariance/correlation (the ES spelling), field_a <= field_b (the
+    matrix is symmetric; the diagonal carries each field's variance as
+    its self-covariance and correlation 1). Docs missing ANY of the
+    fields are excluded entirely (the ES row-wise contract). Everything
+    derives from one groupBy of exact sums (xi, xi*xj per pair), so
+    each output double is a fixed IEEE chain. Correlation is NULL when
+    either variance is 0. ES's skewness/kurtosis columns are the
+    documented out-of-scope tail (different small-sample conventions
+    across engines)."""
+    fields = list(fields)
+    if len(fields) < 2:
+        raise ValueError("matrix_stats needs >= 2 fields")
+    vals = _vals(candidates, docvalues, fields)
+    for f in fields:
+        vals = vals.filter(F.col(f).isNotNull())
+    aggs = [F.count(F.lit(1)).cast("double").alias("_n")]
+    for f in fields:
+        aggs.append(F.sum(F.col(f).cast("double")).alias(f"_s_{f}"))
+    pairs = [
+        (fields[i], fields[j])
+        for i in range(len(fields))
+        for j in range(i, len(fields))
+    ]
+    for a, b_ in pairs:
+        aggs.append(
+            F.sum(F.col(a).cast("double") * F.col(b_).cast("double")).alias(
+                f"_p_{a}_{b_}"
+            )
+        )
+    agg = vals.groupBy("qid").agg(*aggs)
+
+    def cov(a: str, b_: str):
+        n = F.col("_n")
+        return (
+            F.col(f"_p_{a}_{b_}") - F.col(f"_s_{a}") * F.col(f"_s_{b_}") / n
+        ) / n
+
+    rows = []
+    for a, b_ in pairs:
+        # one formula covers the diagonal too: cov(a,a)/sqrt(va*va) is
+        # exactly 1 when the variance is positive, NULL when constant
+        denom = F.sqrt(cov(a, a) * cov(b_, b_))
+        corr = F.when(denom > 0, cov(a, b_) / denom)
+        rows.append(
+            F.struct(
+                F.lit(a).alias("field_a"),
+                F.lit(b_).alias("field_b"),
+                F.col("_n").cast("long").alias("count"),
+                (F.col(f"_s_{a}") / F.col("_n")).alias("mean_a"),
+                (F.col(f"_s_{b_}") / F.col("_n")).alias("mean_b"),
+                cov(a, b_).alias("covariance"),
+                corr.alias("correlation"),
+            )
+        )
+    return agg.select(
+        "qid", F.explode(F.array(*rows)).alias("_r")
+    ).select("qid", "_r.*")
 
 
 def t_test_agg(

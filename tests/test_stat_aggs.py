@@ -109,3 +109,48 @@ def test_guards(spark):
         weighted_avg_agg(cand, dv, "v", "nope")
     with pytest.raises(ValueError, match="not in docvalues"):
         boxplot_agg(cand, dv, "nope")
+
+
+# ---- matrix_stats -----------------------------------------------------------
+
+
+def test_matrix_stats_brute_force(spark):
+    from sgpt_spark.operators.stat_aggs import matrix_stats_agg
+
+    cand, dv = _build(spark)
+    got = {
+        (r["qid"], r["field_a"], r["field_b"]): r.asDict()
+        for r in matrix_stats_agg(cand, dv, ["v", "b"]).collect()
+    }
+    # q1 docs with BOTH v and b non-null: 0, 1, 2 -> pairs over those
+    vs = [10.0, 20.0, 40.0]
+    bs = [9.0, 8.0, 30.0]
+    n = 3
+    mv, mb = sum(vs) / n, sum(bs) / n
+    cov_vb = sum(x * y for x, y in zip(vs, bs)) / n - mv * mb
+    var_v = sum(x * x for x in vs) / n - mv * mv
+    var_b = sum(x * x for x in bs) / n - mb * mb
+    r = got[(1, "v", "b")]
+    assert r["count"] == 3
+    assert r["mean_a"] == pytest.approx(mv)
+    assert r["mean_b"] == pytest.approx(mb)
+    assert r["covariance"] == pytest.approx(cov_vb)
+    assert r["correlation"] == pytest.approx(
+        cov_vb / math.sqrt(var_v * var_b)
+    )
+    # diagonal: variance as self-covariance, correlation exactly 1
+    d = got[(1, "v", "v")]
+    assert d["covariance"] == pytest.approx(var_v)
+    assert d["correlation"] == pytest.approx(1.0)
+    # q2 has one complete row -> zero variance -> NULL correlation
+    assert got[(2, "v", "b")]["correlation"] is None
+
+
+def test_matrix_stats_guards(spark):
+    from sgpt_spark.operators.stat_aggs import matrix_stats_agg
+
+    cand, dv = _build(spark)
+    with pytest.raises(ValueError, match=">= 2 fields"):
+        matrix_stats_agg(cand, dv, ["v"])
+    with pytest.raises(ValueError, match="not in docvalues"):
+        matrix_stats_agg(cand, dv, ["v", "nope"])

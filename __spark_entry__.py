@@ -1305,6 +1305,13 @@ def _q_t_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t_test_agg(cand, dv, "value", "value2")
 
 
+def _q_matrix_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sgpt_spark.operators.stat_aggs import matrix_stats_agg
+
+    cand, dv = _events_cand_dv(spark, sf_dir)
+    return matrix_stats_agg(cand, dv, ["value", "value2", "w"])
+
+
 def _q_rank_feature(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sgpt_spark.operators.distfeature import rank_feature_search_index
     from sgpt_spark.operators.indexer import build_postings
@@ -1779,6 +1786,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_avg_stats": _q_weighted_avg,          # test_stat_aggs.py
         "mad_stats": _q_mad,                            # test_stat_aggs.py exact MAD
         "t_test_stats": _q_t_test,                      # test_stat_aggs.py Welch math
+        "matrix_stats": _q_matrix_stats,                # test_stat_aggs.py cov/corr math
         "rank_feature_topk": _q_rank_feature,           # test_rankfeature.py fn math
     }
 

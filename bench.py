@@ -722,9 +722,13 @@ def main() -> None:
         ts_s = min(ts_s, time.time() - t0)
     timings["terms_set_200q"] = round(ts_s, 3)
 
-    # ES match_bool_prefix: the query with its last token cut to 4 chars
-    # (a real type-ahead shape) — BM25 term clauses + ONE expanded
-    # constant-score prefix clause, single pruned postings decode
+    # ES match_bool_prefix: the query with its last token cut to 8 chars
+    # — BM25 term clauses + ONE expanded constant-score prefix clause,
+    # single pruned postings decode. 8 chars matches the bm25_prefix
+    # rows' convention: on this synthetic termNNNNNN vocabulary a
+    # shorter cut degenerates to "term" = the ENTIRE dictionary (a
+    # worst case, not a type-ahead shape; max_expansions would bound
+    # the scoring but the expansion join still touches every term)
     from sgpt_spark.operators.boolprefix import match_bool_prefix_search_index
 
     mbp_arr = F.split(F.col("query"), " ", -1)
@@ -736,7 +740,7 @@ def main() -> None:
                     F.slice(mbp_arr, 1, F.size(mbp_arr) - 1), " "
                 ),
                 F.lit(" "),
-                F.substring(F.element_at(mbp_arr, -1), 1, 4),
+                F.substring(F.element_at(mbp_arr, -1), 1, 8),
             )
         ).alias("query"),
     )

@@ -80,11 +80,33 @@ def cmd_query(args) -> None:
         queries = spark.read.parquet(args.queries)
     from sgpt_spark.operators.indexer import read_term_stats
 
-    modes = [m for m in ("phrase", "query_string", "explain")
+    modes = [m for m in ("phrase", "query_string", "explain", "intervals",
+                         "bool_prefix")
              if getattr(args, m, False)]
     if len(modes) > 1:
         raise SystemExit(f"pick one query mode, got {modes}")
-    if args.phrase:
+    if getattr(args, "intervals", False):
+        if args.exclude_self:
+            raise SystemExit("--intervals does not support --exclude-self")
+        from sgpt_spark.operators.intervals import intervals_search_index
+
+        run = intervals_search_index(
+            spark, args.index, queries, k=args.k,
+            ordered=args.ordered, max_gaps=args.max_gaps,
+            term_stats=read_term_stats(spark, args.index),
+        )
+    elif getattr(args, "bool_prefix", False):
+        if args.exclude_self:
+            raise SystemExit("--bool-prefix does not support --exclude-self")
+        from sgpt_spark.operators.boolprefix import match_bool_prefix_search_index
+        from sgpt_spark.operators.indexer import read_index
+
+        postings, meta = read_index(spark, args.index)
+        run = match_bool_prefix_search_index(
+            spark, postings, meta, queries, k=args.k,
+            term_stats=read_term_stats(spark, args.index),
+        )
+    elif args.phrase:
         if args.exclude_self:
             raise SystemExit("--phrase does not support --exclude-self")
         from sgpt_spark.operators.positions import phrase_search_index
@@ -256,6 +278,30 @@ def cmd_ann(args) -> None:
     print(f"wrote {args.method} ann top-{args.k} run to {args.out}")
 
 
+def cmd_percolate(args) -> None:
+    """Reverse search: stored match queries (parquet/JSONL (qid, query)
+    rows) fire against a parquet documents table -> fired
+    (doc_id, qid, matched) pairs — the alerting primitive."""
+    from sgpt_spark.operators.percolate import percolate
+    from sgpt_spark.sources.readers import read_beir_queries
+
+    spark = _spark("sgpt-percolate")
+    if args.rules.endswith(".jsonl") or args.rules.endswith(".json"):
+        rules = read_beir_queries(spark, args.rules)
+    else:
+        rules = spark.read.parquet(args.rules)
+    fired = percolate(
+        rules,
+        spark.read.parquet(args.docs),
+        minimum_should_match=args.min_match,
+        operator=args.operator,
+        id_col=args.id_col,
+        text_col=args.text_col,
+    )
+    fired.write.mode("overwrite").parquet(args.out)
+    print(f"wrote fired (doc, rule) pairs to {args.out}")
+
+
 def cmd_profile(args) -> None:
     from sgpt_spark.operators.textstats import text_profile
 
@@ -312,6 +358,15 @@ def main(argv: list[str] | None = None) -> None:
     q.add_argument("--default-operator", choices=["or", "and"], default="or")
     q.add_argument("--explain", action="store_true",
                    help="ES explain: per-term BM25 breakdown of the top-k page")
+    q.add_argument("--intervals", action="store_true",
+                   help="ES intervals match rule (minimal-interval algebra) "
+                        "— needs an index built with --positions")
+    q.add_argument("--ordered", action="store_true",
+                   help="intervals: terms must appear in query order")
+    q.add_argument("--max-gaps", dest="max_gaps", type=int, default=-1,
+                   help="intervals: max interior gaps per window (-1 = any)")
+    q.add_argument("--bool-prefix", dest="bool_prefix", action="store_true",
+                   help="ES match_bool_prefix: last token as a prefix clause")
     q.set_defaults(fn=cmd_query)
 
     e = sub.add_parser("evaluate")
@@ -357,6 +412,18 @@ def main(argv: list[str] | None = None) -> None:
     an.add_argument("--k", type=int, default=10)
     an.add_argument("--n-probe", type=int, default=4)
     an.set_defaults(fn=cmd_ann)
+
+    pc = sub.add_parser("percolate")
+    pc.add_argument("--rules", required=True,
+                    help="stored match queries: parquet or BEIR JSONL")
+    pc.add_argument("--docs", required=True)
+    pc.add_argument("--out", required=True)
+    pc.add_argument("--min-match", dest="min_match", type=int, default=0)
+    pc.add_argument("--operator", choices=["or", "and"], default="or")
+    pc.add_argument("--id-col", dest="id_col", default="doc_id",
+                    help="doc id column (e.g. url for a pages table)")
+    pc.add_argument("--text-col", dest="text_col", default="text")
+    pc.set_defaults(fn=cmd_percolate)
 
     pr = sub.add_parser("profile")
     pr.add_argument("--docs", required=True)

@@ -1212,6 +1212,40 @@ def _q_intervals_unordered(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_span_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from sgpt_spark.operators.positions import build_positional_index
+    from sgpt_spark.operators.spans import span_search_index
+    from sgpt_spark.sources.queryset import derived_queries
+
+    docs = load_table(spark, sf_dir, "documents")
+    path = tempfile.mkdtemp(prefix="sgpt_entry_sp_")
+    build_positional_index(docs, path, segment_size=500)
+    # span trees build on the driver (the collect contract for span
+    # requests): each distinct-token query becomes one unordered
+    # span_near of its terms — the intervals shape plus the
+    # non-overlapping selection semantics
+    rows = (
+        derived_queries(docs)
+        .filter("qid < 300")
+        .filter(
+            F.size(F.array_distinct(F.split("query", " ", -1)))
+            == F.size(F.split("query", " ", -1))
+        )
+        .collect()
+    )
+    trees = [
+        (
+            r["qid"],
+            {"span_near": {"clauses": r["query"].split(" "),
+                           "slop": 4, "in_order": False}},
+        )
+        for r in rows
+    ]
+    return span_search_index(spark, path, trees, k=10)
+
+
 def _q_distance_feature(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sgpt_spark.operators.distfeature import distance_feature_search_index
     from sgpt_spark.operators.indexer import build_postings
@@ -1778,6 +1812,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "match_bool_prefix_topk": _q_match_bool_prefix, # test_boolprefix.py DuckDB twin
         "percolate_fired": _q_percolate,                # test_percolate.py DuckDB twin
         "intervals_unordered_topk": _q_intervals_unordered,  # test_intervals.py spec + corpus brute force
+        "span_near_topk": _q_span_near,                 # test_spans.py spec + corpus brute force
         "distance_feature_topk": _q_distance_feature,   # test_distfeature.py DuckDB twin
         "pinned_topk": _q_pinned,                       # test_pinned_extstats.py brute force
         "auto_date_histogram": _q_auto_date_histogram,  # test_auto_histogram.py ladder brute force

@@ -999,6 +999,25 @@ def main() -> None:
                                term_stats=pts).count()
         iv_s = min(iv_s, time.time() - t0)
     timings["intervals_unordered_200q"] = round(iv_s, 3)
+
+    # ES span queries (the composable positional family): the same
+    # distinct-token batch as span_near(in_order=False, slop=4) trees —
+    # structurally the intervals shape plus the non-overlap selection
+    # walk, so the delta between the two rows IS the span-algebra cost
+    from sgpt_spark.operators.spans import span_search_index
+
+    sp_trees = [
+        (r["qid"], {"span_near": {"clauses": r["query"].split(" "),
+                                  "slop": 4, "in_order": False}})
+        for r in sl_q.collect()
+    ]
+    sp_s = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        span_search_index(spark, "/dev/shm/sgpt_bench_pos", sp_trees, k=10,
+                          term_stats=pts).count()
+        sp_s = min(sp_s, time.time() - t0)
+    timings["span_near_200q"] = round(sp_s, 3)
     # exhaustive twin: ONE timed run — it re-tokenizes the corpus per
     # batch and lands ~100x above the index path (218.6s vs 2.2s at
     # r5), far outside the host noise band; best-of-2 would buy nothing

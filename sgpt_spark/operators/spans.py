@@ -1,0 +1,539 @@
+"""ES span queries — Lucene's SpanQuery family (``span_term``,
+``span_near``, ``span_or``, ``span_first``, ``span_not``,
+``span_containing``, ``span_within``) over the positional index.
+
+The reference delegates this DSL to its ES indexes
+(crossencoder/beir/crossencoder_beir_bm25.ipynb cell 10); this module
+re-expresses the span algebra Spark-first on the same positional
+sidecar the phrase/sloppy/intervals family uses. Spans are the
+COMPOSABLE positional primitive: where ``intervals`` evaluates one
+flat match rule, a span tree nests — ``span_near`` of a ``span_or``
+of terms inside a ``span_first``, etc.
+
+Span trees are plain dicts mirroring the ES request shape (leaf terms
+are EXACT index terms, not analyzed — the ES span_term contract)::
+
+    {"span_term": "quick"}                       # or just "quick"
+    {"span_near": {"clauses": [...], "slop": 2, "in_order": True}}
+    {"span_or": {"clauses": [...]}}
+    {"span_first": {"match": <tree>, "end": 3}}
+    {"span_not": {"include": <tree>, "exclude": <tree>,
+                  "pre": 0, "post": 0}}
+    {"span_containing": {"big": <tree>, "little": <tree>}}
+    {"span_within": {"big": <tree>, "little": <tree>}}
+
+Span semantics (engine contract, documented precisely so the
+from-scratch brute force in tests/test_spans.py is the spec):
+
+- positions are 1-based token indexes (the positional index
+  convention); a span is an INCLUSIVE (start, end) window.
+- every node emits the containment-minimal set of its matching spans
+  (no reported span properly contains another reported span) — the
+  minimal-interval stance of ``operators.intervals``, applied
+  uniformly. This is the one documented divergence from Lucene's raw
+  span enumeration (Lucene's SpanOr can emit nested spans; minimal
+  sets make frequencies deterministic and composition associative).
+- ``span_near``: a window (s, e) matches when one span per clause can
+  be chosen, pairwise NON-OVERLAPPING, in clause order when
+  ``in_order`` (each next span starts strictly after the previous
+  ends), spanning exactly (s, e); windows with
+  ``gaps = (e - s + 1) - min_width > slop`` are dropped, where
+  ``min_width`` is the tree's minimal covered width (term = 1, or =
+  min over clauses, near = sum over clauses) — selection-independent,
+  so scoring is deterministic.
+- ``span_first``: child spans with ``end <= n`` (the first n tokens).
+- ``span_not``: include spans whose [s - pre, e + post] window
+  overlaps no exclude span.
+- ``span_containing`` / ``span_within``: big spans that contain some
+  little span / little spans contained in some big span.
+
+Scoring contract (the positional-family pseudo-term rule): each
+top-level reported span contributes ``1 / (1 + gaps)`` with
+``gaps = width - min_width(tree)`` to the document's span frequency;
+the document scores BM25 as ONE pseudo-term with that fractional
+frequency and the summed idf of the tree's DISTINCT leaf terms —
+exactly the phrase/sloppy/intervals contract, so span scores are
+comparable across the whole positional family. A bare
+``{"span_term": t}`` tree therefore scores identically to the match
+query's per-term BM25 for that term.
+
+Plan shape (the intervals plumbing): ONE term-pruned scan of the
+positions relation (all leaf terms, pushed In(term, ...) filter); per
+segment, decode the Arrow batch once, intersect/union candidate docs
+bottom-up from the tree (near intersects, or unions — the rarest
+clause bounds everything), walk the span algebra per candidate doc,
+and ship <= k rows per (query, segment) into the global deterministic
+top-k. Queries follow the collect contract (interactive span trees;
+the term set broadcasts). Per-candidate cost: ordered near is a
+linear pointer walk over minimal child lists; unordered near
+backtracks over clause selections with overlap pruning (bounded by
+the product of per-DOC clause frequencies — tiny for real span
+queries, which target selective terms; the same bound Lucene's
+NearSpansUnordered queue pays per doc in its worst case).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sgpt_spark.functions.bm25 import idf_py
+from sgpt_spark.operators.topk import SCORE_DECIMALS, topk_per_group
+
+__all__ = [
+    "eval_spans",
+    "span_freq",
+    "span_leaf_terms",
+    "span_min_width",
+    "validate_span_tree",
+    "span_search_index",
+]
+
+_NODE_KEYS = (
+    "span_term",
+    "span_near",
+    "span_or",
+    "span_first",
+    "span_not",
+    "span_containing",
+    "span_within",
+)
+
+
+def _node(tree) -> tuple[str, object]:
+    """-> (kind, body), normalizing the string shorthand and refusing
+    malformed nodes loudly."""
+    if isinstance(tree, str):
+        return "span_term", tree
+    if not isinstance(tree, dict) or len(tree) != 1:
+        raise ValueError(
+            f"span tree node must be a term string or a one-key dict "
+            f"among {_NODE_KEYS}, got {tree!r}"
+        )
+    kind, body = next(iter(tree.items()))
+    if kind not in _NODE_KEYS:
+        raise ValueError(f"unknown span node {kind!r}: one of {_NODE_KEYS}")
+    return kind, body
+
+
+def validate_span_tree(tree) -> None:
+    """Structural validation, recursive; raises ValueError on the first
+    malformed node (empty clauses, missing keys, bad parameters)."""
+    kind, body = _node(tree)
+    if kind == "span_term":
+        if not isinstance(body, str) or not body:
+            raise ValueError(f"span_term needs a non-empty term, got {body!r}")
+    elif kind in ("span_near", "span_or"):
+        if not isinstance(body, dict) and kind == "span_near":
+            raise ValueError("span_near body must be a dict with 'clauses'")
+        clauses = body["clauses"] if isinstance(body, dict) else body
+        if not isinstance(clauses, (list, tuple)) or not clauses:
+            raise ValueError(f"{kind} needs a non-empty clauses list")
+        if kind == "span_near":
+            slop = body.get("slop", 0)
+            if not isinstance(slop, int) or slop < 0:
+                raise ValueError(f"span_near slop must be an int >= 0, got {slop!r}")
+        for c in clauses:
+            validate_span_tree(c)
+    elif kind == "span_first":
+        end = body.get("end") if isinstance(body, dict) else None
+        if not isinstance(end, int) or end < 1:
+            raise ValueError(f"span_first needs end >= 1, got {end!r}")
+        validate_span_tree(body["match"])
+    elif kind == "span_not":
+        pre, post = body.get("pre", 0), body.get("post", 0)
+        if min(pre, post) < 0:
+            raise ValueError(f"span_not pre/post must be >= 0, got {pre}/{post}")
+        validate_span_tree(body["include"])
+        validate_span_tree(body["exclude"])
+    else:  # span_containing / span_within
+        validate_span_tree(body["big"])
+        validate_span_tree(body["little"])
+
+
+def span_leaf_terms(tree, positive_only: bool = False) -> set:
+    """All leaf terms of the tree. ``positive_only`` skips the branches
+    that never CONTRIBUTE matches (span_not excludes) — the set whose
+    idfs sum into the pseudo-term weight."""
+    kind, body = _node(tree)
+    if kind == "span_term":
+        return {body}
+    if kind in ("span_near", "span_or"):
+        clauses = body["clauses"] if isinstance(body, dict) else body
+        out: set = set()
+        for c in clauses:
+            out |= span_leaf_terms(c, positive_only)
+        return out
+    if kind == "span_first":
+        return span_leaf_terms(body["match"], positive_only)
+    if kind == "span_not":
+        out = span_leaf_terms(body["include"], positive_only)
+        if not positive_only:
+            out |= span_leaf_terms(body["exclude"], positive_only)
+        return out
+    return span_leaf_terms(body["big"], positive_only) | span_leaf_terms(
+        body["little"], positive_only
+    )
+
+
+def span_min_width(tree) -> int:
+    """The tree's minimal covered width — the yardstick the gaps rule
+    measures reported windows against (module docstring)."""
+    kind, body = _node(tree)
+    if kind == "span_term":
+        return 1
+    if kind == "span_near":
+        return sum(span_min_width(c) for c in body["clauses"])
+    if kind == "span_or":
+        clauses = body["clauses"] if isinstance(body, dict) else body
+        return min(span_min_width(c) for c in clauses)
+    if kind == "span_first":
+        return span_min_width(body["match"])
+    if kind == "span_not":
+        return span_min_width(body["include"])
+    if kind == "span_containing":
+        return span_min_width(body["big"])
+    return span_min_width(body["little"])
+
+
+def _minimal(spans: list) -> list:
+    """Sorted (s, e) list -> containment-minimal set (also dedupes).
+    Input sorted by (s, e). An earlier span with the SAME start has a
+    shorter-or-equal end, so the current one contains it — skip the
+    current; an earlier span with a smaller start contains the current
+    iff its end reaches past (or to) the current end — pop it."""
+    out: list = []
+    for s, e in spans:
+        if out and out[-1][0] == s:
+            continue
+        while out and out[-1][1] >= e:
+            out.pop()
+        out.append((s, e))
+    return out
+
+
+def _near_ordered(lists: list) -> list:
+    """Minimal windows of an in-order, non-overlapping selection (one
+    span per clause list). Lists are containment-minimal and sorted, so
+    start order == end order and the monotone pointer walk is complete
+    (the intervals automaton generalized from points to extents)."""
+    m = len(lists)
+    idx = [0] * m
+    out: list = []
+    first = lists[0]
+    while idx[0] < len(first):
+        prev_end = first[idx[0]][1]
+        ok = True
+        for i in range(1, m):
+            li = lists[i]
+            while idx[i] < len(li) and li[idx[i]][0] <= prev_end:
+                idx[i] += 1
+            if idx[i] >= len(li):
+                ok = False
+                break
+            prev_end = li[idx[i]][1]
+        if not ok:
+            break
+        nxt_start = lists[1][idx[1]][0]
+        while idx[0] + 1 < len(first) and first[idx[0] + 1][1] < nxt_start:
+            idx[0] += 1
+        out.append((first[idx[0]][0], prev_end))
+        idx[0] += 1
+    return _minimal(out)
+
+
+def _near_unordered(lists: list) -> list:
+    """All windows of an any-order, non-overlapping selection, by
+    backtracking over clause selections (clauses visited smallest list
+    first; spans overlapping the partial selection pruned), reduced to
+    the minimal set. Cost is bounded by the product of per-doc clause
+    frequencies — the module-docstring bound."""
+    order = sorted(range(len(lists)), key=lambda j: len(lists[j]))
+    chosen: list = []
+    wins: list = []
+
+    def overlaps(s: int, e: int) -> bool:
+        return any(not (e < cs or ce < s) for cs, ce in chosen)
+
+    def walk(d: int) -> None:
+        if d == len(order):
+            wins.append((min(s for s, _ in chosen), max(e for _, e in chosen)))
+            return
+        for s, e in lists[order[d]]:
+            if not overlaps(s, e):
+                chosen.append((s, e))
+                walk(d + 1)
+                chosen.pop()
+
+    walk(0)
+    return _minimal(sorted(set(wins)))
+
+
+def eval_spans(tree, posmap: dict) -> list:
+    """Evaluate one span tree over one document -> the minimal sorted
+    (start, end) span list. ``posmap``: term -> ascending 1-based
+    position array (absent terms may be missing)."""
+    kind, body = _node(tree)
+    if kind == "span_term":
+        return [(int(p), int(p)) for p in posmap.get(body, ())]
+    if kind == "span_or":
+        clauses = body["clauses"] if isinstance(body, dict) else body
+        merged: list = []
+        for c in clauses:
+            merged.extend(eval_spans(c, posmap))
+        return _minimal(sorted(merged))
+    if kind == "span_near":
+        lists = [eval_spans(c, posmap) for c in body["clauses"]]
+        if any(not li for li in lists):
+            return []
+        if len(lists) == 1:
+            wins = lists[0]
+        elif body.get("in_order", False):
+            wins = _near_ordered(lists)
+        else:
+            wins = _near_unordered(lists)
+        slop = body.get("slop", 0)
+        mw = span_min_width(tree)
+        return [(s, e) for s, e in wins if (e - s + 1) - mw <= slop]
+    if kind == "span_first":
+        end = body["end"]
+        return [(s, e) for s, e in eval_spans(body["match"], posmap) if e <= end]
+    if kind == "span_not":
+        inc = eval_spans(body["include"], posmap)
+        exc = eval_spans(body["exclude"], posmap)
+        if not exc:
+            return inc
+        pre, post = body.get("pre", 0), body.get("post", 0)
+        return [
+            (s, e)
+            for s, e in inc
+            if not any(xs <= e + post and xe >= s - pre for xs, xe in exc)
+        ]
+    big_body = body["big"]
+    little = eval_spans(body["little"], posmap)
+    big = eval_spans(big_body, posmap)
+    if kind == "span_containing":
+        return [
+            (s, e)
+            for s, e in big
+            if any(s <= ls and le <= e for ls, le in little)
+        ]
+    return [
+        (ls, le)
+        for ls, le in little
+        if any(s <= ls and le <= e for s, e in big)
+    ]
+
+
+def span_freq(tree, posmap: dict, min_width: int | None = None) -> float:
+    """One document's span frequency: sum of ``1/(1+gaps)`` over the
+    tree's reported spans, gaps measured against the tree's minimal
+    covered width (module docstring)."""
+    mw = span_min_width(tree) if min_width is None else min_width
+    f = 0.0
+    for s, e in eval_spans(tree, posmap):
+        f += 1.0 / (1.0 + ((e - s + 1) - mw))
+    return f
+
+
+def _candidate_docs(tree, decoded: dict) -> np.ndarray:
+    """Bottom-up candidate doc-id sets from the decoded segment: docs
+    that can possibly match (near intersects, or unions, not keeps the
+    include side). Sorted unique int64."""
+    kind, body = _node(tree)
+    if kind == "span_term":
+        ent = decoded.get(body)
+        return ent[0] if ent is not None else np.empty(0, dtype=np.int64)
+    if kind == "span_or":
+        clauses = body["clauses"] if isinstance(body, dict) else body
+        sets = [_candidate_docs(c, decoded) for c in clauses]
+        return np.unique(np.concatenate(sets)) if sets else np.empty(0, np.int64)
+    if kind == "span_near":
+        cand: np.ndarray | None = None
+        for c in body["clauses"]:
+            s = _candidate_docs(c, decoded)
+            cand = s if cand is None else np.intersect1d(cand, s, assume_unique=True)
+            if len(cand) == 0:
+                break
+        return cand if cand is not None else np.empty(0, np.int64)
+    if kind == "span_first":
+        return _candidate_docs(body["match"], decoded)
+    if kind == "span_not":
+        return _candidate_docs(body["include"], decoded)
+    return np.intersect1d(
+        _candidate_docs(body["big"], decoded),
+        _candidate_docs(body["little"], decoded),
+        assume_unique=True,
+    )
+
+
+def span_parts(
+    decoded: dict, rules: list, kk, k1: float, b: float, avgdl: float
+) -> list:
+    """Score one segment's decoded positional postings against every
+    span rule -> [(qid, doc_ids, scores)] — the spans twin of
+    ``intervals.intervals_parts`` (same decoded contract)."""
+    from sgpt_spark.operators.index_search import deterministic_topk
+
+    if not decoded:
+        return []
+    parts = []
+    for qid, tree, terms, sum_idf, mw in rules:
+        cand = _candidate_docs(tree, decoded)
+        if len(cand) == 0:
+            continue
+        # per-candidate position slices for every tree term present
+        slices = {}
+        dl_map_docs: list = []
+        dl_map_vals: list = []
+        for t in terms:
+            ent = decoded.get(t)
+            if ent is None:
+                continue
+            d_i, dl_i, occ_doc, occ_pos = ent
+            lo = np.searchsorted(occ_doc, cand, side="left")
+            hi = np.searchsorted(occ_doc, cand, side="right")
+            slices[t] = (occ_pos, lo, hi)
+            dl_map_docs.append(d_i)
+            dl_map_vals.append(dl_i)
+        if not dl_map_docs:
+            continue
+        all_docs = np.concatenate(dl_map_docs)
+        all_dls = np.concatenate(dl_map_vals)
+        uq, first = np.unique(all_docs, return_index=True)
+        dls_for = all_dls[first]
+        hit_docs, hit_freqs = [], []
+        for i, doc in enumerate(cand):
+            posmap = {
+                t: occ_pos[lo[i]:hi[i]].astype(np.int64)
+                for t, (occ_pos, lo, hi) in slices.items()
+                if hi[i] > lo[i]
+            }
+            f = span_freq(tree, posmap, min_width=mw)
+            if f > 0.0:
+                hit_docs.append(int(doc))
+                hit_freqs.append(f)
+        if not hit_docs:
+            continue
+        docs_arr = np.asarray(hit_docs, dtype=np.int64)
+        fv = np.asarray(hit_freqs, dtype=np.float64)
+        dl = dls_for[np.searchsorted(uq, docs_arr)].astype(np.float64)
+        raw = sum_idf * fv / (fv + k1 * (1.0 - b + b * dl / avgdl))
+        if kk is None:
+            parts.append((qid, docs_arr, raw))
+        else:
+            scores = np.round(raw, SCORE_DECIMALS)
+            sel = deterministic_topk(docs_arr, scores, kk)
+            parts.append((qid, docs_arr[sel], scores[sel]))
+    return parts
+
+
+def span_search_index(
+    spark: SparkSession,
+    path: str,
+    queries,
+    k: int = 10,
+    term_stats: DataFrame | dict | None = None,
+) -> DataFrame:
+    """ES span query over a persisted positional index ->
+    (qid, doc_id, score, rank). ``queries``: (qid, span_tree) pairs —
+    trees in the module-docstring dict shape, leaf terms exact index
+    terms (the ES span_term contract: NOT analyzed).
+
+    ``{"span_near": {"clauses": [t1 .. tn], "slop": 0, "in_order":
+    True}}`` is the exact phrase — value-identical to
+    ``phrase_search_index`` for repeat-free phrases (tested). See the
+    module docstring for semantics, scoring, and the plan shape.
+    """
+    from sgpt_spark.operators.index_search import _emit_topk_frame
+    from sgpt_spark.operators.positions import (
+        _decode_rows,
+        read_positional_index,
+    )
+
+    positions, meta = read_positional_index(spark, path)
+    pairs = (
+        [(r["qid"], r["query"]) for r in queries.collect()]
+        if isinstance(queries, DataFrame)
+        else list(queries)
+    )
+    qid_type = (
+        "bigint"
+        if pairs and isinstance(pairs[0][0], (int, np.integer))
+        else "string"
+    )
+    seg_schema = f"qid {qid_type}, doc_id long, score double"
+    qtrees: list = []
+    for qid, tree in pairs:
+        validate_span_tree(tree)
+        qtrees.append((qid, tree))
+    if not qtrees:
+        return (
+            spark.createDataFrame([], seg_schema)
+            .withColumn("rank", F.lit(1).cast("int"))
+        )
+
+    all_terms = sorted({t for _, tr in qtrees for t in span_leaf_terms(tr)})
+    cand = positions.filter(F.col("term").isin(all_terms))
+    if isinstance(term_stats, dict):
+        global_df = {t: int(term_stats[t]) for t in all_terms if t in term_stats}
+    elif term_stats is not None:
+        global_df = {
+            r["term"]: int(r["df"])
+            for r in term_stats.filter(F.col("term").isin(all_terms)).collect()
+        }
+    else:
+        global_df = {
+            r["term"]: int(r["df"])
+            for r in cand.groupBy("term").agg(F.sum("df").alias("df")).collect()
+        }
+    idf = {t: idf_py(d, meta.n_docs) for t, d in global_df.items()}
+    rules = []
+    for qid, tree in qtrees:
+        # absent positive terms contribute no idf and can never match —
+        # the Lucene contract (empty TermStates): the query still runs
+        # on its present branches (a span_or with one absent clause
+        # matches the other)
+        pos_terms = span_leaf_terms(tree, positive_only=True)
+        rules.append(
+            (
+                qid,
+                tree,
+                tuple(sorted(span_leaf_terms(tree))),
+                sum(idf[t] for t in sorted(pos_terms) if t in idf),
+                span_min_width(tree),
+            )
+        )
+    b_rules = spark.sparkContext.broadcast(rules)
+    k1, b, avgdl, codec = meta.k1, meta.b, meta.avgdl, meta.codec
+    kk = k
+
+    def score_wrapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        chunks = list(batches)
+        if not chunks:
+            return
+        pdf = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
+        for seg in pdf["segment"].unique():
+            sdf = pdf[pdf["segment"] == seg]
+            row_off, docs, tfs, dls, pos_off, pos = _decode_rows(sdf["runs"], codec)
+            decoded = {}
+            for i, term in enumerate(sdf["term"]):
+                ps, pe = int(row_off[i]), int(row_off[i + 1])
+                if pe == ps:
+                    continue
+                d_i, tf_i, dl_i = docs[ps:pe], tfs[ps:pe], dls[ps:pe]
+                os_, oe = int(pos_off[i]), int(pos_off[i + 1])
+                occ_doc = np.repeat(d_i, tf_i)
+                decoded[term] = (d_i, dl_i, occ_doc, pos[os_:oe])
+            parts = span_parts(decoded, b_rules.value, kk, k1, b, avgdl)
+            if parts:
+                yield _emit_topk_frame(parts)
+
+    seg_hits = cand.repartition("segment").mapInPandas(
+        score_wrapper, schema=seg_schema
+    )
+    return topk_per_group(seg_hits, k=k).select("qid", "doc_id", "score", "rank")

@@ -1246,6 +1246,43 @@ def _q_span_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     return span_search_index(spark, path, trees, k=10)
 
 
+def _q_geo_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES bool {must: match, filter: geo_distance} (operators/geo.py):
+    BM25 match restricted to docs within 8,000 km of (0, 0) on the
+    md5-arithmetic derived geo sidecar (derive_geo_docvalues — ONE
+    exact integer fold per coordinate, so DuckDB reproduces every
+    lat/lon bit-for-bit and the haversine filter set exactly). One
+    match-scores plan + one doc_id-keyed sidecar join + codegen
+    haversine; scores untouched (ES filter context)."""
+    from sgpt_spark.operators.geo import (
+        derive_geo_docvalues,
+        geo_distance_search_index,
+    )
+    from sgpt_spark.operators.indexer import build_postings
+
+    docs = load_table(spark, sf_dir, "documents")
+    postings, meta = build_postings(docs, segment_size=200)
+    q = derived_queries(docs).filter("qid < 500")
+    dv = derive_geo_docvalues(docs)
+    return geo_distance_search_index(
+        spark, postings, meta, q, dv, (0.0, 0.0), 8_000_000.0, k=10
+    )
+
+
+def _q_geohash_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES geohash_grid aggregation over the match set: top-5 precision-2
+    cells per query on the derived geo sidecar — the geohash is computed
+    ENTIRELY in codegen (statically unrolled morton interleave)."""
+    from sgpt_spark.operators.aggs import match_candidates
+    from sgpt_spark.operators.geo import derive_geo_docvalues, geohash_grid_agg
+    from sgpt_spark.operators.indexer import build_postings
+
+    docs = load_table(spark, sf_dir, "documents")
+    postings, meta = build_postings(docs, segment_size=200)
+    cand = match_candidates(spark, postings, meta, derived_queries(docs))
+    return geohash_grid_agg(cand, derive_geo_docvalues(docs), precision=2, size=5)
+
+
 def _q_distance_feature(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sgpt_spark.operators.distfeature import distance_feature_search_index
     from sgpt_spark.operators.indexer import build_postings
@@ -1719,7 +1756,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boosting_top10": _q_boosting,
         "bm25_search_after_top10": _q_bm25_search_after,
         "match_terms_agg_lang": _q_match_terms_agg,
-        "match_histogram_agg": _q_match_histogram_agg,
+        "geo_distance_top10": _q_geo_distance,
         "match_terms_metric_agg": _q_match_terms_metric_agg,
         "simple_query_string_top10": _q_simple_query_string,
         "histogram_pipeline_agg": _q_histogram_pipeline,
@@ -1761,7 +1798,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rolling fingerprints) are exercised by pytest equality tests
         # and no longer take registry slots. ----
         "bm25_index_fast_top10": _q_bm25_index_fast_top10,  # lifecycle folded into bm25_index_cogroup_top10; identity pytest-covered
-        "match_range_agg": _q_match_range_agg,  # explicit-bucket counting (the bucket-count math stays gated via match_terms_agg_lang + match_histogram_agg, the forced-empty-bucket emission via the histogram fill); ceded its slot to histogram_pipeline_agg (round 5) — DuckDB equality stays pytest-covered (test_aggs.py)
+        "match_range_agg": _q_match_range_agg,  # explicit-bucket counting (the bucket-count math stays gated via match_terms_agg_lang, the forced-empty-bucket emission via histogram_pipeline_agg's filled parent); ceded its slot to histogram_pipeline_agg (round 5) — DuckDB equality stays pytest-covered (test_aggs.py)
+        "match_histogram_agg": _q_match_histogram_agg,  # interval bucketing + empty-bucket fill (both stay gated via histogram_pipeline_agg, whose parent IS this histogram); ceded its slot to geo_distance_top10 (round 5) — DuckDB equality now pytest-covered (test_aggs.py)
         "match_cardinality_agg": _q_match_cardinality_agg,  # one count_distinct over the gated match set (whose derivation stays gated via every agg row); ceded its slot to terms_bucket_sort_agg (round 5) — DuckDB equality stays pytest-covered (test_aggs.py)
         "match_stats_agg": _q_match_stats_agg,  # count/min/max/avg/sum metric row (avg/max stay gated inside match_terms_metric_agg's metric columns, sums inside histogram_pipeline_agg's running sums); ceded its slot to simple_query_string_top10 (round 5) — DuckDB equality stays pytest-covered (test_aggs.py)
         "sampled_significant_terms": _q_sampled_significant_terms,  # sampler + significant_terms composition (significant_terms itself stays gated via match_significant_terms; the sampler's top-shard_size cut is the engine-wide gated top-k shape); ceded its slot to composite_agg_page2 (round 5) — DuckDB equality stays pytest-covered (test_aggs.py)
@@ -1813,6 +1851,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "percolate_fired": _q_percolate,                # test_percolate.py DuckDB twin
         "intervals_unordered_topk": _q_intervals_unordered,  # test_intervals.py spec + corpus brute force
         "span_near_topk": _q_span_near,                 # test_spans.py spec + corpus brute force
+        "geohash_grid_agg": _q_geohash_grid,            # test_geo.py textbook-geohash brute force (geo_distance_top10 keeps the geo family gated)
         "distance_feature_topk": _q_distance_feature,   # test_distfeature.py DuckDB twin
         "pinned_topk": _q_pinned,                       # test_pinned_extstats.py brute force
         "auto_date_histogram": _q_auto_date_histogram,  # test_auto_histogram.py ladder brute force
@@ -2791,6 +2830,57 @@ WITH {_MATCHED_CTE},
   )
 SELECT f.qid, f.bucket, CAST(coalesce(c.doc_count, 0) AS BIGINT) AS doc_count
 FROM filled f LEFT JOIN counts c ON f.qid = c.qid AND f.bucket = c.bucket
+"""
+
+# geo_distance oracle: the derived sidecar is ONE exact integer fold
+# per coordinate (uint32(md5)/2^32 scaled by one IEEE multiply-
+# subtract — bit-identical across engines, the operators.encode
+# pattern), so the haversine filter set matches exactly; BM25 is the
+# standard match oracle. 2*R is precomputed in Python so both engines
+# multiply by the same double literal.
+_GEO_DISTANCE_SQL = f"""
+WITH {_TOKENS_CTE},
+  stats AS (SELECT count(*) AS n, avg(doc_len) AS avgdl FROM doclen),
+  queryset AS (SELECT * FROM ({QUERIES_SQL}) WHERE qid < 500),
+  qterms AS (
+    SELECT qid, u.term AS term, count(*) AS qtf
+    FROM queryset, unnest(string_split(query, ' ')) AS u(term)
+    WHERE u.term <> '' GROUP BY qid, u.term
+  ),
+  geo AS (
+    SELECT doc_id,
+           (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':lat'), 1, 8))
+                 AS BIGINT) / 4294967296.0) * 180.0 - 90.0 AS lat,
+           (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':lon'), 1, 8))
+                 AS BIGINT) / 4294967296.0) * 360.0 - 180.0 AS lon
+    FROM documents
+  ),
+  near AS (
+    SELECT doc_id FROM geo
+    WHERE CAST({2.0 * 6371008.7714150598!r} AS DOUBLE) *
+          asin(sqrt(least(
+            pow(sin(radians(lat - 0.0) / 2), 2)
+            + cos(radians(0.0)) * cos(radians(lat))
+              * pow(sin(radians(lon - 0.0) / 2), 2), 1.0)))
+          <= 8000000.0
+  ),
+  bm25 AS (
+    SELECT q.qid, tf.doc_id,
+           sum(q.qtf * ln(1 + (s.n - tdf.df + 0.5) / (tdf.df + 0.5))
+               * tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.doc_len / s.avgdl))
+           ) AS score
+    FROM qterms q
+    JOIN tf ON q.term = tf.term
+    JOIN tdf ON tf.term = tdf.term
+    JOIN doclen dl ON tf.doc_id = dl.doc_id
+    CROSS JOIN stats s
+    GROUP BY q.qid, tf.doc_id
+  )
+SELECT qid, doc_id, round(score, 6) AS score,
+       CAST(row_number() OVER (PARTITION BY qid
+            ORDER BY round(score, 6) DESC, doc_id ASC) AS INTEGER) AS rank
+FROM bm25 JOIN near USING (doc_id)
+QUALIFY rank <= 10
 """
 
 # simple_query_string oracle: clause roles recomputed from the SAME
@@ -4446,7 +4536,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "bm25_collapse_top10": _COLLAPSE_SQL,
         "match_terms_agg_lang": _TERMS_AGG_SQL,
-        "match_histogram_agg": _HISTOGRAM_AGG_SQL,
+        "geo_distance_top10": _GEO_DISTANCE_SQL,
         "match_terms_metric_agg": _TERMS_METRIC_AGG_SQL,
         "simple_query_string_top10": _SIMPLE_QS_SQL,
         "histogram_pipeline_agg": _HISTOGRAM_PIPELINE_SQL,

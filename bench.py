@@ -706,6 +706,25 @@ def main() -> None:
         dm_s = min(dm_s, time.time() - t0)
     timings["dis_max_200q"] = round(dm_s, 3)
 
+    # ES geo_distance filter on the same 200-query match batch: the
+    # md5-derived geo sidecar (pure codegen), one doc_id-keyed semi
+    # join, haversine entirely in whole-stage codegen — the row prices
+    # the geo filter against the plain match page
+    from sgpt_spark.operators.geo import (
+        derive_geo_docvalues,
+        geo_distance_search_index,
+    )
+
+    geo_dv = derive_geo_docvalues(docs)
+    geo_s = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        geo_distance_search_index(spark, postings_f, meta_f, mt_q, geo_dv,
+                                  (0.0, 0.0), 8_000_000.0, k=10,
+                                  term_stats=tstats_f_df).count()
+        geo_s = min(geo_s, time.time() - t0)
+    timings["geo_distance_200q"] = round(geo_s, 3)
+
     # ES terms_set: each query's first 3 tokens as an exact term set,
     # minimum = min(2, num_terms) (the min-script idiom) — matched-count
     # + BM25-sum fold in one groupBy over the vocabulary-pruned decode

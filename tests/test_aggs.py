@@ -356,6 +356,25 @@ def test_stats_agg_gate_duckdb_equality(spark):
     assert got == want and len(got) > 0
 
 
+def test_histogram_agg_gate_duckdb_equality(spark):
+    """match_histogram_agg left the driver window for geo_distance_top10
+    (round 5; its interval bucketing + empty-bucket fill stay gated via
+    histogram_pipeline_agg's filled parent); exact registry query vs
+    exact registry SQL at sf0.001."""
+    import __spark_entry__ as entry
+
+    sf = "/root/testdata/sf0.001"
+    got = sorted(
+        (r["qid"], r["bucket"], r["doc_count"])
+        for r in entry._q_match_histogram_agg(spark, sf).collect()
+    )
+    want = sorted(
+        (q, int(b), int(c))
+        for q, b, c in _duck(sf).execute(entry._HISTOGRAM_AGG_SQL).fetchall()
+    )
+    assert got == want and len(got) > 0
+
+
 def test_range_agg_gate_duckdb_equality(spark):
     import __spark_entry__ as entry
 

@@ -1269,6 +1269,30 @@ def _q_geo_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_query_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES classic ``query_string`` (operators/luceneqs.py): the same
+    derived mini-language strings the GATED simple_query_string row
+    consumes (``+t2 t1 -t5 "t3 t4"`` — valid in both grammars with
+    identical semantics), through the full Lucene parser and the
+    batched by-depth bool fold; pytest proves value-identity with the
+    gated sqs path on this corpus (test_luceneqs.py)."""
+    import tempfile
+
+    from sgpt_spark.operators.luceneqs import query_string_search_index
+    from sgpt_spark.operators.positions import build_positional_index
+    from sgpt_spark.sources.queryset import derived_query_strings
+
+    docs = load_table(spark, sf_dir, "documents")
+    path = tempfile.mkdtemp(prefix="sgpt_entry_lq_")
+    build_positional_index(docs, path, segment_size=500)
+    qs = (
+        derived_query_strings(docs)
+        .filter(F.col("query").rlike('^[A-Za-z0-9+\\- "]+$'))
+        .filter("qid < 500")
+    )
+    return query_string_search_index(spark, path, qs, k=10)
+
+
 def _q_geohash_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES geohash_grid aggregation over the match set: top-5 precision-2
     cells per query on the derived geo sidecar — the geohash is computed
@@ -1852,6 +1876,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "intervals_unordered_topk": _q_intervals_unordered,  # test_intervals.py spec + corpus brute force
         "span_near_topk": _q_span_near,                 # test_spans.py spec + corpus brute force
         "geohash_grid_agg": _q_geohash_grid,            # test_geo.py textbook-geohash brute force (geo_distance_top10 keeps the geo family gated)
+        "query_string_top10": _q_query_string,          # test_luceneqs.py brute force + value-identity with the gated simple_query_string row
         "distance_feature_topk": _q_distance_feature,   # test_distfeature.py DuckDB twin
         "pinned_topk": _q_pinned,                       # test_pinned_extstats.py brute force
         "auto_date_histogram": _q_auto_date_histogram,  # test_auto_histogram.py ladder brute force

@@ -1110,6 +1110,22 @@ def main() -> None:
         qsc_s = min(qsc_s, time.time() - t0)
     timings["simple_query_string_cogroup_200q"] = round(qsc_s, 3)
 
+    # classic query_string (the full Lucene grammar, operators/
+    # luceneqs.py) on the same derived strings restricted to
+    # lexer-clean tokens — driver-side parse, batched leaf relations
+    # (ONE match_scores for all term clauses, ONE phrase call), one
+    # by-depth bool fold
+    from sgpt_spark.operators.luceneqs import query_string_search_index
+
+    lq_q = mt_qs.filter(F.col("query").rlike('^[A-Za-z0-9+\\- "]+$'))
+    lq_s = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        query_string_search_index(spark, "/dev/shm/sgpt_bench_pos", lq_q,
+                                  k=10, term_stats=pts).count()
+        lq_s = min(lq_s, time.time() - t0)
+    timings["query_string_200q"] = round(lq_s, 3)
+
     # match_phrase_prefix (search-as-you-type): the same phrase queries
     # with the last token truncated to a 3-char prefix, expanded against
     # the termstats dictionary (max_expansions=50), off the same

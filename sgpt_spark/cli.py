@@ -80,12 +80,22 @@ def cmd_query(args) -> None:
         queries = spark.read.parquet(args.queries)
     from sgpt_spark.operators.indexer import read_term_stats
 
-    modes = [m for m in ("phrase", "query_string", "explain", "intervals",
-                         "bool_prefix")
+    modes = [m for m in ("phrase", "query_string", "lucene", "explain",
+                         "intervals", "bool_prefix")
              if getattr(args, m, False)]
     if len(modes) > 1:
         raise SystemExit(f"pick one query mode, got {modes}")
-    if getattr(args, "intervals", False):
+    if getattr(args, "lucene", False):
+        if args.exclude_self:
+            raise SystemExit("--lucene does not support --exclude-self")
+        from sgpt_spark.operators.luceneqs import query_string_search_index
+
+        run = query_string_search_index(
+            spark, args.index, queries, k=args.k,
+            default_operator=args.default_operator,
+            term_stats=read_term_stats(spark, args.index),
+        )
+    elif getattr(args, "intervals", False):
         if args.exclude_self:
             raise SystemExit("--intervals does not support --exclude-self")
         from sgpt_spark.operators.intervals import intervals_search_index
@@ -355,6 +365,11 @@ def main(argv: list[str] | None = None) -> None:
     q.add_argument("--query-string", dest="query_string", action="store_true",
                    help="ES simple_query_string (+must -not \"phrase\") — "
                         "needs an index built with --positions")
+    q.add_argument("--lucene", action="store_true",
+                   help="ES query_string: the full classic Lucene grammar "
+                        "(AND/OR/NOT, parens, fields, ranges, wildcards, "
+                        "fuzzy, boosts) — needs an index built with "
+                        "--positions")
     q.add_argument("--default-operator", choices=["or", "and"], default="or")
     q.add_argument("--explain", action="store_true",
                    help="ES explain: per-term BM25 breakdown of the top-k page")

@@ -117,3 +117,36 @@ def test_cli_percolate(spark, tmp_path):
     )
     assert got == want and len(got) > 0
     assert not [r for r in got if r[1] == "q1"]  # zzz rule never fires
+
+
+def test_cli_lucene_query_string(spark, tmp_path):
+    from sgpt_spark.cli import main
+    from sgpt_spark.operators.indexer import read_term_stats
+    from sgpt_spark.operators.luceneqs import query_string_search_index
+    from sgpt_spark.sources.pages import make_page
+
+    pages, idx = _build_pos_index(spark, tmp_path)
+    body = make_page(3)[3].split("\n")[1].split(" ")
+    terms, seen = [], set()
+    for w in body[1:-1]:
+        if w not in seen and w.isalnum():
+            seen.add(w)
+            terms.append(w)
+        if len(terms) == 3:
+            break
+    qs = f"+{terms[0]} ({terms[1]} OR {terms[2]})"
+    queries = _queries_jsonl(tmp_path, [qs])
+
+    out = tmp_path / "run_lq"
+    main(["query", "--index", str(idx), "--queries", str(queries),
+          "--out", str(out), "--k", "5", "--lucene"])
+    got = spark.read.parquet(str(out))
+    want = query_string_search_index(
+        spark, str(idx), [("q0", qs)], k=5,
+        term_stats=read_term_stats(spark, str(idx)),
+    )
+    key = lambda df: sorted(
+        (r["qid"], r["doc_id"], round(r["score"], 6), r["rank"])
+        for r in df.collect()
+    )
+    assert key(got) == key(want) and got.count() > 0

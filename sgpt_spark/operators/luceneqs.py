@@ -613,50 +613,68 @@ def query_string_search_index(
     max_depth = max(r["depth"] for r in rows)
     pending = leaf  # (uid, doc_id, score, depth)
     for d in range(max_depth, 0, -1):
-        level = pending.filter(F.col("depth") == d)
-        rest = pending.filter(F.col("depth") != d)
-        j = level.join(
+        # Single-reference fold. Rows AT depth d group under their
+        # parent uid; every other row keys on its OWN uid and forms a
+        # singleton group that the aggregation reproduces unchanged
+        # (first() over one row). One groupBy per level keeps the
+        # physical plan LINEAR in tree depth — the naive
+        # filter(==d) / filter(!=d) split references the whole
+        # upstream plan (postings scan included) twice per level,
+        # i.e. 2^depth plan copies and re-executed scans.
+        j = pending.join(
             F.broadcast(meta_df.select("uid", "parent", "occur")), "uid"
-        )
-        folded = (
-            j.groupBy("parent", "doc_id")
+        ).withColumn("_fold", (F.col("depth") == d).cast("int"))
+        fold = F.col("_fold") == 1
+        key = F.when(fold, F.col("parent")).otherwise(F.col("uid"))
+        pending = (
+            j.groupBy(key.alias("uid"), F.col("doc_id"))
             .agg(
+                F.max("_fold").alias("_isf"),
                 F.sum(
-                    F.when(F.col("occur") != "must_not", F.col("score"))
-                ).alias("score"),
+                    F.when(fold & (F.col("occur") != "must_not"),
+                           F.col("score"))
+                ).alias("_fsum"),
                 F.count(
-                    F.when(F.col("occur") == "must", F.lit(1))
+                    F.when(fold & (F.col("occur") == "must"), F.lit(1))
                 ).alias("musts"),
                 F.count(
-                    F.when(F.col("occur") == "should", F.lit(1))
+                    F.when(fold & (F.col("occur") == "should"), F.lit(1))
                 ).alias("shoulds"),
                 F.max(
-                    F.when(F.col("occur") == "must_not", F.lit(1)).otherwise(0)
+                    F.when(fold & (F.col("occur") == "must_not"), F.lit(1))
+                    .otherwise(0)
                 ).alias("neg"),
+                F.first("score").alias("_pscore"),
+                F.first("depth").alias("_pdepth"),
             )
             .join(
                 F.broadcast(
                     meta_df.select(
-                        F.col("uid").alias("parent"), "n_must", "boost",
-                        F.col("depth").alias("pdepth"),
+                        "uid", "n_must", "boost",
+                        F.col("depth").alias("_ndepth"),
                     )
                 ),
-                "parent",
+                "uid",
             )
             .filter(
-                (F.col("neg") == 0)
-                & (F.col("musts") == F.col("n_must"))
-                & ((F.col("n_must") > 0) | (F.col("shoulds") >= 1))
+                (F.col("_isf") == 0)
+                | (
+                    (F.col("neg") == 0)
+                    & (F.col("musts") == F.col("n_must"))
+                    & ((F.col("n_must") > 0) | (F.col("shoulds") >= 1))
+                )
             )
             .select(
-                F.col("parent").alias("uid"),
+                "uid",
                 "doc_id",
-                (F.coalesce(F.col("score"), F.lit(0.0)) * F.col("boost"))
-                .alias("score"),
-                F.col("pdepth").alias("depth"),
+                F.when(
+                    F.col("_isf") == 1,
+                    F.coalesce(F.col("_fsum"), F.lit(0.0)) * F.col("boost"),
+                ).otherwise(F.col("_pscore")).alias("score"),
+                F.when(F.col("_isf") == 1, F.col("_ndepth"))
+                .otherwise(F.col("_pdepth")).cast("int").alias("depth"),
             )
         )
-        pending = rest.unionByName(folded)
 
     # roots: map uid -> original qid
     root_rows = [(uid, qid) for qid, uid in roots.items()]

@@ -684,6 +684,86 @@ def main() -> None:
     ))
     assert cogroup_qs and pushed_qsc and no_python_qsc
 
+    # --- 20. geo_distance: codegen sidecar + codegen haversine -------------
+    from sgpt_spark.operators.geo import (
+        derive_geo_docvalues,
+        geo_distance_search_index,
+    )
+
+    geo_dv = derive_geo_docvalues(docs)
+    plan_dv = captured_plan(geo_dv)
+    no_python_dv = (
+        "BatchEvalPython" not in plan_dv and "MapInPandas" not in plan_dv
+    )
+    plan = captured_plan(
+        geo_distance_search_index(
+            spark, postings, meta, [("0", qtext)], geo_dv,
+            (0.0, 0.0), 8_000_000.0, k=10, term_stats=tstats,
+        )
+    )
+    pushed_geo = re.search(r"PushedFilters: \[[^\]]*term[^\]]*\]", plan)
+    no_python_geo = "BatchEvalPython" not in plan
+    asin_in_plan = "asin" in plan.lower()
+    sections.append((
+        "geo_distance filter (`geo_distance_search_index`)",
+        "The derived geo sidecar is pure JVM columns — md5 + conv + "
+        "arithmetic, "
+        + ("no Python node in the derivation plan" if no_python_dv
+           else "PYTHON IN DERIVATION (BUG)")
+        + " — and the haversine predicate compiles into whole-stage "
+        "codegen ("
+        + ("asin/sin/cos visible in the filter" if asin_in_plan
+           else "HAVERSINE NOT IN PLAN (BUG)")
+        + "), so the filter side costs one scan + one semi join however "
+        "large the corpus. The match side keeps its term-pruned scan ("
+        + (f"`{pushed_geo.group(0)[:100]}...`" if pushed_geo
+           else "PUSHDOWN MISSING (BUG)")
+        + "); "
+        + ("no row-at-a-time Python node anywhere." if no_python_geo
+           else "PYTHON NODE (BUG)."),
+        plan,
+    ))
+    assert no_python_dv and pushed_geo and no_python_geo and asin_in_plan
+
+    # --- 21. classic query_string: batched leaves, by-depth fold -----------
+    from sgpt_spark.operators.luceneqs import query_string_search_index
+
+    tq = list(dict.fromkeys(qtext.split()))
+    lq = [("0", f'+{tq[0]} ({tq[1]} OR {tq[2]}) "{tq[2]} {tq[3]}"')]
+    plan = captured_plan(
+        query_string_search_index(
+            spark, pos_path, lq, k=10,
+            term_stats=read_term_stats(spark, pos_path),
+        )
+    )
+    lq_postings_scans = len(
+        re.findall(r"ReadSchema: struct<term:string,blocks:", plan)
+    )
+    pushed_lq = re.findall(r"PushedFilters: \[[^\]]*term[^\]]*\]", plan)
+    partial_lq = "partial_sum" in plan
+    no_python_lq = "BatchEvalPython" not in plan
+    sections.append((
+        "classic query_string (`query_string_search_index`)",
+        "However many strings arrive, every term clause of every query "
+        "rides ONE composite-uid match_scores pipeline — the plan holds "
+        + (f"{lq_postings_scans} block-postings scan"
+           + ("" if lq_postings_scans == 1 else "s (ONE expected — BUG)")
+           if lq_postings_scans else "NO postings scan (BUG)")
+        + f" plus the positional sidecar's phrase scan, all term-pruned "
+        f"({len(pushed_lq)} pushed-filter scans); the boolean trees fold "
+        "bottom-up by DEPTH — one map-side-combinable groupBy per tree "
+        "level for the whole batch ("
+        + ("partial aggregation verified" if partial_lq
+           else "NO map-side combine (BUG)")
+        + "), node metadata on broadcasts, "
+        + ("no row-at-a-time Python node." if no_python_lq
+           else "PYTHON NODE (BUG)."),
+        plan,
+    ))
+    assert (
+        lq_postings_scans == 1 and pushed_lq and partial_lq and no_python_lq
+    )
+
     out = ["# PLANS — physical-plan audit of the headline operators",
            "",
            f"Regenerated by `python tools/plan_audit.py` at sf0.01 "

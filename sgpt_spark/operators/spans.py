@@ -74,6 +74,7 @@ NearSpansUnordered queue pays per doc in its worst case).
 
 from __future__ import annotations
 
+import bisect
 from typing import Iterator
 
 import numpy as np
@@ -246,30 +247,60 @@ def _near_ordered(lists: list) -> list:
     return _minimal(out)
 
 
-def _near_unordered(lists: list) -> list:
+def _near_unordered(lists: list, max_width: int | None = None) -> list:
     """All windows of an any-order, non-overlapping selection, by
     backtracking over clause selections (clauses visited smallest list
     first; spans overlapping the partial selection pruned), reduced to
-    the minimal set. Cost is bounded by the product of per-doc clause
-    frequencies — the module-docstring bound."""
+    the minimal set.
+
+    ``max_width`` (= the near node's min_width + slop) bounds the
+    window DURING the walk: any selection already wider than it would
+    be dropped by the caller's slop filter, so skipping it early is
+    semantics-preserving — and it collapses the cost from the product
+    of per-doc clause frequencies to (rarest clause tf) x
+    (positions within a max_width band)^(clauses - 1). Each clause's
+    candidate scan is bisect-limited to starts inside the band the
+    current partial window still allows."""
     order = sorted(range(len(lists)), key=lambda j: len(lists[j]))
+    starts = [[s for s, _ in lists[j]] for j in order]
     chosen: list = []
     wins: list = []
+    n = len(order)
 
     def overlaps(s: int, e: int) -> bool:
         return any(not (e < cs or ce < s) for cs, ce in chosen)
 
-    def walk(d: int) -> None:
-        if d == len(order):
-            wins.append((min(s for s, _ in chosen), max(e for _, e in chosen)))
+    def walk(d: int, cmin: int, cmax: int) -> None:
+        if d == n:
+            wins.append((cmin, cmax))
             return
-        for s, e in lists[order[d]]:
+        li = lists[order[d]]
+        if max_width is None or d == 0:
+            lo, hi = 0, len(li)
+        else:
+            # a surviving window has width <= max_width, so this
+            # clause's span must START within [cmax - max_width + 1,
+            # cmin + max_width - 1]
+            lo = bisect.bisect_left(starts[d], cmax - max_width + 1)
+            hi = bisect.bisect_right(starts[d], cmin + max_width - 1)
+        for i in range(lo, hi):
+            s, e = li[i]
+            nmin = s if s < cmin else cmin
+            nmax = e if e > cmax else cmax
+            if max_width is not None and nmax - nmin + 1 > max_width:
+                continue
             if not overlaps(s, e):
                 chosen.append((s, e))
-                walk(d + 1)
+                walk(d + 1, nmin, nmax)
                 chosen.pop()
 
-    walk(0)
+    first = lists[order[0]]
+    for s, e in first:
+        if max_width is not None and e - s + 1 > max_width:
+            continue
+        chosen.append((s, e))
+        walk(1, s, e)
+        chosen.pop()
     return _minimal(sorted(set(wins)))
 
 
@@ -290,14 +321,14 @@ def eval_spans(tree, posmap: dict) -> list:
         lists = [eval_spans(c, posmap) for c in body["clauses"]]
         if any(not li for li in lists):
             return []
+        slop = body.get("slop", 0)
+        mw = span_min_width(tree)
         if len(lists) == 1:
             wins = lists[0]
         elif body.get("in_order", False):
             wins = _near_ordered(lists)
         else:
-            wins = _near_unordered(lists)
-        slop = body.get("slop", 0)
-        mw = span_min_width(tree)
+            wins = _near_unordered(lists, max_width=mw + slop)
         return [(s, e) for s, e in wins if (e - s + 1) - mw <= slop]
     if kind == "span_first":
         end = body["end"]

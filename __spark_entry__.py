@@ -1293,6 +1293,46 @@ def _q_query_string(spark: SparkSession, sf_dir: str) -> DataFrame:
     return query_string_search_index(spark, path, qs, k=10)
 
 
+def _q_span_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``span_multi`` (operators/spanmulti.py): each distinct-token
+    query becomes an unordered span_near of its LAST term and a
+    span_multi prefix of its first term's first 4 chars — dictionary
+    expansion (batched equi-joins) + span_or rewrite + the span walk.
+    Pytest pins the rewrite to an independent pure-Python expansion
+    spec and the result to span_search_index on hand-expanded trees
+    (test_spanmulti.py)."""
+    import tempfile
+
+    from sgpt_spark.operators.positions import build_positional_index
+    from sgpt_spark.operators.spanmulti import span_multi_search_index
+    from sgpt_spark.sources.queryset import derived_queries
+
+    docs = load_table(spark, sf_dir, "documents")
+    path = tempfile.mkdtemp(prefix="sgpt_entry_spm_")
+    build_positional_index(docs, path, segment_size=500)
+    rows = (
+        derived_queries(docs)
+        .filter("qid < 300")
+        .filter(
+            F.size(F.array_distinct(F.split("query", " ", -1)))
+            == F.size(F.split("query", " ", -1))
+        )
+        .collect()
+    )
+    trees = []
+    for r in rows:
+        toks = r["query"].split(" ")
+        if len(toks) < 2 or len(toks[0]) < 4:
+            continue
+        trees.append((r["qid"], {"span_near": {
+            "clauses": [
+                {"span_multi": {"match": {"prefix": toks[0][:4]}}},
+                toks[-1],
+            ],
+            "slop": 4, "in_order": False}}))
+    return span_multi_search_index(spark, path, trees, k=10)
+
+
 def _q_geohash_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES geohash_grid aggregation over the match set: top-5 precision-2
     cells per query on the derived geo sidecar — the geohash is computed
@@ -1875,6 +1915,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "percolate_fired": _q_percolate,                # test_percolate.py DuckDB twin
         "intervals_unordered_topk": _q_intervals_unordered,  # test_intervals.py spec + corpus brute force
         "span_near_topk": _q_span_near,                 # test_spans.py spec + corpus brute force
+        "span_multi_topk": _q_span_multi,               # test_spanmulti.py expansion spec + hand-expanded identity
         "geohash_grid_agg": _q_geohash_grid,            # test_geo.py textbook-geohash brute force (geo_distance_top10 keeps the geo family gated)
         "query_string_top10": _q_query_string,          # test_luceneqs.py brute force + value-identity with the gated simple_query_string row
         "distance_feature_topk": _q_distance_feature,   # test_distfeature.py DuckDB twin

@@ -1037,6 +1037,29 @@ def main() -> None:
                           term_stats=pts).count()
         sp_s = min(sp_s, time.time() - t0)
     timings["span_near_200q"] = round(sp_s, 3)
+
+    # span_multi: the same trees with the FIRST clause replaced by a
+    # 4-char prefix span_multi — adds the dictionary expansion joins +
+    # span_or rewrite on top of the span walk, so the delta vs
+    # span_near_200q IS the multi-term wrapper cost
+    from sgpt_spark.operators.spanmulti import span_multi_search_index
+
+    spm_trees = []
+    for qid, tr in sp_trees:
+        toks = tr["span_near"]["clauses"]
+        if len(toks) < 2 or len(toks[0]) < 4:
+            continue
+        spm_trees.append((qid, {"span_near": {
+            "clauses": [{"span_multi": {"match": {"prefix": toks[0][:4]}}},
+                        *toks[1:]],
+            "slop": 4, "in_order": False}}))
+    spm_s = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        span_multi_search_index(spark, "/dev/shm/sgpt_bench_pos", spm_trees,
+                                k=10, term_stats=pts).count()
+        spm_s = min(spm_s, time.time() - t0)
+    timings["span_multi_200q"] = round(spm_s, 3)
     # exhaustive twin: ONE timed run — it re-tokenizes the corpus per
     # batch and lands ~100x above the index path (218.6s vs 2.2s at
     # r5), far outside the host noise band; best-of-2 would buy nothing

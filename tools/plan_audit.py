@@ -764,6 +764,41 @@ def main() -> None:
         lq_postings_scans == 1 and pushed_lq and partial_lq and no_python_lq
     )
 
+    # --- 22. span_multi: capped dictionary expansion + pruned span walk ----
+    from sgpt_spark.operators.spanmulti import span_multi_search_index
+
+    sm_tree = {"span_near": {
+        "clauses": [{"span_multi": {"match": {"prefix": tq[0][:3]}}}, tq[1]],
+        "slop": 4, "in_order": False}}
+    plan = captured_plan(
+        span_multi_search_index(spark, pos_path, [("0", sm_tree)], k=10)
+    )
+    pushed_sm = re.search(r"PushedFilters: \[[^\]]*term[^\]]*\]", plan)
+    pos_scans_sm = len(
+        re.findall(r"ReadSchema: struct<term:string,segment:", plan)
+    )
+    topk_sm = "WindowGroupLimit" in plan
+    sections.append((
+        "span_multi (`span_multi_search_index`)",
+        "The pattern expands against the dictionary BEFORE this plan "
+        "(batched equi-joins per pattern kind, capped collect of "
+        "<= patterns x max_expansions matched terms — never the "
+        "dictionary); the rewritten span_or tree then rides the span "
+        "path: "
+        + (f"{pos_scans_sm} term-pruned positions scan"
+           + ("" if pos_scans_sm == 1 else "s (ONE expected — BUG)")
+           if pos_scans_sm else "NO positions scan (BUG)")
+        + " ("
+        + (f"`{pushed_sm.group(0)[:90]}...`" if pushed_sm
+           else "PUSHDOWN MISSING (BUG)")
+        + "), per-segment Arrow decode + slop-band-pruned span walk, "
+        "<= k rows per (query, segment) into the "
+        + ("partial/final WindowGroupLimit top-k."
+           if topk_sm else "top-k (NO WindowGroupLimit — BUG)."),
+        plan,
+    ))
+    assert pushed_sm and pos_scans_sm == 1 and topk_sm
+
     out = ["# PLANS — physical-plan audit of the headline operators",
            "",
            f"Regenerated by `python tools/plan_audit.py` at sf0.01 "

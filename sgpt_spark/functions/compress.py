@@ -36,10 +36,20 @@ def varint_encode_with_offsets(values: np.ndarray) -> tuple[np.ndarray, np.ndarr
     v = np.ascontiguousarray(values, dtype=np.uint64)
     if v.size == 0:
         return np.empty(0, dtype=np.uint8), np.zeros(1, dtype=np.int64)
-    # number of 7-bit groups per value
+    vmax = int(v.max())
+    if vmax < 128:
+        # all single-byte (the common case for tf/dl/position deltas):
+        # LEB128 of a value < 128 IS the value with a clear cont bit
+        return v.astype(np.uint8), np.arange(v.size + 1, dtype=np.int64)
+    # number of 7-bit groups per value; stop probing widths past vmax
+    # (values are overwhelmingly 1-2 bytes — probing all 9 widths costs
+    # more than the packing itself)
     nb = np.ones(v.shape, dtype=np.int64)
     for k in range(1, _MAX_VARINT_BYTES):
-        nb += (v >= np.uint64(1) << np.uint64(7 * k)).astype(np.int64)
+        t = np.uint64(1) << np.uint64(7 * k)
+        if vmax < t:
+            break
+        nb += (v >= t).astype(np.int64)
     ends = np.cumsum(nb)
     offsets = np.concatenate(([0], ends))
     out = np.zeros(int(ends[-1]), dtype=np.uint8)

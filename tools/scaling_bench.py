@@ -147,22 +147,24 @@ for _ in range(2):
 dv_rel.unpersist()
 shutil.rmtree(idx, ignore_errors=True)
 
-# phrase axis (round 5): positional build (ONE timed run — same
-# partition-parallel map as the headline build plus the derive pass;
-# the headline already carries best-of-2), then a 500-phrase
-# match_phrase batch through phrase_search_index. Phrase queries use
-# INTERIOR tokens 2..5 of the source doc's second line (the ws
-# analyzer glues line-boundary tokens, interior tokens guarantee a
-# known-item phrase hit).
+# phrase axis (round 5): positional build, best-of-2 like the headline
+# build (a single reading at this host's ±40% wall noise mis-stated the
+# 32-core pos axis by 2x in the first r5 run — the anomaly dissolved
+# under repeats), then a 500-phrase match_phrase batch through
+# phrase_search_index. Phrase queries use INTERIOR tokens 2..5 of the
+# source doc's second line (the ws analyzer glues line-boundary tokens,
+# interior tokens guarantee a known-item phrase hit).
 from sgpt_spark.operators.indexer import read_term_stats as _rts
 from sgpt_spark.operators.positions import (
     build_positional_index, phrase_search_index,
 )
 pidx = f"/dev/shm/sgpt_scaling_pos_{{cpus}}"
-shutil.rmtree(pidx, ignore_errors=True)
-t0 = time.time()
-pmeta = build_positional_index(docs, pidx, segment_size=max(n_docs // 64, 10000))
-pbt = time.time() - t0
+pbt = float("inf")
+for _ in range(2):
+    shutil.rmtree(pidx, ignore_errors=True)
+    t0 = time.time()
+    pmeta = build_positional_index(docs, pidx, segment_size=max(n_docs // 64, 10000))
+    pbt = min(pbt, time.time() - t0)
 ph_q = (docs.filter((F.col("doc_id") % max(n_docs // 500, 1) == 0)
                     & (F.length("text") > 0))
         .select(F.col("doc_id").cast("string").alias("qid"),

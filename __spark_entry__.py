@@ -1347,6 +1347,44 @@ def _q_geohash_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return geohash_grid_agg(cand, derive_geo_docvalues(docs), precision=2, size=5)
 
 
+def _q_geotile_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES geotile_grid aggregation over the match set: top-5 zoom-2
+    web-mercator tiles per query on the derived geo sidecar — the
+    "z/x/y" key is pure codegen (tan/asinh/floor, no UDF)."""
+    from sgpt_spark.operators.aggs import match_candidates
+    from sgpt_spark.operators.geo import derive_geo_docvalues, geotile_grid_agg
+    from sgpt_spark.operators.indexer import build_postings
+
+    docs = load_table(spark, sf_dir, "documents")
+    postings, meta = build_postings(docs, segment_size=200)
+    cand = match_candidates(spark, postings, meta, derived_queries(docs))
+    return geotile_grid_agg(cand, derive_geo_docvalues(docs), precision=2, size=5)
+
+
+def _q_geo_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES geo_bounds + geo_centroid metric aggs over the match set on
+    the derived sidecar: the wrap_longitude box solved exactly by the
+    largest-gap rule, joined to the exact mean coordinates."""
+    from sgpt_spark.operators.aggs import match_candidates
+    from sgpt_spark.operators.geo import (
+        derive_geo_docvalues,
+        geo_bounds_agg,
+        geo_centroid_agg,
+    )
+    from sgpt_spark.operators.indexer import build_postings
+
+    docs = load_table(spark, sf_dir, "documents")
+    postings, meta = build_postings(docs, segment_size=200)
+    cand = match_candidates(spark, postings, meta, derived_queries(docs))
+    dv = derive_geo_docvalues(docs)
+    return geo_bounds_agg(cand, dv).join(
+        geo_centroid_agg(cand, dv).select(
+            "qid", "lat", "lon", F.col("count").alias("doc_count")
+        ),
+        "qid",
+    )
+
+
 def _q_distance_feature(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sgpt_spark.operators.distfeature import distance_feature_search_index
     from sgpt_spark.operators.indexer import build_postings
@@ -1917,6 +1955,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_near_topk": _q_span_near,                 # test_spans.py spec + corpus brute force
         "span_multi_topk": _q_span_multi,               # test_spanmulti.py expansion spec + hand-expanded identity
         "geohash_grid_agg": _q_geohash_grid,            # test_geo.py textbook-geohash brute force (geo_distance_top10 keeps the geo family gated)
+        "geotile_grid_agg": _q_geotile_grid,            # test_geo.py slippy-map brute force + classic vectors
+        "geo_bounds_centroid": _q_geo_bounds,           # test_geo.py largest-gap + exact-mean brute forces
         "query_string_top10": _q_query_string,          # test_luceneqs.py brute force + value-identity with the gated simple_query_string row
         "distance_feature_topk": _q_distance_feature,   # test_distfeature.py DuckDB twin
         "pinned_topk": _q_pinned,                       # test_pinned_extstats.py brute force

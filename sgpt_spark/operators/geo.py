@@ -43,6 +43,13 @@ Plan shapes:
   (query, bucket), empty buckets filled per the ES response shape.
 - ``geohash_grid_agg``: groupBy the codegen geohash cell, top
   ``size`` cells by (count desc, key asc) — ES's bucket ordering.
+- ``geotile_grid_agg``: the same plan over web-mercator "z/x/y" map
+  tiles (GeoTileUtils), the key again pure codegen (tan/asinh/floor).
+- ``geo_centroid_agg`` / ``geo_bounds_agg``: the ES geo metric aggs —
+  exact mean coordinates (sum/count, one IEEE division each) and the
+  match set's bounding box, ``wrap_longitude`` solved EXACTLY by the
+  largest-longitude-gap rule (one window — strictly stronger than
+  ES's positive/negative-cluster heuristic, documented).
 """
 
 from __future__ import annotations
@@ -66,6 +73,12 @@ __all__ = [
     "geohash_col",
     "geohash_py",
     "geohash_grid_agg",
+    "MAX_MERCATOR_LAT",
+    "geotile_col",
+    "geotile_py",
+    "geotile_grid_agg",
+    "geo_centroid_agg",
+    "geo_bounds_agg",
 ]
 
 # ES GeoUtils.EARTH_MEAN_RADIUS (meters) — the sphere ES measures
@@ -403,3 +416,180 @@ def geohash_grid_agg(
         .filter(F.col("_r") <= size)
         .drop("_r")
     )
+
+
+# ---- geotile_grid / geo_bounds / geo_centroid -------------------------------
+
+# Web-mercator latitude bound: atan(sinh(pi)) in degrees. ES
+# GeoTileUtils clamps latitudes beyond it into the edge tiles.
+MAX_MERCATOR_LAT = 85.0511287798066
+
+
+def geotile_col(lat_col, lon_col, precision: int) -> Column:
+    """ES ``geotile_grid`` cell key "z/x/y" (standard web-mercator map
+    tiles, GeoTileUtils.longitudeToX/latitudeToY) as a pure codegen
+    column:
+
+        x = floor((lon + 180) / 360 * 2^z)
+        y = floor((1 - asinh(tan(lat_rad)) / pi) / 2 * 2^z)
+
+    with lat clamped to the mercator bound (+-85.05112878...) and both
+    indexes clamped into [0, 2^z - 1] — the ES edge-tile behavior.
+    ``precision`` (zoom) 0..29, the ES range; the arithmetic is
+    tan/asinh/floor, no UDF anywhere."""
+    if not (0 <= precision <= 29):
+        raise ValueError(f"geotile precision must be 0..29, got {precision}")
+    tiles = float(2**precision)
+    hi = 2**precision - 1
+    x = F.least(
+        F.greatest(
+            F.floor((lon_col + F.lit(180.0)) / F.lit(360.0) * F.lit(tiles)),
+            F.lit(0),
+        ),
+        F.lit(hi),
+    ).cast("long")
+    lat = F.least(
+        F.greatest(lat_col, F.lit(-MAX_MERCATOR_LAT)), F.lit(MAX_MERCATOR_LAT)
+    )
+    y = F.least(
+        F.greatest(
+            F.floor(
+                (F.lit(1.0) - F.asinh(F.tan(F.radians(lat))) / F.lit(math.pi))
+                / F.lit(2.0)
+                * F.lit(tiles)
+            ),
+            F.lit(0),
+        ),
+        F.lit(hi),
+    ).cast("long")
+    return F.concat_ws("/", F.lit(str(precision)), x.cast("string"), y.cast("string"))
+
+
+def geotile_py(lat: float, lon: float, precision: int) -> str:
+    """Driver-side twin of ``geotile_col`` — the textbook slippy-map
+    tile formula, written independently (math.log form of asinh)."""
+    tiles = 2**precision
+    x = min(max(math.floor((lon + 180.0) / 360.0 * tiles), 0), tiles - 1)
+    lat = min(max(lat, -MAX_MERCATOR_LAT), MAX_MERCATOR_LAT)
+    lat_rad = math.radians(lat)
+    t = math.tan(lat_rad)
+    y_raw = (1.0 - math.log(t + math.sqrt(t * t + 1.0)) / math.pi) / 2.0 * tiles
+    y = min(max(math.floor(y_raw), 0), tiles - 1)
+    return f"{precision}/{x}/{y}"
+
+
+def geotile_grid_agg(
+    hits: DataFrame,
+    docvalues: DataFrame,
+    precision: int = 7,
+    size: int = 10,
+) -> DataFrame:
+    """ES geotile_grid aggregation over a match relation (qid, doc_id,
+    ...) -> (qid, geotile, doc_count): per query, the top ``size``
+    web-mercator tiles by (doc_count desc, key asc) — the geohash_grid
+    plan with the tile key swapped in (one codegen key column + one
+    map-side-combinable groupBy + the partial/final window cut)."""
+    from pyspark.sql import Window
+
+    if size < 1:
+        raise ValueError(f"size must be >= 1, got {size}")
+    cells = hits.select("qid", "doc_id").join(
+        docvalues.select(
+            "doc_id",
+            geotile_col(F.col("lat"), F.col("lon"), precision).alias("geotile"),
+        ),
+        "doc_id",
+        "inner",
+    )
+    counts = cells.groupBy("qid", "geotile").agg(
+        F.count(F.lit(1)).alias("doc_count")
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("doc_count").desc(), F.col("geotile").asc()
+    )
+    return (
+        counts.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= size)
+        .drop("_r")
+    )
+
+
+def geo_centroid_agg(hits: DataFrame, docvalues: DataFrame) -> DataFrame:
+    """ES geo_centroid metric aggregation over a match relation ->
+    (qid, lat, lon, count): the arithmetic mean of the match set's
+    coordinates, each mean spelled sum/count (two aggregates, one IEEE
+    division — the engine's exact-avg idiom). Documented divergence:
+    ES averages the QUANTIZED doc-values coordinates (its lat/lon are
+    stored as int32 cells); this engine averages the exact doubles."""
+    joined = hits.select("qid", "doc_id").join(
+        docvalues.select("doc_id", "lat", "lon"), "doc_id", "inner"
+    )
+    return joined.groupBy("qid").agg(
+        (F.sum("lat") / F.count(F.lit(1))).alias("lat"),
+        (F.sum("lon") / F.count(F.lit(1))).alias("lon"),
+        F.count(F.lit(1)).alias("count"),
+    )
+
+
+def geo_bounds_agg(
+    hits: DataFrame, docvalues: DataFrame, wrap_longitude: bool = True
+) -> DataFrame:
+    """ES geo_bounds metric aggregation over a match relation ->
+    (qid, top, bottom, left, right): the bounding box of each query's
+    match set. top/bottom are max/min latitude. With
+    ``wrap_longitude=False``, left/right are min/max longitude. With
+    ``wrap_longitude=True`` (the ES default) the box may cross the
+    dateline (left > right signals the wrap, the ES response
+    convention): the engine finds the TRUE minimal-width box by the
+    largest-gap rule — sort each query's distinct longitudes, measure
+    every consecutive gap plus the wrap-around gap, and exclude the
+    largest one (ties: the westernmost such gap). Documented
+    divergence, strictly stronger: ES's heuristic only considers
+    splitting between its positive and negative longitude clusters, so
+    it can report a wider box than necessary; the largest-gap box is
+    minimal. One window over the distinct longitudes + one groupBy —
+    no collect, no UDF."""
+    from pyspark.sql import Window
+
+    joined = hits.select("qid", "doc_id").join(
+        docvalues.select("doc_id", "lat", "lon"), "doc_id", "inner"
+    )
+    lat_bounds = joined.groupBy("qid").agg(
+        F.max("lat").alias("top"), F.min("lat").alias("bottom")
+    )
+    if not wrap_longitude:
+        lon_bounds = joined.groupBy("qid").agg(
+            F.min("lon").alias("left"), F.max("lon").alias("right")
+        )
+        return lat_bounds.join(lon_bounds, "qid")
+    lons = joined.select("qid", "lon").distinct()
+    w_ord = Window.partitionBy("qid").orderBy(F.col("lon").asc())
+    # gap east of each longitude; the easternmost wraps to the first
+    gapped = lons.select(
+        "qid",
+        "lon",
+        F.coalesce(
+            F.lead("lon").over(w_ord),
+            F.first("lon").over(
+                w_ord.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+            )
+            + F.lit(360.0),
+        ).alias("_nxt"),
+    ).withColumn("_gap", F.col("_nxt") - F.col("lon"))
+    w_pick = Window.partitionBy("qid").orderBy(
+        F.col("_gap").desc(), F.col("lon").asc()
+    )
+    picked = (
+        gapped.withColumn("_r", F.row_number().over(w_pick))
+        .filter(F.col("_r") == 1)
+        .select(
+            "qid",
+            # the box spans from the longitude AFTER the excluded gap
+            # (wrapped back into [-180, 180)) eastward to the one before
+            F.when(F.col("_nxt") >= F.lit(180.0), F.col("_nxt") - F.lit(360.0))
+            .otherwise(F.col("_nxt"))
+            .alias("left"),
+            F.col("lon").alias("right"),
+        )
+    )
+    return lat_bounds.join(picked, "qid")

@@ -346,3 +346,149 @@ QUALIFY rank <= 10
         for r in search_index(spark, postings, meta, q, k=10).collect()
     }
     assert {(g[0], g[1]) for g in got} != plain
+
+
+# ---- geotile_grid / geo_centroid / geo_bounds -------------------------------
+
+
+def test_geotile_classic_vectors(spark):
+    from sgpt_spark.operators.geo import geotile_py
+
+    # slippy-map textbook points: origin at z1 sits in tile (1, 1)'s
+    # corner; zoom 0 is always "0/0/0"; poles clamp into the edge tiles
+    assert geotile_py(0.0, 0.0, 0) == "0/0/0"
+    assert geotile_py(0.0, 0.0, 1) == "1/1/1"
+    assert geotile_py(89.9, 0.0, 2) == "2/2/0"     # above mercator bound -> top row
+    assert geotile_py(-89.9, 179.99, 2) == "2/3/3" # below -> bottom row, east edge
+    assert geotile_py(51.5074, -0.1278, 10) == "10/511/340"  # London z10
+
+
+@pytest.mark.parametrize("precision", [0, 1, 3, 7, 12])
+def test_geotile_codegen_vs_textbook(spark, precision):
+    from sgpt_spark.operators.geo import geotile_col, geotile_py
+
+    pts = [
+        (0.0, 0.0), (0.001, 0.001), (-0.001, -0.001),
+        (85.06, 12.0), (-85.06, 12.0), (89.9, -179.99), (-89.9, 179.99),
+        (52.52, 13.405), (-33.8688, 151.2093), (37.7749, -122.4194),
+        (10.0, 179.95), (10.0, -179.95), (66.51, 25.73),
+    ]
+    df = spark.createDataFrame(pts, "lat double, lon double").select(
+        "lat", "lon",
+        geotile_col(F.col("lat"), F.col("lon"), precision).alias("t"),
+    )
+    for r in df.collect():
+        assert r["t"] == geotile_py(r["lat"], r["lon"], precision), (
+            r["lat"], r["lon"], precision,
+        )
+
+
+def test_geotile_codegen_vs_textbook_corpus(spark):
+    from sgpt_spark.operators.geo import geotile_col, geotile_py
+
+    rows = _dv(spark).select(
+        "lat", "lon", geotile_col(F.col("lat"), F.col("lon"), 5).alias("t")
+    ).collect()
+    assert rows and all(
+        r["t"] == geotile_py(r["lat"], r["lon"], 5) for r in rows
+    )
+
+
+def test_geotile_grid_agg_matches_brute(spark):
+    import collections
+
+    from sgpt_spark.operators.geo import geotile_grid_agg, geotile_py
+    from sgpt_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF, "documents")
+    dv = derive_geo_docvalues(docs)
+    pts = {r["doc_id"]: (r["lat"], r["lon"]) for r in dv.collect()}
+    hits = docs.select(F.lit(1).alias("qid"), "doc_id")
+    got = sorted(
+        (r["qid"], r["geotile"], r["doc_count"])
+        for r in geotile_grid_agg(hits, dv, precision=2, size=5).collect()
+    )
+    cnt = collections.Counter(geotile_py(la, lo, 2) for la, lo in pts.values())
+    want = sorted(
+        (1, t, c)
+        for t, c in sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    )
+    assert got == want and len(got) == 5
+
+
+def test_geo_centroid_matches_brute(spark):
+    from sgpt_spark.operators.geo import geo_centroid_agg
+    from sgpt_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF, "documents")
+    dv = derive_geo_docvalues(docs)
+    pts = [(r["lat"], r["lon"]) for r in dv.collect()]
+    hits = docs.select(F.lit(7).alias("qid"), "doc_id")
+    [row] = geo_centroid_agg(hits, dv).collect()
+    assert row["qid"] == 7 and row["count"] == len(pts)
+    assert row["lat"] == pytest.approx(sum(p[0] for p in pts) / len(pts), abs=1e-9)
+    assert row["lon"] == pytest.approx(sum(p[1] for p in pts) / len(pts), abs=1e-9)
+
+
+def _brute_bounds(pts, wrap):
+    """Independent largest-gap bounding box (the operator's declared
+    rule, recomputed from scratch)."""
+    top, bottom = max(p[0] for p in pts), min(p[0] for p in pts)
+    lons = sorted({p[1] for p in pts})
+    if not wrap or len(lons) == 1:
+        return top, bottom, lons[0], lons[-1]
+    gaps = [
+        (lons[i + 1] - lons[i], lons[i], lons[i + 1])
+        for i in range(len(lons) - 1)
+    ] + [(lons[0] + 360.0 - lons[-1], lons[-1], lons[0] + 360.0)]
+    g, right_of, left_raw = max(gaps, key=lambda t: (t[0], -t[1]))
+    left = left_raw - 360.0 if left_raw >= 180.0 else left_raw
+    return top, bottom, left, right_of
+
+
+@pytest.mark.parametrize("wrap", [True, False])
+def test_geo_bounds_matches_brute_corpus(spark, wrap):
+    from sgpt_spark.operators.geo import geo_bounds_agg
+    from sgpt_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF, "documents")
+    dv = derive_geo_docvalues(docs)
+    pts = [(r["lat"], r["lon"]) for r in dv.collect()]
+    hits = docs.select(F.lit(1).alias("qid"), "doc_id")
+    [row] = geo_bounds_agg(hits, dv, wrap_longitude=wrap).collect()
+    top, bottom, left, right = _brute_bounds(pts, wrap)
+    assert row["top"] == top and row["bottom"] == bottom
+    assert row["left"] == left and row["right"] == right
+
+
+def test_geo_bounds_dateline_cluster(spark):
+    """A cluster hugging the dateline: wrap=True finds the narrow
+    crossing box (left > right), wrap=False reports the wide one."""
+    from sgpt_spark.operators.geo import geo_bounds_agg
+
+    dv = spark.createDataFrame(
+        [(0, 10.0, 170.0), (1, 12.0, 178.0), (2, -5.0, -175.0),
+         (3, 2.0, -179.5), (4, 8.0, 174.0)],
+        "doc_id long, lat double, lon double",
+    )
+    hits = dv.select(F.lit(1).alias("qid"), "doc_id")
+    [w] = geo_bounds_agg(hits, dv, wrap_longitude=True).collect()
+    assert (w["left"], w["right"]) == (170.0, -175.0)   # crosses the dateline
+    assert (w["top"], w["bottom"]) == (12.0, -5.0)
+    [nw] = geo_bounds_agg(hits, dv, wrap_longitude=False).collect()
+    assert (nw["left"], nw["right"]) == (-179.5, 178.0)
+    # single-point degenerate box
+    one = dv.filter(F.col("doc_id") == 0)
+    [s] = geo_bounds_agg(
+        one.select(F.lit(2).alias("qid"), "doc_id"), one, wrap_longitude=True
+    ).collect()
+    assert (s["left"], s["right"]) == (170.0, 170.0)
+
+
+def test_geotile_guards(spark):
+    from sgpt_spark.operators.geo import geotile_col, geotile_grid_agg
+
+    with pytest.raises(ValueError, match="precision"):
+        geotile_col(F.col("lat"), F.col("lon"), 30)
+    with pytest.raises(ValueError, match="size"):
+        geotile_grid_agg(None, None, precision=2, size=0)

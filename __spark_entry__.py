@@ -1013,6 +1013,42 @@ def _q_function_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# the full function_score request shape (one of each family member —
+# an always-on gauss decay, a filtered+weighted field_value_factor, a
+# weighted deterministic random_score), combined score_mode=sum,
+# capped, multiplied into BM25. Shared by _q_function_score_multi and
+# its oracle/pytest twins.
+_FS_MULTI_FUNCTIONS = [
+    {"gauss": {"field": "n_chars", "origin": 500.0, "scale": 400.0, "decay": 0.4}},
+    {
+        "field_value_factor": {"field": "n_chars", "modifier": "sqrt", "factor": 0.01},
+        "weight": 0.5,
+        "filter": "lang = 'en'",
+    },
+    {"random_score": {"seed": "42"}, "weight": 0.2},
+]
+
+
+def _q_function_score_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL ES ``function_score`` request (funcscore.
+    function_score_multi): gauss decay over n_chars + a lang-filtered
+    weighted field_value_factor + a weighted md5-deterministic
+    random_score, score_mode=sum, max_boost=3, boost_mode=multiply —
+    every function a codegen column over one docvalues join on the
+    full scored match set."""
+    from sgpt_spark.operators.funcscore import function_score_multi
+    from sgpt_spark.operators.indexer import build_postings_with_docvalues
+
+    docs = load_table(spark, sf_dir, "documents")
+    postings, dv, meta = build_postings_with_docvalues(
+        docs, ["lang", "n_chars"], segment_size=200
+    )
+    return function_score_multi(
+        spark, postings, meta, derived_queries(docs), dv, _FS_MULTI_FUNCTIONS,
+        score_mode="sum", boost_mode="multiply", max_boost=3.0, k=10,
+    )
+
+
 def _q_boosting(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES ``boosting`` compound query (operators/boosting.py): the
     flagship match query is the positive clause; the negative clause is
@@ -1968,6 +2004,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_test_stats": _q_t_test,                      # test_stat_aggs.py Welch math
         "matrix_stats": _q_matrix_stats,                # test_stat_aggs.py cov/corr math
         "rank_feature_topk": _q_rank_feature,           # test_rankfeature.py fn math
+        "function_score_multi_topk": _q_function_score_multi,  # test_funcscore_multi.py brute forces + DuckDB twin at gate rigor
     }
 
 
@@ -3341,6 +3378,68 @@ SELECT qid, doc_id, score, CAST(rnk AS INTEGER) AS rank
 FROM ranked WHERE rnk <= 10
 """
 
+# full-request function_score oracle: the same scored CTE, then the
+# three-function sum — gauss decay (two_sigma_sq inlined as the SAME
+# python double the plan literal carries), the lang-filtered weighted
+# sqrt field_value_factor, the md5-arithmetic random_score — in the
+# plan's addition order (0 + gauss + fvf + random), capped at 3.0,
+# multiplied into the raw query score, rounded THEN ranked.
+_FS_TWO_SIGMA_SQ = 2.0 * (-(400.0 * 400.0) / (2.0 * __import__("math").log(0.4)))
+_FUNCTION_SCORE_MULTI_SQL = f"""
+WITH {_TOKENS_CTE},
+  stats AS (SELECT count(*) AS n, avg(doc_len) AS avgdl FROM doclen),
+  queryset AS ({QUERIES_SQL}),
+  qterms AS (
+    SELECT qid, u.term AS term, count(*) AS qtf
+    FROM queryset, unnest(string_split(query, ' ')) AS u(term)
+    WHERE u.term <> ''
+    GROUP BY qid, u.term
+  ),
+  scored AS (
+    SELECT q.qid, tf.doc_id,
+           sum(
+             q.qtf
+             * ln(1 + (s.n - tdf.df + 0.5) / (tdf.df + 0.5))
+             * tf.tf / (tf.tf + {K1} * (1 - {B} + {B} * dl.doc_len / s.avgdl))
+           ) AS raw_score
+    FROM qterms q
+    JOIN tf  ON q.term = tf.term
+    JOIN tdf ON tf.term = tdf.term
+    JOIN doclen dl ON tf.doc_id = dl.doc_id
+    CROSS JOIN stats s
+    GROUP BY q.qid, tf.doc_id
+  ),
+  fns AS (
+    SELECT sc.qid, sc.doc_id, sc.raw_score,
+           CASE WHEN d.n_chars IS NULL THEN 1.0 ELSE exp(
+             -(greatest(abs(CAST(d.n_chars AS DOUBLE) - 500.0) - 0.0, 0.0)
+               * greatest(abs(CAST(d.n_chars AS DOUBLE) - 500.0) - 0.0, 0.0))
+             / {_FS_TWO_SIGMA_SQ!r}
+           ) END AS g,
+           CASE WHEN coalesce(d.lang = 'en', false)
+                THEN sqrt(coalesce(CAST(d.n_chars AS DOUBLE), 1.0) * 0.01) * 0.5
+                ELSE 0.0 END AS f,
+           CAST(('0x' || substring(md5(d.doc_id || ':rs:42'), 1, 8)) AS UBIGINT)
+             / 4294967296.0 * 0.2 AS r
+    FROM scored sc JOIN documents d ON sc.doc_id = d.doc_id
+  ),
+  rescored AS (
+    SELECT qid, doc_id,
+           raw_score * least(0.0 + g + f + r, 3.0) AS raw2
+    FROM fns
+  ),
+  ranked AS (
+    SELECT qid, doc_id, round(raw2, {SCORE_DECIMALS}) AS score,
+           row_number() OVER (
+             PARTITION BY qid
+             ORDER BY round(raw2, {SCORE_DECIMALS}) DESC, doc_id ASC
+           ) AS rnk
+    FROM rescored
+  )
+SELECT qid, doc_id, score, CAST(rnk AS INTEGER) AS rank
+FROM ranked WHERE rnk <= 10
+"""
+
 # more_like_this oracle: seed term vectors from the shared tokens CTE,
 # tf*idf selection rounded-then-ranked (score desc, term asc), BM25
 # should-query with the floored 30% minimum_should_match, seed excluded.
@@ -4652,4 +4751,8 @@ def oracle_sql() -> dict[str, str]:
         "match_significant_terms": _SIGNIFICANT_TERMS_SQL,
         "match_date_histogram": _DATE_HISTOGRAM_SQL,
         "match_top_hits": _TOP_HITS_SQL,
+        # function_score_multi_topk sits beyond the driver window by the
+        # registry invariant (the 50 slots stay all-oracle);
+        # _FUNCTION_SCORE_MULTI_SQL is held to gate rigor by
+        # test_funcscore_multi.py instead.
     }

@@ -674,6 +674,23 @@ def main() -> None:
         fsc_s = min(fsc_s, time.time() - t0)
     timings["function_score_200q"] = round(fsc_s, 3)
 
+    # the FULL function_score request (gauss decay + filtered weighted
+    # fvf + md5 random_score, score_mode=sum, max_boost) — the delta vs
+    # function_score_200q IS the multi-function combine cost (three
+    # more codegen projections on the same docvalues join)
+    from __spark_entry__ import _FS_MULTI_FUNCTIONS
+    from sgpt_spark.operators.funcscore import function_score_multi
+
+    fsm_s = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        function_score_multi(spark, postings_f, meta_f, mt_q, dv_f,
+                             _FS_MULTI_FUNCTIONS, score_mode="sum",
+                             boost_mode="multiply", max_boost=3.0,
+                             k=10).count()
+        fsm_s = min(fsm_s, time.time() - t0)
+    timings["function_score_multi_200q"] = round(fsm_s, 3)
+
     # ES boosting query: positive = the 200-query match batch's FULL
     # scored set, negative = each query's last token, one demote join
     from sgpt_spark.operators.boosting import boosting_search_index

@@ -1,7 +1,14 @@
-"""ES ``function_score`` — rescoring a match query with a doc-values
-function (the Lucene FunctionScoreQuery role), here the
-``field_value_factor`` family: score' = boost_mode(BM25, modifier(
-factor * field_value)).
+"""ES ``function_score`` — rescoring a match query with doc-values
+functions (the Lucene FunctionScoreQuery role). Two entry points:
+
+* ``function_score_index`` — the single ``field_value_factor``
+  shorthand: score' = boost_mode(BM25, modifier(factor * field_value)).
+* ``function_score_multi`` — the FULL request: a LIST of functions
+  (field_value_factor, gauss/exp/linear decay, random_score,
+  script_score, bare weight), each filter-gated and weighted, combined
+  under ``score_mode`` (multiply/sum/avg/first/max/min — avg is ES's
+  WEIGHTED average), capped at ``max_boost``, met with the query score
+  under the full six-mode ``boost_mode`` set, ``min_score``-filtered.
 
 The critical semantic: the function applies to EVERY matching doc
 BEFORE the top-k cut (ES runs FunctionScoreQuery as the scoring query
@@ -148,4 +155,248 @@ def function_score_index(
         scored.join(docvalues.select("doc_id", field), "doc_id", "left")
         .select("qid", "doc_id", combined.alias("score"))
     )
+    return topk_per_group(rescored, k=k).select("qid", "doc_id", "score", "rank")
+
+
+# ---- the full ES function family ---------------------------------------------
+#
+# ES function_score requests carry a LIST of functions, each an object
+# with at most one function type plus optional ``filter`` and
+# ``weight``; the per-doc function values combine under ``score_mode``,
+# cap at ``max_boost``, and meet the query score under ``boost_mode``
+# (full six-mode set), with ``min_score`` excluding docs below the bar.
+# The engine mirrors the request JSON as plain dicts (the span-family
+# convention):
+#
+#     {"field_value_factor": {"field": "n_chars", "modifier": "log1p"},
+#      "weight": 2.0, "filter": "lang = 'en'"}
+#     {"gauss": {"field": "n_chars", "origin": 500, "scale": 200}}
+#     {"random_score": {"seed": "42"}}
+#     {"script_score": {"source": "sqrt(_score) + n_chars / 100"}}
+#     {"weight": 3.0}
+#
+# Everything compiles to whole-stage-codegen columns over ONE docvalues
+# left join on the full scored match set — no UDF, no second pass.
+
+DECAY_KINDS = ("gauss", "exp", "linear")
+SCORE_MODES = ("multiply", "sum", "avg", "first", "max", "min")
+FULL_BOOST_MODES = ("multiply", "replace", "sum", "avg", "max", "min")
+FUNCTION_KINDS = (
+    "field_value_factor",
+    "gauss",
+    "exp",
+    "linear",
+    "random_score",
+    "script_score",
+)
+
+
+def decay_col(
+    kind: str,
+    value: Column,
+    origin: float,
+    scale: float,
+    offset: float = 0.0,
+    decay: float = 0.5,
+) -> Column:
+    """ES numeric decay function as a pure codegen column — the Lucene
+    DecayFunction math over ``dist = max(0, |value - origin| - offset)``:
+
+    * gauss:  exp(-dist^2 / (2 sigma^2)),  sigma^2 = -scale^2 / (2 ln decay)
+    * exp:    exp(lambda dist),            lambda  = ln(decay) / scale
+    * linear: max(0, (s - dist) / s),      s       = scale / (1 - decay)
+
+    so the function is exactly ``decay`` at distance ``scale`` past the
+    offset, 1 inside the offset. Validates scale > 0 and 0 < decay < 1
+    (the ES request rules). NULL handling is the caller's (ES returns 1
+    for docs missing the field)."""
+    import math as _m
+
+    if kind not in DECAY_KINDS:
+        raise ValueError(f"unknown decay kind {kind!r}: {DECAY_KINDS}")
+    if not scale > 0:
+        raise ValueError(f"decay scale must be > 0, got {scale}")
+    if not (0.0 < decay < 1.0):
+        raise ValueError(f"decay must be in (0, 1), got {decay}")
+    dist = F.greatest(
+        F.abs(value - F.lit(float(origin))) - F.lit(float(offset)), F.lit(0.0)
+    )
+    if kind == "gauss":
+        sigma_sq = -(scale * scale) / (2.0 * _m.log(decay))
+        return F.exp(-(dist * dist) / F.lit(2.0 * sigma_sq))
+    if kind == "exp":
+        lam = _m.log(decay) / scale
+        return F.exp(dist * F.lit(lam))
+    s = scale / (1.0 - decay)
+    return F.greatest((F.lit(s) - dist) / F.lit(s), F.lit(0.0))
+
+
+def random_score_col(id_col: Column, seed) -> Column:
+    """ES ``random_score`` made deterministic AND cross-engine
+    reproducible: uniform [0, 1) from the engine's md5-arithmetic idiom
+    (``uint32(md5(id || ':rs:' || seed)) / 2^32`` — the
+    derive_geo_docvalues / stub-encoder pattern, bit-identical in
+    DuckDB), where ES hashes (seed, _seq_no) with a JVM-private hash.
+    Same contract — per-doc uniform, stable under reshuffling — with a
+    portable spelling."""
+    h = F.md5(F.concat(id_col.cast("string"), F.lit(f":rs:{seed}")))
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("double") / F.lit(
+        float(2**32)
+    )
+
+
+def _compile_function(fn: dict, docvalues_cols: list[str], idx: int) -> tuple[Column, Column, float]:
+    """One request-shaped function dict -> (value column with weight
+    applied, applicability column, weight). ``_score`` in script
+    sources resolves to the query score column."""
+    known = {"filter", "weight", *FUNCTION_KINDS}
+    bad = set(fn) - known
+    if bad:
+        raise ValueError(f"function #{idx}: unknown keys {sorted(bad)}; expected one of {sorted(known)}")
+    kinds = [k for k in FUNCTION_KINDS if k in fn]
+    if len(kinds) > 1:
+        raise ValueError(f"function #{idx}: at most one function type, got {kinds}")
+    weight = float(fn.get("weight", 1.0))
+    if not kinds:
+        if "weight" not in fn:
+            raise ValueError(f"function #{idx}: needs a function type or a weight")
+        val = F.lit(1.0)
+    else:
+        kind, p = kinds[0], fn[kinds[0]]
+        if kind == "field_value_factor":
+            field = p["field"]
+            if field not in docvalues_cols:
+                raise ValueError(
+                    f"function #{idx}: field {field!r} not in docvalues columns {docvalues_cols}"
+                )
+            modifier = p.get("modifier", "none")
+            if modifier not in MODIFIERS:
+                raise ValueError(f"function #{idx}: unknown modifier {modifier!r}: {MODIFIERS}")
+            fv = F.coalesce(
+                F.col(field).cast("double"), F.lit(float(p.get("missing", 1.0)))
+            )
+            val = _modifier_col(fv * F.lit(float(p.get("factor", 1.0))), modifier)
+        elif kind in DECAY_KINDS:
+            field = p["field"]
+            if field not in docvalues_cols:
+                raise ValueError(
+                    f"function #{idx}: field {field!r} not in docvalues columns {docvalues_cols}"
+                )
+            dc = decay_col(
+                kind,
+                F.col(field).cast("double"),
+                origin=float(p["origin"]),
+                scale=float(p["scale"]),
+                offset=float(p.get("offset", 0.0)),
+                decay=float(p.get("decay", 0.5)),
+            )
+            # ES: a doc missing the decay field scores 1
+            val = F.when(F.col(field).isNull(), F.lit(1.0)).otherwise(dc)
+        elif kind == "random_score":
+            val = random_score_col(F.col(p.get("field", "doc_id")), p.get("seed", 0))
+        else:  # script_score
+            val = F.expr(p["source"]).cast("double")
+    return val * F.lit(weight), _applicable_col(fn.get("filter")), weight
+
+
+def _applicable_col(filter_expr: str | None) -> Column:
+    if filter_expr is None:
+        return F.lit(True)
+    # NULL docvalues (unmatched left-join rows included) never match —
+    # the ES filter-context rule
+    return F.coalesce(F.expr(filter_expr).cast("boolean"), F.lit(False))
+
+
+def _combine_functions(parts, score_mode: str) -> Column:
+    """(value, applicable, weight) triples -> the combined function
+    score column. ES contract: functions whose filter does not match a
+    doc contribute nothing; a doc matched by NO function scores 1."""
+    applied = [F.when(a, v) for v, a, _ in parts]  # NULL when not applicable
+    if score_mode == "first":
+        return F.coalesce(*applied, F.lit(1.0))
+    if score_mode in ("max", "min"):
+        agg = (F.greatest if score_mode == "max" else F.least)(*applied) if len(
+            applied
+        ) > 1 else applied[0]
+        return F.coalesce(agg, F.lit(1.0))
+    any_applies = None
+    for _, a, _w in parts:
+        any_applies = a if any_applies is None else (any_applies | a)
+    if score_mode == "multiply":
+        prod = F.lit(1.0)
+        for v, a, _ in parts:
+            prod = F.when(a, prod * v).otherwise(prod)
+        return prod
+    num = sum(
+        (F.when(a, v).otherwise(F.lit(0.0)) for v, a, _ in parts), F.lit(0.0)
+    )
+    if score_mode == "sum":
+        return F.when(any_applies, num).otherwise(F.lit(1.0))
+    # avg — ES's WEIGHTED average: sum(w_i v_i) / sum(w_i) over matches
+    den = sum(
+        (F.when(a, F.lit(w)).otherwise(F.lit(0.0)) for _, a, w in parts),
+        F.lit(0.0),
+    )
+    return F.when(any_applies, num / den).otherwise(F.lit(1.0))
+
+
+def function_score_multi(
+    spark: SparkSession,
+    postings: DataFrame,
+    meta: IndexMeta,
+    queries: DataFrame | Iterable[tuple],
+    docvalues: DataFrame,
+    functions: list[dict],
+    score_mode: str = "multiply",
+    boost_mode: str = "multiply",
+    max_boost: float | None = None,
+    min_score: float | None = None,
+    boost: float = 1.0,
+    k: int = 10,
+    term_stats: DataFrame | None = None,
+    tokenizer=None,
+) -> DataFrame:
+    """The FULL ES ``function_score`` request -> (qid, doc_id, score,
+    rank): every function in the list evaluated per matching doc
+    (filter-gated), combined under ``score_mode``, capped at
+    ``max_boost``, met with the (``boost``-scaled) query score under
+    ``boost_mode``, ``min_score``-filtered (kept iff final >= bar,
+    applied to the raw double before the 6-dp ranking round), then the
+    engine's deterministic top-k.
+
+    Plan shape: the gated match_scores relation (term-pruned scan,
+    one shuffle) + ONE docvalues left join + pure codegen arithmetic —
+    N functions add N projections, never N passes; at 10^12 docs the
+    only data-sized costs remain the postings scan and the doc_id
+    join, identical to the single-function gate row."""
+    if score_mode not in SCORE_MODES:
+        raise ValueError(f"unknown score_mode {score_mode!r}: {SCORE_MODES}")
+    if boost_mode not in FULL_BOOST_MODES:
+        raise ValueError(f"unknown boost_mode {boost_mode!r}: {FULL_BOOST_MODES}")
+    if not functions:
+        raise ValueError("function_score needs at least one function")
+    dv_cols = [c for c in docvalues.columns if c != "doc_id"]
+    parts = [
+        _compile_function(fn, dv_cols, i) for i, fn in enumerate(functions)
+    ]
+    fs = _combine_functions(parts, score_mode)
+    if max_boost is not None:
+        fs = F.least(fs, F.lit(float(max_boost)))
+    qs = F.col("_score") * F.lit(float(boost))
+    combined = {
+        "multiply": qs * fs,
+        "replace": fs,
+        "sum": qs + fs,
+        "avg": (qs + fs) / F.lit(2.0),
+        "max": F.greatest(qs, fs),
+        "min": F.least(qs, fs),
+    }[boost_mode]
+    scored = match_scores(
+        spark, postings, meta, queries, term_stats=term_stats, tokenizer=tokenizer
+    ).withColumnRenamed("score", "_score")
+    rescored = scored.join(docvalues, "doc_id", "left").select(
+        "qid", "doc_id", combined.alias("score")
+    )
+    if min_score is not None:
+        rescored = rescored.filter(F.col("score") >= F.lit(float(min_score)))
     return topk_per_group(rescored, k=k).select("qid", "doc_id", "score", "rank")

@@ -1521,6 +1521,35 @@ def _q_matrix_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return matrix_stats_agg(cand, dv, ["value", "value2", "w"])
 
 
+def _q_string_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES string_stats over the flagship match set's text field:
+    lengths + pooled-character Shannon entropy, all JVM-side
+    (stat_aggs.string_stats_agg)."""
+    from sgpt_spark.operators.aggs import match_candidates
+    from sgpt_spark.operators.indexer import build_postings
+    from sgpt_spark.operators.stat_aggs import string_stats_agg
+
+    docs = load_table(spark, sf_dir, "documents")
+    postings, meta = build_postings(docs, segment_size=200)
+    cand = match_candidates(spark, postings, meta, derived_queries(docs))
+    return string_stats_agg(cand, docs.select("doc_id", "text"), "text")
+
+
+def _q_percentile_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES percentile_ranks over n_chars of the match set — the exact
+    inverse-type-7 form (stat_aggs.percentile_ranks_agg), plus
+    top_metrics (n_chars at max value) joined on, exercising both new
+    metric aggs on the events relation."""
+    from sgpt_spark.operators.stat_aggs import percentile_ranks_agg, top_metrics_agg
+
+    cand, dv = _events_cand_dv(spark, sf_dir)
+    ranks = percentile_ranks_agg(cand, dv, "value", [0.5, 5.0, 50.0, 500.0])
+    top = top_metrics_agg(cand, dv, ["w"], "value", size=1).select(
+        "qid", F.col("sort_value").alias("top_value"), F.col("w").alias("top_w")
+    )
+    return ranks.join(top, "qid")
+
+
 def _q_rank_feature(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sgpt_spark.operators.distfeature import rank_feature_search_index
     from sgpt_spark.operators.indexer import build_postings
@@ -2005,6 +2034,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "matrix_stats": _q_matrix_stats,                # test_stat_aggs.py cov/corr math
         "rank_feature_topk": _q_rank_feature,           # test_rankfeature.py fn math
         "function_score_multi_topk": _q_function_score_multi,  # test_funcscore_multi.py brute forces + DuckDB twin at gate rigor
+        "string_stats_agg": _q_string_stats,            # test_metric_aggs2.py Counter-entropy brute force
+        "percentile_ranks_top_metrics": _q_percentile_ranks,  # test_metric_aggs2.py inverse-type-7 brute + mutual-inverse property
     }
 
 

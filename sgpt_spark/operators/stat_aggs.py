@@ -45,6 +45,11 @@ __all__ = [
     "boxplot_agg",
     "t_test_agg",
     "matrix_stats_agg",
+    "string_stats_agg",
+    "percentile_ranks_agg",
+    "top_metrics_agg",
+    "value_count_agg",
+    "missing_agg",
 ]
 
 
@@ -238,3 +243,190 @@ def t_test_agg(
         / F.sqrt(se2),
     )
     return agg.select("qid", t.alias("t_statistic"), "n_a", "n_b")
+
+
+def string_stats_agg(
+    candidates: DataFrame,
+    docvalues: DataFrame,
+    field: str,
+) -> DataFrame:
+    """ES ``string_stats`` metric aggregation over the match set -> one
+    row per query: (qid, count, min_length, max_length, avg_length,
+    entropy) over the field's non-NULL string values. Lengths are
+    character counts; ``entropy`` is the Shannon entropy (bits) of the
+    CHARACTER distribution pooled across all of the query's values —
+    the ES definition. avg_length is spelled sum/count (one IEEE
+    division); a query whose match set holds only NULLs reports count 0
+    with NULL stats (the empty-stats shape) and NULL entropy.
+
+    Plan shape: one docvalues join, one length groupBy, plus the
+    entropy side — characters explode to (qid, char) rows and reduce in
+    TWO map-side-combinable groupBys ((qid, char) counts, then the
+    per-qid -sum(p log2 p) fold). The char relation is |match chars|
+    rows pre-combine but collapses to |qid| x |alphabet| after the
+    partial agg, so a 10^12-doc match set shuffles per-partition
+    alphabet counts, never raw text. No UDF anywhere."""
+    vals = _vals(candidates, docvalues, [field]).filter(
+        F.col(field).isNotNull()
+    )
+    lens = vals.select("qid", F.length(field).alias("_len"))
+    base = (
+        candidates.select("qid").distinct().join(
+            lens.groupBy("qid").agg(
+                F.count("_len").alias("count"),
+                F.min("_len").alias("min_length"),
+                F.max("_len").alias("max_length"),
+                (F.sum("_len").cast("double") / F.count("_len")).alias(
+                    "avg_length"
+                ),
+            ),
+            "qid",
+            "left",
+        )
+    ).withColumn("count", F.coalesce(F.col("count"), F.lit(0)))
+    chars = vals.select(
+        "qid", F.explode(F.split(F.col(field), "")).alias("_ch")
+    )
+    per_char = chars.groupBy("qid", "_ch").agg(F.count("*").alias("_n"))
+    ent = (
+        per_char.groupBy("qid")
+        .agg(
+            F.sum("_n").alias("_tot"),
+            F.sum(F.col("_n").cast("double") * F.log2(F.col("_n"))).alias(
+                "_nlogn"
+            ),
+        )
+        # -sum(p log2 p) refactored to log2(total) - sum(n log2 n)/total:
+        # one fixed association order, no per-char division
+        .select(
+            "qid",
+            (
+                F.log2(F.col("_tot")) - F.col("_nlogn") / F.col("_tot")
+            ).alias("entropy"),
+        )
+    )
+    return base.join(ent, "qid", "left").select(
+        "qid", "count", "min_length", "max_length", "avg_length", "entropy"
+    )
+
+
+def percentile_ranks_agg(
+    candidates: DataFrame,
+    docvalues: DataFrame,
+    field: str,
+    values: list,
+) -> DataFrame:
+    """ES ``percentile_ranks`` metric aggregation over the match set ->
+    (qid, value, percentile): for each requested value, the percent of
+    the query's non-NULL field values at or below it — computed EXACTLY
+    as the inverse of the type-7 quantile ``percentiles_agg``'s exact
+    path uses, so the two aggregations are mutual inverses on the same
+    data (rank(quantile(p)) == p wherever the CDF is strictly
+    increasing). ES runs a t-digest approximation of the same quantity;
+    the engine's global-exactness stance (rare_terms, MAD) applies.
+
+    For the sorted values a[0..n-1] and requested v: below a[0] -> 0,
+    at or above a[n-1] -> 100, else h = i + (v - a[i])/(a[i+1] - a[i])
+    with i the LARGEST index with a[i] <= v (duplicates collapse to
+    their highest index — the type-7 inverse convention), percentile =
+    100 h/(n-1).
+
+    Plan shape: the requested values are a request-sized literal list —
+    each contributes three conditional aggregates (count <= v, max <= v,
+    min > v) to ONE map-side-combinable groupBy(qid), then a literal
+    unpivot. No second pass over the data, no sort, no UDF; a 10^12-doc
+    match set shuffles one row of partials per partition."""
+    if not values:
+        raise ValueError("percentile_ranks_agg needs at least one value")
+    vs = [float(v) for v in values]
+    if len(set(vs)) != len(vs):
+        raise ValueError(f"duplicate values in {vs}")
+    vals = _vals(candidates, docvalues, [field]).filter(
+        F.col(field).isNotNull()
+    )
+    fv = F.col(field).cast("double")
+    aggs = [F.count("*").alias("_n")]
+    for j, v in enumerate(vs):
+        le = fv <= F.lit(v)
+        aggs += [
+            F.sum(F.when(le, 1).otherwise(0)).alias(f"_c{j}"),
+            F.max(F.when(le, fv)).alias(f"_lo{j}"),
+            F.min(F.when(~le, fv)).alias(f"_hi{j}"),
+        ]
+    g = vals.groupBy("qid").agg(*aggs)
+    rows = []
+    for j, v in enumerate(vs):
+        c, lo, hi = F.col(f"_c{j}"), F.col(f"_lo{j}"), F.col(f"_hi{j}")
+        h = (c - 1).cast("double") + (F.lit(v) - lo) / (hi - lo)
+        pct = (
+            F.when(c == 0, F.lit(0.0))
+            .when(c == F.col("_n"), F.lit(100.0))
+            .otherwise(F.lit(100.0) * h / (F.col("_n") - 1).cast("double"))
+        )
+        rows.append(F.struct(F.lit(v).alias("value"), pct.alias("percentile")))
+    return g.select("qid", F.explode(F.array(*rows)).alias("_r")).select(
+        "qid", F.col("_r.value").alias("value"),
+        F.col("_r.percentile").alias("percentile"),
+    )
+
+
+def top_metrics_agg(
+    candidates: DataFrame,
+    docvalues: DataFrame,
+    metrics: list,
+    sort_field: str,
+    ascending: bool = False,
+    size: int = 1,
+) -> DataFrame:
+    """ES ``top_metrics`` aggregation over the match set -> (qid,
+    top_rank, sort_value, *metrics): the metric fields read off the
+    doc(s) with the extreme sort value per query — the "value of m at
+    max(t)" primitive (ES caps size at 10; the engine keeps the knob
+    free). Docs whose sort field is NULL are skipped (the ES rule);
+    ties break doc_id asc so the row set is deterministic. One
+    docvalues join + one ranking window — the terms-agg top-size shape
+    with the bucket key replaced by rank."""
+    if size < 1:
+        raise ValueError(f"size must be >= 1, got {size}")
+    fields = [sort_field, *metrics]
+    vals = _vals(candidates, docvalues, list(dict.fromkeys(fields))).filter(
+        F.col(sort_field).isNotNull()
+    )
+    from pyspark.sql import Window
+
+    order = F.col(sort_field).asc() if ascending else F.col(sort_field).desc()
+    w = Window.partitionBy("qid").orderBy(order, F.col("doc_id").asc())
+    return (
+        vals.withColumn("top_rank", F.row_number().over(w))
+        .filter(F.col("top_rank") <= size)
+        .select(
+            "qid", "top_rank", F.col(sort_field).alias("sort_value"), *metrics
+        )
+    )
+
+
+def value_count_agg(
+    candidates: DataFrame, docvalues: DataFrame, field: str
+) -> DataFrame:
+    """ES ``value_count`` metric aggregation -> (qid, value_count):
+    non-NULL values of ``field`` in each query's match set (every
+    matched qid reports, 0 included). One groupBy."""
+    vals = _vals(candidates, docvalues, [field])
+    return vals.groupBy("qid").agg(F.count(field).alias("value_count"))
+
+
+def missing_agg(
+    candidates: DataFrame, docvalues: DataFrame, field: str
+) -> DataFrame:
+    """ES ``missing`` bucket aggregation -> (qid, doc_count): matched
+    docs whose ``field`` is NULL (docs absent from the docvalues
+    relation count as missing — the left-join spelling of ES's
+    missing-from-index rule)."""
+    if field not in docvalues.columns:
+        raise ValueError(
+            f"fields [{field!r}] not in docvalues columns {docvalues.columns}"
+        )
+    vals = candidates.join(docvalues.select("doc_id", field), "doc_id", "left")
+    return vals.groupBy("qid").agg(
+        F.sum(F.when(F.col(field).isNull(), 1).otherwise(0)).alias("doc_count")
+    )

@@ -1521,6 +1521,23 @@ def _q_matrix_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return matrix_stats_agg(cand, dv, ["value", "value2", "w"])
 
 
+def _q_term_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES _mtermvectors batch-shaped: per-term vectors (freq +
+    positions) with GLOBAL-exact doc_freq/ttf for every 10th doc (the
+    MLT seed pattern), positions dropped from the output row for the
+    driver's scalar hashing (they are pytest-pinned)."""
+    from sgpt_spark.operators.indexer import build_postings
+    from sgpt_spark.operators.termvectors import term_vectors
+
+    docs = load_table(spark, sf_dir, "documents")
+    postings, meta = build_postings(docs, segment_size=200)
+    ids = docs.filter(F.col("doc_id") % 10 == 0).select("doc_id")
+    return term_vectors(
+        docs, ids, meta, postings=postings, term_statistics=True
+    ).select("doc_id", "term", "term_freq", F.size("positions").alias("n_positions"),
+             "doc_freq", "ttf")
+
+
 def _q_string_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES string_stats over the flagship match set's text field:
     lengths + pooled-character Shannon entropy, all JVM-side
@@ -2036,6 +2053,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "function_score_multi_topk": _q_function_score_multi,  # test_funcscore_multi.py brute forces + DuckDB twin at gate rigor
         "string_stats_agg": _q_string_stats,            # test_metric_aggs2.py Counter-entropy brute force
         "percentile_ranks_top_metrics": _q_percentile_ranks,  # test_metric_aggs2.py inverse-type-7 brute + mutual-inverse property
+        "term_vectors_stats": _q_term_vectors,          # test_termvectors.py brute force + global-exact df/ttf recounts
     }
 
 

@@ -347,6 +347,7 @@ def significant_terms_agg(
     size: int = 10,
     min_doc_count: int = 3,
     tokenizer=None,
+    filter_duplicate_text: bool = False,
 ) -> DataFrame:
     """ES ``significant_terms`` aggregation over the match set ->
     (qid, term, fg_count, bg_count, score, bucket_rank): the text terms
@@ -372,6 +373,19 @@ def significant_terms_agg(
     pairs count per query. Background = the build-time (term, df) side
     table; bg_size = meta.n_docs. At 10^12 docs the re-analyze cost is
     |match set| docs, not |corpus| — the same bound as the ES agg phase.
+
+    ``filter_duplicate_text=True`` is ES ``significant_text``'s
+    copied-boilerplate guard: duplicated hit text must not inflate
+    significance, so per query the EXACT-duplicate texts collapse to
+    one representative (min doc_id) before any counting — fg_count AND
+    fg_size both see the deduplicated set. Documented divergence,
+    narrower by design: ES also drops near-duplicate 6-token runs (a
+    streaming heuristic); exact collapse is the deterministic,
+    value-checkable subset, and near-dup collapse composes from the
+    engine's MinHash/SimHash operators when a corpus needs it. One
+    extra md5 groupBy on the hit set — still |match set|-bounded.
+    (With this flag the operator IS ES ``significant_text``: the
+    foreground already re-analyzes raw text per the fetch pattern.)
     """
     from sgpt_spark.functions.analyzer import resolve_jvm_analyzer
 
@@ -380,6 +394,16 @@ def significant_terms_agg(
     if min_doc_count < 1:
         raise ValueError(f"min_doc_count must be >= 1, got {min_doc_count}")
     tok = tokenizer or resolve_jvm_analyzer(meta.analyzer)
+    if filter_duplicate_text:
+        hit_hash = corpus.join(
+            candidates.select("doc_id").distinct(), "doc_id", "left_semi"
+        ).select("doc_id", F.md5(F.col("text")).alias("_th"))
+        candidates = (
+            candidates.join(hit_hash, "doc_id")
+            .groupBy("qid", "_th")
+            .agg(F.min("doc_id").alias("doc_id"))
+            .select("qid", "doc_id")
+        )
     hit_docs = candidates.select("doc_id").distinct()
     doc_terms = (
         corpus.join(hit_docs, "doc_id", "left_semi")

@@ -512,6 +512,64 @@ def test_significant_terms_excludes_background_share(spark):
     assert "everywhere" not in terms and "t0" in terms
 
 
+def test_significant_text_filter_duplicate_text(spark):
+    """ES significant_text's copied-boilerplate guard: 4 exact copies
+    of a doc containing 'virus' collapse to ONE before counting, so the
+    term's fg evidence (and fg_size) reflect distinct text — vs the
+    unfiltered run where the copies dominate the buckets."""
+    from sgpt_spark.operators.aggs import significant_terms_agg
+    from sgpt_spark.operators.indexer import build_postings
+
+    boiler = "breaking virus alert copy"
+    docs = spark.createDataFrame(
+        [(i, boiler) for i in range(4)]
+        + [(4, "virus research paper"), (5, "unrelated filler text"),
+           (6, "more filler words here"), (7, "filler again entirely")],
+        "doc_id long, text string",
+    )
+    postings, meta = build_postings(docs, segment_size=3)
+    tstats = postings.groupBy("term").agg(F.sum("df").alias("df"))
+    cand = match_candidates(spark, postings, meta, [(0, "virus")])
+
+    raw = {
+        r["term"]: (r["fg_count"], r["score"])
+        for r in significant_terms_agg(
+            cand, docs, meta, tstats, size=10, min_doc_count=1
+        ).collect()
+    }
+    dedup = {
+        r["term"]: (r["fg_count"], r["score"])
+        for r in significant_terms_agg(
+            cand, docs, meta, tstats, size=10, min_doc_count=1,
+            filter_duplicate_text=True,
+        ).collect()
+    }
+    # unfiltered: 5 hits, boilerplate terms carry fg 4
+    assert raw["breaking"][0] == 4 and raw["virus"][0] == 5
+    # deduped: the 4 copies collapse to one -> fg_size 2, boiler fg 1,
+    # so 'breaking' (fgp 0.5 == bgp 4/8) stops being significant at all
+    assert "breaking" not in dedup and dedup["virus"][0] == 2
+    # python recount of the deduped JLH for 'virus': fgp=1, bgp=5/8
+    fgp, bgp = 1.0, 5 / 8
+    assert dedup["virus"][1] == pytest.approx(
+        round((fgp - bgp) * fgp / bgp, 6)
+    )
+    # no duplicates -> flag is a no-op
+    docs2 = spark.createDataFrame(DOCS, SCHEMA)
+    postings2, meta2 = build_postings(docs2.repartition(3), segment_size=3)
+    t2 = postings2.groupBy("term").agg(F.sum("df").alias("df"))
+    cand2 = match_candidates(
+        spark, postings2, meta2,
+        spark.createDataFrame(QUERIES, "qid long, query string"),
+    )
+    a = sorted(map(tuple, significant_terms_agg(
+        cand2, docs2, meta2, t2, size=10, min_doc_count=1).collect()))
+    b = sorted(map(tuple, significant_terms_agg(
+        cand2, docs2, meta2, t2, size=10, min_doc_count=1,
+        filter_duplicate_text=True).collect()))
+    assert a == b and a
+
+
 def test_significant_terms_guards(spark):
     from sgpt_spark.operators.aggs import significant_terms_agg
     from sgpt_spark.operators.indexer import build_postings

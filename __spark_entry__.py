@@ -1521,6 +1521,26 @@ def _q_matrix_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return matrix_stats_agg(cand, dv, ["value", "value2", "w"])
 
 
+def _q_has_child(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES has_child over a derived join field: parent = the document's
+    source (xxhash64 id), children = its documents; parents ranked by
+    their best-matching child (score_mode=max) with >= 2 matching
+    children (operators/joinfield.py — one groupBy fold on the gated
+    match_scores relation)."""
+    from sgpt_spark.operators.indexer import build_postings
+    from sgpt_spark.operators.joinfield import has_child_search
+
+    docs = load_table(spark, sf_dir, "documents")
+    postings, meta = build_postings(docs, segment_size=200)
+    parent_of = docs.select(
+        "doc_id", F.xxhash64(F.col("source")).alias("parent_id")
+    )
+    return has_child_search(
+        spark, postings, meta, derived_queries(docs), parent_of,
+        score_mode="max", min_children=2, k=10,
+    )
+
+
 def _q_term_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES _mtermvectors batch-shaped: per-term vectors (freq +
     positions) with GLOBAL-exact doc_freq/ttf for every 10th doc (the
@@ -2054,6 +2074,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "string_stats_agg": _q_string_stats,            # test_metric_aggs2.py Counter-entropy brute force
         "percentile_ranks_top_metrics": _q_percentile_ranks,  # test_metric_aggs2.py inverse-type-7 brute + mutual-inverse property
         "term_vectors_stats": _q_term_vectors,          # test_termvectors.py brute force + global-exact df/ttf recounts
+        "has_child_topk": _q_has_child,                 # test_joinfield.py score-mode brute forces + nested block-join derivation
     }
 
 

@@ -1541,6 +1541,76 @@ def _q_has_child(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_bm25_crossfields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``multi_match type=cross_fields`` (term-centric blended-df
+    scoring, Lucene BlendedTermQuery) over the derived title/text
+    fields, tie_breaker=0.0 (the ES default): per analyzed query term,
+    dis-max across fields with df blended to max_f df_f (capped at each
+    field's docCount — the positive-scores invariant), summed over
+    terms (operators/crossfields.py; DuckDB twin at gate rigor in
+    tests/test_crossfields.py)."""
+    from sgpt_spark.operators.crossfields import bm25_crossfields_search
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "title", F.array_join(F.slice(F.split(F.col("text"), " ", -1), 1, 3), " ")
+    )
+    return bm25_crossfields_search(
+        docs, derived_queries(docs), k=10, fields=("title", "text"), tie_breaker=0.0
+    )
+
+
+def _q_match_date_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``date_range`` over the match set: explicit [from, to) DATE
+    buckets on the deterministic pub_date doc-value (2024-01-01 +
+    n_chars days, the date_histogram gate's derivation), every
+    requested bucket emitted per query at doc_count >= 0
+    (operators/aggs_misc.py; brute-forced in tests/test_aggs_misc.py)."""
+    from sgpt_spark.operators.aggs import match_candidates
+    from sgpt_spark.operators.aggs_misc import date_range_agg
+    from sgpt_spark.operators.indexer import build_postings_with_docvalues
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "pub_date",
+        F.date_add(F.to_date(F.lit("2024-01-01")), F.col("n_chars").cast("int")),
+    )
+    postings, dv, meta = build_postings_with_docvalues(
+        docs, ["pub_date"], segment_size=200
+    )
+    cand = match_candidates(spark, postings, meta, derived_queries(docs))
+    return date_range_agg(
+        cand, dv, "pub_date",
+        [(None, "2025-01-01"), ("2025-01-01", "2026-01-01"), ("2026-01-01", None)],
+    )
+
+
+def _q_match_ip_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``ip_range`` over the match set: a deterministic dotted-quad
+    ip doc-value (md5-arithmetic octets — the engine's reproducible-
+    sidecar idiom), bucketed by explicit [from, to) ranges and CIDR
+    masks through the in-codegen aton (operators/aggs_misc.py;
+    brute-forced + aton-twinned in tests/test_aggs_misc.py)."""
+    from sgpt_spark.operators.aggs import match_candidates
+    from sgpt_spark.operators.aggs_misc import ip_range_agg
+    from sgpt_spark.operators.indexer import build_postings_with_docvalues
+
+    def octet(salt: str):
+        return F.conv(
+            F.substring(F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(salt))), 1, 2),
+            16, 10,
+        )
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "ip", F.concat_ws(".", octet(":a"), octet(":b"), octet(":c"), octet(":d"))
+    )
+    postings, dv, meta = build_postings_with_docvalues(docs, ["ip"], segment_size=200)
+    cand = match_candidates(spark, postings, meta, derived_queries(docs))
+    return ip_range_agg(
+        cand, dv, "ip",
+        ranges=[(None, "64.0.0.0"), ("64.0.0.0", "192.0.0.0")],
+        masks=["128.0.0.0/2"],
+    )
+
+
 def _q_term_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES _mtermvectors batch-shaped: per-term vectors (freq +
     positions) with GLOBAL-exact doc_freq/ttf for every 10th doc (the
@@ -2075,6 +2145,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "percentile_ranks_top_metrics": _q_percentile_ranks,  # test_metric_aggs2.py inverse-type-7 brute + mutual-inverse property
         "term_vectors_stats": _q_term_vectors,          # test_termvectors.py brute force + global-exact df/ttf recounts
         "has_child_topk": _q_has_child,                 # test_joinfield.py score-mode brute forces + nested block-join derivation
+        "bm25_crossfields_top10": _q_bm25_crossfields,  # test_crossfields.py brute force + DuckDB twin at gate rigor
+        "match_date_range_agg": _q_match_date_range,    # test_aggs_misc.py brute force
+        "match_ip_range_agg": _q_match_ip_range,        # test_aggs_misc.py brute force + aton codegen twin
     }
 
 

@@ -220,6 +220,20 @@ def main() -> None:
         mf_s = min(mf_s, time.time() - t0)
     timings["bm25_multifield_index_200q"] = round(mf_s, 3)
 
+    # cross_fields (term-centric blended-df multi_match) off the SAME
+    # per-field indexes — the delta vs bm25_multifield_index_200q is the
+    # per-term cross-field combine vs the per-field dis-max
+    from sgpt_spark.operators.crossfields import search_crossfields_index
+
+    cf_s = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        search_crossfields_index(
+            spark, "/dev/shm/sgpt_bench_mf", mf_q, k=10
+        ).count()
+        cf_s = min(cf_s, time.time() - t0)
+    timings["bm25_crossfields_index_200q"] = round(cf_s, 3)
+
     # join-based multifield twin (queries stay in the plan — the
     # millions-of-queries shape) + the deep-k multifield point at the
     # reference's retrieval depth

@@ -47,6 +47,13 @@ Reference seam: the reference's ES index answers dis_max/constant_score
 today (BM25Search delegates the whole query DSL to ES,
 crossencoder/beir/crossencoder_beir_bm25.ipynb:298-310 cell 10); pure
 ES-parity surface per SURVEY.md §2.5.
+
+Also here: the three trivial-by-design ES queries that complete the
+constant-score corner of the DSL — ``ids_query`` (id-list filter,
+constant-scored, broadcast probe of the corpus ids), ``match_all_query``
+(every doc at _score = boost; the page head is cut corpus-side BEFORE
+the per-qid fan-out), and ``match_none_query`` (the schema-stable empty
+result).
 """
 
 from __future__ import annotations
@@ -282,4 +289,79 @@ def constant_score_search(
     )
     return topk_per_group(scored, k=k, round_scores=False).select(
         "qid", "doc_id", "score", "rank"
+    )
+
+
+def ids_query(
+    corpus: DataFrame,
+    id_sets: Iterable[tuple],
+    boost: float = 1.0,
+    k: int = 10,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ES ``ids`` query: docs whose id is in the request's value list,
+    constant-scored at ``boost`` (Lucene rewrites ids to a constant-
+    score bitset — same contract as ``constant_score``: deterministic
+    doc_id-ascending paging). ``id_sets``: (qid, [doc_id, ...]) rows —
+    requested ids missing from the corpus simply don't match (the ES
+    rule). -> (qid, doc_id, score, rank).
+
+    Plan: the request relation explodes to (qid, doc_id) pairs and
+    broadcast-joins the corpus ids — one semi-join-shaped probe, no
+    full-corpus scoring."""
+    spark = corpus.sparkSession
+    b = _check_boost(boost)
+    rows = [(q, list(ids)) for q, ids in id_sets]
+    if not rows:
+        raise ValueError("ids_query needs at least one (qid, ids) row")
+    req = spark.createDataFrame(rows, "qid long, ids array<long>").select(
+        "qid", F.explode("ids").alias("doc_id")
+    ).distinct()
+    cand = req.join(
+        corpus.select(F.col(id_col).alias("doc_id")).distinct(), "doc_id"
+    )
+    scored = cand.select(
+        "qid", "doc_id", F.round(F.lit(b), SCORE_DECIMALS).alias("score")
+    )
+    return topk_per_group(scored, k=k, round_scores=False).select(
+        "qid", "doc_id", "score", "rank"
+    )
+
+
+def match_all_query(
+    corpus: DataFrame,
+    qids: Iterable,
+    boost: float = 1.0,
+    k: int = 10,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ES ``match_all``: every doc matches at exactly ``boost`` (ES
+    gives every doc _score = boost, default 1.0); the page is the
+    deterministic doc_id-ascending head per qid. -> (qid, doc_id,
+    score, rank). The corpus-side head is cut BEFORE the qid fan-out
+    (match_all's page never depends on the query), so the cross join
+    carries k rows per qid, not |corpus|."""
+    spark = corpus.sparkSession
+    b = _check_boost(boost)
+    qdf = spark.createDataFrame([(q,) for q in qids], ["qid"])
+    head = (
+        corpus.select(F.col(id_col).alias("doc_id"))
+        .orderBy("doc_id")
+        .limit(int(k))
+    )
+    scored = qdf.crossJoin(head).select(
+        "qid", "doc_id", F.round(F.lit(b), SCORE_DECIMALS).alias("score")
+    )
+    return topk_per_group(scored, k=k, round_scores=False).select(
+        "qid", "doc_id", "score", "rank"
+    )
+
+
+def match_none_query(corpus: DataFrame, qids: Iterable) -> DataFrame:
+    """ES ``match_none``: the empty result, schema-stable (qid, doc_id,
+    score, rank) — the degenerate twin of ``match_all`` (completes the
+    pair; useful as a bool-clause identity in composed requests)."""
+    spark = corpus.sparkSession
+    return spark.createDataFrame(
+        [], "qid long, doc_id long, score double, rank int"
     )

@@ -1,0 +1,457 @@
+"""ES ``multi_match type=cross_fields`` — term-centric multi-field BM25
+(Lucene ``BlendedTermQuery``) — plus the ``multi_match`` TYPE dispatcher
+that completes the family.
+
+The reference's retrieval layer is ES ``multi_match`` over
+``{"title", "txt"}`` (crossencoder/beir/crossencoder_beir_bm25.ipynb
+cell 10, via BEIR 0.2.3's BM25Search body); it runs ``best_fields``,
+but the SAME request shape accepts ``type=most_fields`` and
+``type=cross_fields`` — the remaining two scoring types of the ES
+multi_match DSL. This module supplies them Spark-first:
+
+``best_fields`` / ``most_fields`` are FIELD-centric: each field is an
+independent match clause scored over the whole query, combined
+per doc with dis-max + tie_breaker. ES documents most_fields as the
+bool-query SUM of the per-field clause scores — exactly the
+best_fields combine at tie_breaker=1.0 (max + 1.0*(sum-max) == sum),
+so ``multi_match(type="most_fields")`` delegates to the existing
+best_fields machinery with tie_breaker pinned to 1.0.
+
+``cross_fields`` is TERM-centric (the "first_name/last_name" problem):
+each analyzed query TERM becomes one blended clause that may match in
+any field, and the doc score SUMS the per-term clauses:
+
+    score(q, d) = sum_t [ max_f s_{f,t}(d)
+                          + tie_breaker * (sum_f s_{f,t}(d) - max_f) ]
+
+with per-term STATISTICS BLENDING (Lucene BlendedTermQuery
+``adjustFrequencies``): every field scores term t with the same
+blended document frequency df_b(t) = max_f df_f(t), so a term rare in
+one field but common in another is not artificially up-weighted in the
+rare field. Norms stay per-field (each field keeps its own docCount
+N_f, avgdl_f and doc lengths — only df is blended):
+
+    s_{f,t}(d) = boost_f * qtf_t * idf_f(df_b(t)) * tf-norm_f(t, d)
+    idf_f(df)  = log(1 + (N_f - min(df, N_f) + 0.5)/(min(df, N_f) + 0.5))
+
+The ``min(df, N_f)`` cap is this engine's spelling of Lucene 8+'s
+positive-scores invariant: a blended df can exceed a small field's
+docCount (title df 1, text df 900, N_title 100), where the raw BM25 idf
+would go negative; capping at N_f floors idf at its smallest positive
+value, keeps every partial strictly positive (the engine-wide combine
+contract), and leaves the common case (df_b <= N_f) untouched.
+
+``operator='and'`` / ``minimum_should_match`` are where cross_fields
+differs most usefully from best_fields (the ES docs' motivating
+example): the clause units are analyzed query-token occurrences and a
+term matched in ANY field satisfies its qtf clauses — so
+operator='and' means "every term somewhere", not "every term in one
+field" (best_fields' per-field bar).
+
+Three paths, the house pattern:
+
+``bm25_crossfields_search``  exhaustive declarative plan — ONE corpus
+    scan unions per-field token projections, ONE groupBy(term, doc_id)
+    pivots per-field tf/doc_len into columns (fields are enumerable),
+    per-field dfs + the blended max fold out of that same relation, the
+    per-TERM cross-field combine is ROW-wise (greatest/sum over the
+    pivoted columns — no extra shuffle for the term-level dis-max), and
+    ONE groupBy(qid, doc_id) sums term clauses. Shuffle count identical
+    to best_fields (tf agg + final agg + top-k window).
+``search_crossfields_index`` the compressed per-field indexes of
+    ``indexer.build_multifield_index`` (co-segmented — one task sees
+    all of a doc's per-field postings): blended weights from the
+    build-time termstats, one batched decode per segment
+    (``_decode_terms_mf``), a numpy per-term cross-field kernel, <= k
+    rows per (query, segment) shuffled. Query sets collect to the
+    driver (the ``search_index`` small-query-set contract; the
+    best_fields cogroup/join twins show the no-collect shape).
+``multi_match`` / ``multi_match_index``  the ES type dispatcher:
+    best_fields -> the existing dis-max paths, most_fields ->
+    tie_breaker=1.0, cross_fields -> this module. (type=phrase and
+    type=bool_prefix live in phrase_multifield.py / boolprefix.py.)
+
+Scale notes (10^12 docs): nothing here shuffles postings — the
+exhaustive tf pivot is the same single shuffle best_fields pays, and
+the index path's per-segment kernel emits only top-k rows. The blended
+df side-table is |query vocabulary| rows.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sgpt_spark.functions.analyzer import tokenize_ws
+from sgpt_spark.functions.bm25 import B, K1, idf_py
+from sgpt_spark.operators.search import (
+    Tokenizer,
+    _validate_msm_args,
+    normalize_boosts,
+    query_terms,
+    required_df,
+)
+from sgpt_spark.operators.topk import SCORE_DECIMALS, topk_per_group
+
+_TYPES = ("best_fields", "most_fields", "cross_fields")
+
+
+def bm25_crossfields_search(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    fields: tuple[str, ...] = ("title", "text"),
+    tie_breaker: float = 0.0,
+    tokenizer: Tokenizer = tokenize_ws,
+    id_col: str = "doc_id",
+    k1: float = K1,
+    b: float = B,
+    boosts: dict[str, float] | None = None,
+    minimum_should_match: int = 0,
+    operator: str = "or",
+) -> DataFrame:
+    """ES ``multi_match type=cross_fields`` top-k -> (qid, doc_id,
+    score, rank). Semantics and plan shape per the module docstring;
+    ``tie_breaker`` defaults to 0.0 (the ES multi_match default — pure
+    per-term dis-max across fields).
+
+    Plan: the pivoted tf relation carries one row per (term, doc) with
+    per-field tf/doc_len COLUMNS, so the per-term cross-field combine
+    is a row-local greatest/sum — the term-centric scoring adds ZERO
+    shuffles over the field-centric exhaustive path."""
+    _validate_msm_args(minimum_should_match, operator)
+    if not 0.0 <= float(tie_breaker) <= 1.0:
+        raise ValueError(f"tie_breaker must be in [0, 1], got {tie_breaker}")
+    boost = normalize_boosts(fields, boosts)
+
+    fdocs = None
+    for f in fields:
+        part = corpus.select(
+            F.col(id_col).alias("doc_id"),
+            F.lit(f).alias("field"),
+            tokenizer(F.col(f)).alias("terms"),
+        ).filter(F.size("terms") > 0)
+        fdocs = part if fdocs is None else fdocs.unionByName(part)
+
+    # pivot: one row per (term, doc_id), per-field tf/doc_len columns
+    # (NULL tf = "field does not contain the term"). One shuffle.
+    flat = fdocs.select(
+        "field",
+        "doc_id",
+        F.size("terms").alias("doc_len"),
+        F.explode("terms").alias("term"),
+    )
+    piv_aggs = []
+    for i, f in enumerate(fields):
+        piv_aggs.append(
+            F.sum(F.when(F.col("field") == f, F.lit(1))).alias(f"_tf{i}")
+        )
+        piv_aggs.append(
+            F.first(F.when(F.col("field") == f, F.col("doc_len")), ignorenulls=True)
+            .alias(f"_dl{i}")
+        )
+    tf_piv = flat.groupBy("term", "doc_id").agg(*piv_aggs)
+
+    # per-field df + the blended max, from the SAME pivoted relation
+    dfs = tf_piv.groupBy("term").agg(
+        *[F.count(f"_tf{i}").alias(f"_df{i}") for i in range(len(fields))]
+    )
+    df_cols = [F.col(f"_df{i}") for i in range(len(fields))]
+    dfb = F.greatest(*df_cols) if len(df_cols) > 1 else df_cols[0]
+    dfs = dfs.select("term", dfb.alias("dfb"))
+
+    # per-field docCount/avgdl: |fields| rows — literal-fold (the
+    # corpus_stats contract, same as the best_fields exhaustive path)
+    stats = {
+        r["field"]: (int(r["n"]), float(r["avgdl"] or 0.0) or 1.0)
+        for r in fdocs.groupBy("field")
+        .agg(F.count("*").alias("n"), F.avg(F.size("terms")).alias("avgdl"))
+        .collect()
+    }
+
+    qt = query_terms(queries, tokenizer=tokenizer)
+    qterm_df = F.broadcast(qt.join(dfs, "term", "inner"))
+    scored_terms = tf_piv.join(qterm_df, "term", "inner")
+
+    partials = []
+    for i, f in enumerate(fields):
+        n_f, avgdl_f = stats.get(f, (0, 1.0))
+        cap = F.least(F.col("dfb"), F.lit(int(n_f)))
+        idf_f = F.log(
+            1.0 + (F.lit(float(n_f)) - cap + 0.5) / (cap + 0.5)
+        )
+        tf_c = F.col(f"_tf{i}").cast("double")
+        partials.append(
+            F.lit(boost[f])
+            * F.col("qtf")
+            * idf_f
+            * tf_c
+            / (tf_c + k1 * (1.0 - b + b * F.col(f"_dl{i}") / F.lit(avgdl_f)))
+        )
+    # partials are strictly positive where matched (capped idf > 0), so
+    # NULL->0 coalescing keeps greatest/sum exact over matched fields
+    coalesced = [F.coalesce(p, F.lit(0.0)) for p in partials]
+    mx = F.greatest(*coalesced) if len(coalesced) > 1 else coalesced[0]
+    tot = coalesced[0]
+    for c in coalesced[1:]:
+        tot = tot + c
+    term_score = mx + F.lit(float(tie_breaker)) * (tot - mx)
+
+    clauses = scored_terms.select(
+        "qid", "doc_id", "qtf", term_score.alias("term_score")
+    )
+    combined = clauses.groupBy("qid", "doc_id").agg(
+        F.sum("term_score").alias("score"),
+        F.sum("qtf").alias("_matched"),
+    )
+    required = required_df(qt, minimum_should_match, operator)
+    if required is not None:
+        combined = (
+            combined.join(F.broadcast(required), "qid", "left")
+            .filter(F.col("_matched") >= F.coalesce(F.col("req"), F.lit(0)))
+        )
+    return topk_per_group(combined.select("qid", "doc_id", "score"), k=k).select(
+        "qid", "doc_id", "score", "rank"
+    )
+
+
+def _cf_parts(
+    decoded: dict, per_query_cf: dict, tie: float, kk: int, msm: dict | None = None
+) -> list:
+    """Term-centric cross-field combine over ONE co-segmented segment's
+    decoded per-field postings -> [(qid, doc_ids, scores)].
+    ``per_query_cf``: qid -> [(term, qtf, {field: w})] with w the
+    blended-df per-field weight. Per term: union the matching fields'
+    doc sets, dis-max + tie across fields; per doc: sum the term
+    clauses (one unique/bincount over the concatenated term arrays).
+    ``msm``: qid -> required matched-clause count; a term matched in
+    ANY field satisfies its qtf clauses (the cross_fields bar)."""
+    from sgpt_spark.operators.index_search import deterministic_topk
+
+    parts: list = []
+    for qid, tws in per_query_cf.items():
+        req = int(msm.get(qid, 0)) if msm is not None else 0
+        doc_cat: list = []
+        sc_cat: list = []
+        m_cat: list = []
+        for term, qtf, by_field in tws:
+            fmatch = [
+                (decoded[f][term][0], decoded[f][term][1] * w)
+                for f, w in by_field.items()
+                if f in decoded and term in decoded[f]
+            ]
+            if not fmatch:
+                continue
+            if len(fmatch) == 1:
+                ids_t, sc_t = fmatch[0]
+            else:
+                ids_t = fmatch[0][0]
+                for ids_f, _ in fmatch[1:]:
+                    ids_t = np.union1d(ids_t, ids_f)
+                mat = np.zeros((len(fmatch), len(ids_t)))
+                for r, (ids_f, sc) in enumerate(fmatch):
+                    mat[r, np.searchsorted(ids_t, ids_f)] = sc
+                mx = mat.max(axis=0)
+                sc_t = mx + tie * (mat.sum(axis=0) - mx)
+            doc_cat.append(ids_t)
+            sc_cat.append(sc_t)
+            m_cat.append(np.full(len(ids_t), int(qtf), dtype=np.float64))
+        if not doc_cat:
+            continue
+        ids, inv = np.unique(np.concatenate(doc_cat), return_inverse=True)
+        scores = np.bincount(inv, weights=np.concatenate(sc_cat))
+        if req > 1:
+            keep = np.bincount(inv, weights=np.concatenate(m_cat)) >= req
+            ids, scores = ids[keep], scores[keep]
+            if len(ids) == 0:
+                continue
+        scores = np.round(scores, SCORE_DECIMALS)
+        order = deterministic_topk(ids, scores, kk)
+        parts.append((qid, ids[order].astype(np.int64), scores[order]))
+    return parts
+
+
+def search_crossfields_index(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame | Iterable[tuple],
+    k: int = 10,
+    tie_breaker: float = 0.0,
+    fields: tuple[str, ...] | None = None,
+    tokenize=None,
+    boosts: dict[str, float] | None = None,
+    minimum_should_match: int = 0,
+    operator: str = "or",
+) -> DataFrame:
+    """``multi_match type=cross_fields`` THROUGH the compressed
+    per-field indexes of ``indexer.build_multifield_index`` — the
+    index-backed twin of ``bm25_crossfields_search`` (value-identical,
+    pytest-equated on both codecs).
+
+    Plan: blended dfs come from the build-time termstats side tables
+    (|query vocabulary| rows collected per field — the ``search_index``
+    small-query-set contract), per-query per-field weights fold idf_f
+    of the CAPPED blended df; then the best_fields index machinery is
+    reused verbatim up to the kernel: term-pruned per-field postings
+    scans union with a field tag, group by segment (co-segmentation:
+    one task sees all of a doc's per-field postings), one batched
+    decode, and the ``_cf_parts`` term-centric kernel emits <= k rows
+    per (query, segment)."""
+    import pandas as pd
+
+    from sgpt_spark.functions.analyzer import resolve_py_analyzer
+    from sgpt_spark.operators.index_search import (
+        _decode_terms_mf,
+        _emit_topk_frame,
+        _load_multifield,
+        _msm_map,
+        collect_query_terms,
+        normalize_queries,
+    )
+
+    if not 0.0 <= float(tie_breaker) <= 1.0:
+        raise ValueError(f"tie_breaker must be in [0, 1], got {tie_breaker}")
+    fields, idx, analyzer = _load_multifield(spark, path, fields)
+    boost = normalize_boosts(fields, boosts)
+
+    queries, qid_type = normalize_queries(queries)
+    qterms = collect_query_terms(
+        queries, tokenize=tokenize or resolve_py_analyzer(analyzer)
+    )
+    msm = _msm_map(qterms, minimum_should_match, operator)
+    seg_schema = f"qid {qid_type}, doc_id long, score double"
+    empty = spark.createDataFrame([], seg_schema + ", rank int")
+    if not qterms:
+        return empty
+    terms = sorted({t for _, t, _ in qterms})
+
+    # per-field dfs for the query vocabulary -> blended df = max_f df_f
+    field_df: dict = {}
+    avgdls = {}
+    cand = None
+    for f in fields:
+        postings_f, meta_f, tstats_f = idx[f]
+        avgdls[f] = meta_f.avgdl
+        if tstats_f is not None:
+            field_df[f] = {
+                r["term"]: int(r["df"])
+                for r in tstats_f.filter(F.col("term").isin(terms)).collect()
+            }
+        else:
+            field_df[f] = {
+                r["term"]: int(r["df"])
+                for r in postings_f.filter(F.col("term").isin(terms))
+                .groupBy("term").agg(F.sum("df").alias("df")).collect()
+            }
+        part = postings_f.filter(F.col("term").isin(terms)).withColumn(
+            "field", F.lit(f)
+        )
+        cand = part if cand is None else cand.unionByName(part)
+    blended = {
+        t: max(field_df[f].get(t, 0) for f in fields) for t in terms
+    }
+    # per-query clause list with per-field blended weights; idf uses the
+    # field's OWN docCount with df capped at it (module docstring)
+    per_query: dict = {}  # qid -> [(term, qtf, {field: w})]
+    for qid, t, qtf in qterms:
+        dfb = blended.get(t, 0)
+        if dfb <= 0:
+            continue
+        ws = {
+            f: boost[f] * qtf * idf_py(min(dfb, idx[f][1].n_docs), idx[f][1].n_docs)
+            for f in fields
+        }
+        per_query.setdefault(qid, []).append((t, int(qtf), ws))
+    if not per_query:
+        return empty
+    b_queries = spark.sparkContext.broadcast(per_query)
+    b_msm = spark.sparkContext.broadcast(msm)
+    b_avgdl = spark.sparkContext.broadcast(avgdls)
+    k1, b = idx[fields[0]][1].k1, idx[fields[0]][1].b
+    codec = idx[fields[0]][1].codec
+    tie = float(tie_breaker)
+
+    def score_segment_cf(pdf: pd.DataFrame) -> pd.DataFrame:
+        decoded = _decode_terms_mf(
+            pdf["field"], pdf["term"], pdf["blocks"], codec, k1, b, b_avgdl.value
+        )
+        return _emit_topk_frame(
+            _cf_parts(decoded, b_queries.value, tie, k, msm=b_msm.value)
+        )
+
+    seg_topk = cand.groupBy("segment").applyInPandas(
+        lambda _key, pdf: score_segment_cf(pdf), schema=seg_schema
+    )
+    return topk_per_group(seg_topk, k=k).select("qid", "doc_id", "score", "rank")
+
+
+def multi_match(
+    corpus: DataFrame,
+    queries: DataFrame,
+    mm_type: str = "best_fields",
+    k: int = 10,
+    fields: tuple[str, ...] = ("title", "text"),
+    tie_breaker: float | None = None,
+    **kwargs,
+) -> DataFrame:
+    """The ES ``multi_match`` TYPE dispatcher over the exhaustive paths:
+    best_fields -> ``search.bm25_multifield_search`` (tie_breaker
+    default 0.5, the reference's BEIR body), most_fields -> the same
+    with tie_breaker pinned 1.0 (the ES-documented bool-sum combine —
+    passing tie_breaker with most_fields is refused, ES ignores it but
+    silence here would mislead), cross_fields ->
+    ``bm25_crossfields_search`` (tie_breaker default 0.0, the ES
+    default). type=phrase lives in phrase_multifield.py, and
+    type=bool_prefix in boolprefix.py (positional/prefix machinery)."""
+    from sgpt_spark.operators.search import bm25_multifield_search
+
+    if mm_type not in _TYPES:
+        raise ValueError(f"unknown multi_match type {mm_type!r}: {_TYPES}")
+    if mm_type == "best_fields":
+        tb = 0.5 if tie_breaker is None else tie_breaker
+        return bm25_multifield_search(
+            corpus, queries, k=k, fields=fields, tie_breaker=tb, **kwargs
+        )
+    if mm_type == "most_fields":
+        if tie_breaker is not None:
+            raise ValueError("most_fields has no tie_breaker (the combine IS the sum)")
+        return bm25_multifield_search(
+            corpus, queries, k=k, fields=fields, tie_breaker=1.0, **kwargs
+        )
+    tb = 0.0 if tie_breaker is None else tie_breaker
+    return bm25_crossfields_search(
+        corpus, queries, k=k, fields=fields, tie_breaker=tb, **kwargs
+    )
+
+
+def multi_match_index(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame | Iterable[tuple],
+    mm_type: str = "best_fields",
+    k: int = 10,
+    tie_breaker: float | None = None,
+    **kwargs,
+) -> DataFrame:
+    """Index-backed ``multi_match`` type dispatcher (twin of
+    ``multi_match`` over ``build_multifield_index`` layouts):
+    best_fields -> ``search_multifield_index``, most_fields -> the same
+    at tie_breaker=1.0, cross_fields -> ``search_crossfields_index``."""
+    from sgpt_spark.operators.index_search import search_multifield_index
+
+    if mm_type not in _TYPES:
+        raise ValueError(f"unknown multi_match type {mm_type!r}: {_TYPES}")
+    if mm_type == "best_fields":
+        tb = 0.5 if tie_breaker is None else tie_breaker
+        return search_multifield_index(spark, path, queries, k=k, tie_breaker=tb, **kwargs)
+    if mm_type == "most_fields":
+        if tie_breaker is not None:
+            raise ValueError("most_fields has no tie_breaker (the combine IS the sum)")
+        return search_multifield_index(
+            spark, path, queries, k=k, tie_breaker=1.0, **kwargs
+        )
+    tb = 0.0 if tie_breaker is None else tie_breaker
+    return search_crossfields_index(spark, path, queries, k=k, tie_breaker=tb, **kwargs)

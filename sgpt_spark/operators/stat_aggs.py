@@ -430,3 +430,45 @@ def missing_agg(
     return vals.groupBy("qid").agg(
         F.sum(F.when(F.col(field).isNull(), 1).otherwise(0)).alias("doc_count")
     )
+
+
+def scripted_metric_agg(
+    candidates: DataFrame,
+    docvalues: DataFrame,
+    map_exprs: dict,
+    reduce_exprs: dict,
+) -> DataFrame:
+    """ES ``scripted_metric`` aggregation, speaking Spark SQL — the
+    engine's script dialect (ES uses Painless; bucket_script set the
+    documented-divergence precedent: scripts here are declarative
+    expressions Catalyst can codegen, not a driver-side interpreter).
+
+    ``map_exprs``: {name: sql} evaluated PER MATCHED DOC over the
+    docvalues columns (the map_script role). ``reduce_exprs``:
+    {out_col: sql} AGGREGATE expressions over the mapped names (the
+    combine/reduce role — Spark's partial aggregation IS the
+    combine_script: map-side partials merge before the shuffle, exactly
+    the ES shard-combine contract). One row per query.
+
+    init_script has no counterpart: Spark aggregates declare their own
+    state. Unknown columns fail with Spark's resolution error at
+    analysis time.
+
+    Example (ES docs' profit idiom):
+        scripted_metric_agg(cand, dv,
+            {"profit": "price - cost"},
+            {"total_profit": "sum(profit)"})
+    """
+    if not map_exprs or not reduce_exprs:
+        raise ValueError("scripted_metric_agg needs map_exprs and reduce_exprs")
+    overlap = set(map_exprs) & {"qid", "doc_id"}
+    if overlap:
+        raise ValueError(f"map_exprs may not shadow {sorted(overlap)}")
+    vals = candidates.join(docvalues, "doc_id")
+    mapped = vals.select(
+        "qid",
+        *[F.expr(sql).alias(name) for name, sql in map_exprs.items()],
+    )
+    return mapped.groupBy("qid").agg(
+        *[F.expr(sql).alias(out) for out, sql in reduce_exprs.items()]
+    )

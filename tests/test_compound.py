@@ -271,3 +271,44 @@ FROM dm QUALIFY rank <= 10
         (q, d, float(s), int(rk)) for q, d, s, rk in con.execute(sql).fetchall()
     )
     assert got == want and len(got) > 0
+
+
+# ---- ids / match_all / match_none (the constant-score corner) -----------
+
+
+def test_ids_query(spark):
+    from sgpt_spark.operators.compound import ids_query
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(20)], "doc_id long, text string"
+    )
+    got = sorted(
+        (r["qid"], r["doc_id"], r["score"], r["rank"])
+        for r in ids_query(
+            docs, [(1, [3, 7, 99]), (2, [5])], boost=2.0
+        ).collect()
+    )
+    # 99 is absent from the corpus -> silently unmatched (the ES rule);
+    # constant score boost with doc_id-asc paging
+    assert got == [(1, 3, 2.0, 1), (1, 7, 2.0, 2), (2, 5, 2.0, 1)]
+    with pytest.raises(ValueError, match="at least one"):
+        ids_query(docs, [])
+
+
+def test_match_all_and_none(spark):
+    from sgpt_spark.operators.compound import match_all_query, match_none_query
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(30)], "doc_id long, text string"
+    )
+    got = sorted(
+        (r["qid"], r["doc_id"], r["score"], r["rank"])
+        for r in match_all_query(docs, [10, 20], boost=1.0, k=3).collect()
+    )
+    assert got == [
+        (10, 0, 1.0, 1), (10, 1, 1.0, 2), (10, 2, 1.0, 3),
+        (20, 0, 1.0, 1), (20, 1, 1.0, 2), (20, 2, 1.0, 3),
+    ]
+    none = match_none_query(docs, [10, 20])
+    assert none.collect() == []
+    assert none.columns == ["qid", "doc_id", "score", "rank"]

@@ -154,3 +154,39 @@ def test_matrix_stats_guards(spark):
         matrix_stats_agg(cand, dv, ["v"])
     with pytest.raises(ValueError, match="not in docvalues"):
         matrix_stats_agg(cand, dv, ["v", "nope"])
+
+
+# ---- scripted_metric (Spark-SQL script dialect) --------------------------
+
+
+def test_scripted_metric_profit_idiom(spark):
+    from sgpt_spark.operators.stat_aggs import scripted_metric_agg
+
+    cand, dv = _build(spark)
+    got = {
+        r["qid"]: (r["total"], r["n_pos"])
+        for r in scripted_metric_agg(
+            cand, dv,
+            {"profit": "coalesce(v, 0) - coalesce(b, 0)"},
+            {"total": "sum(profit)", "n_pos": "count_if(profit > 0)"},
+        ).collect()
+    }
+    want: dict = {}
+    for q, d in CAND:
+        row = dict(zip([r[0] for r in DV], DV))[d]
+        p = (row[1] or 0.0) - (row[3] or 0.0)
+        t, n = want.get(q, (0.0, 0))
+        want[q] = (t + p, n + (1 if p > 0 else 0))
+    for q, (t, n) in want.items():
+        assert got[q][0] == pytest.approx(t)
+        assert got[q][1] == n
+
+
+def test_scripted_metric_guards(spark):
+    from sgpt_spark.operators.stat_aggs import scripted_metric_agg
+
+    cand, dv = _build(spark)
+    with pytest.raises(ValueError, match="needs map_exprs"):
+        scripted_metric_agg(cand, dv, {}, {"x": "sum(v)"})
+    with pytest.raises(ValueError, match="shadow"):
+        scripted_metric_agg(cand, dv, {"qid": "v"}, {"x": "sum(qid)"})

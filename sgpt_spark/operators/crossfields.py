@@ -64,8 +64,14 @@ Three paths, the house pattern:
     build-time termstats, one batched decode per segment
     (``_decode_terms_mf``), a numpy per-term cross-field kernel, <= k
     rows per (query, segment) shuffled. Query sets collect to the
-    driver (the ``search_index`` small-query-set contract; the
-    best_fields cogroup/join twins show the no-collect shape).
+    driver (the ``search_index`` small-query-set contract).
+``search_crossfields_index_cogroup``  the in-plan twin: blended dfs,
+    capped idfs and per-field weights all compute in codegen (one row
+    per (qid, term) left-joins every field's (term, df) side table;
+    ``greatest`` folds the blend), weight rows replicate across
+    candidate segments, and the same ``_cf_parts`` kernel scores each
+    cogroup — no driver collect anywhere (the million-query contract
+    every index family carries).
 ``multi_match`` / ``multi_match_index``  the ES type dispatcher:
     best_fields -> the existing dis-max paths, most_fields ->
     tie_breaker=1.0, cross_fields -> this module. (type=phrase and
@@ -384,6 +390,134 @@ def search_crossfields_index(
 
     seg_topk = cand.groupBy("segment").applyInPandas(
         lambda _key, pdf: score_segment_cf(pdf), schema=seg_schema
+    )
+    return topk_per_group(seg_topk, k=k).select("qid", "doc_id", "score", "rank")
+
+
+def search_crossfields_index_cogroup(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame | Iterable[tuple],
+    k: int = 10,
+    tie_breaker: float = 0.0,
+    fields: tuple[str, ...] | None = None,
+    tokenizer=None,
+    boosts: dict[str, float] | None = None,
+    minimum_should_match: int = 0,
+    operator: str = "or",
+) -> DataFrame:
+    """cross_fields twin of ``search_multifield_index_cogroup``: the
+    query set stays IN THE PLAN (no driver collect — the million-query
+    contract) while each co-segmented segment runs the same numpy
+    term-centric kernel as the collect path (``_cf_parts``).
+
+    The blended df is computed in-plan: query terms left-join EVERY
+    field's (term, df) side table in one row (fields are enumerable),
+    ``greatest`` folds the blend, and each field's weight column applies
+    the capped idf (module docstring) in whole-stage codegen. Weight
+    rows replicate across candidate segment ids exactly as the
+    best_fields cogroup does; same scale contract and fallback
+    guidance."""
+    import pandas as pd
+
+    from sgpt_spark.functions.analyzer import resolve_jvm_analyzer
+    from sgpt_spark.operators.index_search import (
+        _decode_terms_mf,
+        _emit_topk_frame,
+        _load_multifield,
+        normalize_queries,
+    )
+
+    if not 0.0 <= float(tie_breaker) <= 1.0:
+        raise ValueError(f"tie_breaker must be in [0, 1], got {tie_breaker}")
+    fields, idx, analyzer = _load_multifield(spark, path, fields)
+    boost = normalize_boosts(fields, boosts)
+    queries, qid_type = normalize_queries(queries)
+    if not isinstance(queries, DataFrame):
+        queries = spark.createDataFrame(queries, f"qid {qid_type}, query string")
+    tok = tokenizer or resolve_jvm_analyzer(analyzer)
+    qt = query_terms(queries, tokenizer=tok)
+    qvocab = qt.select("term").distinct()
+    k1, b = idx[fields[0]][1].k1, idx[fields[0]][1].b
+    codec = idx[fields[0]][1].codec
+    avgdls = {f: idx[f][1].avgdl for f in fields}
+
+    # one row per (qid, term) carrying every field's df -> blended max
+    qdf = qt
+    cand = None
+    for i, f in enumerate(fields):
+        postings_f, meta_f, tstats_f = idx[f]
+        if tstats_f is not None:
+            dfs = tstats_f
+        else:
+            dfs = postings_f.groupBy("term").agg(F.sum("df").alias("df"))
+        qdf = qdf.join(
+            dfs.select("term", F.col("df").alias(f"_df{i}")), "term", "left"
+        )
+        part = postings_f.join(qvocab, "term", "left_semi").select(
+            "segment", F.lit(f).alias("field"), "term", "blocks"
+        )
+        cand = part if cand is None else cand.unionByName(part)
+    df_cols = [F.coalesce(F.col(f"_df{i}"), F.lit(0)) for i in range(len(fields))]
+    dfb = F.greatest(*df_cols) if len(df_cols) > 1 else df_cols[0]
+    qdf = qdf.withColumn("_dfb", dfb).filter(F.col("_dfb") > 0)
+
+    # per-field weight rows: capped blended idf in codegen
+    qunion = None
+    for f in fields:
+        n_f = idx[f][1].n_docs
+        cap = F.least(F.col("_dfb"), F.lit(int(n_f)))
+        w_col = (
+            F.col("qtf")
+            * F.log(1.0 + (F.lit(float(n_f)) - cap + 0.5) / (cap + 0.5))
+        )
+        if boost[f] != 1.0:
+            w_col = F.lit(boost[f]) * w_col
+        qtw_f = qdf.select(
+            "qid", F.lit(f).alias("field"), "term", "qtf", w_col.alias("w")
+        )
+        qunion = qtw_f if qunion is None else qunion.unionByName(qtw_f)
+
+    # the cross_fields clause bar (term matched in ANY field) rides the
+    # weight rows; clause units per required_df over the ANALYZED terms
+    qreq = required_df(qt, minimum_should_match, operator)
+    if qreq is not None:
+        qunion = qunion.join(qreq, "qid")
+
+    segs = cand.select(F.col("segment").cast("int").alias("segment")).distinct()
+    qseg = qunion.crossJoin(F.broadcast(segs))
+    tie = float(tie_breaker)
+    seg_schema = f"qid {qid_type}, doc_id long, score double"
+
+    def score(pleft: pd.DataFrame, pright: pd.DataFrame) -> pd.DataFrame:
+        if len(pleft) == 0 or len(pright) == 0:
+            return _emit_topk_frame([])
+        decoded = _decode_terms_mf(
+            pleft["field"], pleft["term"], pleft["blocks"], codec, k1, b, avgdls
+        )
+        if not decoded:
+            return _emit_topk_frame([])
+        by_qt: dict = {}  # (qid, term) -> [qtf, {field: w}]
+        for qid, fld, t, w, qtf in zip(
+            pright["qid"], pright["field"], pright["term"], pright["w"],
+            pright["qtf"],
+        ):
+            slot = by_qt.setdefault((qid, t), [int(qtf), {}])
+            slot[1][fld] = float(w)
+        per_query: dict = {}  # qid -> [(term, qtf, {field: w})]
+        for (qid, t), (qtf, ws) in by_qt.items():
+            per_query.setdefault(qid, []).append((t, qtf, ws))
+        msm_b = (
+            {q: int(r) for q, r in zip(pright["qid"], pright["req"])}
+            if "req" in pright.columns
+            else None
+        )
+        return _emit_topk_frame(_cf_parts(decoded, per_query, tie, k, msm=msm_b))
+
+    seg_topk = (
+        cand.groupBy("segment")
+        .cogroup(qseg.groupBy("segment"))
+        .applyInPandas(score, schema=seg_schema)
     )
     return topk_per_group(seg_topk, k=k).select("qid", "doc_id", "score", "rank")
 

@@ -382,3 +382,44 @@ FROM ranked WHERE rnk <= 10
         for r in con.execute(sql).fetchall()
     )
     assert got == want
+
+
+@pytest.mark.parametrize("codec", ["varint", "pfor"])
+def test_cogroup_equals_collect_path(spark, tmp_path, codec):
+    """In-plan cogroup twin == collect index path == exhaustive, both
+    codecs, with boosts + msm and an iterable query set — the
+    no-collect-contract parity the other index families carry."""
+    from sgpt_spark.operators.crossfields import search_crossfields_index_cogroup
+
+    docs = spark.createDataFrame(DOCS, SCHEMA)
+    out = str(tmp_path / f"cfcg_{codec}")
+    build_multifield_index(docs, out, fields=FIELDS, segment_size=3, codec=codec)
+    q = spark.createDataFrame(QUERIES, "qid long, query string")
+    for tie, boosts, msm in [(0.0, None, 0), (0.3, {"title": 2.0}, 2)]:
+        exh = _rows(
+            bm25_crossfields_search(
+                docs, q, k=10, tie_breaker=tie, boosts=boosts,
+                minimum_should_match=msm,
+            )
+        )
+        cg = _rows(
+            search_crossfields_index_cogroup(
+                spark, out, q, k=10, tie_breaker=tie, boosts=boosts,
+                minimum_should_match=msm,
+            )
+        )
+        assert cg == exh
+    # iterable queries + operator=and through the cogroup path
+    cg_and = _rows(
+        search_crossfields_index_cogroup(
+            spark, out, [(1, "alpha gamma"), (2, "fox jumps")], k=10,
+            operator="and",
+        )
+    )
+    idx_and = _rows(
+        search_crossfields_index(
+            spark, out, [(1, "alpha gamma"), (2, "fox jumps")], k=10,
+            operator="and",
+        )
+    )
+    assert cg_and == idx_and

@@ -29,6 +29,9 @@ output as its ``candidates`` input.
 ``ip_range_agg``        ES ``ip_range``: [from, to) IPv4 buckets or
     CIDR masks, evaluated on a dotted-quad string doc-value via an
     in-codegen aton (split + shifts — no UDF, DuckDB-reproducible).
+``ip_prefix_agg``       ES ``ip_prefix``: buckets keyed by the IPv4
+    network at prefix_length bits ("a.b.c.d/L"), one shift/mask +
+    map-side-combinable groupBy off the same aton.
 ``geo_line_agg``        ES ``geo_line``: per query, the match set's
     points ordered by a sort doc-value, truncated to ``size`` — one
     partial/final WindowGroupLimit; emitted FLAT (qid, seq, lon, lat,
@@ -60,6 +63,7 @@ __all__ = [
     "date_range_agg",
     "ipv4_to_long",
     "ip_range_agg",
+    "ip_prefix_agg",
     "geo_line_agg",
 ]
 
@@ -303,3 +307,55 @@ def geo_line_agg(
         .filter(F.col("seq") <= size)
         .select("qid", "seq", "lon", "lat", "sort_value")
     )
+
+
+def ip_prefix_agg(
+    candidates: DataFrame,
+    docvalues: DataFrame,
+    field: str,
+    prefix_length: int,
+    min_doc_count: int = 1,
+) -> DataFrame:
+    """ES ``ip_prefix`` aggregation over the match set -> (qid, prefix,
+    doc_count): buckets keyed by the IPv4 NETWORK at ``prefix_length``
+    bits, spelled "a.b.c.d/L" (the ES key shape), ordered semantics left
+    to the caller (ES orders by key; the relation is unordered as every
+    agg here). ``min_doc_count`` default 1 — ES emits only non-empty
+    prefixes (there is no bounded key universe to fill). NULL/malformed
+    addresses fall in no bucket; IPv6 (``is_ipv6``) is the same
+    documented boundary as ``ip_range_agg``.
+
+    Plan: the in-codegen aton, one shift/mask to the network id, one
+    map-side-combinable groupBy, and a codegen dotted-quad render of
+    the key — no UDF anywhere."""
+    if field not in docvalues.columns:
+        raise ValueError(
+            f"ip_prefix_agg field {field!r} not in docvalues columns "
+            f"{docvalues.columns}"
+        )
+    if not 1 <= int(prefix_length) <= 32:
+        raise ValueError(f"prefix_length must be in [1, 32], got {prefix_length}")
+    if min_doc_count < 1:
+        raise ValueError(f"min_doc_count must be >= 1, got {min_doc_count}")
+    shift = 32 - int(prefix_length)
+    vals = candidates.join(
+        docvalues.select("doc_id", ipv4_to_long(F.col(field)).alias("_v")),
+        "doc_id",
+    ).filter(F.col("_v").isNotNull())
+    net = (F.shiftright(F.col("_v"), shift) * F.lit(1 << shift)).cast("long")
+    counts = vals.groupBy("qid", net.alias("_net")).agg(
+        F.count("*").alias("doc_count")
+    )
+    if min_doc_count > 1:
+        counts = counts.filter(F.col("doc_count") >= min_doc_count)
+    octets = [
+        F.shiftright(F.col("_net"), 24).bitwiseAND(F.lit(255)),
+        F.shiftright(F.col("_net"), 16).bitwiseAND(F.lit(255)),
+        F.shiftright(F.col("_net"), 8).bitwiseAND(F.lit(255)),
+        F.col("_net").bitwiseAND(F.lit(255)),
+    ]
+    key = F.concat_ws(
+        "/", F.concat_ws(".", *[o.cast("string") for o in octets]),
+        F.lit(str(int(prefix_length))),
+    )
+    return counts.select("qid", key.alias("prefix"), "doc_count")

@@ -99,6 +99,8 @@ def complete(
     fuzzy_min_length: int = 3,
     fuzzy_prefix_length: int = 1,
     broadcast_queries: bool = True,
+    context_col: str | None = None,
+    contexts: DataFrame | Iterable[tuple] | None = None,
 ) -> DataFrame:
     """(text, weight) suggestions x (qid, prefix) -> the ES completion
     response: (qid, text, weight, rank), top ``size`` per query by
@@ -111,6 +113,20 @@ def complete(
     chars (ES default 3; shorter prefixes stay exact), and the first
     ``fuzzy_prefix_length`` chars must match exactly (ES default 1 —
     0 is accepted but degrades to a dictionary scan).
+
+    ``contexts``/``context_col``: the ES CATEGORY context (the
+    completion field's ``contexts`` mapping). ``context_col`` names a
+    suggestion column holding the indexed context value(s) — a plain
+    string or an array of strings; ``contexts`` carries the request's
+    per-query filters as (qid, context) or (qid, context, boost) rows
+    (boost default 1.0 — ES's per-context boost). A suggestion
+    qualifies if it carries ANY requested context for that qid (the ES
+    OR rule); its option score is weight x the best matching boost, and
+    the response gains a ``score`` column and ranks by (score desc,
+    text asc). Duplicate texts collapse to their best-scored option
+    under contexts (the multi-context fan-in; ES's skip_duplicates
+    shape). Geo contexts are a documented boundary (the geo family
+    covers the spatial predicates; wiring them here is presentation).
     """
     spark = suggestions.sparkSession
     if not isinstance(prefixes, DataFrame):
@@ -121,7 +137,15 @@ def complete(
         raise ValueError(f"fuzziness must be 0..{_MAX_FUZZ}, got {fuzziness}")
     if fuzzy_prefix_length < 0:
         raise ValueError("fuzzy_prefix_length must be >= 0")
-    sugg = suggestions.select("text", "weight")
+    if (contexts is None) != (context_col is None):
+        raise ValueError("contexts and context_col must be given together")
+    if context_col is not None and context_col not in suggestions.columns:
+        raise ValueError(
+            f"context_col {context_col!r} not in suggestion columns "
+            f"{suggestions.columns}"
+        )
+    keep = ["text", "weight"] + ([context_col] if context_col else [])
+    sugg = suggestions.select(*keep)
     lengths = _distinct_lengths(prefixes)
     if 0 in lengths:
         raise ValueError(
@@ -155,23 +179,63 @@ def complete(
             else:
                 join_on = cond  # documented dictionary scan
             parts.append(
-                sugg.join(_maybe_b(p), join_on).select("qid", "text", "weight")
+                sugg.join(_maybe_b(p), join_on).select("qid", *keep)
             )
         else:
             parts.append(
                 sugg.join(
                     _maybe_b(p),
                     F.substring(F.col("text"), 1, L) == F.col("prefix"),
-                ).select("qid", "text", "weight")
+                ).select("qid", *keep)
             )
+    qid_t = prefixes.schema["qid"].dataType.simpleString()
     if not parts:
         return spark.createDataFrame(
-            [], f"qid {prefixes.schema['qid'].dataType.simpleString()}, "
-            "text string, weight long, rank int"
+            [], f"qid {qid_t}, text string, weight long, "
+            + ("score double, " if contexts is not None else "")
+            + "rank int"
         )
     cand = parts[0]
     for extra in parts[1:]:
         cand = cand.unionByName(extra)
+    if contexts is not None:
+        if not isinstance(contexts, DataFrame):
+            rows = [
+                (r[0], r[1], float(r[2]) if len(r) > 2 else 1.0)
+                for r in contexts
+            ]
+            contexts = spark.createDataFrame(
+                rows, f"qid {qid_t}, context string, boost double"
+            )
+        elif "boost" not in contexts.columns:
+            contexts = contexts.withColumn("boost", F.lit(1.0))
+        ctype = dict(cand.dtypes)[context_col]
+        match = (
+            F.array_contains(F.col(context_col), F.col("context"))
+            if ctype.startswith("array")
+            else F.col(context_col) == F.col("context")
+        )
+        cand = (
+            cand.join(_maybe_b(contexts.withColumnRenamed("qid", "_cq")),
+                      (F.col("qid") == F.col("_cq")) & match)
+            .select(
+                "qid", "text", "weight",
+                (F.col("weight") * F.col("boost")).alias("score"),
+            )
+            .groupBy("qid", "text")
+            .agg(
+                F.max_by("weight", "score").alias("weight"),
+                F.max("score").alias("score"),
+            )
+        )
+        w = Window.partitionBy("qid").orderBy(
+            F.col("score").desc(), F.col("text").asc()
+        )
+        return (
+            cand.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= size)
+            .select("qid", "text", "weight", "score", "rank")
+        )
     if skip_duplicates:
         cand = cand.groupBy("qid", "text").agg(F.max("weight").alias("weight"))
     w = Window.partitionBy("qid").orderBy(

@@ -268,3 +268,41 @@ def test_geo_line_brute_force(spark):
         geo_line_agg(cand, geo, "ts", size=20000)
     with pytest.raises(ValueError, match="in geo columns"):
         geo_line_agg(cand, geo.drop("lat"), "ts")
+
+
+# ---- ip_prefix -----------------------------------------------------------
+
+
+def test_ip_prefix_brute_force(spark):
+    from sgpt_spark.operators.aggs_misc import ip_prefix_agg
+
+    cand, dv = _build(spark)
+    for plen in (8, 20, 32):
+        got = sorted(
+            (r["qid"], r["prefix"], r["doc_count"])
+            for r in ip_prefix_agg(cand, dv, "ip", plen).collect()
+        )
+        want: dict = {}
+        for q, d in _brute_match():
+            s = ROWS[d][4]
+            try:
+                v = int(ipaddress.IPv4Address(s)) if s else None
+            except Exception:
+                v = None
+            if v is None:
+                continue
+            net = (v >> (32 - plen)) << (32 - plen)
+            key = f"{str(ipaddress.IPv4Address(net))}/{plen}"
+            want[(q, key)] = want.get((q, key), 0) + 1
+        assert got == sorted((q, k, n) for (q, k), n in want.items())
+    with pytest.raises(ValueError, match="prefix_length"):
+        ip_prefix_agg(cand, dv, "ip", 0)
+    with pytest.raises(ValueError, match="min_doc_count"):
+        ip_prefix_agg(cand, dv, "ip", 8, min_doc_count=0)
+    # min_doc_count floor keeps only repeated prefixes
+    got2 = {
+        (r["qid"], r["prefix"]): r["doc_count"]
+        for r in ip_prefix_agg(cand, dv, "ip", 8, min_doc_count=2).collect()
+    }
+    assert all(n >= 2 for n in got2.values())
+    assert all(k[1] == "10.0.0.0/8" for k in got2)

@@ -197,3 +197,82 @@ def test_duckdb_equality_real_corpus(spark):
         ).fetchall()
     )
     assert got == want and len(got) > 0
+
+
+# ---- category contexts ---------------------------------------------------
+
+
+CTX_SUGG = [
+    # (text, weight, tags array)
+    ("spark streaming", 10, ["compute", "stream"]),
+    ("spark sql", 25, ["compute"]),
+    ("spark shell", 25, ["tooling"]),
+    ("sparse matrix", 7, ["math"]),
+    ("spark sql", 3, ["stream"]),  # duplicate text, other context
+]
+
+
+def _ctx_sugg(spark):
+    return spark.createDataFrame(
+        CTX_SUGG, "text string, weight long, tags array<string>"
+    )
+
+
+def test_contexts_filter_and_boost(spark):
+    # qid 1 wants 'stream' boosted 3x OR 'math' at 1x: spark streaming
+    # scores 30, sparse matrix 7, spark sql matches only via its
+    # low-weight duplicate (3*3=9); 'spark shell' (tooling) is filtered.
+    got = sorted(
+        (r["qid"], r["text"], r["weight"], r["score"], r["rank"])
+        for r in complete(
+            _ctx_sugg(spark), [(1, "sp")], size=10,
+            context_col="tags",
+            contexts=[(1, "stream", 3.0), (1, "math")],
+        ).collect()
+    )
+    assert got == sorted([
+        (1, "spark streaming", 10, 30.0, 1),
+        (1, "spark sql", 3, 9.0, 2),
+        (1, "sparse matrix", 7, 7.0, 3),
+    ])
+
+
+def test_contexts_or_rule_takes_best_boost(spark):
+    # a suggestion carrying BOTH requested contexts scores by the best
+    # matching boost (ES picks the highest-scored option)
+    got = sorted(
+        (r["text"], r["score"])
+        for r in complete(
+            _ctx_sugg(spark), [(1, "spark")], size=10,
+            context_col="tags",
+            contexts=[(1, "compute", 2.0), (1, "stream", 5.0)],
+        ).collect()
+    )
+    assert ("spark streaming", 50.0) in got  # 5x beats 2x
+    assert ("spark sql", 50.0) in got  # compute 25*2 beats stream-dup 3*5
+
+
+def test_contexts_plain_string_column_and_per_qid(spark):
+    sugg = spark.createDataFrame(
+        [("spark sql", 25, "compute"), ("spark shell", 25, "tooling")],
+        "text string, weight long, tag string",
+    )
+    got = sorted(
+        (r["qid"], r["text"])
+        for r in complete(
+            sugg, [(1, "spark"), (2, "spark")], size=10,
+            context_col="tag",
+            contexts=[(1, "compute"), (2, "tooling")],
+        ).collect()
+    )
+    assert got == [(1, "spark sql"), (2, "spark shell")]
+
+
+def test_contexts_guards(spark):
+    with pytest.raises(ValueError, match="given together"):
+        complete(_ctx_sugg(spark), [(1, "sp")], contexts=[(1, "x")])
+    with pytest.raises(ValueError, match="not in suggestion columns"):
+        complete(
+            _ctx_sugg(spark), [(1, "sp")], context_col="nope",
+            contexts=[(1, "x")],
+        )

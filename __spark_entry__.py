@@ -1611,6 +1611,25 @@ def _q_match_ip_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_variable_width_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``variable_width_histogram`` over the match set: adaptive
+    numeric buckets on n_chars (target 6) via the deterministic
+    equal-frequency-seed + nearest-centroid-merge fixed point of ES's
+    streaming clusterer (operators/auto_histogram.py; brute-forced +
+    invariant-tested in tests/test_auto_histogram.py — the merge loop
+    is not SQL-expressible, so this entry is rows-only by design)."""
+    from sgpt_spark.operators.aggs import match_candidates
+    from sgpt_spark.operators.auto_histogram import variable_width_histogram_agg
+    from sgpt_spark.operators.indexer import build_postings_with_docvalues
+
+    docs = load_table(spark, sf_dir, "documents")
+    postings, dv, meta = build_postings_with_docvalues(
+        docs, ["n_chars"], segment_size=200
+    )
+    cand = match_candidates(spark, postings, meta, derived_queries(docs))
+    return variable_width_histogram_agg(cand, dv, "n_chars", buckets=6)
+
+
 def _q_term_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES _mtermvectors batch-shaped: per-term vectors (freq +
     positions) with GLOBAL-exact doc_freq/ttf for every 10th doc (the
@@ -2148,6 +2167,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_crossfields_top10": _q_bm25_crossfields,  # test_crossfields.py brute force + DuckDB twin at gate rigor
         "match_date_range_agg": _q_match_date_range,    # test_aggs_misc.py brute force
         "match_ip_range_agg": _q_match_ip_range,        # test_aggs_misc.py brute force + aton codegen twin
+        "variable_width_histogram": _q_variable_width_histogram,  # test_auto_histogram.py brute force + invariants (rows-only by design — the merge loop is not SQL)
     }
 
 

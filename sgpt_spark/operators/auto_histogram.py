@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["auto_date_histogram_agg"]
+__all__ = ["auto_date_histogram_agg", "variable_width_histogram_agg"]
 
 # finest -> coarsest; step spelled as make_interval so every rung is
 # the SAME CalendarInterval type (a CASE cannot mix day-time and
@@ -136,4 +136,111 @@ def auto_date_histogram_agg(
         "interval",
         "bucket",
         F.coalesce(F.col("doc_count"), F.lit(0)).alias("doc_count"),
+    )
+
+
+def variable_width_histogram_agg(
+    candidates: DataFrame,
+    docvalues: DataFrame,
+    field: str,
+    buckets: int = 10,
+    initial_factor: int = 2,
+) -> DataFrame:
+    """ES ``variable_width_histogram`` — numeric buckets whose WIDTHS
+    adapt to the data (dense regions get narrow buckets), the request
+    naming only a target ``buckets`` count. -> (qid, bucket_min, key,
+    bucket_max, doc_count) per query, ES's response shape (key = the
+    bucket centroid), buckets disjoint and ordered, at most ``buckets``
+    per query.
+
+    ES's algorithm is an order-dependent one-pass streaming clusterer
+    (collect up to shard_size values, merge nearest clusters as new
+    values arrive) whose result depends on document iteration order.
+    This engine substitutes the DETERMINISTIC fixed point of the same
+    idea — documented divergence, same response shape and the same
+    adaptive-width contract:
+
+      1. exact equal-frequency seeding: ``buckets x initial_factor``
+         interior type-7 percentile cut points per query (one
+         map-side-combinable groupBy; duplicate cut points collapse,
+         so heavy ties cannot over-split);
+      2. assignment in codegen: bucket ordinal = |{edges < value}| via
+         a ``filter``/``size`` lambda over the per-query edge array
+         (broadcast-joined back, query-sized);
+      3. per-(query, ordinal) summaries (count/sum/min/max — one more
+         map-side-combinable groupBy);
+      4. agglomerative merge of the ADJACENT pair with the nearest
+         centroids until <= ``buckets`` remain — per query over
+         <= buckets x initial_factor summary rows, an applyInPandas
+         island whose input is bucket summaries, never values (the
+         tiny-relation contract; ties break on the lower ordinal, so
+         the result is partition- and order-independent).
+
+    Scale: values are touched exactly twice (percentile agg, summary
+    agg), both aggregations combine map-side; the Python island sees
+    O(buckets) rows per query. NULL values fall in no bucket."""
+    import pandas as pd
+
+    if field not in docvalues.columns:
+        raise ValueError(
+            f"variable_width_histogram field {field!r} not in docvalues "
+            f"columns {docvalues.columns}"
+        )
+    if buckets < 1:
+        raise ValueError(f"buckets must be >= 1, got {buckets}")
+    if initial_factor < 1:
+        raise ValueError(f"initial_factor must be >= 1, got {initial_factor}")
+    m = int(buckets) * int(initial_factor)
+    vals = candidates.join(
+        docvalues.select("doc_id", F.col(field).cast("double").alias("_v")),
+        "doc_id",
+    ).filter(F.col("_v").isNotNull())
+    fracs = F.array(*[F.lit(i / m) for i in range(1, m)])
+    edges = vals.groupBy("qid").agg(
+        F.array_distinct(F.percentile(F.col("_v"), fracs)).alias("_edges")
+    )
+    assigned = vals.join(F.broadcast(edges), "qid").select(
+        "qid",
+        "_v",
+        F.size(F.filter("_edges", lambda e: e < F.col("_v"))).alias("_ord"),
+    )
+    summ = assigned.groupBy("qid", "_ord").agg(
+        F.count("*").alias("_n"),
+        F.sum("_v").alias("_s"),
+        F.min("_v").alias("_lo"),
+        F.max("_v").alias("_hi"),
+    )
+    target = int(buckets)
+    out_schema = (
+        f"qid {dict(candidates.dtypes)['qid']}, bucket_min double, "
+        "key double, bucket_max double, doc_count long"
+    )
+
+    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        rows = sorted(
+            zip(pdf["_ord"], pdf["_n"], pdf["_s"], pdf["_lo"], pdf["_hi"])
+        )
+        bs = [[int(n), float(s), float(lo), float(hi)] for _, n, s, lo, hi in rows]
+        while len(bs) > target:
+            best, best_d = 0, float("inf")
+            for i in range(len(bs) - 1):
+                d = bs[i + 1][1] / bs[i + 1][0] - bs[i][1] / bs[i][0]
+                if d < best_d:  # strict: ties keep the LOWER ordinal
+                    best, best_d = i, d
+            a, b = bs[best], bs[best + 1]
+            bs[best] = [a[0] + b[0], a[1] + b[1], min(a[2], b[2]), max(a[3], b[3])]
+            del bs[best + 1]
+        qid = pdf["qid"].iloc[0]
+        return pd.DataFrame(
+            {
+                "qid": [qid] * len(bs),
+                "bucket_min": [b[2] for b in bs],
+                "key": [b[1] / b[0] for b in bs],
+                "bucket_max": [b[3] for b in bs],
+                "doc_count": [b[0] for b in bs],
+            }
+        )
+
+    return summ.groupBy("qid").applyInPandas(
+        lambda _k, pdf: merge(pdf), schema=out_schema
     )

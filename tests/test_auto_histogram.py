@@ -145,3 +145,121 @@ def test_guards(spark):
         auto_date_histogram_agg(cand, dv, "ts", buckets=0)
     with pytest.raises(ValueError, match="min_doc_count"):
         auto_date_histogram_agg(cand, dv, "ts", min_doc_count=2)
+
+
+# ---- variable_width_histogram -------------------------------------------
+
+
+def _q7_edges(xs, m):
+    import math
+
+    xs = sorted(xs)
+    out = []
+    for i in range(1, m):
+        h = (len(xs) - 1) * (i / m)
+        lo, hi = int(math.floor(h)), int(math.ceil(h))
+        out.append(xs[lo] + (h - lo) * (xs[hi] - xs[lo]))
+    # array_distinct keeps first occurrences; edges are non-decreasing
+    seen, dedup = set(), []
+    for e in out:
+        if e not in seen:
+            seen.add(e)
+            dedup.append(e)
+    return dedup
+
+
+def _brute_vwh(by_qid, buckets, factor=2):
+    out = []
+    for qid, vals in by_qid.items():
+        if not vals:
+            continue
+        edges = _q7_edges(vals, buckets * factor)
+        summ = {}
+        for v in vals:
+            o = sum(1 for e in edges if e < v)
+            n, s, lo, hi = summ.get(o, (0, 0.0, v, v))
+            summ[o] = (n + 1, s + v, min(lo, v), max(hi, v))
+        bs = [list(summ[o]) for o in sorted(summ)]
+        while len(bs) > buckets:
+            best, best_d = 0, float("inf")
+            for i in range(len(bs) - 1):
+                d = bs[i + 1][1] / bs[i + 1][0] - bs[i][1] / bs[i][0]
+                if d < best_d:
+                    best, best_d = i, d
+            a, b = bs[best], bs[best + 1]
+            bs[best] = [a[0] + b[0], a[1] + b[1], min(a[2], b[2]), max(a[3], b[3])]
+            del bs[best + 1]
+        for n, s, lo, hi in bs:
+            out.append((qid, round(lo, 9), round(s / n, 9), round(hi, 9), n))
+    return sorted(out)
+
+
+def test_variable_width_histogram_brute_force(spark):
+    from sgpt_spark.operators.auto_histogram import variable_width_histogram_agg
+
+    import random
+
+    rng = random.Random(7)
+    # two clusters + outliers per query: adaptive widths must separate
+    vals1 = [rng.gauss(10, 1) for _ in range(40)] + [
+        rng.gauss(100, 2) for _ in range(40)
+    ] + [500.0, -50.0]
+    vals2 = [float(i) for i in range(25)]
+    rows = []
+    did = 0
+    by_qid = {1: [], 2: []}
+    for q, vs in ((1, vals1), (2, vals2)):
+        for v in vs:
+            rows.append((did, v))
+            by_qid[q].append(v)
+            did += 1
+    dv = spark.createDataFrame(rows, "doc_id long, x double")
+    cand = spark.createDataFrame(
+        [(q, d) for q in (1, 2) for d in range(did)], "qid long, doc_id long"
+    )
+    # candidates restrict each qid to its own docs
+    cand = spark.createDataFrame(
+        [(1, d) for d in range(len(vals1))]
+        + [(2, d) for d in range(len(vals1), did)],
+        "qid long, doc_id long",
+    )
+    got = sorted(
+        (r["qid"], round(r["bucket_min"], 9), round(r["key"], 9),
+         round(r["bucket_max"], 9), r["doc_count"])
+        for r in variable_width_histogram_agg(cand, dv, "x", buckets=4).collect()
+    )
+    assert got == _brute_vwh(by_qid, 4)
+    # invariants: <= buckets per qid, counts conserved, disjoint ordered
+    per_q = {}
+    for q, lo, key, hi, n in got:
+        per_q.setdefault(q, []).append((lo, key, hi, n))
+    for q, bs in per_q.items():
+        assert len(bs) <= 4
+        assert sum(n for _, _, _, n in bs) == len(by_qid[q])
+        bs.sort()
+        for (lo, k, hi, _), (lo2, k2, hi2, _) in zip(bs, bs[1:]):
+            assert lo <= k <= hi and hi < lo2  # disjoint, centroid inside
+    # partition independence: same result from a repartitioned input
+    got2 = sorted(
+        (r["qid"], round(r["bucket_min"], 9), round(r["key"], 9),
+         round(r["bucket_max"], 9), r["doc_count"])
+        for r in variable_width_histogram_agg(
+            cand.repartition(7), dv.repartition(5), "x", buckets=4
+        ).collect()
+    )
+    assert got2 == got
+
+
+def test_variable_width_histogram_guards(spark):
+    from sgpt_spark.operators.auto_histogram import variable_width_histogram_agg
+
+    dv = spark.createDataFrame([(0, 1.0)], "doc_id long, x double")
+    cand = spark.createDataFrame([(1, 0)], "qid long, doc_id long")
+    with pytest.raises(ValueError, match="not in docvalues"):
+        variable_width_histogram_agg(cand, dv, "nope")
+    with pytest.raises(ValueError, match="buckets"):
+        variable_width_histogram_agg(cand, dv, "x", buckets=0)
+    # degenerate: fewer distinct values than buckets -> one bucket each
+    got = variable_width_histogram_agg(cand, dv, "x", buckets=5).collect()
+    assert [(r["bucket_min"], r["key"], r["bucket_max"], r["doc_count"])
+            for r in got] == [(1.0, 1.0, 1.0, 1)]

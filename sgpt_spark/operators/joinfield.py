@@ -32,7 +32,7 @@ from __future__ import annotations
 
 from typing import Iterable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from sgpt_spark.operators.indexer import IndexMeta
@@ -166,3 +166,43 @@ def explode_nested(
         "doc_id", F.floor(F.col("doc_id") / cap).cast("long").alias("parent_id")
     )
     return children, parent_of
+
+
+def inner_hits(
+    scored_children: DataFrame,
+    parent_of: DataFrame,
+    parents_page: DataFrame,
+    size: int = 3,
+    broadcast_page: bool = True,
+) -> DataFrame:
+    """ES ``inner_hits`` for the join-field family: the top-``size``
+    matching CHILDREN behind each parent on a ``has_child`` result page
+    (and, via ``explode_nested``'s relation, the matched nested objects
+    behind a ``nested`` query — the two places ES offers inner_hits).
+    -> (qid, parent_id, doc_id, score, child_rank), children ranked
+    score desc / doc_id asc within each (query, parent).
+
+    Inputs follow the rescore-family convention: ``scored_children`` is
+    the full scored child match set (``funcscore.match_scores`` — the
+    same relation ``has_child_search`` folds), ``parents_page`` the
+    (qid, parent_id) page to expand (any extra columns ignored). ES
+    computes inner_hits at fetch time per returned hit; this is the
+    set-oriented spelling — one semi-join against the page, one
+    partial/final WindowGroupLimit, <= size rows per (query, parent).
+    ``size`` caps at 100 (the ES inner_hits window bound)."""
+    if not 1 <= size <= 100:
+        raise ValueError(f"inner_hits size must be in [1, 100], got {size}")
+    page = parents_page.select("qid", "parent_id").distinct()
+    if broadcast_page:
+        page = F.broadcast(page)
+    joined = scored_children.join(
+        parent_of.select("doc_id", "parent_id"), "doc_id", "inner"
+    ).join(page, ["qid", "parent_id"], "left_semi")
+    w = Window.partitionBy("qid", "parent_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        joined.withColumn("child_rank", F.row_number().over(w))
+        .filter(F.col("child_rank") <= size)
+        .select("qid", "parent_id", "doc_id", "score", "child_rank")
+    )

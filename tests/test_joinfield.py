@@ -190,3 +190,76 @@ def test_guards(spark):
     docs = spark.createDataFrame([(0, ["a"])], "doc_id long, objs array<string>")
     with pytest.raises(ValueError, match="nested column"):
         explode_nested(docs, "nope")
+
+
+# ---- inner_hits ---------------------------------------------------------
+
+
+def test_inner_hits_brute_force(spark):
+    from sgpt_spark.operators.funcscore import match_scores
+    from sgpt_spark.operators.joinfield import inner_hits
+
+    postings, meta, po, qs = _build(spark)
+    page = has_child_search(
+        spark, postings, meta, qs, po, score_mode="max", k=10
+    ).select("qid", "parent_id")
+    scored = match_scores(spark, postings, meta, qs)
+    got = sorted(
+        (r["qid"], r["parent_id"], r["doc_id"], round(r["score"], 6),
+         r["child_rank"])
+        for r in inner_hits(scored, po, page, size=2).collect()
+    )
+    # brute: per (qid, parent) on the page, top-2 children by
+    # (score desc, doc_id asc)
+    cs = _child_scores()
+    pmap = dict(PARENT_OF)
+    per_parent: dict = {}
+    for (qid, d), s in cs.items():
+        if d in pmap:
+            per_parent.setdefault((qid, pmap[d]), []).append(
+                (round(-s, 6), d)
+            )
+    want = []
+    for (qid, p), lst in per_parent.items():
+        lst.sort()
+        for rk, (negs, d) in enumerate(lst[:2], 1):
+            want.append((qid, p, d, round(-negs, 6), rk))
+    assert got == sorted(want)
+    # orphan child 6 never surfaces; page restriction honored
+    assert all(d != 6 for _, _, d, _, _ in got)
+    # no-broadcast identity
+    got2 = sorted(
+        (r["qid"], r["parent_id"], r["doc_id"], round(r["score"], 6),
+         r["child_rank"])
+        for r in inner_hits(
+            scored, po, page, size=2, broadcast_page=False
+        ).collect()
+    )
+    assert got2 == got
+    with pytest.raises(ValueError, match="size"):
+        inner_hits(scored, po, page, size=0)
+
+
+def test_inner_hits_nested_derivation(spark):
+    """inner_hits over explode_nested children == the matched nested
+    objects of a nested query (the ES nested inner_hits shape)."""
+    from sgpt_spark.operators.funcscore import match_scores
+    from sgpt_spark.operators.joinfield import inner_hits
+
+    docs = spark.createDataFrame(
+        [(1, ["quick fox", "slow snail"]), (2, ["quick dog", "quick cat"]),
+         (3, ["nothing here"])],
+        "doc_id long, comments array<string>",
+    )
+    children, po = explode_nested(docs, "comments")
+    postings, meta = build_postings(children, segment_size=4)
+    qs = spark.createDataFrame([(9, "quick")], "qid long, query string")
+    page = has_child_search(
+        spark, postings, meta, qs, po, score_mode="max", k=10
+    ).select("qid", "parent_id")
+    hits = inner_hits(match_scores(spark, postings, meta, qs), po, page, size=5)
+    rows = sorted(
+        (r["parent_id"], r["doc_id"] % 1024) for r in hits.collect()
+    )
+    # parent 1: comment offset 0 matches; parent 2: offsets 0 and 1
+    assert rows == [(1, 0), (2, 0), (2, 1)]

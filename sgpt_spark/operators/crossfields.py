@@ -72,6 +72,12 @@ Three paths, the house pattern:
     candidate segments, and the same ``_cf_parts`` kernel scores each
     cogroup — no driver collect anywhere (the million-query contract
     every index family carries).
+``search_crossfields_index_join``  the fully relational fallback (no
+    collect AND no per-segment query replication): flatten the
+    term-pruned per-field postings, pivot per (qid, doc, term) with
+    conditional aggregates, row-local term combine, final fold — the
+    strategy for query sets where |query terms| x n_segments outgrows
+    the cluster, at the documented join-path premium.
 ``multi_match`` / ``multi_match_index``  the ES type dispatcher:
     best_fields -> the existing dis-max paths, most_fields ->
     tie_breaker=1.0, cross_fields -> this module. (type=phrase and
@@ -520,6 +526,126 @@ def search_crossfields_index_cogroup(
         .applyInPandas(score, schema=seg_schema)
     )
     return topk_per_group(seg_topk, k=k).select("qid", "doc_id", "score", "rank")
+
+
+def search_crossfields_index_join(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame | Iterable[tuple],
+    k: int = 10,
+    tie_breaker: float = 0.0,
+    fields: tuple[str, ...] | None = None,
+    tokenizer=None,
+    boosts: dict[str, float] | None = None,
+    minimum_should_match: int = 0,
+    operator: str = "or",
+) -> DataFrame:
+    """Fully relational cross_fields through the per-field compressed
+    indexes — the extreme-scale fallback of the family (the
+    ``search_index_join`` contract: no driver collect AND no per-segment
+    query replication, for query sets so large that
+    |query terms| x n_segments outgrows the cluster; for everything
+    smaller prefer ``search_crossfields_index_cogroup``).
+
+    Plan: per field, term-pruned postings scan -> Arrow-batched
+    ``flatten_postings`` -> per-doc tf rows; union with a field tag;
+    ONE groupBy(qid, doc_id, term) pivots the per-field partials into
+    conditional-aggregate columns (fields are enumerable — the
+    exhaustive operator's idiom on the flat relation), the per-term
+    dis-max is then row-local, and one groupBy(qid, doc_id) sums the
+    term clauses. Blended dfs and capped idfs compute in codegen from
+    the per-field termstats exactly as the cogroup path. Two candidate
+    shuffles (the documented join-path premium over the cogroup
+    kernel), both keyed on high-cardinality composites."""
+    from sgpt_spark.functions.analyzer import resolve_jvm_analyzer
+    from sgpt_spark.operators.index_search import (
+        _load_multifield,
+        flatten_postings,
+        normalize_queries,
+    )
+
+    if not 0.0 <= float(tie_breaker) <= 1.0:
+        raise ValueError(f"tie_breaker must be in [0, 1], got {tie_breaker}")
+    fields, idx, analyzer = _load_multifield(spark, path, fields)
+    boost = normalize_boosts(fields, boosts)
+    queries, qid_type = normalize_queries(queries)
+    if not isinstance(queries, DataFrame):
+        queries = spark.createDataFrame(queries, f"qid {qid_type}, query string")
+    tok = tokenizer or resolve_jvm_analyzer(analyzer)
+    qt = query_terms(queries, tokenizer=tok)
+    qvocab = qt.select("term").distinct()
+    k1, b = idx[fields[0]][1].k1, idx[fields[0]][1].b
+
+    # per-(qid, term) blended df row (the cogroup path's join block)
+    qdf = qt
+    flat = None
+    for i, f in enumerate(fields):
+        postings_f, meta_f, tstats_f = idx[f]
+        if tstats_f is not None:
+            dfs = tstats_f
+        else:
+            dfs = postings_f.groupBy("term").agg(F.sum("df").alias("df"))
+        qdf = qdf.join(
+            dfs.select("term", F.col("df").alias(f"_df{i}")), "term", "left"
+        )
+        cand_f = postings_f.join(qvocab, "term", "left_semi")
+        part = flatten_postings(cand_f, codec=meta_f.codec).select(
+            F.lit(f).alias("field"), "term", "doc_id", "tf", "doc_len"
+        )
+        flat = part if flat is None else flat.unionByName(part)
+    df_cols = [F.coalesce(F.col(f"_df{i}"), F.lit(0)) for i in range(len(fields))]
+    dfb = F.greatest(*df_cols) if len(df_cols) > 1 else df_cols[0]
+    qdf = qdf.withColumn("_dfb", dfb).filter(F.col("_dfb") > 0).select(
+        "qid", "term", "qtf", "_dfb"
+    )
+
+    # pivot the flat per-field tf rows per (qid, doc, term) and fold the
+    # per-field partial with the capped blended idf row-locally
+    probe = flat.join(qdf, "term")
+    piv = []
+    for i, f in enumerate(fields):
+        piv.append(
+            F.first(F.when(F.col("field") == f, F.col("tf")), ignorenulls=True)
+            .alias(f"_tf{i}")
+        )
+        piv.append(
+            F.first(F.when(F.col("field") == f, F.col("doc_len")), ignorenulls=True)
+            .alias(f"_dl{i}")
+        )
+    g = probe.groupBy("qid", "doc_id", "term").agg(
+        F.first("qtf").alias("qtf"), F.first("_dfb").alias("_dfb"), *piv
+    )
+    partials = []
+    for i, f in enumerate(fields):
+        n_f = idx[f][1].n_docs
+        avgdl_f = idx[f][1].avgdl or 1.0
+        cap = F.least(F.col("_dfb"), F.lit(int(n_f)))
+        idf_f = F.log(1.0 + (F.lit(float(n_f)) - cap + 0.5) / (cap + 0.5))
+        tf_c = F.col(f"_tf{i}").cast("double")
+        partials.append(
+            F.lit(boost[f]) * F.col("qtf") * idf_f * tf_c
+            / (tf_c + k1 * (1.0 - b + b * F.col(f"_dl{i}") / F.lit(avgdl_f)))
+        )
+    coalesced = [F.coalesce(p, F.lit(0.0)) for p in partials]
+    mx = F.greatest(*coalesced) if len(coalesced) > 1 else coalesced[0]
+    tot = coalesced[0]
+    for c in coalesced[1:]:
+        tot = tot + c
+    clauses = g.select(
+        "qid", "doc_id", "qtf",
+        (mx + F.lit(float(tie_breaker)) * (tot - mx)).alias("term_score"),
+    )
+    combined = clauses.groupBy("qid", "doc_id").agg(
+        F.sum("term_score").alias("score"), F.sum("qtf").alias("_matched")
+    )
+    required = required_df(qt, minimum_should_match, operator)
+    if required is not None:
+        combined = combined.join(F.broadcast(required), "qid", "left").filter(
+            F.col("_matched") >= F.coalesce(F.col("req"), F.lit(0))
+        )
+    return topk_per_group(combined.select("qid", "doc_id", "score"), k=k).select(
+        "qid", "doc_id", "score", "rank"
+    )
 
 
 def multi_match(

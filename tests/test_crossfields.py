@@ -423,3 +423,44 @@ def test_cogroup_equals_collect_path(spark, tmp_path, codec):
         )
     )
     assert cg_and == idx_and
+
+
+def test_join_path_equals_exhaustive(spark, tmp_path):
+    """Relational join strategy == exhaustive == cogroup (the
+    extreme-scale fallback parity), with boosts/msm and operator=and."""
+    from sgpt_spark.operators.crossfields import (
+        search_crossfields_index_cogroup,
+        search_crossfields_index_join,
+    )
+
+    docs = spark.createDataFrame(DOCS, SCHEMA)
+    out = str(tmp_path / "cfjoin")
+    build_multifield_index(docs, out, fields=FIELDS, segment_size=3)
+    q = spark.createDataFrame(QUERIES, "qid long, query string")
+    for tie, boosts, msm in [(0.0, None, 0), (0.3, {"title": 2.0}, 2)]:
+        exh = _rows(
+            bm25_crossfields_search(
+                docs, q, k=10, tie_breaker=tie, boosts=boosts,
+                minimum_should_match=msm,
+            )
+        )
+        jn = _rows(
+            search_crossfields_index_join(
+                spark, out, q, k=10, tie_breaker=tie, boosts=boosts,
+                minimum_should_match=msm,
+            )
+        )
+        assert jn == exh
+    jn_and = _rows(
+        search_crossfields_index_join(
+            spark, out, [(1, "alpha gamma"), (2, "fox jumps")], k=10,
+            operator="and",
+        )
+    )
+    cg_and = _rows(
+        search_crossfields_index_cogroup(
+            spark, out, [(1, "alpha gamma"), (2, "fox jumps")], k=10,
+            operator="and",
+        )
+    )
+    assert jn_and == cg_and

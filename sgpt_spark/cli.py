@@ -312,6 +312,37 @@ def cmd_percolate(args) -> None:
     print(f"wrote fired (doc, rule) pairs to {args.out}")
 
 
+def cmd_search(args) -> None:
+    """ES _search body executor: --body is the request dict as JSON
+    (or @file.json); hits (and each named aggregation) write under
+    --out as parquet. The body surface and guards are
+    operators/request.search_request's."""
+    import json as _json
+
+    from sgpt_spark.operators.indexer import read_docvalues
+    from sgpt_spark.operators.request import search_request
+
+    spark = _spark("sgpt-search")
+    raw = args.body
+    if raw.startswith("@"):
+        with open(raw[1:]) as fp:
+            raw = fp.read()
+    body = _json.loads(raw)
+    dv = None
+    if args.docvalues:
+        dv = read_docvalues(spark, args.docvalues)
+    resp = search_request(spark, args.index, body, docvalues=dv)
+    resp["hits"].write.mode("overwrite").parquet(f"{args.out}/hits")
+    wrote = ["hits"]
+    for name, df in resp.get("aggregations", {}).items():
+        df.write.mode("overwrite").parquet(f"{args.out}/agg_{name}")
+        wrote.append(f"agg_{name}")
+    if "highlight" in resp:
+        resp["highlight"].write.mode("overwrite").parquet(f"{args.out}/highlight")
+        wrote.append("highlight")
+    print(f"wrote {', '.join(wrote)} under {args.out}")
+
+
 def cmd_profile(args) -> None:
     from sgpt_spark.operators.textstats import text_profile
 
@@ -439,6 +470,17 @@ def main(argv: list[str] | None = None) -> None:
                     help="doc id column (e.g. url for a pages table)")
     pc.add_argument("--text-col", dest="text_col", default="text")
     pc.set_defaults(fn=cmd_percolate)
+
+    sr = sub.add_parser("search", help="execute one ES _search body dict")
+    sr.add_argument("--index", required=True)
+    sr.add_argument("--body", required=True,
+                    help="request JSON, or @path/to/body.json")
+    sr.add_argument("--out", required=True)
+    sr.add_argument("--docvalues", default=None,
+                    help="path of a build with a doc-values sidecar "
+                         "(needed by aggs/sort/collapse/ids/match_all/"
+                         "structured bool filters)")
+    sr.set_defaults(fn=cmd_search)
 
     pr = sub.add_parser("profile")
     pr.add_argument("--docs", required=True)

@@ -223,3 +223,47 @@ def test_cli_query_string_and_explain(spark, tmp_path):
     with pytest.raises(SystemExit, match="one query mode"):
         main(["query", "--index", str(idx / "index"), "--queries", str(queries),
               "--out", str(tmp_path / "y"), "--phrase", "--explain"])
+
+
+def test_cli_search_body(spark, tmp_path):
+    """The `search` subcommand: one ES _search body JSON -> hits +
+    aggregation parquet outputs, equal to the direct executor call."""
+    import json
+
+    from sgpt_spark.cli import main
+    from sgpt_spark.operators.indexer import (
+        build_postings_with_docvalues,
+        write_docvalues,
+        write_index,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "quick brown fox", "en"), (1, "quick dog", "en"),
+         (2, "lazy dog", "es"), (3, "quick quick brown", "es")],
+        "doc_id long, text string, lang string",
+    )
+    idx = tmp_path / "idx"
+    postings, dv, meta = build_postings_with_docvalues(
+        docs, ["lang"], segment_size=2
+    )
+    write_index(postings, meta, str(idx))
+    write_docvalues(dv, str(idx))
+
+    body = {
+        "query": {"match": {"text": "quick brown"}},
+        "size": 3,
+        "aggs": {"langs": {"terms": {"field": "lang"}}},
+    }
+    bf = tmp_path / "body.json"
+    bf.write_text(json.dumps(body))
+    out = tmp_path / "resp"
+    main(["search", "--index", str(idx), "--body", f"@{bf}",
+          "--out", str(out), "--docvalues", str(idx)])
+    hits = spark.read.parquet(str(out / "hits")).collect()
+    assert len(hits) == 3 and all(r["score"] > 0 for r in hits)
+    langs = {
+        (r["value"], r["doc_count"])
+        for r in spark.read.parquet(str(out / "agg_langs")).collect()
+    }
+    # match set: docs 0,1 (en) + 3 (es); doc 2 matches neither term
+    assert langs == {("en", 2), ("es", 1)}

@@ -97,6 +97,29 @@ elif shape in ("bm25_index_queries", "taat_k1000", "wand_k1000"):
         out["sec"] = best_of(lambda: search_index(
             spark, postings, meta, deep, k=1000, term_stats=tstats,
             strategy=strat).count())
+elif shape in ("pfor_build", "varint_build"):
+    # bench.py's codec_{codec}_build_19k: the 10%% slice at segment 5000
+    warm = docs.filter(F.xxhash64(F.col("doc_id").cast("string")) % 10 == 0)
+    warm.persist().count()
+    codec = "pfor" if shape == "pfor_build" else "varint"
+    def run():
+        shutil.rmtree("/dev/shm/ab_codec", ignore_errors=True)
+        build_index(warm, "/dev/shm/ab_codec", segment_size=5000, codec=codec)
+    out["sec"] = best_of(run)
+elif shape == "compact_8seg":
+    from sgpt_spark.operators.indexer import compact_index
+    shutil.rmtree("/dev/shm/ab_idx", ignore_errors=True)
+    build_index(docs, "/dev/shm/ab_idx", segment_size=seg)
+    def run():
+        shutil.rmtree("/dev/shm/ab_c8", ignore_errors=True)
+        shutil.copytree("/dev/shm/ab_idx", "/dev/shm/ab_c8")
+        t0 = time.time()
+        compact_index(spark, "/dev/shm/ab_c8", 8)
+        return time.time() - t0
+    best = float("inf")
+    for _ in range(2):
+        best = min(best, run())
+    out["sec"] = round(best, 3)
 else:
     from sgpt_spark.operators.indexer import build_multifield_index
     mf_docs = docs.withColumn(

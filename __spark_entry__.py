@@ -1611,6 +1611,23 @@ def _q_match_ip_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_combined_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``combined_fields`` (7.13+; Lucene CombinedFieldQuery): the
+    fields score as ONE merged field — weighted tf and length merges,
+    blended-capped df, a single BM25 over the combined statistics
+    (operators/crossfields.py `combined_fields_search`; DuckDB twin at
+    gate rigor in tests/test_crossfields.py). title weight 2."""
+    from sgpt_spark.operators.crossfields import combined_fields_search
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "title", F.array_join(F.slice(F.split(F.col("text"), " ", -1), 1, 3), " ")
+    )
+    return combined_fields_search(
+        docs, derived_queries(docs), k=10, fields=("title", "text"),
+        boosts={"title": 2.0},
+    )
+
+
 def _q_variable_width_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES ``variable_width_histogram`` over the match set: adaptive
     numeric buckets on n_chars (target 6) via the deterministic
@@ -2168,6 +2185,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "match_date_range_agg": _q_match_date_range,    # test_aggs_misc.py brute force
         "match_ip_range_agg": _q_match_ip_range,        # test_aggs_misc.py brute force + aton codegen twin
         "variable_width_histogram": _q_variable_width_histogram,  # test_auto_histogram.py brute force + invariants (rows-only by design — the merge loop is not SQL)
+        "bm25_combined_fields_top10": _q_combined_fields,  # test_crossfields.py brute force + DuckDB twin at gate rigor
     }
 
 

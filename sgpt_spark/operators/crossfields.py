@@ -230,6 +230,145 @@ def bm25_crossfields_search(
     )
 
 
+def combined_fields_search(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    fields: tuple[str, ...] = ("title", "text"),
+    tokenizer: Tokenizer = tokenize_ws,
+    id_col: str = "doc_id",
+    k1: float = K1,
+    b: float = B,
+    boosts: dict[str, float] | None = None,
+    minimum_should_match: int = 0,
+    operator: str = "or",
+) -> DataFrame:
+    """ES ``combined_fields`` query (7.13+; Lucene CombinedFieldQuery)
+    -> (qid, doc_id, score, rank): the fields score as ONE synthetic
+    merged field — the principled term-centric alternative to
+    cross_fields (no per-term dis-max; one BM25 over combined
+    statistics, the BM25F simplification Lucene ships):
+
+      tf_c(t, d)  = sum_f w_f * tf_f(t, d)        (weighted tf merge)
+      dl_c(d)     = sum_f w_f * dl_f(d)           (weighted norm merge)
+      N           = |docs with >= 1 token in ANY field|
+      avgdl_c     = avg of dl_c over those docs
+      df_c(t)     = max_f df_f(t) capped at N     (blended, positive idf)
+      score(q, d) = sum_t qtf_t * idf(df_c) * tf_c/(tf_c + k1*(1-b+b*dl_c/avgdl_c))
+
+    ES constrains ``boosts`` (the ``"title^2"`` field weights w_f) to
+    >= 1.0 — enforced here (values below 1 break the merged-field
+    interpretation; ES rejects them too). operator/minimum_should_match
+    count clause units exactly as cross_fields: a term matched in ANY
+    field satisfies its qtf clauses.
+
+    Plan: the cross_fields pivot idiom — one groupBy(term, doc_id) with
+    per-field conditional tf/doc_len columns makes tf_c and dl_c
+    row-local; dfs + the blended max fold from the same relation; the
+    per-doc combined length is exact because the pivot carries EVERY
+    field's doc_len for the matched docs (doc_len rides each posting
+    row). One corpus scan, the same three shuffles as best_fields, no
+    Python anywhere. Index-backed serving needs the Lucene norms role
+    (per-field doc lengths for docs that match in OTHER fields only) —
+    a per-doc sidecar this engine carries as docvalues; the exhaustive
+    operator is itself fully in-plan and corpus-scan bounded.
+
+    Subtlety the pivot hides: a doc matching term t only in field A
+    still needs field B's length inside dl_c. The tf relation carries
+    (doc, field) rows only where the FIELD has the term — so dl_c is
+    assembled from a separate per-doc length relation (one more
+    conditional pivot over the same fdocs scan), not from the tf rows.
+    """
+    _validate_msm_args(minimum_should_match, operator)
+    boost = normalize_boosts(fields, boosts)
+    bad = {f: v for f, v in boost.items() if v < 1.0}
+    if bad:
+        raise ValueError(
+            f"combined_fields field weights must be >= 1.0 (ES rule), got {bad}"
+        )
+
+    fdocs = None
+    for f in fields:
+        part = corpus.select(
+            F.col(id_col).alias("doc_id"),
+            F.lit(f).alias("field"),
+            tokenizer(F.col(f)).alias("terms"),
+        ).filter(F.size("terms") > 0)
+        fdocs = part if fdocs is None else fdocs.unionByName(part)
+
+    # per-doc combined length: one conditional pivot over field lengths
+    # (weighted sum; a missing field contributes 0)
+    dlens = fdocs.groupBy("doc_id").agg(
+        *[
+            F.coalesce(
+                F.first(
+                    F.when(F.col("field") == f, F.size("terms")),
+                    ignorenulls=True,
+                ),
+                F.lit(0),
+            ).alias(f"_l{i}")
+            for i, f in enumerate(fields)
+        ]
+    )
+    dl_c = None
+    for i, f in enumerate(fields):
+        t = F.lit(boost[f]) * F.col(f"_l{i}")
+        dl_c = t if dl_c is None else dl_c + t
+    dlens = dlens.select("doc_id", dl_c.alias("_dlc"))
+
+    # combined-field stats: N = docs with any field, avgdl over dl_c
+    n_docs, avgdl_c = dlens.agg(
+        F.count("*"), F.avg("_dlc")
+    ).collect()[0]
+    n_docs = int(n_docs)
+    avgdl_c = float(avgdl_c or 0.0) or 1.0
+
+    flat = fdocs.select(
+        "field", "doc_id", F.explode("terms").alias("term")
+    )
+    tf_piv = flat.groupBy("term", "doc_id").agg(
+        *[
+            F.sum(F.when(F.col("field") == f, F.lit(1))).alias(f"_tf{i}")
+            for i, f in enumerate(fields)
+        ]
+    )
+    dfs = tf_piv.groupBy("term").agg(
+        *[F.count(f"_tf{i}").alias(f"_df{i}") for i in range(len(fields))]
+    )
+    df_cols = [F.col(f"_df{i}") for i in range(len(fields))]
+    dfb = F.greatest(*df_cols) if len(df_cols) > 1 else df_cols[0]
+    dfs = dfs.select("term", dfb.alias("dfb"))
+
+    qt = query_terms(queries, tokenizer=tokenizer)
+    qterm_df = F.broadcast(qt.join(dfs, "term", "inner"))
+    scored_terms = tf_piv.join(qterm_df, "term", "inner").join(dlens, "doc_id")
+
+    tf_c = None
+    for i, f in enumerate(fields):
+        t = F.lit(boost[f]) * F.coalesce(F.col(f"_tf{i}"), F.lit(0)).cast("double")
+        tf_c = t if tf_c is None else tf_c + t
+    cap = F.least(F.col("dfb"), F.lit(int(n_docs)))
+    idf_c = F.log(1.0 + (F.lit(float(n_docs)) - cap + 0.5) / (cap + 0.5))
+    term_score = (
+        F.col("qtf") * idf_c * tf_c
+        / (tf_c + k1 * (1.0 - b + b * F.col("_dlc") / F.lit(avgdl_c)))
+    )
+    clauses = scored_terms.select(
+        "qid", "doc_id", "qtf", term_score.alias("term_score")
+    )
+    combined = clauses.groupBy("qid", "doc_id").agg(
+        F.sum("term_score").alias("score"), F.sum("qtf").alias("_matched")
+    )
+    required = required_df(qt, minimum_should_match, operator)
+    if required is not None:
+        combined = combined.join(F.broadcast(required), "qid", "left").filter(
+            F.col("_matched") >= F.coalesce(F.col("req"), F.lit(0))
+        )
+    return topk_per_group(combined.select("qid", "doc_id", "score"), k=k).select(
+        "qid", "doc_id", "score", "rank"
+    )
+
+
 def _cf_parts(
     decoded: dict, per_query_cf: dict, tie: float, kk: int, msm: dict | None = None
 ) -> list:

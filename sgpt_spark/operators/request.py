@@ -85,6 +85,7 @@ _DIRECT_ONLY = {
     "nested": "operators.joinfield.explode_nested + has_child_search",
     "match_bool_prefix": "operators.boolprefix.match_bool_prefix_index",
     "match_phrase_prefix": "operators.phrase_prefix.phrase_prefix_search_index",
+    "combined_fields": "operators.crossfields.combined_fields_search (exhaustive; needs the corpus relation — see its norms note)",
     "pinned": "operators.pinned.pinned_search",
     "rank_feature_query": "operators.distfeature.rank_feature_search",
 }

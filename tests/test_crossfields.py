@@ -464,3 +464,186 @@ def test_join_path_equals_exhaustive(spark, tmp_path):
         )
     )
     assert jn_and == cg_and
+
+
+# ---- combined_fields (ES 7.13+ merged-field BM25) ------------------------
+
+
+def _brute_combined(queries, k=10, boosts=None, msm=0, op="or"):
+    boosts = boosts or {}
+    w = {f: boosts.get(f, 1.0) for f in FIELDS}
+    toks = {
+        f: {d[0]: _toks(d[1 if f == "title" else 2]) for d in DOCS
+            if _toks(d[1 if f == "title" else 2])}
+        for f in FIELDS
+    }
+    all_docs = sorted({d for f in FIELDS for d in toks[f]})
+    dlc = {
+        d: sum(w[f] * len(toks[f].get(d, [])) for f in FIELDS) for d in all_docs
+    }
+    n = len(all_docs)
+    avgdl = sum(dlc.values()) / n
+    df = {f: Counter(t for ts in toks[f].values() for t in set(ts)) for f in FIELDS}
+    out = []
+    for qid, q in queries:
+        qterms = Counter(_toks(q))
+        req = sum(qterms.values()) if op == "and" else msm
+        scored = []
+        for d in all_docs:
+            score, matched = 0.0, 0
+            for t, qtf in qterms.items():
+                dfb = min(max(df[f].get(t, 0) for f in FIELDS), n)
+                tfc = sum(w[f] * toks[f].get(d, []).count(t) for f in FIELDS)
+                if dfb == 0 or tfc == 0:
+                    continue
+                idf = math.log(1.0 + (n - dfb + 0.5) / (dfb + 0.5))
+                score += qtf * idf * tfc / (
+                    tfc + K1 * (1 - B + B * dlc[d] / avgdl)
+                )
+                matched += qtf
+            if score > 0.0 and matched >= req:
+                scored.append((round(score, 6), d))
+        scored.sort(key=lambda x: (-x[0], x[1]))
+        for rank, (s, d) in enumerate(scored[:k], 1):
+            out.append((qid, d, s, rank))
+    return sorted(out)
+
+
+def test_combined_fields_brute_force(spark):
+    from sgpt_spark.operators.crossfields import combined_fields_search
+
+    docs = spark.createDataFrame(DOCS, SCHEMA)
+    q = spark.createDataFrame(QUERIES, "qid long, query string")
+    got = _rows(combined_fields_search(docs, q, k=10))
+    assert got == _brute_combined(QUERIES)
+    # ES field weights (>= 1) fold into tf and the norm
+    got_b = _rows(
+        combined_fields_search(
+            docs, q, k=10, boosts={"title": 3.0}, minimum_should_match=2
+        )
+    )
+    assert got_b == _brute_combined(QUERIES, boosts={"title": 3.0}, msm=2)
+    # operator=and: every term somewhere (the term-centric bar)
+    got_and = _rows(
+        combined_fields_search(
+            docs,
+            spark.createDataFrame([(1, "fox jumps")], "qid long, query string"),
+            k=10, operator="and",
+        )
+    )
+    assert got_and == _brute_combined([(1, "fox jumps")], op="and")
+    with pytest.raises(ValueError, match=">= 1.0"):
+        combined_fields_search(docs, q, boosts={"title": 0.5})
+
+
+def test_combined_fields_single_field_degeneration(spark):
+    """One field at weight 1 == plain BM25 over that field (tf_c = tf,
+    dl_c = dl, merged stats = field stats)."""
+    from sgpt_spark.operators.crossfields import combined_fields_search
+
+    docs = spark.createDataFrame(DOCS, SCHEMA)
+    q = spark.createDataFrame(QUERIES, "qid long, query string")
+    got = _rows(combined_fields_search(docs, q, k=10, fields=("text",)))
+    want = _rows(bm25_search(docs.select("doc_id", "text"), q, k=10))
+    assert got == want
+
+
+def test_combined_fields_duckdb_gate_rigor(spark):
+    """DuckDB twin over the real sf0.001 corpus + flagship queryset
+    (title = first 3 tokens, title weight 2)."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from sgpt_spark.operators.crossfields import combined_fields_search
+    from sgpt_spark.sources.queryset import QUERIES_SQL, derived_queries
+    from sgpt_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf, "documents").withColumn(
+        "title", F.array_join(F.slice(F.split(F.col("text"), " ", -1), 1, 3), " ")
+    )
+    got = _rows(
+        combined_fields_search(
+            docs, derived_queries(docs), k=10, boosts={"title": 2.0}
+        )
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')"
+    )
+    sql = f"""
+WITH base AS (
+    SELECT doc_id,
+           array_to_string(list_slice(string_split(text, ' '), 1, 3), ' ') AS title,
+           text
+    FROM documents
+  ),
+  fraw AS (
+    SELECT doc_id, 'title' AS field,
+           list_filter(string_split(title, ' '), x -> x <> '') AS toks FROM base
+    UNION ALL
+    SELECT doc_id, 'text' AS field,
+           list_filter(string_split(text, ' '), x -> x <> '') AS toks FROM base
+  ),
+  fdocs AS (SELECT * FROM fraw WHERE len(toks) > 0),
+  dlens AS (
+    SELECT doc_id,
+           2.0 * coalesce(max(CASE WHEN field = 'title' THEN len(toks) END), 0)
+           + 1.0 * coalesce(max(CASE WHEN field = 'text' THEN len(toks) END), 0)
+             AS dlc
+    FROM fdocs GROUP BY doc_id
+  ),
+  cstats AS (SELECT count(*) AS n, avg(dlc) AS avgdl FROM dlens),
+  fterms AS (
+    SELECT doc_id, field, u.term AS term FROM fdocs, unnest(toks) AS u(term)
+  ),
+  ftf AS (
+    SELECT term, doc_id,
+           2.0 * sum(CASE WHEN field = 'title' THEN 1 ELSE 0 END)
+           + 1.0 * sum(CASE WHEN field = 'text' THEN 1 ELSE 0 END) AS tfc,
+           count(DISTINCT CASE WHEN field = 'title' THEN 1 END) AS _ht,
+           count(DISTINCT CASE WHEN field = 'text' THEN 1 END) AS _hx
+    FROM fterms GROUP BY term, doc_id
+  ),
+  fdfb AS (
+    SELECT term, greatest(sum(_ht), sum(_hx)) AS dfb FROM ftf GROUP BY term
+  ),
+  queryset AS ({QUERIES_SQL}),
+  mqterms AS (
+    SELECT qid, u.term AS term, count(*) AS qtf
+    FROM queryset, unnest(string_split(query, ' ')) AS u(term)
+    WHERE u.term <> ''
+    GROUP BY qid, u.term
+  ),
+  tscored AS (
+    SELECT q.qid, ftf.doc_id,
+           q.qtf * ln(1 + (s.n - least(b.dfb, s.n) + 0.5)
+                        / (least(b.dfb, s.n) + 0.5))
+           * ftf.tfc / (ftf.tfc + {K1} * (1 - {B} + {B} * dl.dlc / s.avgdl))
+             AS p
+    FROM mqterms q
+    JOIN ftf ON q.term = ftf.term
+    JOIN fdfb b ON q.term = b.term
+    JOIN dlens dl ON ftf.doc_id = dl.doc_id
+    CROSS JOIN cstats s
+  ),
+  ccombined AS (
+    SELECT qid, doc_id, sum(p) AS raw_score FROM tscored GROUP BY qid, doc_id
+  ),
+  ranked AS (
+    SELECT qid, doc_id, round(raw_score, 6) AS score,
+           row_number() OVER (
+             PARTITION BY qid
+             ORDER BY round(raw_score, 6) DESC, doc_id ASC
+           ) AS rnk
+    FROM ccombined
+  )
+SELECT qid, doc_id, score, CAST(rnk AS INTEGER) AS rank
+FROM ranked WHERE rnk <= 10
+"""
+    want = sorted(
+        (int(r[0]), int(r[1]), round(float(r[2]), 6), int(r[3]))
+        for r in con.execute(sql).fetchall()
+    )
+    assert got == want

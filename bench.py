@@ -234,6 +234,21 @@ def main() -> None:
         cf_s = min(cf_s, time.time() - t0)
     timings["bm25_crossfields_index_200q"] = round(cf_s, 3)
 
+    # combined_fields (ES 7.13+ merged-field BM25) — exhaustive by
+    # contract (the norms note in crossfields.py): one corpus scan,
+    # same shuffle count as the exhaustive best_fields operator
+    from sgpt_spark.operators.crossfields import combined_fields_search
+
+    cbf_s = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        combined_fields_search(
+            mf_docs, mf_q.select(F.col("qid").cast("long").alias("qid"), "query"),
+            k=10, boosts={"title": 2.0},
+        ).count()
+        cbf_s = min(cbf_s, time.time() - t0)
+    timings["combined_fields_200q"] = round(cbf_s, 3)
+
     # join-based multifield twin (queries stay in the plan — the
     # millions-of-queries shape) + the deep-k multifield point at the
     # reference's retrieval depth

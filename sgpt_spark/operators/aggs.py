@@ -73,6 +73,7 @@ def match_candidates(
     meta: IndexMeta,
     queries: DataFrame | Iterable[tuple],
     tokenizer=None,
+    materialize: bool = True,
 ) -> DataFrame:
     """-> distinct (qid, doc_id) docs matching >= 1 analyzed query term
     (ES match query, operator=or — the aggregation phase's hit set).
@@ -80,6 +81,16 @@ def match_candidates(
     Fully in-plan: queries tokenize with the index's analyzer (JVM
     column twin), the postings scan left-semi prunes to the query
     vocabulary, and the decoded flat relation probe-joins on term.
+
+    ``materialize=True`` (default) marks the hit set with a LAZY
+    ``localCheckpoint``: nothing runs at declaration time, but the
+    first action computes the match set ONCE and every further
+    aggregation over the same candidates relation reuses it — the way
+    ES computes the hit bitset once per request and runs every agg of
+    the body against it. Without it, a request carrying several aggs
+    re-decodes the postings per agg. The checkpointed relation is two
+    narrow columns (qid, doc_id), bounded by the matched terms' total
+    df — never |corpus|.
     """
     from sgpt_spark.functions.analyzer import resolve_jvm_analyzer
 
@@ -90,11 +101,12 @@ def match_candidates(
     qt = query_terms(queries, tokenizer=tok)
     cand = postings.join(qt.select("term").distinct(), "term", "left_semi")
     flat = flatten_postings(cand, codec=meta.codec).select("term", "doc_id")
-    return (
+    out = (
         flat.join(qt.select("qid", "term").distinct(), "term")
         .select("qid", "doc_id")
         .distinct()
     )
+    return out.localCheckpoint(eager=False) if materialize else out
 
 
 _METRIC_FNS = ("avg", "sum", "min", "max")

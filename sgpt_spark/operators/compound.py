@@ -61,6 +61,8 @@ from __future__ import annotations
 import math
 from typing import Iterable, Sequence
 
+import numpy as np
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -142,6 +144,56 @@ def dis_max_combine(
     return _combine_tagged(tagged, len(clauses), tie_breaker, k)
 
 
+def _dismax_parts(
+    decoded: dict, per_query_cl: dict, tie: float, kk: int
+) -> list:
+    """Segment-local dis-max over decoded postings ->
+    [(qid, doc_ids, scores)]. ``per_query_cl``: qid -> {cid: [(term,
+    w)]}. The combine mirrors ``_combine_tagged``'s determinism
+    contract exactly: each clause's BM25 sum rounds to 6 dp (the
+    clause's own ranking contract), the max of 6-dp doubles is exact,
+    the tie_breaker fold adds in FIXED cid order, and the combined
+    value is NOT re-rounded. Valid per segment because every doc lives
+    in exactly one doc-partitioned segment."""
+    from sgpt_spark.operators.index_search import deterministic_topk
+
+    parts: list = []
+    for qid, by_cid in per_query_cl.items():
+        cscores = []  # (ids, rounded clause scores) in cid order
+        for cid in sorted(by_cid):
+            present = [(t, w) for t, w in by_cid[cid] if t in decoded]
+            if not present:
+                continue
+            docs_cat = np.concatenate([decoded[t][0] for t, _ in present])
+            w_cat = np.concatenate([decoded[t][1] * w for t, w in present])
+            ids_c, inv = np.unique(docs_cat, return_inverse=True)
+            sc_c = np.round(
+                np.bincount(inv, weights=w_cat), SCORE_DECIMALS
+            )
+            cscores.append((ids_c, sc_c))
+        if not cscores:
+            continue
+        if len(cscores) == 1:
+            all_ids, combined = cscores[0]
+        else:
+            all_ids = cscores[0][0]
+            for ids_c, _ in cscores[1:]:
+                all_ids = np.union1d(all_ids, ids_c)
+            mat = np.zeros((len(cscores), len(all_ids)))
+            for r, (ids_c, sc_c) in enumerate(cscores):
+                mat[r, np.searchsorted(all_ids, ids_c)] = sc_c
+            # clause scores are strictly positive (module docstring), so
+            # the zero fill stands in for "absent" under max and sum
+            mx = mat.max(axis=0)
+            total = mat[0].copy()
+            for r in range(1, len(cscores)):
+                total += mat[r]
+            combined = mx + tie * (total - mx)
+        order = deterministic_topk(all_ids, combined, kk)
+        parts.append((qid, all_ids[order].astype(np.int64), combined[order]))
+    return parts
+
+
 def dis_max_match_index(
     spark: SparkSession,
     postings: DataFrame,
@@ -151,22 +203,37 @@ def dis_max_match_index(
     k: int = 10,
     term_stats: DataFrame | None = None,
     tokenizer=None,
+    strategy: str = "kernel",
 ) -> DataFrame:
     """Index-backed ``dis_max`` whose clauses are all match queries
-    (e.g. the original query text plus reformulations): ONE
-    ``match_scores`` call scores EVERY clause — the clause queries fold
-    into a composite (qid, cid) uid key, so the postings scan, decode,
-    and partial-sum shuffle happen once regardless of clause count;
-    the uid splits back via a broadcast meta join before the combine.
+    (e.g. the original query text plus reformulations).
+
+    ``strategy='kernel'`` (default): segment-local numpy TAAT — decode
+    each term once per segment, per-clause bincount sums, the dis-max
+    fold in the kernel, <= k rows per (query, segment) shipped into the
+    global deterministic top-k. Same plan family as ``search_index``;
+    the full per-clause match sets never leave the executors (the r5
+    relational spelling shuffled rows ~= the sum of every clause's term
+    dfs). Queries follow the engine's collect contract (interactive
+    clause batches; the clause-term maps broadcast).
+
+    ``strategy='relational'``: the fully in-plan twin (value-identical,
+    tested) — ONE ``match_scores`` call scores EVERY clause via the
+    composite (qid, cid) uid, one groupBy combine; the shape for
+    unbounded clause-query relations.
     """
-    from sgpt_spark.operators.funcscore import match_scores
     from sgpt_spark.operators.index_search import normalize_queries
 
     if not clause_queries:
         raise ValueError("dis_max needs at least one clause")
+    if strategy not in ("kernel", "relational"):
+        raise ValueError(
+            f"unknown strategy {strategy!r}: use kernel|relational"
+        )
     _check_tie(tie_breaker)
     uni = None
     qid_type = None
+    qdfs = []
     for i, q in enumerate(clause_queries):
         q, qt = normalize_queries(q)
         if not isinstance(q, DataFrame):
@@ -177,8 +244,15 @@ def dis_max_match_index(
                 f"{qid_type} vs {q.schema['qid'].dataType}"
             )
         qid_type = q.schema["qid"].dataType
+        qdfs.append(q)
         t = q.select("qid", F.lit(i).alias("_cid"), "query")
         uni = t if uni is None else uni.unionByName(t)
+    if strategy == "kernel":
+        return _dis_max_kernel(
+            spark, postings, meta, qdfs, tie_breaker, k, term_stats, tokenizer
+        )
+    from sgpt_spark.operators.funcscore import match_scores
+
     uid = F.concat(
         F.col("qid").cast("string"), F.lit(_SEP), F.col("_cid").cast("string")
     )
@@ -193,6 +267,101 @@ def dis_max_match_index(
         .select("qid", "doc_id", "_cid", "score")
     )
     return _combine_tagged(tagged, len(clause_queries), tie_breaker, k)
+
+
+def _dis_max_kernel(
+    spark: SparkSession,
+    postings: DataFrame,
+    meta,
+    qdfs: list,
+    tie_breaker: float,
+    k: int,
+    term_stats,
+    tokenizer,
+) -> DataFrame:
+    """The kernel strategy's body: collect per-clause analyzed terms,
+    broadcast qid -> {cid: [(term, qtf * idf)]}, one pruned postings
+    scan, per-segment ``_dismax_parts``, global top-k (round_scores
+    =False — the combined value is already exact, _combine_tagged's
+    rule)."""
+    import pandas as pd
+
+    from sgpt_spark.functions.analyzer import resolve_py_analyzer
+    from sgpt_spark.functions.bm25 import idf_py
+    from sgpt_spark.operators.index_search import (
+        _decode_terms,
+        _emit_topk_frame,
+        collect_query_terms,
+    )
+
+    tok = tokenizer or resolve_py_analyzer(meta.analyzer)
+    qid_type = qdfs[0].schema["qid"].dataType.simpleString()
+    per_query_cl: dict = {}
+    all_terms: set = set()
+    for cid, q in enumerate(qdfs):
+        for qid, t, qtf in collect_query_terms(q, tokenize=tok):
+            per_query_cl.setdefault(qid, {}).setdefault(cid, []).append(
+                (t, int(qtf))
+            )
+            all_terms.add(t)
+    seg_schema = f"qid {qid_type}, doc_id long, score double"
+    empty = spark.createDataFrame([], seg_schema + ", rank int")
+    if not per_query_cl:
+        return empty
+    terms = sorted(all_terms)
+    cand = postings.filter(F.col("term").isin(terms))
+    if isinstance(term_stats, dict):
+        global_df = {t: int(term_stats[t]) for t in terms if t in term_stats}
+    elif term_stats is not None:
+        global_df = {
+            r["term"]: int(r["df"])
+            for r in term_stats.filter(F.col("term").isin(terms)).collect()
+        }
+    else:
+        global_df = {
+            r["term"]: int(r["df"])
+            for r in cand.groupBy("term").agg(F.sum("df").alias("df")).collect()
+        }
+    idf = {t: idf_py(d, meta.n_docs) for t, d in global_df.items()}
+    weighted: dict = {}
+    for qid, by_cid in per_query_cl.items():
+        wcid = {}
+        for cid, tws in by_cid.items():
+            tws = [(t, qtf * idf[t]) for t, qtf in tws if t in idf]
+            if tws:
+                wcid[cid] = tws
+        if wcid:
+            weighted[qid] = wcid
+    if not weighted:
+        return empty
+    b_queries = spark.sparkContext.broadcast(weighted)
+    k1, b, avgdl, codec = meta.k1, meta.b, meta.avgdl, meta.codec
+    tie, kk = float(tie_breaker), int(k)
+
+    def dm_wrapper(batches):
+        chunks = list(batches)
+        if not chunks:
+            return
+        pdf = (
+            pd.concat(chunks, ignore_index=True)
+            if len(chunks) > 1
+            else chunks[0]
+        )
+        for seg in pdf["segment"].unique():
+            sdf = pdf[pdf["segment"] == seg]
+            decoded = _decode_terms(sdf["term"], sdf["blocks"], codec, k1, b, avgdl)
+            if not decoded:
+                continue
+            parts = _dismax_parts(decoded, b_queries.value, tie, kk)
+            if parts:
+                yield _emit_topk_frame(parts)
+
+    seg_topk = cand.repartition("segment").mapInPandas(
+        dm_wrapper, schema=seg_schema
+    )
+    return topk_per_group(seg_topk, k=k, round_scores=False).select(
+        "qid", "doc_id", "score", "rank"
+    )
 
 
 def dis_max_search(

@@ -104,12 +104,21 @@ def more_like_this_index(
     min_should_pct: int = 30,
     term_stats: DataFrame | None = None,
     tokenizer=None,
+    strategy: str = "cogroup",
 ) -> DataFrame:
     """ES ``more_like_this`` over the compressed index -> (qid, doc_id,
     score, rank). ``seeds``: (qid, doc_id) liked docs, qid = seed
     doc_id by convention (the exclude-seed filter compares them).
     Defaults mirror ES: max_query_terms 25, min_term_freq 2,
     min_doc_freq 5, minimum_should_match "30%". See module docstring.
+
+    ``strategy='cogroup'`` (default, r6): the selected (qid, term)
+    relation — still fully in-plan — feeds the numpy TAAT kernel via
+    ``multiterm._cogroup_weighted`` (by-presence replication, per-
+    segment msm gate, exclude-self with the k+1 spare) instead of the
+    relational probe + groupBy; value-identical (tested), ~4x cheaper
+    per seed batch. ``strategy='relational'`` pins the r5 relational
+    spelling (the verification twin).
     """
     from sgpt_spark.operators.search import score_candidates
     from sgpt_spark.operators.index_search import flatten_postings
@@ -136,6 +145,10 @@ def more_like_this_index(
         min_doc_freq=min_doc_freq,
         tokenizer=tokenizer,
     )
+    if strategy not in ("cogroup", "relational"):
+        raise ValueError(
+            f"unknown strategy {strategy!r}: use cogroup|relational"
+        )
     qt = sel.select("qid", "term", F.lit(1).alias("qtf"))
     required = qt.groupBy("qid").agg(
         F.greatest(
@@ -145,6 +158,18 @@ def more_like_this_index(
         .cast("long")
         .alias("req")
     )
+    if strategy == "cogroup":
+        from sgpt_spark.functions.bm25 import idf as idf_col
+        from sgpt_spark.operators.multiterm import _cogroup_weighted
+
+        qtw = qt.join(dfs, "term").select(
+            "qid", "term", idf_col(F.col("df"), float(meta.n_docs)).alias("w")
+        )
+        return _cogroup_weighted(
+            spark, postings, meta, qtw,
+            seeds.schema["qid"].dataType.simpleString(), k,
+            required=required, exclude_self=True,
+        )
     cand = postings.join(qt.select("term").distinct(), "term", "left_semi")
     flat = flatten_postings(cand, codec=meta.codec)
     scored = score_candidates(

@@ -446,16 +446,20 @@ def prefix_search_index(
     (qid, doc_id, score, rank). ``prefixes``: (qid, prefix) rows.
 
     strategy:
-      'join'  fully in-plan: expansion joins the termstats dictionary,
-              the probe decodes the semi-join-pruned postings, scoring
-              is a relational groupBy — no driver collect of queries or
-              terms (only the distinct prefix lengths). The
-              unbounded-query-set contract.
+      'join'  fully in-plan (no driver collect of queries or terms;
+              only the distinct prefix lengths). ``scoring_boolean``
+              requests execute on the COGROUP kernel (r6): the in-plan
+              expansion feeds the numpy TAAT kernel by-presence
+              (``_cogroup_weighted``) — value-identical to the
+              relational spelling (tested) and ~5x cheaper, since the
+              relational probe pays JVM row materialization per
+              (expanded term, posting). ``constant_score`` stays on the
+              relational bitset spelling (a set operation).
+      'relational'  pin the pure relational probe + groupBy spelling
+              (the verification twin).
       'taat'  collect the (bounded — max_expansions required) expansion
-              set and score with the search_index TAAT kernels: one
-              decode per (term, segment), numpy scatter-add, <= k rows
-              per (query, segment) shuffled. ~20x faster per query
-              batch (bench: bm25_prefix rows); scoring_boolean only.
+              set and score with the search_index TAAT kernels
+              (interactive path); scoring_boolean only.
 
     The dictionary must exist — pass ``term_stats`` or have
     {path}/termstats readable via the caller (read_index exposes it).
@@ -470,8 +474,18 @@ def prefix_search_index(
         _check_taat_args(rewrite, max_expansions)
         qid_type = prefixes.schema["qid"].dataType.simpleString()
         return _scoring_boolean_taat(spark, postings, meta, exp, qid_type, k)
-    if strategy != "join":
-        raise ValueError(f"unknown strategy {strategy!r}: use join|taat")
+    if strategy not in ("join", "relational"):
+        raise ValueError(
+            f"unknown strategy {strategy!r}: use join|relational|taat"
+        )
+    if strategy == "join" and rewrite == "scoring_boolean":
+        qtw = exp.select(
+            "qid", "term", idf(F.col("df"), float(meta.n_docs)).alias("w")
+        )
+        return _cogroup_weighted(
+            spark, postings, meta, qtw,
+            prefixes.schema["qid"].dataType.simpleString(), k,
+        )
     flat = _index_flat_for(postings, exp, meta.codec)
     return _score_expansions(
         flat, exp, meta.n_docs, meta.avgdl, k, rewrite, meta.k1, meta.b
@@ -503,8 +517,18 @@ def wildcard_search_index(
         _check_taat_args(rewrite, max_expansions)
         qid_type = patterns.schema["qid"].dataType.simpleString()
         return _scoring_boolean_taat(spark, postings, meta, exp, qid_type, k)
-    if strategy != "join":
-        raise ValueError(f"unknown strategy {strategy!r}: use join|taat")
+    if strategy not in ("join", "relational"):
+        raise ValueError(
+            f"unknown strategy {strategy!r}: use join|relational|taat"
+        )
+    if strategy == "join" and rewrite == "scoring_boolean":
+        qtw = exp.select(
+            "qid", "term", idf(F.col("df"), float(meta.n_docs)).alias("w")
+        )
+        return _cogroup_weighted(
+            spark, postings, meta, qtw,
+            patterns.schema["qid"].dataType.simpleString(), k,
+        )
     flat = _index_flat_for(postings, exp, meta.codec)
     return _score_expansions(
         flat, exp, meta.n_docs, meta.avgdl, k, rewrite, meta.k1, meta.b
@@ -536,8 +560,18 @@ def regexp_search_index(
         _check_taat_args(rewrite, max_expansions)
         qid_type = patterns.schema["qid"].dataType.simpleString()
         return _scoring_boolean_taat(spark, postings, meta, exp, qid_type, k)
-    if strategy != "join":
-        raise ValueError(f"unknown strategy {strategy!r}: use join|taat")
+    if strategy not in ("join", "relational"):
+        raise ValueError(
+            f"unknown strategy {strategy!r}: use join|relational|taat"
+        )
+    if strategy == "join" and rewrite == "scoring_boolean":
+        qtw = exp.select(
+            "qid", "term", idf(F.col("df"), float(meta.n_docs)).alias("w")
+        )
+        return _cogroup_weighted(
+            spark, postings, meta, qtw,
+            patterns.schema["qid"].dataType.simpleString(), k,
+        )
     flat = _index_flat_for(postings, exp, meta.codec)
     return _score_expansions(
         flat, exp, meta.n_docs, meta.avgdl, k, rewrite, meta.k1, meta.b
@@ -586,21 +620,38 @@ def fuzzy_search_index(
         max_expansions=max_expansions,
     )
     if strategy == "taat":
-        rows = exp.collect()  # bounded: max_expansions x |queries|
+        # bounded: max_expansions x |queries|; Arrow toPandas (see
+        # _scoring_boolean_taat)
+        pdf = exp.select("qid", "term", "df", "boost").toPandas()
         blend_py: dict = {}
-        for r in rows:
-            blend_py[r["qid"]] = max(blend_py.get(r["qid"], 0), int(r["df"]))
+        for qid, df_ in zip(pdf["qid"], pdf["df"]):
+            blend_py[qid] = max(blend_py.get(qid, 0), int(df_))
         per_query: dict = {}
-        for r in rows:
-            per_query.setdefault(r["qid"], []).append(
-                (r["term"], r["boost"] * idf_py(blend_py[r["qid"]], meta.n_docs))
+        for qid, term, boost in zip(pdf["qid"], pdf["term"], pdf["boost"]):
+            per_query.setdefault(qid, []).append(
+                (term, boost * idf_py(blend_py[qid], meta.n_docs))
             )
         qid_type = qterms.schema["qid"].dataType.simpleString()
         return _taat_weighted(spark, postings, meta, per_query, qid_type, k)
-    if strategy != "join":
-        raise ValueError(f"unknown strategy {strategy!r}: use join|taat")
+    if strategy not in ("join", "relational"):
+        raise ValueError(
+            f"unknown strategy {strategy!r}: use join|relational|taat"
+        )
     blend = exp.groupBy("qid").agg(F.max("df").alias("df_blend"))
     exp_b = exp.join(blend, "qid")
+    if strategy == "join":
+        # r6: in-plan expansion feeds the cogroup TAAT kernel — the
+        # blended weight boost_t * idf(df_blend) compiles in codegen,
+        # value-identical to the relational probe (tested)
+        qtw = exp_b.select(
+            "qid",
+            "term",
+            (F.col("boost") * idf(F.col("df_blend"), float(meta.n_docs))).alias("w"),
+        )
+        return _cogroup_weighted(
+            spark, postings, meta, qtw,
+            qterms.schema["qid"].dataType.simpleString(), k,
+        )
     flat = _index_flat_for(postings, exp_b, meta.codec)
     scored = (
         flat.join(exp_b, "term")
@@ -617,6 +668,112 @@ def fuzzy_search_index(
         .agg(F.sum("s").alias("score"))
     )
     return topk_per_group(scored, k=k).select("qid", "doc_id", "score", "rank")
+
+
+# --- in-plan cogroup kernel strategy (r6) ----------------------------------
+
+
+def _cogroup_weighted(
+    spark: SparkSession,
+    postings: DataFrame,
+    meta: IndexMeta,
+    qtw: DataFrame,
+    qid_type: str,
+    k: int,
+    required: DataFrame | None = None,
+    exclude_self: bool = False,
+) -> DataFrame:
+    """In-plan kernel execution for an EXPANDED weight relation ``qtw``
+    = (qid, term, w): the expansion never touches the driver (the
+    ``search_index_cogroup`` contract), and each segment scores with
+    the same numpy TAAT kernels as the collect path.
+
+    Replication is BY PRESENCE, not a segment cross join: a (qid, term)
+    weight row ships only to segments that actually HOLD the term (one
+    inner join against the (segment, term) posting keys), so the
+    replication row count is sum_t |segments(t)| — for the rare terms a
+    dictionary expansion mostly yields, about 1 row per (qid, term) —
+    instead of |expansion| x n_segments. A segment never misses a
+    needed weight: absent (term, segment) pairs have no postings to
+    score there.
+
+    ``required``: optional (qid, req) minimum-matched-clause gate (the
+    ``score_candidates`` semantics — qtf units; every qtw row carries
+    qtf=1 here, so req counts matched terms), applied inside the kernel
+    per segment (globally correct: a doc lives in one segment).
+    ``exclude_self`` drops doc_id == qid rows with the search_index
+    k+1-per-segment spare so the global page never starves."""
+    import numpy as np  # noqa: F401  (kernel deps resolved in imports below)
+    import pandas as pd
+
+    from sgpt_spark.operators.index_search import (
+        _decode_terms,
+        _emit_topk_frame,
+        _query_maps,
+        _taat_parts,
+    )
+
+    if exclude_self and qid_type not in (
+        "bigint", "int", "long", "smallint", "tinyint"
+    ):
+        raise ValueError(
+            f"exclude_self needs integer qids matching index doc ids; "
+            f"got qid type {qid_type}"
+        )
+    seg_schema = f"qid {qid_type}, doc_id long, score double"
+    cand = postings.join(
+        qtw.select("term").distinct(), "term", "left_semi"
+    ).select("segment", "term", "blocks")
+    # explicit dataset aliases — qtw may derive from postings (the
+    # term_stats fallback aggregates it), so the presence join is a
+    # self-join the analyzer otherwise rejects as ambiguous
+    presence = postings.select(
+        F.col("segment").cast("int").alias("segment"),
+        F.col("term").cast("string").alias("term"),
+    ).alias("_mt_presence")
+    qtw_a = qtw.alias("_mt_qtw")
+    qseg = qtw_a.join(
+        presence, F.col("_mt_qtw.term") == F.col("_mt_presence.term")
+    ).select(
+        F.col("_mt_presence.segment").alias("segment"),
+        F.col("_mt_qtw.qid").alias("qid"),
+        F.col("_mt_qtw.term").alias("term"),
+        F.lit(1).alias("qtf"),
+        F.col("_mt_qtw.w").alias("w"),
+    )
+    if required is not None:
+        qseg = qseg.join(required, "qid", "left").withColumn(
+            "req", F.coalesce(F.col("req"), F.lit(0)).cast("int")
+        )
+    codec, k1, b_, avgdl = meta.codec, meta.k1, meta.b, meta.avgdl
+    kk = int(k) + 1 if exclude_self else int(k)
+
+    def score(pleft: pd.DataFrame, pright: pd.DataFrame) -> pd.DataFrame:
+        if len(pleft) == 0 or len(pright) == 0:
+            return _emit_topk_frame([])
+        decoded = _decode_terms(pleft["term"], pleft["blocks"], codec, k1, b_, avgdl)
+        if not decoded:
+            return _emit_topk_frame([])
+        qid_list, tmap, per_query = _query_maps(
+            pright["qid"], pright["term"], pright["w"], pright["qtf"]
+        )
+        msm_b = (
+            {q: int(r) for q, r in zip(pright["qid"], pright["req"])}
+            if "req" in pright.columns
+            else None
+        )
+        return _emit_topk_frame(
+            _taat_parts(decoded, qid_list, tmap, per_query, kk, msm=msm_b)
+        )
+
+    seg_topk = (
+        cand.groupBy("segment")
+        .cogroup(qseg.groupBy("segment"))
+        .applyInPandas(score, schema=seg_schema)
+    )
+    if exclude_self:
+        seg_topk = seg_topk.filter(F.col("doc_id") != F.col("qid"))
+    return topk_per_group(seg_topk, k=k).select("qid", "doc_id", "score", "rank")
 
 
 # --- collect-path TAAT strategy (interactive speed) -----------------------
@@ -655,7 +812,14 @@ def _taat_weighted(
     terms = sorted({t for tws in per_query.values() for t, _ in tws})
     if not terms:
         return spark.createDataFrame([], seg_schema + ", rank int")
-    cand = postings.filter(F.col("term").isin(terms))
+    if len(terms) <= 2048:
+        cand = postings.filter(F.col("term").isin(terms))
+    else:
+        # a 100k-literal In() predicate bloats the plan (compile +
+        # serialize per task); past Lucene's maxClauseCount-sized sets,
+        # semi-join a term relation instead (broadcast-sized)
+        tdf = spark.createDataFrame([(t,) for t in terms], "term string")
+        cand = postings.join(F.broadcast(tdf), "term", "left_semi")
     qid_list = sorted(per_query)
     qrow = {q: i for i, q in enumerate(qid_list)}
     term_to_q: dict = {}
@@ -713,10 +877,14 @@ def _scoring_boolean_taat(
     spark: SparkSession, postings: DataFrame, meta: IndexMeta,
     exp: DataFrame, qid_type: str, k: int,
 ) -> DataFrame:
+    # bounded: max_expansions x |queries|; Arrow toPandas — a Row-object
+    # collect of a 6-figure expansion set costs seconds of pure driver
+    # deserialization
+    pdf = exp.select("qid", "term", "df").toPandas()
     per_query: dict = {}
-    for r in exp.collect():  # bounded: max_expansions x |queries|
-        per_query.setdefault(r["qid"], []).append(
-            (r["term"], idf_py(int(r["df"]), meta.n_docs))
+    for qid, term, df_ in zip(pdf["qid"], pdf["term"], pdf["df"]):
+        per_query.setdefault(qid, []).append(
+            (term, idf_py(int(df_), meta.n_docs))
         )
     return _taat_weighted(spark, postings, meta, per_query, qid_type, k)
 

@@ -216,11 +216,33 @@ def simple_query_string_index(
     term_stats: DataFrame | None = None,
     tokenize=None,
     validate: bool = True,
+    strategy: str | None = None,
 ) -> DataFrame:
     """``simple_query_string`` over a persisted POSITIONAL index (the
     phrase clauses need the .pos sidecar; plain-postings queries with
     no phrase clause also work off a positional build since the block
-    postings derive from it). -> (qid, doc_id, score, rank)."""
+    postings derive from it). -> (qid, doc_id, score, rank).
+
+    DEFAULT ROUTE: with the ES-default ``minimum_should_match`` (None)
+    this delegates to ``simple_query_string_cogroup`` — the bool-bitmap
+    kernel path, value-identical on this shape (tested:
+    test_querystring.test_cogroup_matches_index and the slop twin) and
+    ~6x cheaper: the clause-relation spelling materializes every
+    clause's FULL scored match set into one groupBy (rows ~= sum of
+    clause-term dfs) where the kernel emits <= k rows per (query,
+    segment). The clause-relation path below remains the verification
+    twin and still serves the two shapes whose semantics it alone
+    defines: an EXPLICIT minimum_should_match (the documented
+    should-less divergence) and ``validate=False`` (silent empty for
+    pure negation, where the kernel guard raises in-plan).
+    ``strategy`` pins a path explicitly: "cogroup" | "clauses" | None
+    (auto — the routing above); the identity tests pin "clauses" so
+    the twin keeps verifying the kernel.
+    """
+    if strategy not in (None, "clauses", "cogroup"):
+        raise ValueError(
+            f"strategy {strategy!r} not in (None, 'clauses', 'cogroup')"
+        )
     from sgpt_spark.operators.funcscore import match_scores
     from sgpt_spark.operators.index_search import normalize_queries
     from sgpt_spark.operators.indexer import read_index
@@ -232,6 +254,15 @@ def simple_query_string_index(
     parsed = parse_simple_query_string(queries, default_operator)
     if validate:
         _validate_positive(parsed)
+    route_fast = strategy == "cogroup" or (
+        strategy is None and minimum_should_match is None and validate
+    )
+    if route_fast:
+        return simple_query_string_cogroup(
+            spark, path, queries, k=k, default_operator=default_operator,
+            minimum_should_match=minimum_should_match,
+            term_stats=term_stats, tokenize=tokenize,
+        )
     postings, meta = read_index(spark, path)
 
     term_cl = parsed.filter(F.col("kind") == "term").select(

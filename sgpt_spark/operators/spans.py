@@ -75,6 +75,7 @@ NearSpansUnordered queue pays per doc in its worst case).
 from __future__ import annotations
 
 import bisect
+from collections import ChainMap
 from typing import Iterator
 
 import numpy as np
@@ -371,6 +372,210 @@ def span_freq(tree, posmap: dict, min_width: int | None = None) -> float:
     return f
 
 
+_SYNTH = "\x1d"  # synthetic-leaf marker: not producible by any analyzer
+
+
+def _collapse_or_groups(tree):
+    """Rewrite every ``span_or``-of-bare-terms node into ONE synthetic
+    leaf term -> (new_tree, groups_map). ``groups_map`` maps each
+    synthetic term to its sorted real-term tuple; the executor
+    materializes the synthetic leaf's positions as the segment-level
+    numpy union ONCE, instead of merging the member term lists per
+    candidate document inside ``eval_spans``.
+
+    Exact by construction: a span_or of width-1 terms evaluates to the
+    minimal union of the member position sets — precisely the merged
+    position list — and every ancestor node only ever sees that span
+    list, so the rewritten tree walks identically (the 49-of-171
+    span_multi bench trees whose expansion shares a term with another
+    clause stay on the interpreter but drop from 53 leaves to 4)."""
+    if isinstance(tree, str):
+        return tree, {}
+    kind, body = _node(tree)
+    if kind == "span_term":
+        return tree, {}
+    if kind == "span_or":
+        clauses = body["clauses"] if isinstance(body, dict) else body
+        terms = []
+        for c in clauses:
+            ckind, cbody = _node(c)
+            if ckind != "span_term":
+                terms = None
+                break
+            terms.append(cbody)
+        if terms is not None:
+            group = tuple(sorted(set(terms)))
+            if len(group) == 1:
+                return {"span_term": group[0]}, {}
+            synth = _SYNTH + "|".join(group)
+            return {"span_term": synth}, {synth: group}
+        new, gm = [], {}
+        for c in clauses:
+            nc, g = _collapse_or_groups(c)
+            new.append(nc)
+            gm.update(g)
+        return {"span_or": {"clauses": new}}, gm
+    if kind == "span_near":
+        new, gm = [], {}
+        for c in body["clauses"]:
+            nc, g = _collapse_or_groups(c)
+            new.append(nc)
+            gm.update(g)
+        out = dict(body)
+        out["clauses"] = new
+        return {"span_near": out}, gm
+    if kind == "span_first":
+        m, gm = _collapse_or_groups(body["match"])
+        return {"span_first": {**body, "match": m}}, gm
+    if kind == "span_not":
+        inc, g1 = _collapse_or_groups(body["include"])
+        exc, g2 = _collapse_or_groups(body["exclude"])
+        return {"span_not": {**body, "include": inc, "exclude": exc}}, {
+            **g1, **g2
+        }
+    big, g1 = _collapse_or_groups(body["big"])
+    little, g2 = _collapse_or_groups(body["little"])
+    return {kind: {"big": big, "little": little}}, {**g1, **g2}
+
+
+def _synth_entry(decoded: dict, group: tuple, cache: dict):
+    """Materialize (and memoize per segment) the merged positional
+    entry for a synthetic or-group leaf: the union of the member terms'
+    (docs, dls, occ_doc, occ_pos) arrays, occurrence-sorted by
+    (doc, pos) — all numpy, no per-document Python."""
+    ent = cache.get(group)
+    if ent is not None:
+        return ent
+    ents = [decoded[t] for t in group if t in decoded]
+    if not ents:
+        cache[group] = None
+        return None
+    if len(ents) == 1:
+        cache[group] = ents[0]
+        return ents[0]
+    all_docs = np.concatenate([e[0] for e in ents])
+    all_dls = np.concatenate([e[1] for e in ents])
+    uq, first = np.unique(all_docs, return_index=True)
+    od = np.concatenate([e[2] for e in ents])
+    op = np.concatenate([e[3] for e in ents])
+    srt = np.lexsort((op, od))
+    ent = (uq, all_dls[first], od[srt], op[srt])
+    cache[group] = ent
+    return ent
+
+
+def _flat_near_groups(tree):
+    """Detect the FLAT span_near shape the vectorized kernel serves:
+    root = span_near whose clauses are each a bare term (string /
+    span_term) or a span_or of bare terms, with pairwise-DISJOINT
+    clause term sets. -> (groups, in_order, slop) or None.
+
+    Why this shape reduces to minimal intervals: every clause span has
+    width 1, and positions of DISTINCT terms in one document are
+    distinct by construction (one token per position), so the
+    non-overlap selection constraint is automatic and the minimal
+    spanned windows of "one position per clause" are exactly the
+    Clarke/Cormack/Vigna minimal intervals ``operators.intervals``
+    computes (ordered: the same chain walk as ``_near_ordered``).
+    Clauses SHARING a term can need the same position twice — the
+    overlap constraint then bites and the tree walk keeps those.
+    """
+    kind, body = _node(tree)
+    if kind != "span_near":
+        return None
+    groups: list = []
+    for c in body["clauses"]:
+        ckind, cbody = _node(c)
+        if ckind == "span_term":
+            groups.append((cbody,))
+        elif ckind == "span_or":
+            clauses = cbody["clauses"] if isinstance(cbody, dict) else cbody
+            terms = []
+            for cc in clauses:
+                gkind, gbody = _node(cc)
+                if gkind != "span_term":
+                    return None
+                terms.append(gbody)
+            if not terms:
+                return None
+            groups.append(tuple(sorted(set(terms))))
+        else:
+            return None
+    seen: set = set()
+    for g in groups:
+        for t in g:
+            if t in seen:
+                return None
+            seen.add(t)
+    return groups, bool(body.get("in_order", False)), int(body.get("slop", 0))
+
+
+def _flat_near_parts(decoded, groups, in_order, slop):
+    """The vectorized kernel for the flat span_near shape: per-clause
+    occurrence arrays are built ONCE per (rule, segment) with numpy
+    (or-group unions lexsorted by (doc, pos)), candidates intersect
+    per-group doc sets smallest-first, and the per-candidate walk is
+    ``intervals.interval_freq`` — the heap/chain minimal-interval
+    automaton, not the backtracking span-selection interpreter.
+    -> (docs_arr, freqs_arr, uq_docs, dls_for) or None when the
+    segment can't match."""
+    from sgpt_spark.operators.intervals import interval_freq
+
+    g_entries = []
+    for g in groups:
+        ents = [decoded[t] for t in g if t in decoded]
+        if not ents:
+            return None  # a near clause with no present term: no match
+        g_entries.append(ents)
+    g_docsets = []
+    for ents in g_entries:
+        if len(ents) == 1:
+            g_docsets.append(ents[0][0])
+        else:
+            g_docsets.append(np.unique(np.concatenate([e[0] for e in ents])))
+    order = sorted(range(len(groups)), key=lambda j: len(g_docsets[j]))
+    cand = None
+    for j in order:
+        cand = (
+            g_docsets[j]
+            if cand is None
+            else np.intersect1d(cand, g_docsets[j], assume_unique=True)
+        )
+        if len(cand) == 0:
+            return None
+    slices = []
+    for ents in g_entries:
+        if len(ents) == 1:
+            od, op = ents[0][2], ents[0][3]
+        else:
+            od = np.concatenate([e[2] for e in ents])
+            op = np.concatenate([e[3] for e in ents])
+            srt = np.lexsort((op, od))
+            od, op = od[srt], op[srt]
+        lo = np.searchsorted(od, cand, side="left")
+        hi = np.searchsorted(od, cand, side="right")
+        slices.append((op, lo, hi))
+    all_docs = np.concatenate([e[0] for ents in g_entries for e in ents])
+    all_dls = np.concatenate([e[1] for ents in g_entries for e in ents])
+    uq, first = np.unique(all_docs, return_index=True)
+    dls_for = all_dls[first]
+    hit_docs, hit_freqs = [], []
+    for i in range(len(cand)):
+        arrs = [op[lo[i]:hi[i]].astype(np.int64) for op, lo, hi in slices]
+        f = interval_freq(arrs, in_order, slop)
+        if f > 0.0:
+            hit_docs.append(int(cand[i]))
+            hit_freqs.append(f)
+    if not hit_docs:
+        return None
+    return (
+        np.asarray(hit_docs, dtype=np.int64),
+        np.asarray(hit_freqs, dtype=np.float64),
+        uq,
+        dls_for,
+    )
+
+
 def _candidate_docs(tree, decoded: dict) -> np.ndarray:
     """Bottom-up candidate doc-id sets from the decoded segment: docs
     that can possibly match (near intersects, or unions, not keeps the
@@ -413,8 +618,31 @@ def span_parts(
     if not decoded:
         return []
     parts = []
-    for qid, tree, terms, sum_idf, mw in rules:
-        cand = _candidate_docs(tree, decoded)
+    synth_cache: dict = {}
+    for qid, tree, terms, sum_idf, mw, fast, groups_map in rules:
+        if fast is not None:
+            hit = _flat_near_parts(decoded, *fast)
+            if hit is None:
+                continue
+            docs_arr, fv, uq, dls_for = hit
+            dl = dls_for[np.searchsorted(uq, docs_arr)].astype(np.float64)
+            raw = sum_idf * fv / (fv + k1 * (1.0 - b + b * dl / avgdl))
+            if kk is None:
+                parts.append((qid, docs_arr, raw))
+            else:
+                scores = np.round(raw, SCORE_DECIMALS)
+                sel = deterministic_topk(docs_arr, scores, kk)
+                parts.append((qid, docs_arr[sel], scores[sel]))
+            continue
+        lookup = decoded
+        if groups_map:
+            synths = {}
+            for synth, group in groups_map.items():
+                ent = _synth_entry(decoded, group, synth_cache)
+                if ent is not None:
+                    synths[synth] = ent
+            lookup = ChainMap(synths, decoded)
+        cand = _candidate_docs(tree, lookup)
         if len(cand) == 0:
             continue
         # per-candidate position slices for every tree term present
@@ -422,7 +650,7 @@ def span_parts(
         dl_map_docs: list = []
         dl_map_vals: list = []
         for t in terms:
-            ent = decoded.get(t)
+            ent = lookup.get(t)
             if ent is None:
                 continue
             d_i, dl_i, occ_doc, occ_pos = ent
@@ -530,13 +758,28 @@ def span_search_index(
         # on its present branches (a span_or with one absent clause
         # matches the other)
         pos_terms = span_leaf_terms(tree, positive_only=True)
+        mw = span_min_width(tree)
+        fast = _flat_near_groups(tree)
+        if fast is not None and mw != len(fast[0]):
+            fast = None  # defensive: kernel assumes min_width == #clauses
+        groups_map: dict = {}
+        walk_tree = tree
+        walk_terms = tuple(sorted(span_leaf_terms(tree)))
+        if fast is None:
+            # interpreter trees still get the or-group collapse: every
+            # or-of-terms becomes one synthetic leaf merged with numpy
+            # at the segment level (exact — see _collapse_or_groups)
+            walk_tree, groups_map = _collapse_or_groups(tree)
+            walk_terms = tuple(sorted(span_leaf_terms(walk_tree)))
         rules.append(
             (
                 qid,
-                tree,
-                tuple(sorted(span_leaf_terms(tree))),
+                walk_tree,
+                walk_terms,
                 sum(idf[t] for t in sorted(pos_terms) if t in idf),
-                span_min_width(tree),
+                mw,
+                fast,
+                groups_map,
             )
         )
     b_rules = spark.sparkContext.broadcast(rules)

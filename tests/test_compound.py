@@ -312,3 +312,23 @@ def test_match_all_and_none(spark):
     none = match_none_query(docs, [10, 20])
     assert none.collect() == []
     assert none.columns == ["qid", "doc_id", "score", "rank"]
+
+
+def test_dis_max_kernel_matches_relational_twin(spark):
+    """r6: the default segment-kernel strategy is value-identical to the
+    fully in-plan relational twin (the r5 spelling) on the gate shape."""
+    from sgpt_spark.sources.queryset import derived_queries
+    from sgpt_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf, "documents")
+    postings, meta = build_postings(docs, segment_size=200)
+    q1 = derived_queries(docs)
+    q2 = q1.selectExpr("qid", "split_part(query, ' ', 1) AS query")
+    for tie in (0.0, 0.5):
+        a = _rows(dis_max_match_index(spark, postings, meta, [q1, q2],
+                                      tie_breaker=tie, k=10))
+        b = _rows(dis_max_match_index(spark, postings, meta, [q1, q2],
+                                      tie_breaker=tie, k=10,
+                                      strategy="relational"))
+        assert a == b and len(a) > 0

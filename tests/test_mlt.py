@@ -200,3 +200,23 @@ def test_ngram_jaccard_duckdb_equality(spark):
         for _, row in ores.iterrows()
     )
     assert got == want and len(got) > 0
+
+
+def test_mlt_cogroup_matches_relational(spark):
+    """r6: the default cogroup-kernel strategy is value-identical to
+    the pinned relational spelling (the r5 path) on the gate shape."""
+    from sgpt_spark.operators.indexer import build_postings
+    from sgpt_spark.operators.mlt import more_like_this_index
+    from sgpt_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf, "documents")
+    postings, meta = build_postings(docs, segment_size=200)
+    seeds = docs.select(F.col("doc_id").alias("qid"), "doc_id").limit(20)
+    a = sorted(map(tuple, more_like_this_index(
+        spark, postings, meta, docs, seeds, k=10).collect()))
+    b = sorted(map(tuple, more_like_this_index(
+        spark, postings, meta, docs, seeds, k=10,
+        strategy="relational").collect()))
+    assert a == b and len(a) > 0

@@ -390,3 +390,50 @@ def test_regexp_max_expansions_term_order(spark):
         r["term"] for r in expand_regexp(ts, pats, max_expansions=2).collect()
     )
     assert len(all_terms) > 2 and capped == all_terms[:2]
+
+
+# --- r6: the cogroup kernel under strategy='join' vs the relational twin ----
+
+
+def test_join_strategy_cogroup_matches_relational(spark):
+    """r6: scoring_boolean strategy='join' executes on the cogroup TAAT
+    kernel; it must be value-identical to the pinned relational probe
+    (strategy='relational') for every family, including fuzzy's blended
+    weights."""
+    from sgpt_spark.operators.multiterm import (
+        fuzzy_search_index,
+        prefix_search_index,
+        regexp_search_index,
+        wildcard_search_index,
+    )
+
+    docs = _docs(spark)
+    postings, meta = build_postings(docs, segment_size=2)
+    pfx = [(1, "s"), (2, "ta"), (3, "pa")]
+    a = _rows(prefix_search_index(spark, postings, meta, pfx, k=10,
+                                  rewrite="scoring_boolean"))
+    b = _rows(prefix_search_index(spark, postings, meta, pfx, k=10,
+                                  rewrite="scoring_boolean",
+                                  strategy="relational"))
+    assert a == b and len(a) > 0
+    pats = [(1, "s*"), (2, "t?b")]
+    a = _rows(wildcard_search_index(spark, postings, meta, pats, k=10,
+                                    rewrite="scoring_boolean"))
+    b = _rows(wildcard_search_index(spark, postings, meta, pats, k=10,
+                                    rewrite="scoring_boolean",
+                                    strategy="relational"))
+    assert a == b and len(a) > 0
+    res = [(1, "so.*"), (2, "t.b")]
+    a = _rows(regexp_search_index(spark, postings, meta, res, k=10,
+                                  rewrite="scoring_boolean"))
+    b = _rows(regexp_search_index(spark, postings, meta, res, k=10,
+                                  rewrite="scoring_boolean",
+                                  strategy="relational"))
+    assert a == b and len(a) > 0
+    fz = [(1, "sparc"), (2, "tap"), (3, "sorte")]
+    a = _rows(fuzzy_search_index(spark, postings, meta, fz, k=10,
+                                 max_edits=2, prefix_length=0))
+    b = _rows(fuzzy_search_index(spark, postings, meta, fz, k=10,
+                                 max_edits=2, prefix_length=0,
+                                 strategy="relational"))
+    assert a == b and len(a) > 0

@@ -220,7 +220,7 @@ def test_index_matches_exhaustive(spark):
     a = _rows(simple_query_string_search(docs, QS, k=10))
     b = _rows(simple_query_string_index(
         spark, path, QS, k=10,
-        term_stats=read_term_stats(spark, path),
+        term_stats=read_term_stats(spark, path), strategy="clauses",
     ))
     assert a == b and len(a) > 0
 
@@ -294,7 +294,8 @@ def test_sqs_slop_matches_brute_force(spark):
     path = tempfile.mkdtemp(prefix="sgpt_qs_slop_")
     build_positional_index(docs.repartition(3, "doc_id"), path, segment_size=2)
     ts = read_term_stats(spark, path)
-    a = _rows(simple_query_string_index(spark, path, QS_SLOP, k=10, term_stats=ts))
+    a = _rows(simple_query_string_index(spark, path, QS_SLOP, k=10,
+                                        term_stats=ts, strategy="clauses"))
     b = _rows(simple_query_string_cogroup(spark, path, QS_SLOP, k=10, term_stats=ts))
     want = _brute(QS_SLOP)
     assert a == want and b == want and len(want) > 0
@@ -325,7 +326,8 @@ def test_cogroup_matches_index(spark, codec):
     build_positional_index(
         docs.repartition(3, "doc_id"), path, segment_size=2, codec=codec
     )
-    a = _rows(simple_query_string_index(spark, path, QS, k=10))
+    a = _rows(simple_query_string_index(spark, path, QS, k=10,
+                                        strategy="clauses"))
     b = _rows(simple_query_string_cogroup(spark, path, QS, k=10))
     assert a == b and len(a) > 5
 
@@ -338,7 +340,8 @@ def test_cogroup_operator_and_and_msm(spark):
     build_positional_index(docs.repartition(3, "doc_id"), path, segment_size=2)
     a = _rows(
         simple_query_string_index(
-            spark, path, [(1, "quick brown")], k=10, default_operator="and"
+            spark, path, [(1, "quick brown")], k=10, default_operator="and",
+            strategy="clauses",
         )
     )
     b = _rows(
@@ -370,7 +373,8 @@ def test_cogroup_phrase_occurs(spark):
         (2, 'cat -"lazy brown dog"'),
         (3, '"quick brown"'),  # phrase-only: no term clause at all
     ]
-    a = _rows(simple_query_string_index(spark, path, qs, k=10))
+    a = _rows(simple_query_string_index(spark, path, qs, k=10,
+                                        strategy="clauses"))
     b = _rows(simple_query_string_cogroup(spark, path, qs, k=10))
     assert a == b and len([r for r in a if r[0] == 3]) > 0
 
@@ -401,9 +405,14 @@ def test_cogroup_gate_shape_identity(spark):
     build_positional_index(docs.repartition(8, "doc_id"), path, segment_size=200)
     ts = read_term_stats(spark, path)
     qs = derived_query_strings(docs)
-    a = _rows(simple_query_string_index(spark, path, qs, k=10, term_stats=ts))
+    a = _rows(simple_query_string_index(spark, path, qs, k=10, term_stats=ts,
+                                        strategy="clauses"))
     b = _rows(simple_query_string_cogroup(spark, path, qs, k=10, term_stats=ts))
     assert a == b and len(a) > 0
+    # the DEFAULT route (msm=None, validate=True) must equal the pinned
+    # clause path — the r6 routing is what the gate actually runs
+    c = _rows(simple_query_string_index(spark, path, qs, k=10, term_stats=ts))
+    assert c == a
 
 
 # --- gate equality ----------------------------------------------------------

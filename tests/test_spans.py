@@ -474,3 +474,85 @@ def test_term_stats_paths_agree(spark):
     }
     with_stats = _rows(span_search_index(spark, path, TREES, k=10, term_stats=stats))
     assert base == with_stats
+
+
+# --- r6: flat-near vectorized kernel vs the tree-walk spec ------------------
+
+
+def test_flat_near_groups_detection():
+    from sgpt_spark.operators.spans import _flat_near_groups
+
+    # bare terms + or-groups, disjoint -> fast shape
+    t = {"span_near": {"clauses": [
+        {"span_or": {"clauses": ["a", "b"]}}, "c", {"span_term": "d"},
+    ], "slop": 3, "in_order": False}}
+    assert _flat_near_groups(t) == ([("a", "b"), ("c",), ("d",)], False, 3)
+    # a term shared across clauses needs the overlap walk -> None
+    t2 = {"span_near": {"clauses": [
+        {"span_or": {"clauses": ["a", "b"]}}, "a",
+    ], "slop": 3}}
+    assert _flat_near_groups(t2) is None
+    # nested near stays on the interpreter
+    t3 = {"span_near": {"clauses": [
+        {"span_near": {"clauses": ["a", "b"], "slop": 0}}, "c",
+    ], "slop": 1}}
+    assert _flat_near_groups(t3) is None
+    # non-near root -> None
+    assert _flat_near_groups({"span_or": {"clauses": ["a", "b"]}}) is None
+
+
+def test_flat_near_interval_reduction_matches_span_freq():
+    """The r6 fast path scores a flat span_near as interval_freq over
+    per-clause position unions. Property-check the reduction against
+    span_freq (the brute-force-anchored spec) on randomized flat trees:
+    disjoint width-1 clauses make the non-overlap constraint automatic,
+    so minimal spanned windows == minimal intervals."""
+    import random
+
+    from sgpt_spark.operators.intervals import interval_freq
+    from sgpt_spark.operators.spans import _flat_near_groups, span_freq
+
+    rng = random.Random(2026)
+    vocab = list("abcdefgh")
+    for trial in range(400):
+        n_clauses = rng.randint(1, 4)
+        pool = vocab[:]
+        rng.shuffle(pool)
+        groups, cursor = [], 0
+        for _ in range(n_clauses):
+            size = rng.randint(1, 2)
+            groups.append(tuple(sorted(pool[cursor:cursor + size])))
+            cursor += size
+        slop = rng.randint(0, 5)
+        in_order = rng.random() < 0.5
+        clauses = [
+            g[0] if len(g) == 1 else {"span_or": {"clauses": list(g)}}
+            for g in groups
+        ]
+        tree = {"span_near": {"clauses": clauses, "slop": slop,
+                              "in_order": in_order}}
+        detected = _flat_near_groups(tree)
+        assert detected == (groups, in_order, slop)
+        # random document: distinct positions, each assigned one term
+        n_pos = rng.randint(0, 14)
+        positions = rng.sample(range(1, 40), n_pos)
+        posmap = {}
+        for p in positions:
+            t = rng.choice(vocab)
+            posmap.setdefault(t, []).append(p)
+        posmap = {t: sorted(ps) for t, ps in posmap.items()}
+        want = span_freq(tree, posmap)
+        arrs = [
+            sorted(p for t in g for p in posmap.get(t, ()))
+            for g in groups
+        ]
+        if any(not a for a in arrs):
+            got = 0.0
+        else:
+            import numpy as np
+
+            got = interval_freq(
+                [np.asarray(a, dtype=np.int64) for a in arrs],
+                in_order, slop,
+            )
+        assert got == pytest.approx(want), (tree, posmap)

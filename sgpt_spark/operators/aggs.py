@@ -74,13 +74,24 @@ def match_candidates(
     queries: DataFrame | Iterable[tuple],
     tokenizer=None,
     materialize: bool = True,
+    strategy: str = "cogroup",
 ) -> DataFrame:
     """-> distinct (qid, doc_id) docs matching >= 1 analyzed query term
     (ES match query, operator=or — the aggregation phase's hit set).
 
-    Fully in-plan: queries tokenize with the index's analyzer (JVM
-    column twin), the postings scan left-semi prunes to the query
-    vocabulary, and the decoded flat relation probe-joins on term.
+    Fully in-plan under BOTH strategies (queries tokenize with the
+    index's analyzer — JVM column twin — and never touch the driver).
+
+    ``strategy='cogroup'`` (default, r6): the query vocabulary cogroups
+    with the term-pruned posting blocks per segment and the kernel
+    emits each query's UNION of matching doc arrays (one numpy
+    unique/concat per query) — the distinct is free because segments
+    PARTITION docs, so the hit set leaves the kernel already globally
+    distinct with ZERO exchanges on the hit rows. The r5 relational
+    spelling (flatten -> probe join -> distinct) shuffled the
+    pre-distinct pair relation twice; on the bench shape that is ~80M
+    rows per request. ``strategy='relational'`` pins that spelling (the
+    verification twin).
 
     ``materialize=True`` (default) marks the hit set with a LAZY
     ``localCheckpoint``: nothing runs at declaration time, but the
@@ -90,23 +101,110 @@ def match_candidates(
     the body against it. Without it, a request carrying several aggs
     re-decodes the postings per agg. The checkpointed relation is two
     narrow columns (qid, doc_id), bounded by the matched terms' total
-    df — never |corpus|.
+    df — never |corpus| — and is stored SERIALIZED (PySpark's MEMORY_AND_DISK):
+    the deserialized default costs ~10x the heap per row and OOMs a
+    request stream whose checkpoints the context cleaner has not yet
+    released.
     """
+    from pyspark import StorageLevel
     from sgpt_spark.functions.analyzer import resolve_jvm_analyzer
 
+    if strategy not in ("cogroup", "relational"):
+        raise ValueError(
+            f"unknown strategy {strategy!r}: use cogroup|relational"
+        )
     queries, qid_type = normalize_queries(queries)
     if not isinstance(queries, DataFrame):
         queries = spark.createDataFrame(queries, f"qid {qid_type}, query string")
     tok = tokenizer or resolve_jvm_analyzer(meta.analyzer)
     qt = query_terms(queries, tokenizer=tok)
-    cand = postings.join(qt.select("term").distinct(), "term", "left_semi")
-    flat = flatten_postings(cand, codec=meta.codec).select("term", "doc_id")
-    out = (
-        flat.join(qt.select("qid", "term").distinct(), "term")
-        .select("qid", "doc_id")
-        .distinct()
+    if strategy == "cogroup":
+        out = _match_candidates_cogroup(
+            spark, postings, meta, qt,
+            queries.schema["qid"].dataType.simpleString(),
+        )
+    else:
+        cand = postings.join(qt.select("term").distinct(), "term", "left_semi")
+        flat = flatten_postings(cand, codec=meta.codec).select("term", "doc_id")
+        out = (
+            flat.join(qt.select("qid", "term").distinct(), "term")
+            .select("qid", "doc_id")
+            .distinct()
+        )
+    if not materialize:
+        return out
+    return out.localCheckpoint(
+        eager=False, storageLevel=StorageLevel.MEMORY_AND_DISK
     )
-    return out.localCheckpoint(eager=False) if materialize else out
+
+
+def _match_candidates_cogroup(
+    spark: SparkSession,
+    postings: DataFrame,
+    meta: IndexMeta,
+    qt: DataFrame,
+    qid_type: str,
+) -> DataFrame:
+    """The cogroup hit-set kernel: (segment blocks) x (segment's query
+    terms) -> per query the numpy union of its terms' doc arrays,
+    emitted as already-globally-distinct (qid, doc_id) rows."""
+    import numpy as np
+    import pandas as pd
+
+    from sgpt_spark.functions.compress import decode_many
+
+    qterms = qt.select("qid", "term").distinct()
+    cand = postings.join(
+        qterms.select("term").distinct(), "term", "left_semi"
+    ).select("segment", "term", "blocks")
+    presence = postings.select(
+        F.col("segment").cast("int").alias("segment"),
+        F.col("term").cast("string").alias("term"),
+    ).alias("_mc_presence")
+    qt_a = qterms.alias("_mc_qt")
+    qseg = qt_a.join(
+        presence, F.col("_mc_qt.term") == F.col("_mc_presence.term")
+    ).select(
+        F.col("_mc_presence.segment").alias("segment"),
+        F.col("_mc_qt.qid").alias("qid"),
+        F.col("_mc_qt.term").alias("term"),
+    )
+    codec = meta.codec
+    out_schema = f"qid {qid_type}, doc_id long"
+
+    def hits(pleft: pd.DataFrame, pright: pd.DataFrame) -> pd.DataFrame:
+        if len(pleft) == 0 or len(pright) == 0:
+            return pd.DataFrame({"qid": [], "doc_id": []})
+        offs, d_all, _, _ = decode_many(list(pleft["blocks"]), codec)
+        docs_of = {}
+        for i, term in enumerate(pleft["term"]):
+            s, e = int(offs[i]), int(offs[i + 1])
+            if e > s:
+                docs_of[term] = d_all[s:e]
+        per_q: dict = {}
+        for qid, term in zip(pright["qid"], pright["term"]):
+            arr = docs_of.get(term)
+            if arr is not None:
+                per_q.setdefault(qid, []).append(arr)
+        if not per_q:
+            return pd.DataFrame({"qid": [], "doc_id": []})
+        qids_out, docs_out = [], []
+        for qid, arrs in per_q.items():
+            u = arrs[0] if len(arrs) == 1 else np.unique(np.concatenate(arrs))
+            qids_out.append(np.full(len(u), qid, dtype=object))
+            docs_out.append(u.astype(np.int64))
+        return pd.DataFrame(
+            {
+                "qid": np.concatenate(qids_out),
+                "doc_id": np.concatenate(docs_out),
+            }
+        )
+
+    return (
+        cand.groupBy("segment")
+        .cogroup(qseg.groupBy("segment"))
+        .applyInPandas(hits, schema=out_schema)
+    )
 
 
 _METRIC_FNS = ("avg", "sum", "min", "max")

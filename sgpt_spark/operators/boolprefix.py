@@ -203,9 +203,22 @@ def match_bool_prefix_search_index(
     tokenizer=None,
     max_expansions: int | None = None,
     broadcast_queries: bool = True,
+    strategy: str = "kernel",
 ) -> DataFrame:
     """``match_bool_prefix`` over the compressed index -> (qid, doc_id,
     score, rank). ``queries``: (qid, query) analyzed text rows.
+
+    ``strategy='kernel'`` (default, r6): the term-clause weights and the
+    expanded prefix vocabulary — both still fully in-plan — cogroup
+    with the term-pruned posting blocks per segment; the kernel
+    bincounts each query's BM25 term partials, ORs the prefix
+    expansion's doc arrays into the constant-score clause (numpy
+    membership, one clause however many expansions hit), applies the
+    msm/operator clause bar, and ships <= k rows per (query, segment)
+    into the global deterministic top-k. The r5 relational spelling
+    (one flatten decode, two probe joins, one groupBy fold) shuffles
+    the full per-(query, doc) partial relation; ``strategy='relational'``
+    pins it as the verification twin.
 
     Postings decode once, pruned to the union of the term-clause
     vocabulary and the expanded prefix vocabulary (left-semi before the
@@ -218,6 +231,10 @@ def match_bool_prefix_search_index(
     from sgpt_spark.operators.index_search import flatten_postings, normalize_queries
     from sgpt_spark.operators.multiterm import expand_prefix
 
+    if strategy not in ("kernel", "relational"):
+        raise ValueError(
+            f"unknown strategy {strategy!r}: use kernel|relational"
+        )
     queries, qid_type = normalize_queries(queries)
     if not isinstance(queries, DataFrame):
         queries = spark.createDataFrame(queries, f"qid {qid_type}, query string")
@@ -231,6 +248,11 @@ def match_bool_prefix_search_index(
             .agg(F.sum("df").alias("df"))
         )
     exp = expand_prefix(term_stats, prefixes, max_expansions=max_expansions)
+    if strategy == "kernel":
+        return _mbp_kernel(
+            spark, postings, meta, term_clauses, exp, term_stats, required,
+            queries.schema["qid"].dataType.simpleString(), k,
+        )
     vocab = (
         term_clauses.select("term")
         .unionByName(exp.select("term"))
@@ -242,3 +264,159 @@ def match_bool_prefix_search_index(
         flat, term_clauses, exp, term_stats, meta.n_docs, meta.avgdl, k,
         required, broadcast_queries, meta.k1, meta.b,
     )
+
+
+def _mbp_kernel(
+    spark: SparkSession,
+    postings: DataFrame,
+    meta,
+    term_clauses: DataFrame,
+    exp: DataFrame,
+    term_stats: DataFrame,
+    required: DataFrame | None,
+    qid_type: str,
+    k: int,
+) -> DataFrame:
+    """The kernel strategy's body: one tagged query-side relation
+    (kind 't' = BM25 term clause carrying qtf x idf; kind 'p' = one
+    expanded prefix term of the constant-score clause), replicated
+    by presence, cogrouped with the pruned blocks; scoring, the
+    prefix-OR, and the clause bar all happen segment-locally (valid
+    globally: a doc lives in one segment)."""
+    import numpy as np
+    import pandas as pd
+
+    from sgpt_spark.functions.bm25 import idf as idf_col
+    from sgpt_spark.operators.index_search import (
+        _decode_terms,
+        _emit_topk_frame,
+        deterministic_topk,
+    )
+    from sgpt_spark.operators.topk import SCORE_DECIMALS, topk_per_group
+
+    t_rows = term_clauses.join(term_stats, "term").select(
+        "qid",
+        "term",
+        F.lit("t").alias("kind"),
+        F.col("qtf").cast("int").alias("qtf"),
+        (F.col("qtf") * idf_col(F.col("df"), float(meta.n_docs))).alias("w"),
+    )
+    p_rows = exp.select(
+        "qid",
+        "term",
+        F.lit("p").alias("kind"),
+        F.lit(1).alias("qtf"),
+        F.lit(0.0).alias("w"),
+    )
+    tagged = t_rows.unionByName(p_rows)
+    if required is not None:
+        tagged = tagged.join(required, "qid", "left").withColumn(
+            "req", F.coalesce(F.col("req"), F.lit(0)).cast("int")
+        )
+    cand = postings.join(
+        tagged.select("term").distinct(), "term", "left_semi"
+    ).select("segment", "term", "blocks")
+    presence = postings.select(
+        F.col("segment").cast("int").alias("segment"),
+        F.col("term").cast("string").alias("term"),
+    ).alias("_bp_presence")
+    tagged_a = tagged.alias("_bp_tagged")
+    sel_cols = [
+        F.col("_bp_presence.segment").alias("segment"),
+        F.col("_bp_tagged.qid").alias("qid"),
+        F.col("_bp_tagged.term").alias("term"),
+        F.col("_bp_tagged.kind").alias("kind"),
+        F.col("_bp_tagged.qtf").alias("qtf"),
+        F.col("_bp_tagged.w").alias("w"),
+    ]
+    if required is not None:
+        sel_cols.append(F.col("_bp_tagged.req").alias("req"))
+    qseg = tagged_a.join(
+        presence, F.col("_bp_tagged.term") == F.col("_bp_presence.term")
+    ).select(*sel_cols)
+    codec, k1, b_, avgdl = meta.codec, meta.k1, meta.b, meta.avgdl
+    kk = int(k)
+    seg_schema = f"qid {qid_type}, doc_id long, score double"
+
+    def score(pleft: pd.DataFrame, pright: pd.DataFrame) -> pd.DataFrame:
+        if len(pleft) == 0 or len(pright) == 0:
+            return _emit_topk_frame([])
+        decoded = _decode_terms(pleft["term"], pleft["blocks"], codec, k1, b_, avgdl)
+        if not decoded:
+            return _emit_topk_frame([])
+        has_req = "req" in pright.columns
+        per_q: dict = {}
+        req_of: dict = {}
+        for i in range(len(pright)):
+            qid = pright["qid"].iat[i]
+            ent = decoded.get(pright["term"].iat[i])
+            if ent is None:
+                continue
+            per_q.setdefault(qid, ([], [], []))
+            kind = pright["kind"].iat[i]
+            if kind == "t":
+                per_q[qid][0].append(
+                    (ent[0], ent[1] * float(pright["w"].iat[i]))
+                )
+                per_q[qid][1].append((ent[0], int(pright["qtf"].iat[i])))
+            else:
+                per_q[qid][2].append(ent[0])
+            if has_req:
+                req_of[qid] = int(pright["req"].iat[i])
+        parts = []
+        for qid, (t_pairs, t_counts, p_arrs) in per_q.items():
+            ids_t = sc_t = None
+            if t_pairs:
+                docs_cat = np.concatenate([p[0] for p in t_pairs])
+                w_cat = np.concatenate([p[1] for p in t_pairs])
+                ids_t, inv = np.unique(docs_cat, return_inverse=True)
+                sc_t = np.bincount(inv, weights=w_cat)
+                cn_t = np.bincount(
+                    inv,
+                    weights=np.concatenate(
+                        [np.full(len(d), q, dtype=np.float64)
+                         for d, q in t_counts]
+                    ),
+                )
+            ids_p = None
+            if p_arrs:
+                ids_p = (
+                    p_arrs[0]
+                    if len(p_arrs) == 1
+                    else np.unique(np.concatenate(p_arrs))
+                )
+            if ids_t is None and ids_p is None:
+                continue
+            if ids_t is None:
+                all_ids, score_v = ids_p, np.ones(len(ids_p))
+                clause_v = np.ones(len(ids_p))
+            elif ids_p is None:
+                all_ids, score_v, clause_v = ids_t, sc_t, cn_t
+            else:
+                all_ids = np.union1d(ids_t, ids_p)
+                score_v = np.zeros(len(all_ids))
+                clause_v = np.zeros(len(all_ids))
+                ti = np.searchsorted(all_ids, ids_t)
+                score_v[ti] = sc_t
+                clause_v[ti] = cn_t
+                pi = np.searchsorted(all_ids, ids_p)
+                score_v[pi] += 1.0
+                clause_v[pi] += 1.0
+            if has_req:
+                keep = clause_v >= req_of.get(qid, 0)
+                all_ids, score_v = all_ids[keep], score_v[keep]
+                if len(all_ids) == 0:
+                    continue
+            scores = np.round(score_v, SCORE_DECIMALS)
+            order = deterministic_topk(all_ids.astype(np.int64), scores, kk)
+            parts.append(
+                (qid, all_ids[order].astype(np.int64), scores[order])
+            )
+        return _emit_topk_frame(parts)
+
+    seg_topk = (
+        cand.groupBy("segment")
+        .cogroup(qseg.groupBy("segment"))
+        .applyInPandas(score, schema=seg_schema)
+    )
+    return topk_per_group(seg_topk, k=k).select("qid", "doc_id", "score", "rank")

@@ -110,7 +110,10 @@ def boosting_search_index(
     pos = match_scores(
         spark, postings, meta, queries, term_stats=term_stats, tokenizer=tokenizer
     )
-    neg = match_candidates(spark, postings, meta, negative_queries, tokenizer=tokenizer)
+    # single demote join consumes neg once: skip the request-sharing
+    # checkpoint (r6)
+    neg = match_candidates(spark, postings, meta, negative_queries,
+                           tokenizer=tokenizer, materialize=False)
     return boosting_combine(pos, neg, negative_boost=negative_boost, k=k)
 
 

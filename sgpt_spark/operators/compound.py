@@ -416,7 +416,9 @@ def constant_score_index(
     from sgpt_spark.operators.aggs import match_candidates
 
     b = _check_boost(boost)
-    cand = match_candidates(spark, postings, meta, queries, tokenizer=tokenizer)
+    # single paging window consumes cand once: skip the checkpoint (r6)
+    cand = match_candidates(spark, postings, meta, queries,
+                            tokenizer=tokenizer, materialize=False)
     scored = cand.select(
         "qid", "doc_id", F.round(F.lit(b), SCORE_DECIMALS).alias("score")
     )

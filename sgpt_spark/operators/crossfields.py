@@ -314,7 +314,13 @@ def combined_fields_search(
     for i, f in enumerate(fields):
         t = F.lit(boost[f]) * F.col(f"_l{i}")
         dl_c = t if dl_c is None else dl_c + t
-    dlens = dlens.select("doc_id", dl_c.alias("_dlc"))
+    # lazy localCheckpoint: the norms relation is (doc_id, _dlc) — two
+    # narrow columns — and is consumed TWICE (the stats aggregate below
+    # and the scored-terms join); without it the corpus tokenizes once
+    # per consumer (guide §5 localCheckpoint)
+    dlens = dlens.select("doc_id", dl_c.alias("_dlc")).localCheckpoint(
+        eager=False
+    )
 
     # combined-field stats: N = docs with any field, avgdl over dl_c
     n_docs, avgdl_c = dlens.agg(
@@ -323,9 +329,15 @@ def combined_fields_search(
     n_docs = int(n_docs)
     avgdl_c = float(avgdl_c or 0.0) or 1.0
 
+    # prune the term pivot to the QUERY vocabulary before the
+    # (term, doc_id) groupBy: df_c / tf_c are only ever read for query
+    # terms, and the per-term aggregates of the pruned relation equal
+    # the full-vocabulary ones term for term — aggregate before you
+    # shuffle, and only what you keep (guide §2.3)
+    qt = query_terms(queries, tokenizer=tokenizer)
     flat = fdocs.select(
         "field", "doc_id", F.explode("terms").alias("term")
-    )
+    ).join(F.broadcast(qt.select("term").distinct()), "term", "left_semi")
     tf_piv = flat.groupBy("term", "doc_id").agg(
         *[
             F.sum(F.when(F.col("field") == f, F.lit(1))).alias(f"_tf{i}")
@@ -338,8 +350,6 @@ def combined_fields_search(
     df_cols = [F.col(f"_df{i}") for i in range(len(fields))]
     dfb = F.greatest(*df_cols) if len(df_cols) > 1 else df_cols[0]
     dfs = dfs.select("term", dfb.alias("dfb"))
-
-    qt = query_terms(queries, tokenizer=tokenizer)
     qterm_df = F.broadcast(qt.join(dfs, "term", "inner"))
     scored_terms = tf_piv.join(qterm_df, "term", "inner").join(dlens, "doc_id")
 

@@ -90,7 +90,12 @@ def sort_search_index(
             raise ValueError(
                 f"sort field {f_!r} not in docvalues columns {docvalues.columns}"
             )
-    cand = match_candidates(spark, postings, meta, queries, tokenizer=tokenizer)
+    # single downstream action: the request-sharing checkpoint would be
+    # pure storage overhead here (r6)
+    cand = match_candidates(
+        spark, postings, meta, queries, tokenizer=tokenizer,
+        materialize=False,
+    )
     vals = cand.join(docvalues.select("doc_id", *fields), "doc_id")
     w = Window.partitionBy("qid").orderBy(
         *_sort_cols(by, missing), F.col("doc_id").asc()

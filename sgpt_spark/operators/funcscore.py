@@ -80,29 +80,49 @@ def match_scores(
     queries: DataFrame | Iterable[tuple],
     term_stats: DataFrame | None = None,
     tokenizer=None,
+    strategy: str = "cogroup",
 ) -> DataFrame:
     """FULL scored match set -> (qid, doc_id, score): BM25 over every
     (query, matching doc) pair with NO top-k cut — the relation a
-    rescoring query needs. The plan is ``search_index_join``'s up to
-    the cut: in-plan query tokenize, left-semi term prune at the scan,
-    batched decode, shuffle probe, one groupBy partial-sum."""
+    rescoring query needs. Fully in-plan under both strategies.
+
+    ``strategy='cogroup'`` (default, r6): the per-term weight relation
+    (qid, term, qtf x idf — idf in whole-stage codegen) cogroups with
+    the term-pruned posting blocks per segment and the kernel emits
+    each query's summed per-doc scores from ONE numpy unique/bincount —
+    the (qid, doc_id) partial rows never shuffle (segments partition
+    docs, so per-segment sums ARE the global sums), only the compressed
+    blocks and the Arrow result move. The r5 relational spelling
+    (``search_index_join``'s plan up to the cut: flatten -> probe join
+    -> groupBy partial-sum) shuffles the per-(query, matched-term, doc)
+    partial relation; ``strategy='relational'`` pins it as the
+    verification twin."""
     from sgpt_spark.functions.analyzer import resolve_jvm_analyzer
     from sgpt_spark.operators.index_search import flatten_postings, normalize_queries
     from sgpt_spark.operators.search import query_terms, score_candidates
     from sgpt_spark.operators.stats import CorpusStats
 
+    if strategy not in ("cogroup", "relational"):
+        raise ValueError(
+            f"unknown strategy {strategy!r}: use cogroup|relational"
+        )
     queries, qid_type = normalize_queries(queries)
     if not isinstance(queries, DataFrame):
         queries = spark.createDataFrame(queries, f"qid {qid_type}, query string")
     tok = tokenizer or resolve_jvm_analyzer(meta.analyzer)
     qt = query_terms(queries, tokenizer=tok)
-    cand = postings.join(qt.select("term").distinct(), "term", "left_semi")
-    flat = flatten_postings(cand, codec=meta.codec)
     dfs = (
         term_stats
         if term_stats is not None
         else postings.groupBy("term").agg(F.sum("df").alias("df"))
     )
+    if strategy == "cogroup":
+        return _match_scores_cogroup(
+            spark, postings, meta, qt, dfs,
+            queries.schema["qid"].dataType.simpleString(),
+        )
+    cand = postings.join(qt.select("term").distinct(), "term", "left_semi")
+    flat = flatten_postings(cand, codec=meta.codec)
     return score_candidates(
         flat,
         qt,
@@ -111,6 +131,91 @@ def match_scores(
         k1=meta.k1,
         b=meta.b,
         broadcast_queries=False,
+    )
+
+
+def _match_scores_cogroup(
+    spark: SparkSession,
+    postings: DataFrame,
+    meta: IndexMeta,
+    qt: DataFrame,
+    dfs: DataFrame,
+    qid_type: str,
+) -> DataFrame:
+    """The cogroup all-hits kernel behind ``match_scores``: weights
+    stay in the plan (replicated only to segments HOLDING each term),
+    each segment decodes its blocks once and bincounts every query's
+    per-doc sum, ALL hit rows leave as Arrow batches — zero shuffles
+    on the hit relation."""
+    import numpy as np
+    import pandas as pd
+
+    from sgpt_spark.functions.bm25 import idf as idf_col
+    from sgpt_spark.operators.index_search import _decode_terms
+
+    qtw = qt.join(dfs, "term").select(
+        "qid",
+        "term",
+        (F.col("qtf") * idf_col(F.col("df"), meta.n_docs)).alias("w"),
+    )
+    cand = postings.join(
+        qtw.select("term").distinct(), "term", "left_semi"
+    ).select("segment", "term", "blocks")
+    presence = postings.select(
+        F.col("segment").cast("int").alias("segment"),
+        F.col("term").cast("string").alias("term"),
+    ).alias("_ms_presence")
+    qtw_a = qtw.alias("_ms_qtw")
+    qseg = qtw_a.join(
+        presence, F.col("_ms_qtw.term") == F.col("_ms_presence.term")
+    ).select(
+        F.col("_ms_presence.segment").alias("segment"),
+        F.col("_ms_qtw.qid").alias("qid"),
+        F.col("_ms_qtw.term").alias("term"),
+        F.col("_ms_qtw.w").alias("w"),
+    )
+    codec, k1, b_, avgdl = meta.codec, meta.k1, meta.b, meta.avgdl
+    out_schema = f"qid {qid_type}, doc_id long, score double"
+
+    def hits(pleft: pd.DataFrame, pright: pd.DataFrame) -> pd.DataFrame:
+        if len(pleft) == 0 or len(pright) == 0:
+            return pd.DataFrame({"qid": [], "doc_id": [], "score": []})
+        decoded = _decode_terms(
+            pleft["term"], pleft["blocks"], codec, k1, b_, avgdl
+        )
+        if not decoded:
+            return pd.DataFrame({"qid": [], "doc_id": [], "score": []})
+        per_q: dict = {}
+        for qid, term, w in zip(pright["qid"], pright["term"], pright["w"]):
+            ent = decoded.get(term)
+            if ent is not None:
+                per_q.setdefault(qid, []).append((ent[0], ent[1] * w))
+        if not per_q:
+            return pd.DataFrame({"qid": [], "doc_id": [], "score": []})
+        qids_out, docs_out, sc_out = [], [], []
+        for qid, pairs in per_q.items():
+            if len(pairs) == 1:
+                ids, sc = pairs[0]
+            else:
+                docs_cat = np.concatenate([p[0] for p in pairs])
+                w_cat = np.concatenate([p[1] for p in pairs])
+                ids, inv = np.unique(docs_cat, return_inverse=True)
+                sc = np.bincount(inv, weights=w_cat)
+            qids_out.append(np.full(len(ids), qid, dtype=object))
+            docs_out.append(ids.astype(np.int64))
+            sc_out.append(sc.astype(np.float64))
+        return pd.DataFrame(
+            {
+                "qid": np.concatenate(qids_out),
+                "doc_id": np.concatenate(docs_out),
+                "score": np.concatenate(sc_out),
+            }
+        )
+
+    return (
+        cand.groupBy("segment")
+        .cogroup(qseg.groupBy("segment"))
+        .applyInPandas(hits, schema=out_schema)
     )
 
 

@@ -210,8 +210,13 @@ def geo_distance_search_index(
     from sgpt_spark.operators.funcscore import match_scores
     from sgpt_spark.operators.topk import topk_per_group
 
+    # pinned relational: this consumer immediately semi-joins the FULL
+    # scored set against the geo predicate in the JVM — the kernel
+    # spelling would pay Arrow emission of every hit row only to hand
+    # them back to a relational join (A/B'd ~25% slower, r6)
     scored = match_scores(
-        spark, postings, meta, queries, term_stats=term_stats
+        spark, postings, meta, queries, term_stats=term_stats,
+        strategy="relational",
     )
     pred = geo_distance_filter(origin, distance_m)
     near = docvalues.select("doc_id").filter(pred)

@@ -387,6 +387,99 @@ def _collect_nodes(node: QSNode, qid, nid_box: list, parent_uid, depth: int,
     return uid
 
 
+def _flat_bool_clauses(ast) -> list | None:
+    """Detect the FLAT query_string shape the bool-bitmap kernel serves:
+    a depth-1 boost-free bool whose clauses are single-token term /
+    phrase leaves on the default field, with >= 1 positive clause.
+    -> [(occur, kind, text, slop)] or None. Multi-token terms (analyzed
+    should-groups), boosts, fields, multi-term expansions, ranges, and
+    nested groups stay on the general by-depth executor; pure-negative
+    queries too (their no-hits contract is the general fold's)."""
+    if ast is None or ast.kind != "bool" or ast.boost != 1.0:
+        return None
+    out = []
+    positives = 0
+    for occur, child in ast.clauses:
+        if occur not in ("must", "should", "must_not"):
+            return None
+        if child.kind not in ("term", "phrase"):
+            return None
+        if child.field not in (None, DEFAULT_FIELD) or child.boost != 1.0:
+            return None
+        if child.kind == "term" and (not child.text or " " in child.text):
+            return None
+        if occur != "must_not":
+            positives += 1
+        out.append((occur, child.kind, child.text, int(child.slop)))
+    if positives == 0 or not out:
+        return None
+    return out
+
+
+def _flat_bool_execute(
+    spark: SparkSession,
+    path: str,
+    flat: list,
+    qid_type: str,
+    k: int,
+    term_stats: DataFrame | None,
+) -> DataFrame:
+    """Execute flat query_string queries on the bool bitmap kernel —
+    the ``simple_query_string_cogroup`` spelling: term clauses compile
+    into ``bool_search_index_cogroup``'s one-pass TAAT (<= k rows per
+    (query, segment) out), phrase clauses score in the positional
+    kernel and enter as scored doc-bit rows. Value-identical to the
+    general by-depth fold on this shape (tested): same leaf scores
+    (BM25 term / phrase pseudo-term), same Lucene bool rule (no musts
+    -> >= 1 should), same must_not exclusion, rounding at the ranking
+    window either way. ``flat``: [(qid, [(occur, kind, text, slop)])]."""
+    from sgpt_spark.operators.boolquery import bool_search_index_cogroup
+    from sgpt_spark.operators.indexer import read_index
+    from sgpt_spark.operators.positions import phrase_hits_index_cogroup
+
+    postings, meta = read_index(spark, path)
+    term_rows, ph_rows = [], []
+    for qid, clauses in flat:
+        for cid, (occur, kind, text, slop) in enumerate(clauses):
+            if kind == "term":
+                term_rows.append((qid, occur, text))
+            else:
+                ph_rows.append((qid, cid, occur, text, slop))
+    term_cl = spark.createDataFrame(
+        term_rows, f"qid {qid_type}, occur string, query string"
+    )
+    scored = None
+    hits = None
+    if ph_rows:
+        scored = spark.createDataFrame(
+            [(q, o, str(c)) for q, c, o, _, _ in ph_rows],
+            f"qid {qid_type}, occur string, key string",
+        )
+        by_slop: dict[int, list] = {}
+        for q, c, o, text, slop in ph_rows:
+            by_slop.setdefault(slop, []).append((f"{c}\x1f{q}", text))
+        for s_v in sorted(by_slop):
+            h, _ = phrase_hits_index_cogroup(
+                spark, path, by_slop[s_v], term_stats=term_stats,
+                with_segment=True, slop=s_v,
+            )
+            hits = h if hits is None else hits.unionByName(h)
+        key_c = F.substring_index(F.col("qid"), "\x1f", 1)
+        real_qid = F.substring(
+            F.col("qid"),
+            (F.length(key_c) + F.lit(2)).cast("int"),
+            F.length(F.col("qid")).cast("int"),
+        ).cast(qid_type)
+        hits = hits.select(
+            real_qid.alias("qid"), key_c.alias("key"), "segment",
+            "doc_id", "score",
+        )
+    return bool_search_index_cogroup(
+        spark, postings, meta, term_cl, k=k, term_stats=term_stats,
+        minimum_should_match=None, scored=scored, scored_hits=hits,
+    )
+
+
 def query_string_search_index(
     spark: SparkSession,
     path: str,
@@ -396,12 +489,22 @@ def query_string_search_index(
     k: int = 10,
     term_stats: DataFrame | None = None,
     max_expansions: int = 50,
+    strategy: str | None = None,
 ) -> DataFrame:
     """ES ``query_string`` over a persisted positional index ->
     (qid, doc_id, score, rank). ``queries``: (qid, query_string) rows.
     ``docvalues``: (doc_id, field...) sidecar for field-scoped
     equality/range clauses (optional). See the module docstring for the
-    grammar, semantics, and the batched plan shape."""
+    grammar, semantics, and the batched plan shape.
+
+    ROUTING (r6): queries whose parsed tree is the FLAT depth-1
+    boost-free term/phrase shape (``_flat_bool_clauses``) execute on
+    the bool bitmap kernel (``_flat_bool_execute`` — value-identical,
+    tested); the rest run the general by-depth fold, and a mixed batch
+    unions the two result pages (qid sets are disjoint, ranks are
+    per-query). ``strategy='general'`` pins the by-depth executor (the
+    verification twin); ``strategy='flat'`` demands the kernel and
+    raises if any query does not fit."""
     from sgpt_spark.functions.analyzer import resolve_py_analyzer
     from sgpt_spark.operators.funcscore import match_scores
     from sgpt_spark.operators.index_search import flatten_postings
@@ -432,16 +535,45 @@ def query_string_search_index(
         .withColumn("rank", F.lit(1).cast("int"))
     )
 
-    rows: list = []
-    roots: dict = {}
+    if strategy not in (None, "flat", "general"):
+        raise ValueError(
+            f"unknown strategy {strategy!r}: use None|flat|general"
+        )
+    asts = []
     for qid, s in pairs:
         ast = parse_query_string(s, default_operator)
         ast = _analyze_node(ast, tok, DEFAULT_FIELD)
-        if ast is None:
-            continue
+        if ast is not None:
+            asts.append((qid, ast))
+    flat_pairs, gen_asts = [], []
+    if strategy != "general":
+        for qid, ast in asts:
+            clauses = _flat_bool_clauses(ast)
+            if clauses is not None:
+                flat_pairs.append((qid, clauses))
+            else:
+                gen_asts.append((qid, ast))
+    else:
+        gen_asts = asts
+    if strategy == "flat" and gen_asts:
+        raise ValueError(
+            "strategy='flat' but these queries do not fit the flat "
+            f"bool shape: {[q for q, _ in gen_asts][:5]}"
+        )
+    flat_df = (
+        _flat_bool_execute(spark, path, flat_pairs, qid_type, k, term_stats)
+        if flat_pairs
+        else None
+    )
+    if not gen_asts:
+        return flat_df if flat_df is not None else empty
+
+    rows: list = []
+    roots: dict = {}
+    for qid, ast in gen_asts:
         roots[qid] = _collect_nodes(ast, qid, [0], None, 0, rows)
     if not rows:
-        return empty
+        return flat_df if flat_df is not None else empty
 
     # ---- batched leaf relations ------------------------------------------
     term_leaves = [r for r in rows if r["kind"] == "term" and (
@@ -587,7 +719,7 @@ def query_string_search_index(
             )
 
     if not leaf_rels:
-        return empty
+        return flat_df if flat_df is not None else empty
 
     # ---- bottom-up fold by depth ------------------------------------------
     meta_rows = [
@@ -684,4 +816,5 @@ def query_string_search_index(
         .join(F.broadcast(root_df), "uid")
         .select(F.col("out_qid").alias("qid"), "doc_id", "score")
     )
-    return topk_per_group(final, k=k).select("qid", "doc_id", "score", "rank")
+    gen_df = topk_per_group(final, k=k).select("qid", "doc_id", "score", "rank")
+    return gen_df if flat_df is None else flat_df.unionByName(gen_df)

@@ -438,21 +438,90 @@ def _collapse_or_groups(tree):
     return {kind: {"big": big, "little": little}}, {**g1, **g2}
 
 
-def _synth_entry(decoded: dict, group: tuple, cache: dict):
-    """Materialize (and memoize per segment) the merged positional
-    entry for a synthetic or-group leaf: the union of the member terms'
-    (docs, dls, occ_doc, occ_pos) arrays, occurrence-sorted by
-    (doc, pos) — all numpy, no per-document Python."""
-    ent = cache.get(group)
-    if ent is not None:
-        return ent
+def _gather_slices(lo: np.ndarray, hi: np.ndarray) -> np.ndarray:
+    """Vectorized multi-slice gather: index array selecting, for every
+    i, the elements [lo[i], hi[i]) — the numpy spelling of
+    ``concatenate([arange(l, h) for l, h in zip(lo, hi)])``."""
+    counts = hi - lo
+    total = int(counts.sum())
+    if total == 0:
+        return np.empty(0, dtype=np.int64)
+    shift = np.repeat(np.cumsum(counts) - counts, counts)
+    return np.repeat(lo, counts) + (np.arange(total, dtype=np.int64) - shift)
+
+
+def _member_mask(cand: np.ndarray, docs: np.ndarray) -> np.ndarray:
+    """Boolean mask over ``cand`` (sorted) marking docs present in the
+    sorted-unique ``docs`` array — searchsorted membership, no unions."""
+    pos = np.searchsorted(docs, cand)
+    ok = pos < len(docs)
+    out = np.zeros(len(cand), dtype=bool)
+    out[ok] = docs[pos[ok]] == cand[ok]
+    return out
+
+
+def _fill_dls(cand: np.ndarray, ent_lists) -> np.ndarray:
+    """Per-candidate doc lengths gathered from whichever entry holds
+    the doc (every cand doc matches every clause, so the first clause's
+    entries fill everything on real inputs)."""
+    dls = np.empty(len(cand), dtype=np.float64)
+    filled = np.zeros(len(cand), dtype=bool)
+    for ents in ent_lists:
+        for e in ents:
+            if filled.all():
+                return dls
+            m = _member_mask(cand, e[0]) & ~filled
+            if m.any():
+                pos = np.searchsorted(e[0], cand[m])
+                dls[m] = e[1][pos]
+                filled |= m
+    return dls
+
+
+def _synth_entry(decoded: dict, group: tuple, cache: dict, cand=None):
+    """Materialize the merged positional entry for a synthetic or-group
+    leaf: the union of the member terms' (docs, dls, occ_doc, occ_pos)
+    arrays, occurrence-sorted by (doc, pos) — all numpy, no
+    per-document Python.
+
+    With ``cand`` (sorted candidate doc ids) the merge RESTRICTS to the
+    candidates first (searchsorted + the multi-slice gather), so the
+    lexsort runs over the candidate-local occurrences instead of the
+    group's full posting mass — the difference between O(sum of member
+    dfs) and O(candidate occurrences) per (rule, segment). Restricted
+    entries are not cached (cand differs per rule); the unrestricted
+    single-member short-circuit still is."""
+    if cand is None:
+        ent = cache.get(group)
+        if ent is not None:
+            return ent
     ents = [decoded[t] for t in group if t in decoded]
     if not ents:
-        cache[group] = None
+        if cand is None:
+            cache[group] = None
         return None
     if len(ents) == 1:
-        cache[group] = ents[0]
+        if cand is None:
+            cache[group] = ents[0]
         return ents[0]
+    if cand is not None:
+        od_parts, op_parts = [], []
+        for e in ents:
+            lo = np.searchsorted(e[2], cand, side="left")
+            hi = np.searchsorted(e[2], cand, side="right")
+            idx = _gather_slices(lo, hi)
+            if len(idx):
+                od_parts.append(e[2][idx])
+                op_parts.append(e[3][idx])
+        if not od_parts:
+            return None
+        od = np.concatenate(od_parts)
+        op = np.concatenate(op_parts)
+        srt = np.lexsort((op, od))
+        od, op = od[srt], op[srt]
+        uq = np.unique(od)
+        dls = _fill_dls(uq, [ents])
+        return (uq, dls, od, op)
     all_docs = np.concatenate([e[0] for e in ents])
     all_dls = np.concatenate([e[1] for e in ents])
     uq, first = np.unique(all_docs, return_index=True)
@@ -464,11 +533,32 @@ def _synth_entry(decoded: dict, group: tuple, cache: dict):
     return ent
 
 
+def _group_docs(decoded: dict, group: tuple, cache: dict):
+    """Sorted-unique doc ids holding ANY member term (memoized per
+    segment) — the doc-set half of a synthetic leaf, enough for
+    candidate intersection without touching positions."""
+    key = (group, "docs")
+    d = cache.get(key)
+    if d is not None:
+        return d
+    arrs = [decoded[t][0] for t in group if t in decoded]
+    if not arrs:
+        cache[key] = np.empty(0, dtype=np.int64)
+    elif len(arrs) == 1:
+        cache[key] = arrs[0]
+    else:
+        cache[key] = np.unique(np.concatenate(arrs))
+    return cache[key]
+
+
+_MAX_VARIANTS = 8
+
+
 def _flat_near_groups(tree):
     """Detect the FLAT span_near shape the vectorized kernel serves:
     root = span_near whose clauses are each a bare term (string /
-    span_term) or a span_or of bare terms, with pairwise-DISJOINT
-    clause term sets. -> (groups, in_order, slop) or None.
+    span_term) or a span_or of bare terms. -> (groups, in_order, slop)
+    or None.
 
     Why this shape reduces to minimal intervals: every clause span has
     width 1, and positions of DISTINCT terms in one document are
@@ -477,8 +567,13 @@ def _flat_near_groups(tree):
     spanned windows of "one position per clause" are exactly the
     Clarke/Cormack/Vigna minimal intervals ``operators.intervals``
     computes (ordered: the same chain walk as ``_near_ordered``).
-    Clauses SHARING a term can need the same position twice — the
-    overlap constraint then bites and the tree walk keeps those.
+
+    SHARED terms (a clause term appearing in another clause) make the
+    overlap constraint bite; ``in_order=False`` trees still vectorize
+    through the VARIANT decomposition (``_flat_variants``) as long as
+    no term appears in two multi-term groups; ordered trees and
+    group-group overlaps stay on the tree walk. The caller gates on
+    ``_flat_variants``'s result.
     """
     kind, body = _node(tree)
     if kind != "span_near":
@@ -501,24 +596,178 @@ def _flat_near_groups(tree):
             groups.append(tuple(sorted(set(terms))))
         else:
             return None
-    seen: set = set()
-    for g in groups:
-        for t in g:
-            if t in seen:
-                return None
-            seen.add(t)
     return groups, bool(body.get("in_order", False)), int(body.get("slop", 0))
 
 
-def _flat_near_parts(decoded, groups, in_order, slop):
-    """The vectorized kernel for the flat span_near shape: per-clause
-    occurrence arrays are built ONCE per (rule, segment) with numpy
-    (or-group unions lexsorted by (doc, pos)), candidates intersect
-    per-group doc sets smallest-first, and the per-candidate walk is
-    ``intervals.interval_freq`` — the heap/chain minimal-interval
-    automaton, not the backtracking span-selection interpreter.
-    -> (docs_arr, freqs_arr, uq_docs, dls_for) or None when the
-    segment can't match."""
+def _flat_variants(groups: list, in_order: bool):
+    """Clause groups -> the VARIANT list the vectorized kernel scores,
+    or None when the shape needs the tree walk.
+
+    Disjoint groups: one variant, every clause multiplicity 1. A term
+    shared between a multi-term group and singleton clauses (or a
+    singleton repeated) decomposes by WHICH source realizes the group:
+    its private terms, or one of the shared terms with the singleton's
+    requirement raised to "r DISTINCT occurrences" (the bipartite
+    matching enumerated — sound because clause spans are width-1, so
+    a window is realizable iff each merged clause finds its r distinct
+    positions, Hall's condition for this star-shaped overlap). Ordered
+    trees and terms shared between two multi-term groups return None.
+
+    Each variant is a list of (termset, r) clauses with pairwise
+    DISJOINT termsets; the union of the variants' minimal window sets,
+    re-minimalized, is exactly the tree walk's span set (every valid
+    selection belongs to some variant, every variant window is
+    realizable, and a variant's windows are containment-minimal
+    against its own set)."""
+    from collections import Counter
+
+    singles = Counter(g[0] for g in groups if len(g) == 1)
+    multis = [g for g in groups if len(g) > 1]
+    seen_multi: Counter = Counter()
+    for g in multis:
+        seen_multi.update(set(g))
+    if any(v > 1 for v in seen_multi.values()):
+        return None  # term in two multi groups: matching too entangled
+    shared_any = any(t in singles for g in multis for t in g)
+    if (sum(singles.values()) > len(singles) or shared_any) and in_order:
+        return None  # ordered + overlap: clause order binds, tree walk
+    options: list = []
+    for g in multis:
+        private = tuple(t for t in g if t not in singles)
+        opts = []
+        if private:
+            opts.append(("p", private))
+        opts.extend(("s", (t,)) for t in g if t in singles)
+        if not opts:
+            return None
+        options.append(opts)
+    n_var = 1
+    for o in options:
+        n_var *= len(o)
+        if n_var > _MAX_VARIANTS:
+            return None
+    variants = []
+    choices = [[]]
+    for opts in options:
+        choices = [c + [o] for c in choices for o in opts]
+    for choice in choices:
+        req: Counter = Counter()
+        for t, r in singles.items():
+            req[(t,)] = r
+        clause_sets = []
+        for kindc, ts in choice:
+            if kindc == "p":
+                clause_sets.append(ts)
+            else:
+                req[ts] += 1
+        variant = [(ts, r) for ts, r in req.items()] + [
+            (ts, 1) for ts in clause_sets
+        ]
+        variants.append(variant)
+    return variants
+
+
+def _variant_windows(clause_dps: list):
+    """Fully vectorized unordered minimal windows for ONE variant
+    across ALL candidate docs at once — no per-document Python.
+
+    ``clause_dps``: per clause, (di, pos, r) with (di, pos) sorted by
+    (di, pos), di the candidate-local doc index, r the clause's
+    required count of DISTINCT occurrences. The Clarke/Cormack/Vigna
+    minimal windows fall out of three observations: (1) every minimal
+    window starts on some occurrence s and ends at
+    e(s) = max_j next_j^(r_j)(s) — the r_j-th occurrence of clause j
+    at-or-after s; (2) e(s) is non-decreasing in s within a doc (each
+    next_j^(r) is); (3) the variant-minimal set is therefore "the LAST
+    start per distinct (doc, e)". next^(r) computes for every start of
+    every doc in one searchsorted over composite (doc, pos) keys.
+    -> (d, s, e) arrays sorted by (d, s), or None."""
+    tops = [int(pos.max()) if len(pos) else 0 for _, pos, _ in clause_dps]
+    P = max(tops) + 2
+    S_d = np.concatenate([di for di, _, _ in clause_dps])
+    S_p = np.concatenate([pos.astype(np.int64) for _, pos, _ in clause_dps])
+    order = np.lexsort((S_p, S_d))
+    S_d, S_p = S_d[order], S_p[order]
+    S_key = S_d.astype(np.int64) * P + S_p
+    valid = np.ones(len(S_key), dtype=bool)
+    emax = np.zeros(len(S_key), dtype=np.int64)
+    for dj, pj, r in clause_dps:
+        kj = dj.astype(np.int64) * P + pj.astype(np.int64)
+        nxt = np.searchsorted(kj, S_key, side="left") + (int(r) - 1)
+        ok = nxt < len(kj)
+        same = np.zeros(len(S_key), dtype=bool)
+        same[ok] = dj[nxt[ok]] == S_d[ok]
+        valid &= same
+        ej = np.zeros(len(S_key), dtype=np.int64)
+        ej[same] = pj[nxt[same]]
+        np.maximum(emax, ej, out=emax, where=same)
+    S_d, S_p, emax = S_d[valid], S_p[valid], emax[valid]
+    if len(S_d) == 0:
+        return None
+    keep = np.ones(len(S_d), dtype=bool)
+    keep[:-1] = (S_d[:-1] != S_d[1:]) | (emax[1:] > emax[:-1])
+    return S_d[keep], S_p[keep], emax[keep]
+
+
+def _minimal_union_freqs(win_parts: list, m: int, slop: int):
+    """Union the variants' window sets, re-minimalize per doc, apply
+    the slop filter, and fold per-doc frequencies — all vectorized.
+
+    Minimality over the union: windows sorted by (d, s asc, e asc); a
+    window is contained in an earlier one exactly when a LATER row of
+    the same doc has e <= its own e (starts ascend), so "keep iff
+    e < suffix-min of e over later same-doc rows" — the suffix-min runs
+    right-to-left with a reset at doc boundaries. Duplicate (s, e)
+    windows keep the last copy. -> (doc_idx, freqs) or None."""
+    if len(win_parts) == 1:
+        d, s, e = win_parts[0]
+    else:
+        d = np.concatenate([w[0] for w in win_parts])
+        s = np.concatenate([w[1] for w in win_parts])
+        e = np.concatenate([w[2] for w in win_parts])
+        order = np.lexsort((e, s, d))
+        d, s, e = d[order], s[order], e[order]
+        # keep iff e < suffix-min of e over LATER same-doc rows (starts
+        # ascend, so only later rows can be contained); per-doc slices,
+        # numpy accumulate inside each — the loop runs per doc, not per
+        # window
+        keep = np.ones(len(e), dtype=bool)
+        bounds = np.flatnonzero(np.diff(d)) + 1
+        for a, b in zip(
+            np.concatenate(([0], bounds)), np.concatenate((bounds, [len(d)]))
+        ):
+            seg = e[a:b].astype(np.float64)
+            sm = np.empty(b - a, dtype=np.float64)
+            sm[-1] = np.inf
+            if b - a > 1:
+                sm[:-1] = np.minimum.accumulate(seg[::-1])[::-1][1:]
+            keep[a:b] = seg < sm
+        d, s, e = d[keep], s[keep], e[keep]
+        if len(d) == 0:
+            return None
+    gaps = (e - s + 1) - m
+    okg = gaps <= slop
+    if not okg.any():
+        return None
+    d_sel = d[okg]
+    w = 1.0 / (1.0 + gaps[okg].astype(np.float64))
+    uq, start = np.unique(d_sel, return_index=True)
+    return uq, np.add.reduceat(w, start)
+
+
+def _flat_near_parts(decoded, groups, variants, in_order, slop):
+    """The vectorized kernel for the flat span_near shape: candidate
+    docs intersect singleton-clause doc arrays first (doc sets only —
+    no or-group union is ever materialized; or-groups restrict via
+    searchsorted membership masks), each termset's occurrence array is
+    gathered RESTRICTED to the candidates (multi-slice gather,
+    candidate-local lexsort), and windows compute across ALL docs at
+    once per variant (``_variant_windows``), union-minimalized and
+    folded by ``_minimal_union_freqs``. The ordered path keeps the
+    per-candidate ``intervals.interval_freq`` chain walk (disjoint
+    single variant only — ``_flat_variants`` gates).
+    -> (docs_arr, freqs_arr, dls_arr) or None when the segment can't
+    match."""
     from sgpt_spark.operators.intervals import interval_freq
 
     g_entries = []
@@ -527,52 +776,106 @@ def _flat_near_parts(decoded, groups, in_order, slop):
         if not ents:
             return None  # a near clause with no present term: no match
         g_entries.append(ents)
-    g_docsets = []
-    for ents in g_entries:
-        if len(ents) == 1:
-            g_docsets.append(ents[0][0])
-        else:
-            g_docsets.append(np.unique(np.concatenate([e[0] for e in ents])))
-    order = sorted(range(len(groups)), key=lambda j: len(g_docsets[j]))
+    sing = [j for j, e in enumerate(g_entries) if len(e) == 1]
+    multi = [j for j in range(len(g_entries)) if len(g_entries[j]) > 1]
     cand = None
-    for j in order:
-        cand = (
-            g_docsets[j]
-            if cand is None
-            else np.intersect1d(cand, g_docsets[j], assume_unique=True)
-        )
+    for j in sorted(sing, key=lambda j: len(g_entries[j][0][0])):
+        d = g_entries[j][0][0]
+        cand = d if cand is None else np.intersect1d(cand, d, assume_unique=True)
         if len(cand) == 0:
             return None
+    if cand is None:
+        # no singleton clause: materialize ONE union (the smallest
+        # or-group) to seed the candidate set
+        j0 = min(multi, key=lambda j: sum(len(e[0]) for e in g_entries[j]))
+        cand = np.unique(np.concatenate([e[0] for e in g_entries[j0]]))
+        rest = [j for j in multi if j != j0]
+    else:
+        rest = multi
+    for j in rest:
+        mask = np.zeros(len(cand), dtype=bool)
+        for e in g_entries[j]:
+            mask |= _member_mask(cand, e[0])
+        cand = cand[mask]
+        if len(cand) == 0:
+            return None
+
+    def _restrict(terms: tuple):
+        od_parts, op_parts = [], []
+        for t in terms:
+            e = decoded.get(t)
+            if e is None:
+                continue
+            lo = np.searchsorted(e[2], cand, side="left")
+            hi = np.searchsorted(e[2], cand, side="right")
+            idx = _gather_slices(lo, hi)
+            if len(idx):
+                od_parts.append(e[2][idx])
+                op_parts.append(e[3][idx])
+        if not od_parts:
+            return None
+        if len(od_parts) == 1:
+            return od_parts[0], op_parts[0]
+        od = np.concatenate(od_parts)
+        op = np.concatenate(op_parts)
+        srt = np.lexsort((op, od))
+        return od[srt], op[srt]
+
+    dls_for = _fill_dls(cand, g_entries)
+    if not in_order:
+        ts_cache: dict = {}
+        win_parts = []
+        for variant in variants:
+            dps = []
+            for ts, r in variant:
+                if ts not in ts_cache:
+                    ro = _restrict(ts)
+                    ts_cache[ts] = (
+                        None
+                        if ro is None
+                        # candidate-local doc indexes keep keys small
+                        else (np.searchsorted(cand, ro[0]), ro[1])
+                    )
+                ent = ts_cache[ts]
+                if ent is None:
+                    dps = None
+                    break
+                dps.append((ent[0], ent[1], r))
+            if dps is None:
+                continue
+            win = _variant_windows(dps)
+            if win is not None:
+                win_parts.append(win)
+        if not win_parts:
+            return None
+        hit = _minimal_union_freqs(win_parts, len(groups), slop)
+        if hit is None:
+            return None
+        sel, fv = hit
+        return (cand[sel].astype(np.int64), fv, dls_for[sel])
     slices = []
-    for ents in g_entries:
-        if len(ents) == 1:
-            od, op = ents[0][2], ents[0][3]
-        else:
-            od = np.concatenate([e[2] for e in ents])
-            op = np.concatenate([e[3] for e in ents])
-            srt = np.lexsort((op, od))
-            od, op = od[srt], op[srt]
+    for g in groups:
+        ro = _restrict(g)
+        if ro is None:
+            return None
+        od, op = ro
         lo = np.searchsorted(od, cand, side="left")
         hi = np.searchsorted(od, cand, side="right")
         slices.append((op, lo, hi))
-    all_docs = np.concatenate([e[0] for ents in g_entries for e in ents])
-    all_dls = np.concatenate([e[1] for ents in g_entries for e in ents])
-    uq, first = np.unique(all_docs, return_index=True)
-    dls_for = all_dls[first]
-    hit_docs, hit_freqs = [], []
+    hit_idx, hit_freqs = [], []
     for i in range(len(cand)):
         arrs = [op[lo[i]:hi[i]].astype(np.int64) for op, lo, hi in slices]
         f = interval_freq(arrs, in_order, slop)
         if f > 0.0:
-            hit_docs.append(int(cand[i]))
+            hit_idx.append(i)
             hit_freqs.append(f)
-    if not hit_docs:
+    if not hit_idx:
         return None
+    sel = np.asarray(hit_idx, dtype=np.int64)
     return (
-        np.asarray(hit_docs, dtype=np.int64),
+        cand[sel].astype(np.int64),
         np.asarray(hit_freqs, dtype=np.float64),
-        uq,
-        dls_for,
+        dls_for[sel],
     )
 
 
@@ -624,8 +927,7 @@ def span_parts(
             hit = _flat_near_parts(decoded, *fast)
             if hit is None:
                 continue
-            docs_arr, fv, uq, dls_for = hit
-            dl = dls_for[np.searchsorted(uq, docs_arr)].astype(np.float64)
+            docs_arr, fv, dl = hit
             raw = sum_idf * fv / (fv + k1 * (1.0 - b + b * dl / avgdl))
             if kk is None:
                 parts.append((qid, docs_arr, raw))
@@ -636,15 +938,27 @@ def span_parts(
             continue
         lookup = decoded
         if groups_map:
+            # two-phase: candidates from DOC SETS alone (no position
+            # merge), then synthetic entries materialized restricted to
+            # the candidates — the or-group lexsort runs candidate-local
+            doc_overlay = {}
+            for synth, group in groups_map.items():
+                d = _group_docs(decoded, group, synth_cache)
+                if len(d):
+                    doc_overlay[synth] = (d,)
+            cand = _candidate_docs(tree, ChainMap(doc_overlay, decoded))
+            if len(cand) == 0:
+                continue
             synths = {}
             for synth, group in groups_map.items():
-                ent = _synth_entry(decoded, group, synth_cache)
+                ent = _synth_entry(decoded, group, synth_cache, cand=cand)
                 if ent is not None:
                     synths[synth] = ent
             lookup = ChainMap(synths, decoded)
-        cand = _candidate_docs(tree, lookup)
-        if len(cand) == 0:
-            continue
+        else:
+            cand = _candidate_docs(tree, lookup)
+            if len(cand) == 0:
+                continue
         # per-candidate position slices for every tree term present
         slices = {}
         dl_map_docs: list = []
@@ -759,9 +1073,12 @@ def span_search_index(
         # matches the other)
         pos_terms = span_leaf_terms(tree, positive_only=True)
         mw = span_min_width(tree)
-        fast = _flat_near_groups(tree)
-        if fast is not None and mw != len(fast[0]):
-            fast = None  # defensive: kernel assumes min_width == #clauses
+        fast = None
+        det = _flat_near_groups(tree)
+        if det is not None and mw == len(det[0]):
+            variants = _flat_variants(det[0], det[1])
+            if variants is not None:
+                fast = (det[0], variants, det[1], det[2])
         groups_map: dict = {}
         walk_tree = tree
         walk_terms = tuple(sorted(span_leaf_terms(tree)))

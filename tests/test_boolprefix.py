@@ -238,3 +238,36 @@ FROM total QUALIFY rank <= 10
         for q, d, s, rk in con.execute(sql).fetchall()
     )
     assert got == want and len(got) > 0
+
+
+def test_mbp_kernel_matches_relational(spark):
+    """r6: the default segment-kernel strategy is value-identical to
+    the pinned relational spelling across msm/operator shapes."""
+    from sgpt_spark.operators.boolprefix import match_bool_prefix_search_index
+    from sgpt_spark.operators.indexer import build_postings
+    from sgpt_spark.sources.queryset import derived_queries
+    from sgpt_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf, "documents")
+    postings, meta = build_postings(docs, segment_size=200)
+    arr = F.split(F.col("query"), " ", -1)
+    q = derived_queries(docs).select(
+        "qid",
+        F.trim(
+            F.concat(
+                F.array_join(F.slice(arr, 1, F.size(arr) - 1), " "),
+                F.lit(" "),
+                F.substring(F.element_at(arr, -1), 1, 3),
+            )
+        ).alias("query"),
+    )
+    for kwargs in ({}, {"minimum_should_match": 2}, {"operator": "and"}):
+        a = sorted(map(tuple, match_bool_prefix_search_index(
+            spark, postings, meta, q, k=10, max_expansions=64,
+            **kwargs).collect()))
+        b = sorted(map(tuple, match_bool_prefix_search_index(
+            spark, postings, meta, q, k=10, max_expansions=64,
+            strategy="relational", **kwargs).collect()))
+        assert a == b and len(a) > 0, kwargs

@@ -395,3 +395,38 @@ def test_classic_equals_simple_query_string_real_corpus(spark):
     a = _rows(query_string_search_index(spark, path, qs, k=10))
     b = _rows(simple_query_string_index(spark, path, qs, k=10))
     assert a == b and len(a) > 0
+
+
+def test_flat_route_matches_general(spark):
+    """r6: the flat bool-kernel route is value-identical to the pinned
+    by-depth executor on the bench shape (must/should/must_not terms +
+    quoted phrase, incl. slop), and a MIXED batch (flat + grouped)
+    unions correctly."""
+    import tempfile
+
+    from sgpt_spark.operators.indexer import read_term_stats
+    from sgpt_spark.operators.luceneqs import query_string_search_index
+    from sgpt_spark.operators.positions import build_positional_index
+
+    docs = spark.createDataFrame(
+        DOCS, "doc_id long, text string, n_chars long, lang string"
+    ).repartition(3)
+    path = tempfile.mkdtemp(prefix="sgpt_lqs_flat_")
+    build_positional_index(docs.repartition(3, "doc_id"), path, segment_size=2)
+    ts = read_term_stats(spark, path)
+    qs = [
+        (1, '+quick brown -dog "lazy brown"'),
+        (2, 'quick AND fox'),
+        (3, '"quick brown"~2 cat'),
+        (4, 'brown'),
+    ]
+    a = _rows(query_string_search_index(spark, path, qs, k=10, term_stats=ts))
+    b = _rows(query_string_search_index(spark, path, qs, k=10, term_stats=ts,
+                                        strategy="general"))
+    assert a == b and len(a) > 0
+    # mixed batch: qid 5 has a parenthesized group -> general executor
+    mixed = qs + [(5, '(quick OR cat) AND brown')]
+    a = _rows(query_string_search_index(spark, path, mixed, k=10, term_stats=ts))
+    b = _rows(query_string_search_index(spark, path, mixed, k=10, term_stats=ts,
+                                        strategy="general"))
+    assert a == b and len([r for r in a if r[0] == 5]) > 0

@@ -480,18 +480,31 @@ def test_term_stats_paths_agree(spark):
 
 
 def test_flat_near_groups_detection():
-    from sgpt_spark.operators.spans import _flat_near_groups
+    from sgpt_spark.operators.spans import _flat_near_groups, _flat_variants
 
-    # bare terms + or-groups, disjoint -> fast shape
+    # bare terms + or-groups, disjoint -> fast shape, one variant
     t = {"span_near": {"clauses": [
         {"span_or": {"clauses": ["a", "b"]}}, "c", {"span_term": "d"},
     ], "slop": 3, "in_order": False}}
     assert _flat_near_groups(t) == ([("a", "b"), ("c",), ("d",)], False, 3)
-    # a term shared across clauses needs the overlap walk -> None
-    t2 = {"span_near": {"clauses": [
-        {"span_or": {"clauses": ["a", "b"]}}, "a",
-    ], "slop": 3}}
-    assert _flat_near_groups(t2) is None
+    v = _flat_variants([("a", "b"), ("c",), ("d",)], False)
+    assert v is not None and len(v) == 1
+    assert sorted(v[0]) == [(("a", "b"), 1), (("c",), 1), (("d",), 1)]
+    # a term shared between an or-group and a singleton -> TWO variants
+    # (group realized privately, or by the shared term at r=2)
+    v2 = _flat_variants([("a", "b"), ("a",)], False)
+    assert v2 is not None and len(v2) == 2
+    assert sorted(sorted(var) for var in v2) == [
+        [(("a",), 1), (("b",), 1)],
+        [(("a",), 2)],
+    ]
+    # ordered + overlap: clause order binds -> tree walk
+    assert _flat_variants([("a", "b"), ("a",)], True) is None
+    # a term in TWO multi groups -> tree walk
+    assert _flat_variants([("a", "b"), ("a", "c")], False) is None
+    # repeated singleton -> multiplicity 2, single variant
+    v3 = _flat_variants([("a",), ("a",)], False)
+    assert v3 == [[(("a",), 2)]]
     # nested near stays on the interpreter
     t3 = {"span_near": {"clauses": [
         {"span_near": {"clauses": ["a", "b"], "slop": 0}}, "c",
@@ -556,3 +569,96 @@ def test_flat_near_interval_reduction_matches_span_freq():
                 in_order, slop,
             )
         assert got == pytest.approx(want), (tree, posmap)
+
+
+def test_flat_near_parts_vectorized_matches_span_freq():
+    """r6: _flat_near_parts (the across-docs vectorized kernel,
+    unordered and ordered) matches per-doc span_freq on randomized
+    multi-doc segments — the decoded-entry contract exercised directly."""
+    import random
+
+    import numpy as np
+
+    from sgpt_spark.operators.spans import (
+        _flat_near_parts,
+        _flat_variants,
+        span_freq,
+    )
+
+    rng = random.Random(77)
+    vocab = list("abcdefgh")
+    n_checked = 0
+    for trial in range(400):
+        n_clauses = rng.randint(1, 4)
+        overlap = rng.random() < 0.5  # half the trials share terms
+        if overlap:
+            groups = []
+            for _ in range(n_clauses):
+                size = rng.randint(1, 2)
+                groups.append(tuple(sorted(rng.sample(vocab[:5], size))))
+        else:
+            pool = vocab[:]
+            rng.shuffle(pool)
+            groups, cursor = [], 0
+            for _ in range(n_clauses):
+                size = rng.randint(1, 2)
+                groups.append(tuple(sorted(pool[cursor:cursor + size])))
+                cursor += size
+        slop = rng.randint(0, 5)
+        in_order = rng.random() < 0.5
+        variants = _flat_variants(groups, in_order)
+        if variants is None:
+            continue  # tree-walk shapes (ordered overlap, group-group)
+        n_checked += 1
+        clauses = [
+            g[0] if len(g) == 1 else {"span_or": {"clauses": list(g)}}
+            for g in groups
+        ]
+        tree = {"span_near": {"clauses": clauses, "slop": slop,
+                              "in_order": in_order}}
+        # random multi-doc segment: per doc distinct positions, one term
+        # per position; build decoded {(term): (docs, dls, occ_doc, occ_pos)}
+        n_docs = rng.randint(1, 6)
+        posmaps, by_term = {}, {}
+        for d in range(n_docs):
+            n_pos = rng.randint(0, 12)
+            positions = sorted(rng.sample(range(1, 30), n_pos))
+            pm = {}
+            for p in positions:
+                t = rng.choice(vocab)
+                pm.setdefault(t, []).append(p)
+            posmaps[d] = pm
+            for t, ps in pm.items():
+                by_term.setdefault(t, []).append((d, ps))
+        decoded = {}
+        for t, rows in by_term.items():
+            docs = np.array([d for d, _ in rows], dtype=np.int64)
+            tfs = np.array([len(ps) for _, ps in rows])
+            dls = np.array(
+                [sum(len(v) for v in posmaps[d].values()) for d, _ in rows],
+                dtype=np.int64,
+            )
+            occ_doc = np.repeat(docs, tfs)
+            occ_pos = np.concatenate(
+                [np.array(ps, dtype=np.int64) for _, ps in rows]
+            )
+            decoded[t] = (docs, dls, occ_doc, occ_pos)
+        want = {
+            d: span_freq(tree, posmaps[d])
+            for d in range(n_docs)
+            if span_freq(tree, posmaps[d]) > 0.0
+        }
+        got_raw = _flat_near_parts(decoded, groups, variants, in_order, slop)
+        got = (
+            {}
+            if got_raw is None
+            else dict(zip(got_raw[0].tolist(),
+                          [round(v, 9) for v in got_raw[1].tolist()]))
+        )
+        want = {d: round(v, 9) for d, v in want.items()}
+        assert got == want, (trial, tree, posmaps)
+        # dls must align per emitted doc
+        if got_raw is not None:
+            for d, dl in zip(got_raw[0].tolist(), got_raw[2].tolist()):
+                assert dl == sum(len(v) for v in posmaps[d].values())
+    assert n_checked > 150  # the generator must exercise the kernel

@@ -99,12 +99,17 @@ def match_candidates(
     aggregation over the same candidates relation reuses it — the way
     ES computes the hit bitset once per request and runs every agg of
     the body against it. Without it, a request carrying several aggs
-    re-decodes the postings per agg. The checkpointed relation is two
-    narrow columns (qid, doc_id), bounded by the matched terms' total
-    df — never |corpus| — and is stored SERIALIZED (PySpark's MEMORY_AND_DISK):
-    the deserialized default costs ~10x the heap per row and OOMs a
-    request stream whose checkpoints the context cleaner has not yet
-    released.
+    re-decodes the postings per agg. On the cogroup path the
+    checkpoint stores the kernel's ARRAY emission — one (qid,
+    doc_ids array<long>) row per (segment, query), the hit-bitset
+    shape — and consumers see it through an in-plan ``explode``:
+    checkpointing the exploded pair relation instead costs one
+    serialized row per (qid, doc) (measured ~3x the whole kernel);
+    the array rows serialize as flat buffers. Still bounded by the
+    matched terms' total df — never |corpus| — and stored SERIALIZED
+    (PySpark's MEMORY_AND_DISK): the deserialized default costs ~10x
+    the heap per row and OOMs a request stream whose checkpoints the
+    context cleaner has not yet released.
     """
     from pyspark import StorageLevel
     from sgpt_spark.functions.analyzer import resolve_jvm_analyzer
@@ -119,18 +124,24 @@ def match_candidates(
     tok = tokenizer or resolve_jvm_analyzer(meta.analyzer)
     qt = query_terms(queries, tokenizer=tok)
     if strategy == "cogroup":
-        out = _match_candidates_cogroup(
+        packed = _match_candidates_cogroup(
             spark, postings, meta, qt,
             queries.schema["qid"].dataType.simpleString(),
         )
-    else:
-        cand = postings.join(qt.select("term").distinct(), "term", "left_semi")
-        flat = flatten_postings(cand, codec=meta.codec).select("term", "doc_id")
-        out = (
-            flat.join(qt.select("qid", "term").distinct(), "term")
-            .select("qid", "doc_id")
-            .distinct()
+        if materialize:
+            packed = packed.localCheckpoint(
+                eager=False, storageLevel=StorageLevel.MEMORY_AND_DISK
+            )
+        return packed.select(
+            "qid", F.explode("doc_ids").alias("doc_id")
         )
+    cand = postings.join(qt.select("term").distinct(), "term", "left_semi")
+    flat = flatten_postings(cand, codec=meta.codec).select("term", "doc_id")
+    out = (
+        flat.join(qt.select("qid", "term").distinct(), "term")
+        .select("qid", "doc_id")
+        .distinct()
+    )
     if not materialize:
         return out
     return out.localCheckpoint(
@@ -147,7 +158,12 @@ def _match_candidates_cogroup(
 ) -> DataFrame:
     """The cogroup hit-set kernel: (segment blocks) x (segment's query
     terms) -> per query the numpy union of its terms' doc arrays,
-    emitted as already-globally-distinct (qid, doc_id) rows."""
+    emitted PACKED as one (qid, doc_ids array) row per (segment,
+    query) — the hit-bitset shape. Exploding in the JVM keeps the
+    Python->JVM boundary at |segments| x |queries| rows (flat int64
+    buffers) instead of one object-typed row per (qid, doc) pair; the
+    exploded relation is still globally distinct because segments
+    partition docs."""
     import numpy as np
     import pandas as pd
 
@@ -170,11 +186,11 @@ def _match_candidates_cogroup(
         F.col("_mc_qt.term").alias("term"),
     )
     codec = meta.codec
-    out_schema = f"qid {qid_type}, doc_id long"
+    out_schema = f"qid {qid_type}, doc_ids array<long>"
 
     def hits(pleft: pd.DataFrame, pright: pd.DataFrame) -> pd.DataFrame:
         if len(pleft) == 0 or len(pright) == 0:
-            return pd.DataFrame({"qid": [], "doc_id": []})
+            return pd.DataFrame({"qid": [], "doc_ids": []})
         offs, d_all, _, _ = decode_many(list(pleft["blocks"]), codec)
         docs_of = {}
         for i, term in enumerate(pleft["term"]):
@@ -187,18 +203,13 @@ def _match_candidates_cogroup(
             if arr is not None:
                 per_q.setdefault(qid, []).append(arr)
         if not per_q:
-            return pd.DataFrame({"qid": [], "doc_id": []})
+            return pd.DataFrame({"qid": [], "doc_ids": []})
         qids_out, docs_out = [], []
         for qid, arrs in per_q.items():
             u = arrs[0] if len(arrs) == 1 else np.unique(np.concatenate(arrs))
-            qids_out.append(np.full(len(u), qid, dtype=object))
+            qids_out.append(qid)
             docs_out.append(u.astype(np.int64))
-        return pd.DataFrame(
-            {
-                "qid": np.concatenate(qids_out),
-                "doc_id": np.concatenate(docs_out),
-            }
-        )
+        return pd.DataFrame({"qid": qids_out, "doc_ids": docs_out})
 
     return (
         cand.groupBy("segment")
@@ -313,6 +324,11 @@ def histogram_agg(
     )
     if min_doc_count >= 1:
         return counts.select("qid", "bucket", "doc_count")
+    # lazy localCheckpoint: the bucket relation is tiny (|qids| x key
+    # span / interval) but derives from the full match-set join, and
+    # the empty-bucket fill consumes it TWICE (bounds + the left join)
+    # — without it the heavy join+groupBy runs twice per action
+    counts = counts.localCheckpoint(eager=False)
     bounds = counts.groupBy("qid").agg(
         F.min("bucket").alias("_lo"), F.max("bucket").alias("_hi")
     )
@@ -377,10 +393,15 @@ def range_agg(
     unbounded on both ends duplicated; NULL field values fall in no
     bucket.
 
-    Plan: the tiny requested-range relation broadcast-joins the match
-    values on the [from, to) predicate (one theta join against a
-    literal), then a per-(qid, bucket) count left-joins the qid x range
-    cross product so empty buckets survive. No UDF, no driver loop.
+    Plan (r6): ONE pass — the requested ranges compile to conditional
+    count columns in a single groupBy(qid) over the candidates-left-
+    joined doc values (map-side combinable, no theta-join row blowup:
+    the r5 spelling multiplied the match relation by the overlapping-
+    range fan-out and re-scanned the candidates for the empty-bucket
+    qid list), then one in-plan arrays_zip/explode unpivots the wide
+    counts to (qid, range_key, doc_count). Empty buckets survive
+    because every candidate qid reaches the groupBy via the left join.
+    No UDF, no driver loop.
     """
     if field not in docvalues.columns:
         raise ValueError(
@@ -393,28 +414,35 @@ def range_agg(
     keys = [range_key(lo, hi) for lo, hi in rs]
     if len(set(keys)) != len(keys):
         raise ValueError(f"duplicate range buckets in {keys}")
-    spark = candidates.sparkSession
-    rdf = spark.createDataFrame(
-        [(k, lo, hi) for k, (lo, hi) in zip(keys, rs)],
-        "range_key string, lo long, hi long",
+    joined = candidates.join(
+        docvalues.select("doc_id", field), "doc_id", "left"
     )
-    vals = candidates.join(
-        docvalues.select("doc_id", field), "doc_id"
-    ).filter(F.col(field).isNotNull())
-    cond = (F.col("lo").isNull() | (F.col(field) >= F.col("lo"))) & (
-        F.col("hi").isNull() | (F.col(field) < F.col("hi"))
+    conds = []
+    for lo, hi in rs:
+        c = F.col(field).isNotNull()
+        if lo is not None:
+            c = c & (F.col(field) >= F.lit(int(lo)))
+        if hi is not None:
+            c = c & (F.col(field) < F.lit(int(hi)))
+        conds.append(c)
+    wide = joined.groupBy("qid").agg(
+        *[
+            F.coalesce(F.sum(F.when(c, F.lit(1))), F.lit(0))
+            .cast("long")
+            .alias(f"_b{i}")
+            for i, c in enumerate(conds)
+        ]
     )
-    counts = (
-        vals.join(F.broadcast(rdf), cond)
-        .groupBy("qid", "range_key")
-        .agg(F.count("*").alias("doc_count"))
+    pairs = F.arrays_zip(
+        F.array(*[F.lit(k) for k in keys]).alias("range_key"),
+        F.array(*[F.col(f"_b{i}") for i in range(len(keys))]).alias(
+            "doc_count"
+        ),
     )
-    qids = candidates.select("qid").distinct()
-    full = qids.crossJoin(F.broadcast(rdf.select("range_key")))
-    return full.join(counts, ["qid", "range_key"], "left").select(
+    return wide.select("qid", F.explode(pairs).alias("_kv")).select(
         "qid",
-        "range_key",
-        F.coalesce(F.col("doc_count"), F.lit(0)).alias("doc_count"),
+        F.col("_kv.range_key").alias("range_key"),
+        F.col("_kv.doc_count").alias("doc_count"),
     )
 
 
@@ -616,6 +644,9 @@ def date_histogram_agg(
     counts = vals.groupBy("qid", "bucket").agg(F.count("*").alias("doc_count"))
     if min_doc_count == 1:
         return counts
+    # same double-consumption shape as histogram_agg: checkpoint the
+    # tiny bucket relation so the match-set join runs once per action
+    counts = counts.localCheckpoint(eager=False)
     step = _CALENDAR_STEPS[calendar_interval]
     spans = counts.groupBy("qid").agg(
         F.min("bucket").alias("_lo"), F.max("bucket").alias("_hi")
@@ -662,6 +693,11 @@ def top_hits_agg(
         )
     if size < 1 or hits < 1:
         raise ValueError(f"size and hits must be >= 1, got {size}, {hits}")
+    # NOTE (r6, measured): vals is consumed twice (bucket counting +
+    # hit-selection join) and a lazy serialized checkpoint here was
+    # A/B'd SLOWER (writing |match set| post-join rows costs more than
+    # recomputing the array-form kernel + broadcast join) — pinned
+    # double compute on purpose
     vals = (
         scored.join(docvalues.select("doc_id", field), "doc_id")
         .filter(F.col(field).isNotNull())
@@ -726,6 +762,11 @@ def sampler_candidates(
         scored.withColumn("_r", F.row_number().over(w))
         .filter(F.col("_r") <= shard_size)
         .select("qid", "doc_id")
+        # lazy checkpoint: the sample is tiny (|qids| x shard_size) but
+        # its derivation windows the FULL scored match set; downstream
+        # aggs (significant_terms consumes its candidates three times)
+        # must not re-run that window per consumer
+        .localCheckpoint(eager=False)
     )
 
 
@@ -743,12 +784,22 @@ def percentiles_agg(
     ``exact=True`` (default): linear-interpolated exact percentiles —
     Spark ``percentile`` and DuckDB ``quantile_cont`` compute the SAME
     type-7 quantile, which is what makes this form value-gateable.
-    ``exact=False``: ``percentile_approx`` — Spark's bounded-memory
-    sketch, the same role as the t-digest ES itself runs; partial
-    sketches merge map-side, so a 10^12-doc match set never shuffles
-    raw values. The two paths are pytest-equated on sets whose
-    percentile positions land exactly on elements (where interpolation
-    and element-selection coincide); the exact path carries the gate.
+    ``exact=False``: the SCALE path — since round 6 a distributed
+    value-histogram percentile: one map-side-combinable
+    groupBy(qid, value) count, a cumulative window over the (tiny,
+    distinct-value-bounded) bucket relation, and the type-7
+    interpolation between the two straddling elements. It returns the
+    SAME values as the exact path at every percentile position (the
+    r5 ``percentile_approx`` sketch only agreed on element-aligned
+    sets) while never holding per-group state: the heavy relation is
+    reduced map-side and the window sorts |distinct values| rows per
+    query, spilling gracefully — unlike both Spark percentile
+    aggregates, whose per-group buffers (OpenHashMap / QuantileSummaries
+    with per-row inserts) are memory-bounded AND codegen-opaque
+    (``percentile_approx`` was the single slowest agg in the r5 bench,
+    ~6x the groupBy floor). Equality with the exact path is
+    pytest-pinned everywhere (test_aggs_opt_r06); the exact path
+    carries the gate.
     """
     if field not in docvalues.columns:
         raise ValueError(
@@ -766,8 +817,9 @@ def percentiles_agg(
     vals = candidates.join(docvalues.select("doc_id", field), "doc_id").filter(
         F.col(field).isNotNull()
     )
-    fn = F.percentile(field, fracs) if exact else F.percentile_approx(field, fracs)
-    agg = vals.groupBy("qid").agg(fn.alias("_vs"))
+    if not exact:
+        return _percentiles_from_histogram(vals, field, ps)
+    agg = vals.groupBy("qid").agg(F.percentile(field, fracs).alias("_vs"))
     pairs = F.arrays_zip(
         F.array(*[F.lit(p) for p in ps]).alias("percent"),
         F.col("_vs").cast("array<double>").alias("value"),
@@ -777,6 +829,73 @@ def percentiles_agg(
         .select("qid", F.col("_pv.percent").alias("percent"),
                 F.col("_pv.value").alias("value"))
     )
+
+
+def _percentiles_from_histogram(
+    vals: DataFrame, field: str, ps: list[float]
+) -> DataFrame:
+    """Distributed type-7 percentiles from a (qid, value) histogram.
+
+    The straddling elements at positions floor/ceil of
+    p/100 * (n - 1) are located by cumulative counts over the sorted
+    distinct-value relation; interpolation uses the exact spelling
+    Spark's Percentile aggregate evaluates (``lo*(ceil-pos) +
+    hi*(pos-floor)``, element itself when the position is integral) so
+    the two paths agree step for step."""
+    hist = vals.groupBy("qid", F.col(field).alias("_v")).agg(
+        F.count("*").alias("_c")
+    )
+    wcum = (
+        Window.partitionBy("qid")
+        .orderBy("_v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    fan = (
+        hist.select(
+            "qid",
+            "_v",
+            "_c",
+            F.sum("_c").over(wcum).alias("_cum"),
+            F.sum("_c").over(Window.partitionBy("qid")).alias("_n"),
+        )
+        .select(
+            "qid",
+            "_v",
+            "_cum",
+            (F.col("_cum") - F.col("_c")).alias("_prev"),
+            F.explode(
+                F.array(*[F.lit(float(p)) for p in ps])
+            ).alias("percent"),
+            (F.col("_n") - 1).cast("double").alias("_nm1"),
+        )
+        .withColumn("_pos", F.col("_nm1") * F.col("percent") / F.lit(100.0))
+        .withColumn("_lo", F.floor("_pos"))
+        .withColumn("_hi", F.ceil("_pos"))
+    )
+    covers_lo = (F.col("_prev") <= F.col("_lo")) & (
+        F.col("_lo") < F.col("_cum")
+    )
+    covers_hi = (F.col("_prev") <= F.col("_hi")) & (
+        F.col("_hi") < F.col("_cum")
+    )
+    picked = (
+        fan.filter(covers_lo | covers_hi)
+        .groupBy("qid", "percent")
+        .agg(
+            F.max(F.when(covers_lo, F.col("_v"))).cast("double").alias("_vlo"),
+            F.max(F.when(covers_hi, F.col("_v"))).cast("double").alias("_vhi"),
+            F.max("_pos").alias("_p"),
+        )
+    )
+    value = F.when(
+        (F.col("_p") == F.floor("_p").cast("double"))
+        | (F.col("_vlo") == F.col("_vhi")),
+        F.col("_vlo"),
+    ).otherwise(
+        F.col("_vlo") * (F.ceil("_p").cast("double") - F.col("_p"))
+        + F.col("_vhi") * (F.col("_p") - F.floor("_p").cast("double"))
+    )
+    return picked.select("qid", "percent", value.alias("value"))
 
 
 def composite_agg(

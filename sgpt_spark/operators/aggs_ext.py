@@ -138,13 +138,30 @@ def adjacency_matrix_agg(
     docvalues: DataFrame,
     filters: dict[str, str],
     separator: str = "&",
+    strategy: str = "mask",
 ) -> DataFrame:
     """-> (qid, key, doc_count): one bucket per named filter plus one
     per pairwise intersection keyed ``"a&b"`` (names in sorted order —
     ES's deterministic key spelling), empty buckets omitted.
     ``filters``: name -> Spark SQL predicate over docvalues columns
     (the ``filters_agg`` contract; NULL predicate results don't
-    match)."""
+    match).
+
+    ``strategy='mask'`` (default, r6): every predicate evaluates to one
+    bit of a per-(qid, doc) long bitmask in whole-stage codegen, a
+    map-side-combinable groupBy(qid, mask) collapses the match set to
+    <= |qids| x 2^n observed-mask rows, and the singles + pairwise keys
+    expand IN-PLAN from the mask bits of that tiny relation — the r5
+    spelling self-joined the exploded (qid, doc_id, name) relation on
+    (qid, doc_id), shuffling |matches| x fan-out rows twice (the worst
+    agg row in the r5 bench). Falls back to the self-join above 62
+    filters (mask bits; ES itself caps the agg at 100 filters).
+    ``strategy='selfjoin'`` pins the r5 spelling (the verification
+    twin, pytest-equated on randomized filter batteries)."""
+    if strategy not in ("mask", "selfjoin"):
+        raise ValueError(
+            f"unknown strategy {strategy!r}: use mask|selfjoin"
+        )
     if not filters:
         raise ValueError("adjacency_matrix needs at least one named filter")
     names = sorted(filters)
@@ -154,6 +171,45 @@ def adjacency_matrix_agg(
             f"filter names {bad} contain the separator {separator!r}"
         )
     vals = candidates.join(docvalues, "doc_id")
+    n = len(names)
+    if strategy == "mask" and n <= 62:
+        bit = None
+        for i, nm in enumerate(names):
+            t = F.when(
+                F.coalesce(F.expr(filters[nm]), F.lit(False)),
+                F.lit(1 << i),
+            ).otherwise(F.lit(0))
+            bit = t if bit is None else bit + t
+        mrel = (
+            vals.select("qid", bit.cast("long").alias("_m"))
+            .filter(F.col("_m") > 0)
+            .groupBy("qid", "_m")
+            .agg(F.count("*").alias("_c"))
+        )
+        key_exprs = [
+            F.when(
+                F.col("_m").bitwiseAND(F.lit(1 << i)) != 0, F.lit(names[i])
+            )
+            for i in range(n)
+        ]
+        for i in range(n):
+            for j in range(i + 1, n):
+                m = (1 << i) | (1 << j)
+                key_exprs.append(
+                    F.when(
+                        F.col("_m").bitwiseAND(F.lit(m)) == F.lit(m),
+                        F.lit(f"{names[i]}{separator}{names[j]}"),
+                    )
+                )
+        return (
+            mrel.select(
+                "qid",
+                "_c",
+                F.explode(F.array_compact(F.array(*key_exprs))).alias("key"),
+            )
+            .groupBy("qid", "key")
+            .agg(F.sum("_c").cast("long").alias("doc_count"))
+        )
     matched_names = F.array_compact(
         F.array(
             *[

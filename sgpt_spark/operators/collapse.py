@@ -57,13 +57,30 @@ def collapse_search(
         F.col(field).cast("string"),
         F.concat(F.lit("\x00doc:"), F.col("doc_id").cast("string")),
     )
-    gw = Window.partitionBy("qid", grp).orderBy(
-        F.col("score").desc(), F.col("doc_id").asc()
-    )
+    # best hit per (qid, group) as a map-side-combinable max over a
+    # comparison struct (score asc, -doc_id asc == score desc, doc_id
+    # asc — the engine ranking contract on the already-6dp-rounded
+    # score): value-identical to the r5 row_number window but shuffles
+    # <= |groups| partial rows per map partition instead of sorting the
+    # full scored match set by (qid, group)
     reps = (
-        vals.withColumn("_gr", F.row_number().over(gw))
-        .filter(F.col("_gr") == 1)
-        .drop("_gr")
+        vals.groupBy("qid", grp.alias("_g"))
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("score").alias("_s"),
+                    (-F.col("doc_id")).alias("_nd"),
+                    F.col("doc_id").alias("_d"),
+                    F.col(field).alias("_f"),
+                )
+            ).alias("_m")
+        )
+        .select(
+            "qid",
+            F.col("_m._d").alias("doc_id"),
+            F.col("_m._f").alias(field),
+            F.col("_m._s").alias("score"),
+        )
     )
     pw = Window.partitionBy("qid").orderBy(
         F.col("score").desc(), F.col("doc_id").asc()

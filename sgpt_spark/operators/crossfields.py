@@ -338,12 +338,19 @@ def combined_fields_search(
     flat = fdocs.select(
         "field", "doc_id", F.explode("terms").alias("term")
     ).join(F.broadcast(qt.select("term").distinct()), "term", "left_semi")
+    from pyspark import StorageLevel
+
     tf_piv = flat.groupBy("term", "doc_id").agg(
         *[
             F.sum(F.when(F.col("field") == f, F.lit(1))).alias(f"_tf{i}")
             for i, f in enumerate(fields)
         ]
-    )
+    # lazy SERIALIZED checkpoint (the hit-set storage rule): tf_piv is
+    # bounded by the query vocabulary's postings (the TAAT candidate
+    # bound, never |corpus tokens|) and is consumed TWICE — the blended
+    # df aggregate and the scoring join; without it the corpus
+    # re-tokenizes and the pivot groupBy re-runs per consumer
+    ).localCheckpoint(eager=False, storageLevel=StorageLevel.MEMORY_AND_DISK)
     dfs = tf_piv.groupBy("term").agg(
         *[F.count(f"_tf{i}").alias(f"_df{i}") for i in range(len(fields))]
     )
@@ -351,7 +358,13 @@ def combined_fields_search(
     dfb = F.greatest(*df_cols) if len(df_cols) > 1 else df_cols[0]
     dfs = dfs.select("term", dfb.alias("dfb"))
     qterm_df = F.broadcast(qt.join(dfs, "term", "inner"))
-    scored_terms = tf_piv.join(qterm_df, "term", "inner").join(dlens, "doc_id")
+    # attach the per-doc norm BEFORE the query fan-out: the doc_id join
+    # runs on the (term, doc_id) pivot (|query-vocab postings| rows),
+    # not on the (qid, term, doc_id) clause relation it fans out to —
+    # the r5 order shuffled the post-fan-out relation (~8x more rows on
+    # the bench shape) through the dlens join (guide §2.3: shuffle
+    # fewer bytes, attach small relations before the multiplier)
+    scored_terms = tf_piv.join(dlens, "doc_id").join(qterm_df, "term", "inner")
 
     tf_c = None
     for i, f in enumerate(fields):

@@ -175,23 +175,30 @@ def _match_scores_cogroup(
         F.col("_ms_qtw.w").alias("w"),
     )
     codec, k1, b_, avgdl = meta.codec, meta.k1, meta.b, meta.avgdl
-    out_schema = f"qid {qid_type}, doc_id long, score double"
+    # PACKED emission (one (qid, doc_ids, scores) row per (segment,
+    # query), exploded in the JVM): the Python->JVM boundary carries
+    # flat int64/float64 buffers instead of an object-typed qid per
+    # (qid, doc) row — the same array-form win as the hit-set kernel
+    out_schema = (
+        f"qid {qid_type}, doc_ids array<long>, scores array<double>"
+    )
 
     def hits(pleft: pd.DataFrame, pright: pd.DataFrame) -> pd.DataFrame:
+        empty = {"qid": [], "doc_ids": [], "scores": []}
         if len(pleft) == 0 or len(pright) == 0:
-            return pd.DataFrame({"qid": [], "doc_id": [], "score": []})
+            return pd.DataFrame(empty)
         decoded = _decode_terms(
             pleft["term"], pleft["blocks"], codec, k1, b_, avgdl
         )
         if not decoded:
-            return pd.DataFrame({"qid": [], "doc_id": [], "score": []})
+            return pd.DataFrame(empty)
         per_q: dict = {}
         for qid, term, w in zip(pright["qid"], pright["term"], pright["w"]):
             ent = decoded.get(term)
             if ent is not None:
                 per_q.setdefault(qid, []).append((ent[0], ent[1] * w))
         if not per_q:
-            return pd.DataFrame({"qid": [], "doc_id": [], "score": []})
+            return pd.DataFrame(empty)
         qids_out, docs_out, sc_out = [], [], []
         for qid, pairs in per_q.items():
             if len(pairs) == 1:
@@ -201,21 +208,25 @@ def _match_scores_cogroup(
                 w_cat = np.concatenate([p[1] for p in pairs])
                 ids, inv = np.unique(docs_cat, return_inverse=True)
                 sc = np.bincount(inv, weights=w_cat)
-            qids_out.append(np.full(len(ids), qid, dtype=object))
+            qids_out.append(qid)
             docs_out.append(ids.astype(np.int64))
             sc_out.append(sc.astype(np.float64))
         return pd.DataFrame(
-            {
-                "qid": np.concatenate(qids_out),
-                "doc_id": np.concatenate(docs_out),
-                "score": np.concatenate(sc_out),
-            }
+            {"qid": qids_out, "doc_ids": docs_out, "scores": sc_out}
         )
 
-    return (
+    packed = (
         cand.groupBy("segment")
         .cogroup(qseg.groupBy("segment"))
         .applyInPandas(hits, schema=out_schema)
+    )
+    return packed.select(
+        "qid",
+        F.explode(F.arrays_zip("doc_ids", "scores")).alias("_ds"),
+    ).select(
+        "qid",
+        F.col("_ds.doc_ids").alias("doc_id"),
+        F.col("_ds.scores").alias("score"),
     )
 
 

@@ -798,9 +798,16 @@ def bool_search_index(
         return topk_per_group(seg_topk, k=k).select("qid", "doc_id", "score", "rank")
 
     # structured clauses: ONE doc-values scan evaluates the distinct
-    # predicates; a (pid -> qid, bit) broadcast join + sum(bit) (distinct
-    # bits, so sum == or) yields the per-doc clause bits, cogrouped with
-    # the term-pruned postings by segment
+    # predicates into (segment, doc_id, pid) rows — bounded by the
+    # predicates' match counts x |predicates a doc satisfies|, never
+    # fanned by |queries|. The pid -> (query row, clause bit) fan
+    # happens INSIDE the kernel from a broadcast map (r6): the r5
+    # spelling joined a (pid -> qid, bit) relation and ran a
+    # groupBy(segment, doc_id, qid) in the JVM, shuffling ~|matched
+    # docs| x |queries per predicate| rows (~48M on the bench shape)
+    # before the cogroup. fb accumulation is bitwise_or.at, so the
+    # kernel hands over per-query CONCATENATED (docs, bit) rows —
+    # duplicates are fine, no unique needed.
     pred_keys = list(fmap.keys())
     match_arr = F.array(
         *[
@@ -813,23 +820,18 @@ def bool_search_index(
         "doc_id",
         F.explode(F.array_compact(match_arr)).alias("pid"),
     )
-    pb_rows = [
-        (pid, qid, int(bit))
-        for pid, key in enumerate(pred_keys)
-        for qid, bit in fmap[key]
-    ]
-    pb = spark.createDataFrame(pb_rows, f"pid int, qid {qid_type}, bit long")
-    docbits = (
-        matched.join(F.broadcast(pb), "pid")
-        .groupBy("segment", "doc_id", "qid")
-        .agg(F.sum("bit").alias("fbits"))
-    )
 
     qrow = {q: i for i, q in enumerate(qid_list)}
-    b_state = spark.sparkContext.broadcast((qid_list, tmap, qmeta, qrow))
+    pid_pairs = {
+        pid: [(qrow[qid], int(bit)) for qid, bit in fmap[key]]
+        for pid, key in enumerate(pred_keys)
+    }
+    b_state = spark.sparkContext.broadcast(
+        (qid_list, tmap, qmeta, pid_pairs)
+    )
 
     def bool_filtered(pleft: pd.DataFrame, pright: pd.DataFrame) -> pd.DataFrame:
-        qids_b, tmap_b, qmeta_b, qrow_b = b_state.value
+        qids_b, tmap_b, qmeta_b, pp_b = b_state.value
         decoded = (
             _decode_terms(pleft["term"], pleft["blocks"], codec, k1, b, avgdl)
             if len(pleft)
@@ -837,20 +839,35 @@ def bool_search_index(
         )
         fb: dict = {}
         if len(pright):
-            ridx = pright["qid"].map(qrow_b).to_numpy(np.int64)
+            pids_a = pright["pid"].to_numpy(np.int64)
             docs_a = pright["doc_id"].to_numpy(np.int64)
-            bits_a = pright["fbits"].to_numpy(np.int64).astype(np.uint64)
-            order = np.argsort(ridx, kind="stable")
-            ridx, docs_a, bits_a = ridx[order], docs_a[order], bits_a[order]
-            bounds = np.flatnonzero(ridx[1:] != ridx[:-1]) + 1
+            order = np.argsort(pids_a, kind="stable")
+            pids_s, docs_s = pids_a[order], docs_a[order]
+            bounds = np.flatnonzero(pids_s[1:] != pids_s[:-1]) + 1
+            per_q: dict = {}
             for s, e in zip(
                 np.concatenate(([0], bounds)),
-                np.concatenate((bounds, [len(ridx)])),
+                np.concatenate((bounds, [len(pids_s)])),
             ):
-                fb[int(ridx[s])] = (
-                    docs_a[s:e],
-                    bits_a[s:e],
-                    np.zeros(e - s, dtype=np.float64),
+                docs_p = docs_s[s:e]
+                for qr, bit in pp_b.get(int(pids_s[s]), ()):
+                    d_list, b_list = per_q.setdefault(qr, ([], []))
+                    d_list.append(docs_p)
+                    b_list.append(np.uint64(bit))
+            for qr, (d_list, b_list) in per_q.items():
+                docs_cat = (
+                    np.concatenate(d_list) if len(d_list) > 1 else d_list[0]
+                )
+                bits_cat = np.concatenate(
+                    [
+                        np.full(len(d), b_, dtype=np.uint64)
+                        for d, b_ in zip(d_list, b_list)
+                    ]
+                )
+                fb[int(qr)] = (
+                    docs_cat,
+                    bits_cat,
+                    np.zeros(len(docs_cat), dtype=np.float64),
                 )
         return _emit_topk_frame(
             _bool_parts(decoded, qids_b, tmap_b, qmeta_b, kk, fb=fb)
@@ -859,7 +876,7 @@ def bool_search_index(
     seg_topk = (
         cand.select("segment", "term", "blocks")
         .groupBy("segment")
-        .cogroup(docbits.groupBy("segment"))
+        .cogroup(matched.groupBy("segment"))
         .applyInPandas(bool_filtered, schema=seg_schema)
     )
     return topk_per_group(seg_topk, k=k).select("qid", "doc_id", "score", "rank")

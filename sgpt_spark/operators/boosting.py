@@ -99,11 +99,32 @@ def boosting_search_index(
     negative_boost: float = 0.5,
     term_stats: DataFrame | None = None,
     tokenizer=None,
+    strategy: str = "kernel",
 ) -> DataFrame:
-    """Index-backed boosting query: positive = the full scored match set
-    off the compressed postings (``match_scores`` — in-plan queries,
-    term-pruned scan), negative = the distinct match candidates
-    (``match_candidates``), one JVM demote join."""
+    """Index-backed boosting query.
+
+    ``strategy='kernel'`` (default, r6): segment-local numpy TAAT — one
+    pruned postings scan over positive AND negative terms, per segment
+    each query's positive bincount sum (rounded to SCORE_DECIMALS, the
+    clause ranking contract), the demote applied against the segment's
+    negative doc-id union via one searchsorted membership, <= k rows
+    per (query, segment) shipped into the global top-k. Valid per
+    segment because segments partition docs (the dis_max kernel
+    argument); the full positive match set never leaves the executors.
+
+    ``strategy='relational'`` pins the r5 spelling (the verification
+    twin, pytest-equated): positive = ``match_scores``'s full scored
+    set, negative = ``match_candidates``, one JVM demote join — the
+    shape for unbounded query relations."""
+    if strategy not in ("kernel", "relational"):
+        raise ValueError(
+            f"unknown strategy {strategy!r}: use kernel|relational"
+        )
+    if strategy == "kernel":
+        return _boosting_kernel(
+            spark, postings, meta, queries, negative_queries,
+            negative_boost, k, term_stats, tokenizer,
+        )
     from sgpt_spark.operators.aggs import match_candidates
     from sgpt_spark.operators.funcscore import match_scores
 
@@ -115,6 +136,152 @@ def boosting_search_index(
     neg = match_candidates(spark, postings, meta, negative_queries,
                            tokenizer=tokenizer, materialize=False)
     return boosting_combine(pos, neg, negative_boost=negative_boost, k=k)
+
+
+def _boosting_kernel(
+    spark: SparkSession,
+    postings: DataFrame,
+    meta,
+    queries,
+    negative_queries,
+    negative_boost: float,
+    k: int,
+    term_stats,
+    tokenizer,
+) -> DataFrame:
+    """The kernel strategy's body (see ``boosting_search_index``).
+    Follows ``compound._dis_max_kernel``'s collect contract: interactive
+    query batches, the per-query term maps broadcast."""
+    import numpy as np
+    import pandas as pd
+
+    from sgpt_spark.functions.analyzer import resolve_py_analyzer
+    from sgpt_spark.functions.bm25 import idf_py
+    from sgpt_spark.operators.index_search import (
+        _decode_terms,
+        _emit_topk_frame,
+        collect_query_terms,
+        deterministic_topk,
+        normalize_queries,
+    )
+
+    nb = _check_boost(negative_boost)
+    q, qid_type = normalize_queries(queries)
+    if not isinstance(q, DataFrame):
+        q = spark.createDataFrame(q, f"qid {qid_type}, query string")
+    nq, _ = normalize_queries(negative_queries)
+    if not isinstance(nq, DataFrame):
+        nq = spark.createDataFrame(nq, f"qid {qid_type}, query string")
+    tok = tokenizer or resolve_py_analyzer(meta.analyzer)
+    qid_t = q.schema["qid"].dataType.simpleString()
+    seg_schema = f"qid {qid_t}, doc_id long, score double"
+    empty = spark.createDataFrame([], seg_schema + ", rank int")
+
+    per_query_pos: dict = {}
+    pos_terms: set = set()
+    for qid, t, qtf in collect_query_terms(q, tokenize=tok):
+        per_query_pos.setdefault(qid, []).append((t, int(qtf)))
+        pos_terms.add(t)
+    if not per_query_pos:
+        return empty
+    per_query_neg: dict = {}
+    neg_terms: set = set()
+    for qid, t, _qtf in collect_query_terms(nq, tokenize=tok):
+        per_query_neg.setdefault(qid, set()).add(t)
+        neg_terms.add(t)
+
+    terms = sorted(pos_terms | neg_terms)
+    cand = postings.filter(F.col("term").isin(terms))
+    ptl = sorted(pos_terms)
+    if isinstance(term_stats, dict):
+        global_df = {t: int(term_stats[t]) for t in ptl if t in term_stats}
+    elif term_stats is not None:
+        global_df = {
+            r["term"]: int(r["df"])
+            for r in term_stats.filter(F.col("term").isin(ptl)).collect()
+        }
+    else:
+        global_df = {
+            r["term"]: int(r["df"])
+            for r in cand.filter(F.col("term").isin(ptl))
+            .groupBy("term").agg(F.sum("df").alias("df")).collect()
+        }
+    idf = {t: idf_py(d, meta.n_docs) for t, d in global_df.items()}
+    weighted = {}
+    for qid, tws in per_query_pos.items():
+        tws = [(t, qtf * idf[t]) for t, qtf in tws if t in idf]
+        if tws:
+            weighted[qid] = tws
+    if not weighted:
+        return empty
+    b_state = spark.sparkContext.broadcast(
+        (weighted, {q_: sorted(s) for q_, s in per_query_neg.items()})
+    )
+    k1, b, avgdl, codec = meta.k1, meta.b, meta.avgdl, meta.codec
+    kk, nbf = int(k), float(nb)
+
+    def bst_wrapper(batches):
+        chunks = list(batches)
+        if not chunks:
+            return
+        pdf = (
+            pd.concat(chunks, ignore_index=True)
+            if len(chunks) > 1
+            else chunks[0]
+        )
+        w_map, n_map = b_state.value
+        for seg in pdf["segment"].unique():
+            sdf = pdf[pdf["segment"] == seg]
+            decoded = _decode_terms(
+                sdf["term"], sdf["blocks"], codec, k1, b, avgdl
+            )
+            if not decoded:
+                continue
+            parts: list = []
+            for qid, tws in w_map.items():
+                present = [(t, w) for t, w in tws if t in decoded]
+                if not present:
+                    continue
+                docs_cat = np.concatenate([decoded[t][0] for t, _ in present])
+                w_cat = np.concatenate(
+                    [decoded[t][1] * w for t, w in present]
+                )
+                ids, inv = np.unique(docs_cat, return_inverse=True)
+                sc = np.round(
+                    np.bincount(inv, weights=w_cat), SCORE_DECIMALS
+                )
+                negs = [
+                    decoded[t][0]
+                    for t in n_map.get(qid, ())
+                    if t in decoded
+                ]
+                if negs:
+                    nset = (
+                        negs[0]
+                        if len(negs) == 1
+                        else np.unique(np.concatenate(negs))
+                    )
+                    pos_idx = np.searchsorted(nset, ids)
+                    pos_idx[pos_idx == len(nset)] = 0
+                    hit = nset[pos_idx] == ids
+                    if len(nset):
+                        sc = np.where(hit, sc * nbf, sc)
+                order = deterministic_topk(ids, sc, kk)
+                parts.append(
+                    (qid, ids[order].astype(np.int64), sc[order])
+                )
+            if parts:
+                yield _emit_topk_frame(parts)
+
+    seg_topk = cand.repartition("segment").mapInPandas(
+        bst_wrapper, schema=seg_schema
+    )
+    # round_scores=False: the demoted value is 6-dp-rounded x nb — the
+    # boosting_combine determinism contract (re-rounding can land on a
+    # decimal midpoint at digit 7)
+    return topk_per_group(seg_topk, k=k, round_scores=False).select(
+        "qid", "doc_id", "score", "rank"
+    )
 
 
 def boosting_search(

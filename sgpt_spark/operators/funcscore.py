@@ -244,12 +244,25 @@ def function_score_index(
     k: int = 10,
     term_stats: DataFrame | None = None,
     tokenizer=None,
+    strategy: str = "kernel",
 ) -> DataFrame:
     """ES ``function_score`` with ``field_value_factor`` over the
     compressed index -> (qid, doc_id, score, rank): the match query's
     FULL scored set rescored by boost_mode(BM25, modifier(factor *
     field)), then the engine's rounded deterministic top-k. See the
-    module docstring for semantics and plan shape."""
+    module docstring for semantics and plan shape.
+
+    ``strategy='kernel'`` (default, r6): the segment-aligned doc-values
+    sidecar cogroups with the term-pruned postings; per segment the
+    kernel bincounts each query's raw BM25 sum, gathers the function
+    values via one searchsorted against the segment's doc-value arrays
+    (NULL/absent -> ``missing``, the left-join semantics), combines,
+    rounds, and ships <= k rows per (query, segment). The full scored
+    match set never shuffles — the r5 spelling joined doc values onto
+    all |hits| rows and windowed them globally. Valid per segment
+    because segments partition docs. ``strategy='relational'`` pins
+    that spelling (the verification twin; the shape for unbounded
+    query relations)."""
     if modifier not in MODIFIERS:
         raise ValueError(f"unknown modifier {modifier!r}: {MODIFIERS}")
     if boost_mode not in BOOST_MODES:
@@ -258,6 +271,16 @@ def function_score_index(
         raise ValueError(
             f"function_score field {field!r} not in docvalues columns "
             f"{docvalues.columns}"
+        )
+    if strategy not in ("kernel", "relational"):
+        raise ValueError(
+            f"unknown strategy {strategy!r}: use kernel|relational"
+        )
+    if strategy == "kernel" and "segment" in docvalues.columns:
+        return _function_score_kernel(
+            spark, postings, meta, queries, docvalues, field,
+            float(factor), modifier, float(missing), boost_mode, k,
+            term_stats, tokenizer,
         )
     scored = match_scores(
         spark, postings, meta, queries, term_stats=term_stats, tokenizer=tokenizer
@@ -272,6 +295,155 @@ def function_score_index(
         .select("qid", "doc_id", combined.alias("score"))
     )
     return topk_per_group(rescored, k=k).select("qid", "doc_id", "score", "rank")
+
+
+def _modifier_np(fv, modifier: str):
+    """numpy twin of ``_modifier_col`` (same op order, same base)."""
+    import numpy as np
+
+    if modifier == "none":
+        return fv
+    if modifier == "log1p":
+        return np.log10(fv + 1.0)
+    if modifier == "ln1p":
+        # NOT np.log1p: mirror _modifier_col's F.log(val + 1.0) op order
+        return np.log(fv + 1.0)
+    if modifier == "sqrt":
+        return np.sqrt(fv)
+    if modifier == "square":
+        return fv * fv
+    if modifier == "reciprocal":
+        with np.errstate(divide="ignore"):
+            return 1.0 / fv
+    raise ValueError(f"unknown modifier {modifier!r}: {MODIFIERS}")
+
+
+def _function_score_kernel(
+    spark: SparkSession,
+    postings: DataFrame,
+    meta: IndexMeta,
+    queries,
+    docvalues: DataFrame,
+    field: str,
+    factor: float,
+    modifier: str,
+    missing: float,
+    boost_mode: str,
+    k: int,
+    term_stats,
+    tokenizer,
+) -> DataFrame:
+    """The kernel strategy's body (see ``function_score_index``).
+    Collect contract for the query batch; the doc-values side arrives
+    cogrouped by the SAME segment ids the postings carry
+    (build_postings_with_docvalues pins them together)."""
+    import numpy as np
+    import pandas as pd
+
+    from sgpt_spark.functions.analyzer import resolve_py_analyzer
+    from sgpt_spark.functions.bm25 import idf_py
+    from sgpt_spark.operators.index_search import (
+        _decode_terms,
+        _emit_topk_frame,
+        collect_query_terms,
+        deterministic_topk,
+        normalize_queries,
+    )
+    from sgpt_spark.operators.topk import SCORE_DECIMALS
+
+    q, qid_type = normalize_queries(queries)
+    if not isinstance(q, DataFrame):
+        q = spark.createDataFrame(q, f"qid {qid_type}, query string")
+    tok = tokenizer or resolve_py_analyzer(meta.analyzer)
+    qid_t = q.schema["qid"].dataType.simpleString()
+    seg_schema = f"qid {qid_t}, doc_id long, score double"
+    empty = spark.createDataFrame([], seg_schema + ", rank int")
+
+    per_query: dict = {}
+    all_terms: set = set()
+    for qid, t, qtf in collect_query_terms(q, tokenize=tok):
+        per_query.setdefault(qid, []).append((t, int(qtf)))
+        all_terms.add(t)
+    if not per_query:
+        return empty
+    terms = sorted(all_terms)
+    pruned = postings.filter(F.col("term").isin(terms))
+    cand = pruned.select("segment", "term", "blocks")
+    if isinstance(term_stats, dict):
+        global_df = {t: int(term_stats[t]) for t in terms if t in term_stats}
+    elif term_stats is not None:
+        global_df = {
+            r["term"]: int(r["df"])
+            for r in term_stats.filter(F.col("term").isin(terms)).collect()
+        }
+    else:
+        global_df = {
+            r["term"]: int(r["df"])
+            for r in pruned.groupBy("term").agg(F.sum("df").alias("df")).collect()
+        }
+    idf = {t: idf_py(d, meta.n_docs) for t, d in global_df.items()}
+    weighted = {}
+    for qid, tws in per_query.items():
+        tws = [(t, qtf * idf[t]) for t, qtf in tws if t in idf]
+        if tws:
+            weighted[qid] = tws
+    if not weighted:
+        return empty
+    b_state = spark.sparkContext.broadcast(weighted)
+    k1, b, avgdl, codec = meta.k1, meta.b, meta.avgdl, meta.codec
+    kk = int(k)
+    mult = boost_mode == "multiply"
+    dvr = docvalues.select(
+        F.col("segment").cast("int").alias("segment"),
+        "doc_id",
+        F.col(field).cast("double").alias("_fv"),
+    )
+
+    def fs_kernel(pleft: pd.DataFrame, pright: pd.DataFrame) -> pd.DataFrame:
+        w_map = b_state.value
+        decoded = (
+            _decode_terms(pleft["term"], pleft["blocks"], codec, k1, b, avgdl)
+            if len(pleft)
+            else {}
+        )
+        if not decoded:
+            return _emit_topk_frame([])
+        dv_ids = pright["doc_id"].to_numpy(np.int64)
+        dv_fv = pright["_fv"].to_numpy(np.float64)
+        order = np.argsort(dv_ids, kind="stable")
+        dv_ids, dv_fv = dv_ids[order], dv_fv[order]
+        parts: list = []
+        for qid, tws in w_map.items():
+            present = [(t, w) for t, w in tws if t in decoded]
+            if not present:
+                continue
+            docs_cat = np.concatenate([decoded[t][0] for t, _ in present])
+            w_cat = np.concatenate([decoded[t][1] * w for t, w in present])
+            ids, inv = np.unique(docs_cat, return_inverse=True)
+            sc_raw = np.bincount(inv, weights=w_cat)
+            fv = np.full(len(ids), missing, dtype=np.float64)
+            if len(dv_ids):
+                pos = np.searchsorted(dv_ids, ids)
+                pos[pos == len(dv_ids)] = 0
+                found = dv_ids[pos] == ids
+                got = dv_fv[pos[found]]
+                got = np.where(np.isnan(got), missing, got)
+                fv[found] = got
+            fn = _modifier_np(fv * factor, modifier)
+            combined = sc_raw * fn if mult else sc_raw + fn
+            sc = np.round(combined, SCORE_DECIMALS)
+            order_q = deterministic_topk(ids, sc, kk)
+            parts.append((qid, ids[order_q].astype(np.int64), sc[order_q]))
+        return _emit_topk_frame(parts)
+
+    seg_topk = (
+        cand.groupBy("segment")
+        .cogroup(dvr.groupBy("segment"))
+        .applyInPandas(fs_kernel, schema=seg_schema)
+    )
+    return topk_per_group(seg_topk, k=k, round_scores=False).select(
+        "qid", "doc_id", "score", "rank"
+    )
 
 
 # ---- the full ES function family ---------------------------------------------

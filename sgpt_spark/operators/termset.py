@@ -218,6 +218,7 @@ def terms_set_search_index(
     docvalues: DataFrame | None = None,
     term_stats: DataFrame | None = None,
     broadcast_queries: bool = True,
+    strategy: str = "kernel",
 ) -> DataFrame:
     """``terms_set`` over the compressed index -> (qid, doc_id, score,
     rank). ``query_sets``: (qid, terms array<string>) rows — exact
@@ -230,9 +231,23 @@ def terms_set_search_index(
     Postings decode only after the left-semi vocabulary prune, so the
     scan stays term-pruned at the parquet reader like every multi-term
     path.
-    """
+
+    ``strategy='kernel'`` (default, r6): the per-query msm form
+    executes on ``multiterm._cogroup_weighted`` — a terms_set is a
+    weighted-OR over exact terms with a per-query matched-count bar,
+    exactly the relation shape that kernel takes ((qid, term, idf)
+    in-plan weights + a (qid, req) gate); <= k rows per (query,
+    segment) instead of the flatten -> probe join -> groupBy relation
+    (rows ~= the sum of the set terms' dfs). The per-DOC
+    ``msm_field`` form stays relational (its bar joins the doc-values
+    sidecar per doc). ``strategy='relational'`` pins the r5 spelling
+    (the verification twin)."""
     from sgpt_spark.operators.index_search import flatten_postings
 
+    if strategy not in ("kernel", "relational"):
+        raise ValueError(
+            f"unknown strategy {strategy!r}: use kernel|relational"
+        )
     sets = _normalize_sets(spark, query_sets)
     qterms = sets.select("qid", F.explode("terms").alias("term")).distinct()
     qmeta = qterms.groupBy("qid").agg(F.count("*").alias("n_terms"))
@@ -241,6 +256,24 @@ def terms_set_search_index(
             postings.filter(F.col("term").isNotNull())
             .groupBy("term")
             .agg(F.sum("df").alias("df"))
+        )
+    if strategy == "kernel" and msm_field is None:
+        from sgpt_spark.functions.bm25 import idf as idf_col
+        from sgpt_spark.operators.multiterm import _cogroup_weighted
+
+        kind, req = _required_rel(qmeta, None, msm_min, None)
+        assert kind == "query"
+        qtw = qterms.join(term_stats, "term").select(
+            "qid",
+            "term",
+            idf_col(F.col("df"), meta.n_docs).alias("w"),
+        )
+        required = req.select(
+            "qid", F.col("_req").cast("int").alias("req")
+        )
+        qid_type = sets.schema["qid"].dataType.simpleString()
+        return _cogroup_weighted(
+            spark, postings, meta, qtw, qid_type, k, required=required
         )
     vocab = qterms.select("term").distinct()
     cand = postings.join(vocab, "term", "left_semi")

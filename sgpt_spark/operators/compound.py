@@ -485,9 +485,20 @@ def ids_query(
     rows = [(q, list(ids)) for q, ids in id_sets]
     if not rows:
         raise ValueError("ids_query needs at least one (qid, ids) row")
-    req = spark.createDataFrame(rows, "qid long, ids array<long>").select(
-        "qid", F.explode("ids").alias("doc_id")
-    ).distinct()
+    # qid type follows the first row (the normalize_queries derivation):
+    # string qids are first-class everywhere else in the engine and used
+    # to die here on a hardcoded bigint schema
+    import numpy as _np
+
+    q0 = rows[0][0]
+    qid_type = (
+        "bigint"
+        if isinstance(q0, (int, _np.integer)) and not isinstance(q0, bool)
+        else "string"
+    )
+    req = spark.createDataFrame(
+        rows, f"qid {qid_type}, ids array<long>"
+    ).select("qid", F.explode("ids").alias("doc_id")).distinct()
     cand = req.join(
         corpus.select(F.col(id_col).alias("doc_id")).distinct(), "doc_id"
     )

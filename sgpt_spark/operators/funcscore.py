@@ -598,7 +598,17 @@ def _applicable_col(filter_expr: str | None) -> Column:
 def _combine_functions(parts, score_mode: str) -> Column:
     """(value, applicable, weight) triples -> the combined function
     score column. ES contract: functions whose filter does not match a
-    doc contribute nothing; a doc matched by NO function scores 1."""
+    doc contribute nothing; a doc matched by NO function scores 1.
+
+    A function whose VALUE evaluates to NULL (a script_score over a
+    NULL doc value, a field_value_factor column missing after the left
+    join) is treated as NOT APPLICABLE for that doc — folded into the
+    applicability condition below — so the combine stays deterministic
+    instead of propagating NULL into the final score (whose top-k
+    placement would be undefined). first/max/min already behaved this
+    way (coalesce/greatest skip NULLs); this pins multiply/sum/avg to
+    the same rule."""
+    parts = [(v, a & v.isNotNull(), w) for v, a, w in parts]
     applied = [F.when(a, v) for v, a, _ in parts]  # NULL when not applicable
     if score_mode == "first":
         return F.coalesce(*applied, F.lit(1.0))

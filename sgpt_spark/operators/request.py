@@ -276,14 +276,46 @@ def _hits(spark, lay, qnode, qid, k, docvalues, after):
         from sgpt_spark.operators import multiterm
 
         (field, val), = spec.items()
-        pat = val if isinstance(val, str) else val.get("value", val.get("wildcard"))
+        opts: dict = {}
+        if isinstance(val, str):
+            pat = val
+        else:
+            # reject unknown spec keys (the _msm_args rule) and map the
+            # routed options through — an ignored "fuzziness" would
+            # silently answer a DIFFERENT query at the operator default
+            allowed = {
+                "prefix": {"value"},
+                "wildcard": {"value", "wildcard"},
+                "regexp": {"value"},
+                "fuzzy": {
+                    "value", "fuzziness", "prefix_length", "max_expansions"
+                },
+            }[kind]
+            unknown = sorted(set(val) - allowed)
+            if unknown:
+                raise ValueError(
+                    f"{kind} spec keys {unknown} are not routed here; "
+                    f"allowed: {sorted(allowed)} — call the multiterm "
+                    "operator directly for anything else"
+                )
+            pat = val.get("value", val.get("wildcard"))
+            if pat is None:
+                raise ValueError(f"{kind} spec needs a 'value'")
+            if kind == "fuzzy":
+                if "fuzziness" in val:
+                    opts["max_edits"] = int(val["fuzziness"])
+                if "prefix_length" in val:
+                    opts["prefix_length"] = int(val["prefix_length"])
+                if "max_expansions" in val:
+                    opts["max_expansions"] = int(val["max_expansions"])
         fn = {
             "prefix": multiterm.prefix_search_index,
             "wildcard": multiterm.wildcard_search_index,
             "regexp": multiterm.regexp_search_index,
             "fuzzy": multiterm.fuzzy_search_index,
         }[kind]
-        return fn(spark, postings, meta, [(qid, pat)], k=k, term_stats=tstats), None
+        return fn(spark, postings, meta, [(qid, pat)], k=k,
+                  term_stats=tstats, **opts), None
     if kind == "terms_set":
         from sgpt_spark.operators.termset import terms_set_search_index
 
@@ -413,6 +445,17 @@ def search_request(
         sa = body["search_after"]
         if next(iter(qnode)) != "match":
             raise ValueError("search_after routes with a match query; use the operators' after= directly otherwise")
+        clash = sorted({"sort", "rescore", "collapse"} & set(body))
+        if clash:
+            # guarded loudly: those branches return without threading
+            # the cursor, which would silently re-serve page 1 (ES
+            # pairs search_after WITH sort — page those operators
+            # directly with their own after=/keyset arguments)
+            raise ValueError(
+                f"search_after combined with {clash} is not threaded in "
+                "this entry point; use the operators' keyset arguments "
+                "directly"
+            )
         # the operator's keyset contract: {qid: (score, doc_id)} cursors
         after = {qid: (float(sa[0]), int(sa[1]))}
 
@@ -420,6 +463,11 @@ def search_request(
     if "sort" in body:
         from sgpt_spark.operators.fieldsort import sort_search_index
 
+        if lay["kind"] == "multifield":
+            raise ValueError(
+                "sort needs a single-field index layout in this entry "
+                "point (the aggs rule)"
+            )
         if next(iter(qnode)) != "match":
             raise ValueError("sort routes with a match query; compose others directly")
         _, text, opts = _match_text(qnode["match"], "match")
@@ -473,6 +521,11 @@ def search_request(
         from sgpt_spark.operators.collapse import collapse_search
         from sgpt_spark.operators.funcscore import match_scores
 
+        if lay["kind"] == "multifield":
+            raise ValueError(
+                "collapse needs a single-field index layout in this "
+                "entry point (the aggs rule)"
+            )
         if next(iter(qnode)) != "match":
             raise ValueError("collapse routes over a match query")
         _, text, _ = _match_text(qnode["match"], "match")

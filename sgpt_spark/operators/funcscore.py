@@ -653,6 +653,7 @@ def function_score_multi(
     k: int = 10,
     term_stats: DataFrame | None = None,
     tokenizer=None,
+    strategy: str = "kernel",
 ) -> DataFrame:
     """The FULL ES ``function_score`` request -> (qid, doc_id, score,
     rank): every function in the list evaluated per matching doc
@@ -662,17 +663,35 @@ def function_score_multi(
     applied to the raw double before the 6-dp ranking round), then the
     engine's deterministic top-k.
 
-    Plan shape: the gated match_scores relation (term-pruned scan,
-    one shuffle) + ONE docvalues left join + pure codegen arithmetic —
-    N functions add N projections, never N passes; at 10^12 docs the
-    only data-sized costs remain the postings scan and the doc_id
-    join, identical to the single-function gate row."""
+    ``strategy='kernel'`` (default, r6): when no function references
+    ``_score`` (script_score with ``_score`` needs the query score per
+    row) and the sidecar is segment-aligned, the ENTIRE function
+    battery — filters, decay, fvf, random_score, score_mode combine,
+    max_boost cap — compiles to ONE whole-stage-codegen column over
+    the doc-values relation (bit-identical to the relational
+    projection: same Column expressions), and only that per-doc value
+    cogroups with the pruned postings; the kernel gathers it per hit
+    doc and applies boost_mode/min_score per segment, <= k rows per
+    (query, segment). The full scored match set never shuffles.
+    Assumes the sidecar covers every indexed doc (the
+    build_postings_with_docvalues invariant); pass
+    ``strategy='relational'`` for partial external sidecars — that
+    pinned spelling (the verification twin) is also the automatic
+    fallback for ``_score`` scripts and segment-less sidecars.
+
+    Relational plan shape: the gated match_scores relation (term-pruned
+    scan, one shuffle) + ONE docvalues left join + pure codegen
+    arithmetic — N functions add N projections, never N passes."""
     if score_mode not in SCORE_MODES:
         raise ValueError(f"unknown score_mode {score_mode!r}: {SCORE_MODES}")
     if boost_mode not in FULL_BOOST_MODES:
         raise ValueError(f"unknown boost_mode {boost_mode!r}: {FULL_BOOST_MODES}")
     if not functions:
         raise ValueError("function_score needs at least one function")
+    if strategy not in ("kernel", "relational"):
+        raise ValueError(
+            f"unknown strategy {strategy!r}: use kernel|relational"
+        )
     dv_cols = [c for c in docvalues.columns if c != "doc_id"]
     parts = [
         _compile_function(fn, dv_cols, i) for i, fn in enumerate(functions)
@@ -680,6 +699,19 @@ def function_score_multi(
     fs = _combine_functions(parts, score_mode)
     if max_boost is not None:
         fs = F.least(fs, F.lit(float(max_boost)))
+    uses_score = any(
+        "_score" in fn.get("script_score", {}).get("source", "")
+        for fn in functions
+    )
+    if (
+        strategy == "kernel"
+        and not uses_score
+        and "segment" in docvalues.columns
+    ):
+        return _function_score_multi_kernel(
+            spark, postings, meta, queries, docvalues, fs, boost_mode,
+            float(boost), min_score, k, term_stats, tokenizer,
+        )
     qs = F.col("_score") * F.lit(float(boost))
     combined = {
         "multiply": qs * fs,
@@ -698,3 +730,145 @@ def function_score_multi(
     if min_score is not None:
         rescored = rescored.filter(F.col("score") >= F.lit(float(min_score)))
     return topk_per_group(rescored, k=k).select("qid", "doc_id", "score", "rank")
+
+
+def _function_score_multi_kernel(
+    spark: SparkSession,
+    postings: DataFrame,
+    meta: IndexMeta,
+    queries,
+    docvalues: DataFrame,
+    fs,
+    boost_mode: str,
+    boost: float,
+    min_score: float | None,
+    k: int,
+    term_stats,
+    tokenizer,
+) -> DataFrame:
+    """The multi-function kernel body (see ``function_score_multi``):
+    ``fs`` is the fully-combined per-doc function column, evaluated by
+    the JVM over the doc-values relation; the kernel only gathers it
+    and meets it with each query's raw BM25 sum under ``boost_mode``."""
+    import numpy as np
+    import pandas as pd
+
+    from sgpt_spark.functions.analyzer import resolve_py_analyzer
+    from sgpt_spark.functions.bm25 import idf_py
+    from sgpt_spark.operators.index_search import (
+        _decode_terms,
+        _emit_topk_frame,
+        collect_query_terms,
+        deterministic_topk,
+        normalize_queries,
+    )
+    from sgpt_spark.operators.topk import SCORE_DECIMALS
+
+    q, qid_type = normalize_queries(queries)
+    if not isinstance(q, DataFrame):
+        q = spark.createDataFrame(q, f"qid {qid_type}, query string")
+    tok = tokenizer or resolve_py_analyzer(meta.analyzer)
+    qid_t = q.schema["qid"].dataType.simpleString()
+    seg_schema = f"qid {qid_t}, doc_id long, score double"
+    empty = spark.createDataFrame([], seg_schema + ", rank int")
+
+    per_query: dict = {}
+    all_terms: set = set()
+    for qid, t, qtf in collect_query_terms(q, tokenize=tok):
+        per_query.setdefault(qid, []).append((t, int(qtf)))
+        all_terms.add(t)
+    if not per_query:
+        return empty
+    terms = sorted(all_terms)
+    pruned = postings.filter(F.col("term").isin(terms))
+    cand = pruned.select("segment", "term", "blocks")
+    if isinstance(term_stats, dict):
+        global_df = {t: int(term_stats[t]) for t in terms if t in term_stats}
+    elif term_stats is not None:
+        global_df = {
+            r["term"]: int(r["df"])
+            for r in term_stats.filter(F.col("term").isin(terms)).collect()
+        }
+    else:
+        global_df = {
+            r["term"]: int(r["df"])
+            for r in pruned.groupBy("term").agg(F.sum("df").alias("df")).collect()
+        }
+    idf = {t: idf_py(d, meta.n_docs) for t, d in global_df.items()}
+    weighted = {}
+    for qid, tws in per_query.items():
+        tws = [(t, qtf * idf[t]) for t, qtf in tws if t in idf]
+        if tws:
+            weighted[qid] = tws
+    if not weighted:
+        return empty
+    b_state = spark.sparkContext.broadcast(weighted)
+    k1, b, avgdl, codec = meta.k1, meta.b, meta.avgdl, meta.codec
+    kk = int(k)
+    ms = None if min_score is None else float(min_score)
+    dvf = docvalues.select(
+        F.col("segment").cast("int").alias("segment"),
+        "doc_id",
+        fs.cast("double").alias("_fn"),
+    )
+
+    def combine(qs: "np.ndarray", fn: "np.ndarray") -> "np.ndarray":
+        if boost_mode == "multiply":
+            return qs * fn
+        if boost_mode == "replace":
+            return fn
+        if boost_mode == "sum":
+            return qs + fn
+        if boost_mode == "avg":
+            return (qs + fn) / 2.0
+        if boost_mode == "max":
+            return np.maximum(qs, fn)
+        return np.minimum(qs, fn)
+
+    def fsm_kernel(pleft: pd.DataFrame, pright: pd.DataFrame) -> pd.DataFrame:
+        w_map = b_state.value
+        decoded = (
+            _decode_terms(pleft["term"], pleft["blocks"], codec, k1, b, avgdl)
+            if len(pleft)
+            else {}
+        )
+        if not decoded:
+            return _emit_topk_frame([])
+        dv_ids = pright["doc_id"].to_numpy(np.int64)
+        dv_fn = pright["_fn"].to_numpy(np.float64)
+        order = np.argsort(dv_ids, kind="stable")
+        dv_ids, dv_fn = dv_ids[order], dv_fn[order]
+        parts: list = []
+        for qid, tws in w_map.items():
+            present = [(t, w) for t, w in tws if t in decoded]
+            if not present:
+                continue
+            docs_cat = np.concatenate([decoded[t][0] for t, _ in present])
+            w_cat = np.concatenate([decoded[t][1] * w for t, w in present])
+            ids, inv = np.unique(docs_cat, return_inverse=True)
+            qs = np.bincount(inv, weights=w_cat) * boost
+            fn = np.full(len(ids), np.nan, dtype=np.float64)
+            if len(dv_ids):
+                pos = np.searchsorted(dv_ids, ids)
+                pos[pos == len(dv_ids)] = 0
+                found = dv_ids[pos] == ids
+                fn[found] = dv_fn[pos[found]]
+            combined = combine(qs, fn)
+            if ms is not None:
+                keep = combined >= ms
+                ids, combined = ids[keep], combined[keep]
+                if not len(ids):
+                    continue
+            sc = np.round(combined, SCORE_DECIMALS)
+            order_q = deterministic_topk(ids, sc, kk)
+            parts.append((qid, ids[order_q].astype(np.int64), sc[order_q]))
+        return _emit_topk_frame(parts)
+
+    seg_topk = (
+        cand.groupBy("segment")
+        .cogroup(dvf.groupBy("segment"))
+        .applyInPandas(fsm_kernel, schema=seg_schema)
+    )
+    return topk_per_group(seg_topk, k=k, round_scores=False).select(
+        "qid", "doc_id", "score", "rank"
+    )
